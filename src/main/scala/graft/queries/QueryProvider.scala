@@ -1,0 +1,24 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One named engine query plus (optionally) an equivalent ANSI-SQL oracle
+  * that DuckDB can run against the same parquet tables.
+  *
+  * Conventions (driver contract, see SparkEntry):
+  *  - column names in the Spark result and the oracle SQL must match;
+  *  - every query ends in a deterministic ORDER BY on a unique key so the
+  *    written parquet and the oracle result sort identically;
+  *  - floating aggregates are rounded on BOTH sides so double summation
+  *    order cannot flip the hash.
+  */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    /** include in the per-round Bench headline set */
+    bench: Boolean = false)
+
+trait QueryProvider {
+  def all: Seq[Q]
+}

@@ -1,0 +1,401 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.tables.Tables
+
+/** Relational operator coverage over the TPC-H-ish harness tables.
+  *
+  * Maps SURVEY.md §2's inventory onto declarative DataFrame plans:
+  * scans (S1), projections (P1/P7), filters (F1-F8 shapes), equi-joins /
+  * semi / anti / self-join pairs (J1-J4), hash aggregations (A1-A8),
+  * sorts & top-k (O1-O4), and set ops (E1-E2). Everything is expressed
+  * with `org.apache.spark.sql.functions` so Catalyst handles pushdown,
+  * pruning, partial aggregation, broadcast selection and AQE; no UDFs.
+  *
+  * Scale notes (100 TB thinking):
+  *  - dimension joins (`part`, `nation`, `region`, `supplier`, top-k order
+  *    lists) are explicitly `broadcast()` — they stay small at any SF;
+  *  - fact-fact joins (lineitem ⋈ orders) shuffle on the join key and are
+  *    AQE-coalesced; no driver-side collect anywhere;
+  *  - top-k uses orderBy+limit which Spark plans as TakeOrderedAndProject
+  *    (per-partition heap, no global sort).
+  */
+object Relational extends QueryProvider {
+
+  // Predicate constants shared by Spark and oracle text.
+  private val shipCut = "2000-06-30 00:00:00"
+  private val q3Date = "1998-01-01 00:00:00"
+
+  override val all: Seq[Q] = Seq(
+    // ---- A: aggregations over one fact table (TPC-H Q1 shape: F+A+O) ----
+    Q(
+      "q01_pricing_summary",
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .filter($"l_shipdate" <= lit(shipCut).cast("timestamp"))
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            round(sum($"l_quantity"), 2).as("sum_qty"),
+            round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+            round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
+            round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")), 2).as("sum_charge"),
+            round(avg($"l_quantity"), 4).as("avg_qty"),
+            round(avg($"l_extendedprice"), 4).as("avg_price"),
+            round(avg($"l_discount"), 6).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy($"l_returnflag", $"l_linestatus")
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |round(sum(l_quantity),2) AS sum_qty,
+              |round(sum(l_extendedprice),2) AS sum_base_price,
+              |round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+              |round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+              |round(avg(l_quantity),4) AS avg_qty,
+              |round(avg(l_extendedprice),4) AS avg_price,
+              |round(avg(l_discount),6) AS avg_disc,
+              |count(*) AS count_order
+              |FROM lineitem WHERE l_shipdate <= TIMESTAMP '$shipCut'
+              |GROUP BY l_returnflag, l_linestatus
+              |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      bench = true),
+
+    // ---- Filter + projection, pushed to the parquet scan (F*, P7) ----
+    Q(
+      "q02_filter_project",
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .filter($"l_shipdate" >= lit("1999-01-01 00:00:00").cast("timestamp") &&
+            $"l_shipdate" < lit("1999-04-01 00:00:00").cast("timestamp") &&
+            $"l_discount" > 0.05 && $"l_quantity" < 10.0)
+          .select($"l_orderkey", $"l_linenumber", $"l_partkey",
+            round($"l_extendedprice" * (lit(1.0) - $"l_discount"), 2).as("net_price"))
+          .orderBy($"l_orderkey", $"l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey,
+             |round(l_extendedprice*(1-l_discount),2) AS net_price
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+             |AND l_shipdate < TIMESTAMP '1999-04-01 00:00:00'
+             |AND l_discount > 0.05 AND l_quantity < 10.0
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // ---- 3-way join + agg + top-k (TPC-H Q3 shape: J1+A5+O2) ----
+    Q(
+      "q03_shipping_priority",
+      (s, dir) => {
+        import s.implicits._
+        val cust = Tables.customer(s, dir).filter($"c_mktsegment" === "BUILDING")
+        val ord = Tables.orders(s, dir)
+          .filter($"o_orderdate" < lit(q3Date).cast("timestamp"))
+        val li = Tables.lineitem(s, dir)
+          .filter($"l_shipdate" > lit(q3Date).cast("timestamp"))
+        // customer is the small side at every SF (1.5k rows/SF0.01): broadcast
+        // it into orders, then shuffle-join the joined keys into lineitem.
+        li.join(ord, $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+          .groupBy($"l_orderkey", $"o_orderdate")
+          .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+          .orderBy(desc("revenue"), $"l_orderkey")
+          .limit(10)
+      },
+      Some(s"""SELECT l_orderkey, o_orderdate,
+              |round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+              |FROM customer, orders, lineitem
+              |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+              |AND l_orderkey = o_orderkey
+              |AND o_orderdate < TIMESTAMP '$q3Date'
+              |AND l_shipdate > TIMESTAMP '$q3Date'
+              |GROUP BY l_orderkey, o_orderdate
+              |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin),
+      bench = true),
+
+    // ---- Broadcast dimension join (J1 small side) ----
+    Q(
+      "q04_brand_volume",
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .join(broadcast(Tables.part(s, dir)), $"l_partkey" === $"p_partkey")
+          .groupBy($"p_brand")
+          .agg(
+            count(lit(1)).as("n_items"),
+            round(sum($"l_quantity"), 2).as("total_qty"),
+            round(avg($"l_extendedprice"), 4).as("avg_price"))
+          .orderBy($"p_brand")
+      },
+      Some("""SELECT p_brand, count(*) AS n_items,
+             |round(sum(l_quantity),2) AS total_qty,
+             |round(avg(l_extendedprice),4) AS avg_price
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
+      bench = true),
+
+    // ---- Global top-k: TakeOrderedAndProject, no full sort (O2) ----
+    Q(
+      "q05_top_orders",
+      (s, dir) => {
+        import s.implicits._
+        Tables.orders(s, dir)
+          .select($"o_orderkey", $"o_custkey", round($"o_totalprice", 2).as("o_totalprice"))
+          .orderBy(desc("o_totalprice"), $"o_orderkey")
+          .limit(15)
+      },
+      Some("""SELECT o_orderkey, o_custkey, round(o_totalprice,2) AS o_totalprice
+             |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""".stripMargin)),
+
+    // ---- Distinct aggregation (A3/E2) ----
+    Q(
+      "q06_segment_stats",
+      (s, dir) => {
+        import s.implicits._
+        Tables.customer(s, dir)
+          .groupBy($"c_mktsegment")
+          .agg(
+            count(lit(1)).as("n_cust"),
+            countDistinct($"c_nationkey").as("n_nations"),
+            round(sum($"c_acctbal"), 2).as("sum_bal"),
+            round(avg($"c_acctbal"), 4).as("avg_bal"))
+          .orderBy($"c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_cust,
+             |count(DISTINCT c_nationkey) AS n_nations,
+             |round(sum(c_acctbal),2) AS sum_bal,
+             |round(avg(c_acctbal),4) AS avg_bal
+             |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // ---- Window functions: per-group ranking (extension of O3 shape) ----
+    Q(
+      "q07_top_orders_per_cust",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey")
+          .orderBy(desc("o_totalprice"), $"o_orderkey")
+        Tables.orders(s, dir)
+          .withColumn("rk", row_number().over(w))
+          .filter($"rk" <= 2)
+          .select($"o_custkey", $"rk", $"o_orderkey",
+            round($"o_totalprice", 2).as("o_totalprice"))
+          .orderBy($"o_custkey", $"rk")
+      },
+      Some("""SELECT o_custkey, rk, o_orderkey, round(o_totalprice,2) AS o_totalprice
+             |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             |row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+             |FROM orders) WHERE rk <= 2
+             |ORDER BY o_custkey, rk""".stripMargin),
+      bench = true),
+
+    // ---- Self-join pair enumeration (J2 shape with src<dst dedup) ----
+    Q(
+      "q08_nation_pairs",
+      (s, dir) => {
+        import s.implicits._
+        val n1 = Tables.nation(s, dir).select($"n_nationkey".as("k1"), $"n_name".as("name1"), $"n_regionkey".as("r1"))
+        val n2 = Tables.nation(s, dir).select($"n_nationkey".as("k2"), $"n_name".as("name2"), $"n_regionkey".as("r2"))
+        n1.join(n2, $"r1" === $"r2" && $"k1" < $"k2")
+          .select($"k1", $"k2", $"name1", $"name2", $"r1".as("regionkey"))
+          .orderBy($"k1", $"k2")
+      },
+      Some("""SELECT a.n_nationkey AS k1, b.n_nationkey AS k2,
+             |a.n_name AS name1, b.n_name AS name2, a.n_regionkey AS regionkey
+             |FROM nation a JOIN nation b
+             |ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+             |ORDER BY k1, k2""".stripMargin)),
+
+    // ---- Semi join (EXISTS) ----
+    Q(
+      "q09_customers_with_open_orders",
+      (s, dir) => {
+        import s.implicits._
+        val open = Tables.orders(s, dir).filter($"o_orderstatus" === "O")
+          .select($"o_custkey")
+        Tables.customer(s, dir)
+          .join(open, $"c_custkey" === $"o_custkey", "left_semi")
+          .select($"c_custkey", $"c_name", $"c_mktsegment")
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- Anti join (NOT EXISTS) ----
+    Q(
+      "q10_parts_not_recently_shipped",
+      (s, dir) => {
+        import s.implicits._
+        val recent = Tables.lineitem(s, dir)
+          .filter($"l_shipdate" >= lit("2001-01-01 00:00:00").cast("timestamp"))
+          .select($"l_partkey")
+        Tables.part(s, dir)
+          .join(recent, $"p_partkey" === $"l_partkey", "left_anti")
+          .select($"p_partkey", $"p_name", $"p_brand")
+          .orderBy($"p_partkey")
+      },
+      Some("""SELECT p_partkey, p_name, p_brand FROM part
+             |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey
+             |AND l_shipdate >= TIMESTAMP '2001-01-01 00:00:00')
+             |ORDER BY p_partkey""".stripMargin)),
+
+    // ---- Set ops: UNION / INTERSECT / EXCEPT (E1/E2) ----
+    Q(
+      "q11_nationkey_setops",
+      (s, dir) => {
+        import s.implicits._
+        val c = Tables.customer(s, dir).select($"c_nationkey".cast("long").as("nationkey")).distinct()
+        val p = Tables.supplier(s, dir).select($"s_nationkey".cast("long").as("nationkey")).distinct()
+        val u = c.union(p).distinct().withColumn("op", lit("union"))
+        val i = c.intersect(p).withColumn("op", lit("intersect"))
+        val e = c.except(p).withColumn("op", lit("except"))
+        u.union(i).union(e).select($"op", $"nationkey").orderBy($"op", $"nationkey")
+      },
+      Some("""WITH c AS (SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer),
+             |s AS (SELECT DISTINCT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier),
+             |x AS (
+             |SELECT 'union' AS op, nationkey FROM (SELECT nationkey FROM c UNION SELECT nationkey FROM s)
+             |UNION ALL
+             |SELECT 'intersect' AS op, nationkey FROM (SELECT nationkey FROM c INTERSECT SELECT nationkey FROM s)
+             |UNION ALL
+             |SELECT 'except' AS op, nationkey FROM (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s))
+             |SELECT op, nationkey FROM x ORDER BY op, nationkey""".stripMargin)),
+
+    // ---- Event-time tumbling aggregation, batch form (§2.12 extension) ----
+    Q(
+      "q12_events_hourly",
+      (s, dir) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            round(sum($"value"), 2).as("sum_value"),
+            countDistinct($"user_id").as("n_users"))
+          .orderBy($"hour", $"event_type")
+      },
+      Some("""SELECT date_trunc('hour', ts) AS hour, event_type,
+             |count(*) AS n, round(sum(value),2) AS sum_value,
+             |count(DISTINCT user_id) AS n_users
+             |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin),
+      bench = true),
+
+    // ---- Agg + HAVING ----
+    Q(
+      "q13_big_suppliers",
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .groupBy($"l_suppkey")
+          .agg(count(lit(1)).as("n_items"), round(sum($"l_quantity"), 2).as("qty"))
+          .filter($"n_items" > 400)
+          .orderBy($"l_suppkey")
+      },
+      Some("""SELECT l_suppkey, count(*) AS n_items, round(sum(l_quantity),2) AS qty
+             |FROM lineitem GROUP BY l_suppkey HAVING count(*) > 400
+             |ORDER BY l_suppkey""".stripMargin)),
+
+    // ---- 6-way star join (TPC-H Q5 shape) ----
+    Q(
+      "q14_local_supplier_volume",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, dir)
+        val ord = Tables.orders(s, dir)
+        val cust = Tables.customer(s, dir)
+        val supp = Tables.supplier(s, dir)
+        val nat = Tables.nation(s, dir)
+        val reg = Tables.region(s, dir)
+        li.join(ord, $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+          .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+          .filter($"c_nationkey" === $"s_nationkey")
+          .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+          .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
+          .groupBy($"r_name", $"n_name")
+          .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy($"r_name", $"n_name")
+      },
+      Some("""SELECT r_name, n_name,
+             |round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+             |count(*) AS n_items
+             |FROM lineitem, orders, customer, supplier, nation, region
+             |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+             |AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+             |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin),
+      bench = true),
+
+    // ---- CASE buckets (P7 conditional projection) ----
+    Q(
+      "q15_quantity_buckets",
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .select(
+            when($"l_quantity" < 10, "small")
+              .when($"l_quantity" < 30, "medium")
+              .otherwise("large").as("bucket"),
+            $"l_extendedprice")
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n"), round(avg($"l_extendedprice"), 4).as("avg_price"))
+          .orderBy($"bucket")
+      },
+      Some("""SELECT CASE WHEN l_quantity < 10 THEN 'small'
+             |WHEN l_quantity < 30 THEN 'medium' ELSE 'large' END AS bucket,
+             |count(*) AS n, round(avg(l_extendedprice),4) AS avg_price
+             |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // ---- Calendar rollup on order dates (O1 sort + date functions) ----
+    Q(
+      "q16_monthly_revenue",
+      (s, dir) => {
+        import s.implicits._
+        Tables.orders(s, dir)
+          .groupBy(year($"o_orderdate").cast("long").as("yr"),
+            month($"o_orderdate").cast("long").as("mo"))
+          .agg(count(lit(1)).as("n_orders"), round(sum($"o_totalprice"), 2).as("revenue"))
+          .orderBy($"yr", $"mo")
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+             |CAST(month(o_orderdate) AS BIGINT) AS mo,
+             |count(*) AS n_orders, round(sum(o_totalprice),2) AS revenue
+             |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin)),
+
+    // ---- Full multi-key sort of a small dimension (O1) ----
+    Q(
+      "q17_supplier_ranking",
+      (s, dir) => {
+        import s.implicits._
+        Tables.supplier(s, dir)
+          .select($"s_suppkey", $"s_name", $"s_nationkey".cast("long").as("s_nationkey"),
+            round($"s_acctbal", 2).as("s_acctbal"))
+          .orderBy(desc("s_acctbal"), $"s_suppkey")
+      },
+      Some("""SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT) AS s_nationkey,
+             |round(s_acctbal,2) AS s_acctbal
+             |FROM supplier ORDER BY s_acctbal DESC, s_suppkey""".stripMargin)),
+
+    // ---- Rolling window aggregation over event time (running sums) ----
+    Q(
+      "q18_user_running_value",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        Tables.events(s, dir)
+          .filter($"user_id" < 20)
+          .withColumn("running_value", round(sum($"value").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+          .select($"user_id", $"event_id", $"running_value")
+          .orderBy($"user_id", $"event_id")
+      },
+      Some("""SELECT user_id, event_id,
+             |round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_value
+             |FROM events WHERE user_id < 20
+             |ORDER BY user_id, event_id""".stripMargin))
+  )
+}
