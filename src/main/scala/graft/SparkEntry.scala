@@ -13,7 +13,8 @@ object SparkEntry {
 
   /** All registered query modules. */
   def providers: Seq[QueryProvider] = Seq(
-    Relational
+    Relational,
+    TextQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+import graft.text.{StopWords, TextFunctions => TF}
+import graft.tfidf.TfIdf
+
+/** Token-pipeline + TF-IDF coverage over the `documents` table
+  * (SURVEY.md §2.2 P3-P4, §2.3 F3-F5, §2.5 A1-A4, §2.11).
+  *
+  * Every query here uses only codegen'd Catalyst functions (regexp,
+  * higher-order array functions, hash aggregation) so the same plan
+  * scales from 500 docs to 100 TB: tokenization is a narrow map, TF/DF
+  * are two-level hash aggregations with map-side partial combine, and the
+  * IDF join broadcasts the (tiny, sublinear) vocabulary table.
+  *
+  * Lemmatization (a UDF, SURVEY H1) is deliberately excluded from the
+  * oracle-checked pipelines so DuckDB can replicate them exactly; it is
+  * unit-tested separately and exercised by the rows-only summarizer
+  * queries.
+  */
+object TextQueries extends QueryProvider {
+
+  /** NLTK stopword list inlined for oracle SQL (alpha-only subset — the
+    * `[a-zA-Z]+` tokenizer can never produce the apostrophe entries).
+    */
+  private val stopSql: String =
+    StopWords.nltkEnglishAlpha.map(w => s"'$w'").mkString("[", ",", "]")
+
+  /** DuckDB expression for the LSA-style kept-token list. */
+  private def tokSql(src: String = "text"): String =
+    s"list_filter(regexp_extract_all(lower($src),'[a-zA-Z]+'), x -> len(x)>=3 AND NOT list_contains($stopSql, x))"
+
+  override val all: Seq[Q] = Seq(
+
+    Q(
+      "t01_doc_stats",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select(
+            $"doc_id", $"lang", $"source", $"n_chars",
+            length($"text").cast("long").as("text_len"),
+            TF.spaceWordCount($"text").cast("long").as("n_ws_words"),
+            size(TF.tokenize($"text")).cast("long").as("n_raw_tokens"),
+            size(TF.lsaTokens($"text", lemma = false)).cast("long").as("n_kept_tokens"),
+            size(array_distinct(TF.lsaTokens($"text", lemma = false))).cast("long").as("n_distinct_tokens"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""SELECT doc_id, lang, source, n_chars,
+              |CAST(length(text) AS BIGINT) AS text_len,
+              |CAST(len(string_split(text,' ')) AS BIGINT) AS n_ws_words,
+              |CAST(len(regexp_extract_all(lower(text),'[a-zA-Z]+')) AS BIGINT) AS n_raw_tokens,
+              |CAST(len(${tokSql()}) AS BIGINT) AS n_kept_tokens,
+              |CAST(len(list_distinct(${tokSql()})) AS BIGINT) AS n_distinct_tokens
+              |FROM documents ORDER BY doc_id""".stripMargin),
+      bench = true),
+
+    Q(
+      "t02_term_counts",
+      (s, dir) => {
+        import s.implicits._
+        val tok = Tables.documents(s, dir)
+          .select($"doc_id", TF.lsaTokens($"text", lemma = false).as("tokens"))
+        TfIdf.termFrequencies(tok, "doc_id", "tokens")
+          .groupBy($"token")
+          .agg(sum($"tf").as("total_tf"), count(lit(1)).as("n_docs"))
+          .orderBy(desc("total_tf"), $"token")
+          .limit(50)
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest(${tokSql()}) AS token FROM documents)
+              |SELECT token, count(*) AS total_tf, count(DISTINCT doc_id) AS n_docs
+              |FROM tok GROUP BY token ORDER BY total_tf DESC, token LIMIT 50""".stripMargin),
+      bench = true),
+
+    Q(
+      "t03_tf_pairs",
+      (s, dir) => {
+        import s.implicits._
+        val tok = Tables.documents(s, dir).filter($"doc_id" < 10)
+          .select($"doc_id", TF.lsaTokens($"text", lemma = false).as("tokens"))
+        TfIdf.termFrequencies(tok, "doc_id", "tokens")
+          .orderBy($"doc_id", $"token")
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest(${tokSql()}) AS token
+              |FROM documents WHERE doc_id < 10)
+              |SELECT doc_id, token, count(*) AS tf FROM tok
+              |GROUP BY doc_id, token ORDER BY doc_id, token""".stripMargin)),
+
+    Q(
+      "t04_df_idf",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val n = docs.count()
+        val tok = docs.select($"doc_id", TF.lsaTokens($"text", lemma = false).as("tokens"))
+        val tf = TfIdf.termFrequencies(tok, "doc_id", "tokens")
+        TfIdf.idfTable(tf, "doc_id", n)
+          .select($"token", $"df", round($"idf", 6).as("idf"))
+          .orderBy(desc("df"), $"token")
+          .limit(100)
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest(${tokSql()}) AS token FROM documents),
+              |d AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token)
+              |SELECT token, df,
+              |round(log10((SELECT count(*) FROM documents) * 1.0 / df), 6) AS idf
+              |FROM d ORDER BY df DESC, token LIMIT 100""".stripMargin)),
+
+    Q(
+      "t05_tfidf",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val n = docs.count()
+        val tok = docs.select($"doc_id", TF.lsaTokens($"text", lemma = false).as("tokens"))
+        TfIdf.tfidf(tok, "doc_id", "tokens", n)
+          .filter($"doc_id" < 5)
+          .select($"doc_id", $"token", $"tf", $"df",
+            round($"tfidf", 6).as("tfidf"))
+          .orderBy($"doc_id", $"token")
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest(${tokSql()}) AS token FROM documents),
+              |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+              |d AS (SELECT token, count(*) AS df FROM tf GROUP BY token)
+              |SELECT tf.doc_id, tf.token, tf.tf, d.df,
+              |round(tf.tf * log10((SELECT count(*) FROM documents) * 1.0 / d.df), 6) AS tfidf
+              |FROM tf JOIN d USING (token) WHERE tf.doc_id < 5
+              |ORDER BY doc_id, token""".stripMargin)),
+
+    // Per-language aggregate over declared metadata (slice for lang-ID
+    // comparisons; the heuristic language guesser itself is rows-only).
+    Q(
+      "t06_lang_profile",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .groupBy($"lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            round(avg($"n_chars"), 4).as("avg_chars"),
+            round(avg(size(TF.tokenize($"text"))), 4).as("avg_tokens"))
+          .orderBy($"lang")
+      },
+      Some("""SELECT lang, count(*) AS n_docs, round(avg(n_chars),4) AS avg_chars,
+             |round(avg(len(regexp_extract_all(lower(text),'[a-zA-Z]+'))),4) AS avg_tokens
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
+  )
+}

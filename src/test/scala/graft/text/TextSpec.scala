@@ -1,0 +1,75 @@
+package graft.text
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class PorterStemmerSpec extends AnyFunSuite {
+  // Expected outputs from M.F. Porter's 1980 paper examples.
+  val cases = Seq(
+    "caresses" -> "caress", "ponies" -> "poni", "ties" -> "ti",
+    "caress" -> "caress", "cats" -> "cat", "feed" -> "feed",
+    "agreed" -> "agre", "plastered" -> "plaster", "bled" -> "bled",
+    "motoring" -> "motor", "sing" -> "sing", "conflated" -> "conflat",
+    "troubled" -> "troubl", "sized" -> "size", "hopping" -> "hop",
+    "tanned" -> "tan", "falling" -> "fall", "hissing" -> "hiss",
+    "fizzed" -> "fizz", "failing" -> "fail", "filing" -> "file",
+    "happy" -> "happi", "sky" -> "sky", "relational" -> "relat",
+    "conditional" -> "condit", "rational" -> "ration",
+    "valenci" -> "valenc", "digitizer" -> "digit",
+    "operator" -> "oper", "feudalism" -> "feudal",
+    "decisiveness" -> "decis", "hopefulness" -> "hope",
+    "formaliti" -> "formal", "formative" -> "form",
+    "formalize" -> "formal", "electriciti" -> "electr",
+    "electrical" -> "electr", "hopeful" -> "hope",
+    "goodness" -> "good", "revival" -> "reviv",
+    "allowance" -> "allow", "inference" -> "infer",
+    "airliner" -> "airlin", "adjustable" -> "adjust",
+    "defensible" -> "defens", "replacement" -> "replac",
+    "adjustment" -> "adjust", "dependent" -> "depend",
+    "adoption" -> "adopt", "communism" -> "commun",
+    "activate" -> "activ", "effective" -> "effect",
+    "probate" -> "probat", "rate" -> "rate", "cease" -> "ceas",
+    "controll" -> "control", "roll" -> "roll", "running" -> "run",
+    "summarization" -> "summar", "summaries" -> "summari")
+
+  test("porter paper examples") {
+    cases.foreach { case (in, want) =>
+      assert(PorterStemmer.stem(in) == want, s"stem($in)")
+    }
+  }
+  test("short words unchanged") {
+    Seq("a", "is", "be").foreach(w => assert(PorterStemmer.stem(w) == w))
+  }
+}
+
+class LemmatizerSpec extends AnyFunSuite {
+  test("regular plurals") {
+    assert(Lemmatizer.lemma("batteries") == "battery")
+    assert(Lemmatizer.lemma("cars") == "car")
+    assert(Lemmatizer.lemma("boxes") == "box")
+    assert(Lemmatizer.lemma("churches") == "church")
+    assert(Lemmatizer.lemma("wishes") == "wish")
+    assert(Lemmatizer.lemma("quizzes") == "quizz") // zes -> z
+  }
+  test("irregulars via exception list") {
+    assert(Lemmatizer.lemma("children") == "child")
+    assert(Lemmatizer.lemma("men") == "man")
+    assert(Lemmatizer.lemma("data") == "datum")
+    assert(Lemmatizer.lemma("matrices") == "matrix")
+  }
+  test("guards: -ss/-us/-is and short words untouched") {
+    assert(Lemmatizer.lemma("class") == "class")
+    assert(Lemmatizer.lemma("bus") == "bus")
+    assert(Lemmatizer.lemma("basis") == "basis")
+    assert(Lemmatizer.lemma("is") == "is")
+  }
+}
+
+class StopWordsSpec extends AnyFunSuite {
+  test("nltk list has the canonical 179 entries") {
+    assert(StopWords.nltkEnglish.size == 179)
+    assert(StopWords.nltkEnglish.distinct.size == 179)
+    assert(StopWords.asSet.contains("the"))
+    assert(StopWords.asSet.contains("wouldn't"))
+    assert(!StopWords.asSet.contains("spark"))
+  }
+}
