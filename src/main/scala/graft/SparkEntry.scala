@@ -14,7 +14,8 @@ object SparkEntry {
   /** All registered query modules. */
   def providers: Seq[QueryProvider] = Seq(
     Relational,
-    TextQueries
+    TextQueries,
+    TextRankQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+import graft.text.StopWords
+import graft.textrank.TextRank
+
+/** TextRank over the `documents` table with a full DuckDB oracle: the
+  * 5-iteration rank loop is unrolled into chained CTEs (r0..r5), so the
+  * engine's iterative join+agg propagation is hash-checked end-to-end —
+  * not just rows-counted. The oracle configuration disables the
+  * lemmatizer UDF (not expressible in SQL); the lemmatized variant is the
+  * rows-only `tr03` query.
+  */
+object TextRankQueries extends QueryProvider {
+
+  private val stopSql: String =
+    StopWords.nltkEnglishAlpha.map(w => s"'$w'").mkString("[", ",", "]")
+
+  /** Unrolled oracle for `TextRank.rankDocuments(lemma = false)`. */
+  private def oracleSql(iterations: Int, topK: Option[Int]): String = {
+    val iters = (1 to iterations).map { i =>
+      s"""r$i AS (SELECT en.dst AS id, 0.15 + 0.85 * sum(r${i - 1}.rnk * en.wn) AS rnk
+         |FROM en JOIN r${i - 1} ON en.src = r${i - 1}.id GROUP BY en.dst)""".stripMargin
+    }.mkString(",\n")
+    val tail = topK match {
+      case Some(k) =>
+        s"""SELECT r.id, round(r.rnk,6) AS rnk, d.text FROM r$iterations r
+           |JOIN documents d ON r.id = d.doc_id
+           |ORDER BY round(r.rnk,6) DESC, r.id LIMIT $k""".stripMargin
+      case None =>
+        s"SELECT id, round(rnk,6) AS rnk FROM r$iterations ORDER BY rnk DESC, id"
+    }
+    s"""WITH v0 AS (
+       |SELECT doc_id AS id,
+       |list_filter(regexp_extract_all(lower(text),'[a-zA-Z]+'),
+       |  x -> len(x) >= 4 AND NOT list_contains($stopSql, x)) AS toks
+       |FROM documents
+       |WHERE len(string_split(text,' ')) > 10 AND len(string_split(text,' ')) < 30),
+       |v AS (SELECT id, toks, len(toks) AS n FROM v0 WHERE len(toks) > 0),
+       |e AS (
+       |SELECT a.id AS src, b.id AS dst,
+       |len(list_intersect(list_distinct(a.toks), list_distinct(b.toks))) * 1.0
+       |  / (log2(a.n) + log2(b.n) + 1) AS w
+       |FROM v a JOIN v b ON a.id <> b.id
+       |WHERE len(list_intersect(list_distinct(a.toks), list_distinct(b.toks))) > 0),
+       |o AS (SELECT src, sum(w) AS ow FROM e GROUP BY src),
+       |en AS (SELECT e.src, e.dst, e.w / o.ow AS wn FROM e JOIN o ON e.src = o.src),
+       |r0 AS (SELECT DISTINCT src AS id, 0.15 AS rnk FROM e),
+       |$iters
+       |$tail""".stripMargin
+  }
+
+  override val all: Seq[Q] = Seq(
+
+    // Full rank vector, oracle-checked against the unrolled recursion.
+    Q(
+      "tr01_ranks",
+      (s, dir) => {
+        import s.implicits._
+        TextRank.rankDocuments(Tables.documents(s, dir), "doc_id", "text",
+          TextRank.Config(lemma = false))
+          .select($"id", round($"rnk", 6).as("rnk"))
+          .orderBy(desc("rnk"), $"id")
+      },
+      Some(oracleSql(5, None))),
+
+    // Top-5 summary with text recovered via equi-join (G7/J4).
+    Q(
+      "tr02_top5",
+      (s, dir) => {
+        TextRank.summarize(Tables.documents(s, dir), "doc_id", "text", 5,
+          TextRank.Config(lemma = false))
+      },
+      Some(oracleSql(5, Some(5))),
+      bench = true),
+
+    // Reference-faithful configuration (lemmatizer on) — no SQL oracle.
+    Q(
+      "tr03_ranks_lemma",
+      (s, dir) => {
+        import s.implicits._
+        TextRank.rankDocuments(Tables.documents(s, dir), "doc_id", "text")
+          .select($"id", round($"rnk", 6).as("rnk"))
+          .orderBy(desc("rnk"), $"id")
+      },
+      None)
+  )
+}

@@ -1,0 +1,65 @@
+package graft.textrank
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val log2 = (x: Double) => math.log(x) / math.log(2)
+
+  // 3-vertex micro graph, hand-checkable (SURVEY §5.2: one iteration
+  // against hand-computed contributions).
+  private val vertices = Seq(
+    (0L, Seq("x", "x", "y")), // len 3 (duplicates count toward log2 length)
+    (1L, Seq("x", "z")),
+    (2L, Seq("y", "z"))).toDF("id", "tokens")
+
+  private val simAB = 1.0 / (log2(3) + log2(2) + 1) // {x}
+  private val simAC = 1.0 / (log2(3) + log2(2) + 1) // {y}
+  private val simBC = 1.0 / (log2(2) + log2(2) + 1) // {z}
+
+  test("similarity uses duplicate lengths but set intersection (G2)") {
+    val e = TextRank.similarityEdges(vertices)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(e.size == 6) // both directions, no self edges
+    assert(math.abs(e((0L, 1L)) - simAB) < 1e-12)
+    assert(math.abs(e((1L, 0L)) - simAB) < 1e-12)
+    assert(math.abs(e((1L, 2L)) - simBC) < 1e-12)
+  }
+
+  test("one rank iteration matches hand-computed contributions (G5/G6)") {
+    val r = TextRank.ranks(TextRank.similarityEdges(vertices),
+      TextRank.Config(iterations = 1))
+      .as[(Long, Double)].collect().toMap
+    val owA = simAB + simAC
+    val owB = simAB + simBC
+    val owC = simAC + simBC
+    val expA = 0.15 + 0.85 * (0.15 * simAB / owB + 0.15 * simAC / owC)
+    val expB = 0.15 + 0.85 * (0.15 * simAB / owA + 0.15 * simBC / owC)
+    assert(math.abs(r(0L) - expA) < 1e-12)
+    assert(math.abs(r(1L) - expB) < 1e-12)
+  }
+
+  test("ranks stay >= initRank and converge over 5 iterations") {
+    val r = TextRank.ranks(TextRank.similarityEdges(vertices))
+      .as[(Long, Double)].collect().toMap
+    assert(r.size == 3)
+    assert(r.values.forall(_ >= 0.15))
+  }
+
+  test("rankDocuments applies the exclusive 10..30 word band (F2)") {
+    val docs = Seq(
+      (0L, ("alpha beta " * 8).trim), // 16 words, in band
+      (1L, ("alpha beta " * 20).trim), // 40 words, out
+      (2L, "alpha beta gamma"), // 3 words, out
+      (3L, ("beta gamma " * 7).trim) // 14 words, in band
+    ).toDF("doc_id", "text")
+    val r = TextRank.rankDocuments(docs, "doc_id", "text",
+      TextRank.Config(lemma = false))
+      .select($"id").as[Long].collect().toSet
+    assert(r == Set(0L, 3L))
+  }
+}
