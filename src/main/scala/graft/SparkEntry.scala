@@ -15,7 +15,8 @@ object SparkEntry {
   def providers: Seq[QueryProvider] = Seq(
     Relational,
     TextQueries,
-    TextRankQueries
+    TextRankQueries,
+    RougeQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.rouge.Rouge
+import graft.tables.Tables
+
+/** ROUGE evaluation harness over `documents` (EP3 shape): documents are
+  * zip-paired (J3 semantics — doc d vs doc d+250) and scored
+  * distributedly; corpus means reproduce A7.
+  *
+  * ROUGE-1/2 without stemming have exact relational oracles (multiset
+  * n-gram overlap as unnest + groupBy + least-sum). ROUGE-L (dynamic
+  * programming LCS) and the stemmed variants are rows-only.
+  */
+object RougeQueries extends QueryProvider {
+
+  /** pairs CTE shared by the oracles. */
+  private val pairsSql =
+    """pairs AS (SELECT a.doc_id AS pid, a.text AS sys, b.text AS ref
+      |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 250
+      |WHERE a.doc_id < 250)""".stripMargin
+
+  /** Oracle for multiset n-gram overlap P/R/F. `gramExpr(src)` must give a
+    * list of n-gram strings for column `src`.
+    */
+  private def rougeNSql(gram: String => String): String =
+    s"""WITH $pairsSql,
+       |sg AS (SELECT pid, unnest(${gram("sys")}) AS g FROM pairs),
+       |rg AS (SELECT pid, unnest(${gram("ref")}) AS g FROM pairs),
+       |sc AS (SELECT pid, g, count(*) AS c FROM sg GROUP BY pid, g),
+       |rc AS (SELECT pid, g, count(*) AS c FROM rg GROUP BY pid, g),
+       |ov AS (SELECT sc.pid, sum(least(sc.c, rc.c)) AS overlap
+       |  FROM sc JOIN rc ON sc.pid = rc.pid AND sc.g = rc.g GROUP BY sc.pid),
+       |tot AS (SELECT p.pid,
+       |  (SELECT coalesce(sum(c),0) FROM sc WHERE sc.pid = p.pid) AS ns,
+       |  (SELECT coalesce(sum(c),0) FROM rc WHERE rc.pid = p.pid) AS nr
+       |  FROM pairs p),
+       |sco AS (SELECT tot.pid,
+       |  coalesce(ov.overlap, 0) * 1.0 / greatest(tot.ns, 1) AS p,
+       |  coalesce(ov.overlap, 0) * 1.0 / greatest(tot.nr, 1) AS r
+       |  FROM tot LEFT JOIN ov ON tot.pid = ov.pid)
+       |SELECT pid, round(p, 6) AS precision, round(r, 6) AS recall,
+       |round(CASE WHEN p + r = 0 THEN 0 ELSE 2 * p * r / (p + r) END, 6) AS f1
+       |FROM sco ORDER BY pid""".stripMargin
+
+  private def uniSql(src: String): String =
+    s"regexp_extract_all(lower($src),'[a-z0-9]+')"
+  private def biSql(src: String): String =
+    s"""(SELECT CASE WHEN len(t) < 2 THEN [] ELSE
+       |list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) END
+       |FROM (SELECT ${uniSql(src)} AS t))""".stripMargin
+
+  private def pairedScores(s: org.apache.spark.sql.SparkSession, dir: String,
+      scorer: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column) = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val sys = docs.filter($"doc_id" < 250)
+      .select($"doc_id".as("pid"), $"text".as("sys"))
+    val ref = docs.select(($"doc_id" - 250).as("pid"), $"text".as("ref"))
+    sys.join(ref, "pid")
+      .withColumn("score", scorer($"sys", $"ref"))
+      .select($"pid",
+        round($"score.precision", 6).as("precision"),
+        round($"score.recall", 6).as("recall"),
+        round($"score.f1", 6).as("f1"))
+      .orderBy($"pid")
+  }
+
+  override val all: Seq[Q] = Seq(
+
+    Q("rg01_rouge1",
+      (s, dir) => pairedScores(s, dir, Rouge.rouge1(stem = false)),
+      Some(rougeNSql(uniSql))),
+
+    Q("rg02_rouge2",
+      (s, dir) => pairedScores(s, dir, Rouge.rouge2(stem = false)),
+      Some(rougeNSql(biSql)),
+      bench = true),
+
+    Q("rg03_rougeL",
+      (s, dir) => pairedScores(s, dir, Rouge.rougeLCol(stem = false)),
+      None),
+
+    Q("rg04_rouge_stemmed",
+      (s, dir) => pairedScores(s, dir, Rouge.rougeLCol(stem = true)),
+      None),
+
+    // Corpus means (A7) of the oracle-able variant.
+    Q("rg05_rouge1_mean",
+      (s, dir) => {
+        import s.implicits._
+        pairedScores(s, dir, Rouge.rouge1(stem = false))
+          .agg(
+            round(avg($"precision"), 6).as("avg_p"),
+            round(avg($"recall"), 6).as("avg_r"),
+            round(avg($"f1"), 6).as("avg_f"),
+            count(lit(1)).as("n_pairs"))
+      },
+      Some(s"""WITH base AS (${rougeNSql(uniSql)})
+              |SELECT round(avg(precision),6) AS avg_p, round(avg(recall),6) AS avg_r,
+              |round(avg(f1),6) AS avg_f, count(*) AS n_pairs FROM base""".stripMargin))
+  )
+}
