@@ -16,7 +16,8 @@ object SparkEntry {
     Relational,
     TextQueries,
     TextRankQueries,
-    RougeQueries
+    RougeQueries,
+    LsaQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

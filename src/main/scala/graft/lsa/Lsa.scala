@@ -1,0 +1,131 @@
+package graft.lsa
+
+import org.apache.spark.mllib.linalg.{Vectors => MlVectors}
+import org.apache.spark.mllib.linalg.distributed.{IndexedRow, IndexedRowMatrix}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.text.TextFunctions
+import graft.tfidf.TfIdf
+
+/** LSA concept extraction (SURVEY.md EP1, §2.8 L1-L5): TF-IDF doc×term
+  * matrix → distributed SVD → per-concept top keywords + top documents.
+  *
+  * Differences from the reference (all deliberate, SURVEY §3 EP1):
+  *  - ONE scan and ONE SVD: the reference reads the file twice (:117-118)
+  *    and computes two driver-side NumPy SVDs (:138, :141); with rows=docs
+  *    the doc loadings live in U and the term loadings in V of the same
+  *    decomposition (L3/L4).
+  *  - The matrix never hits the driver: `IndexedRowMatrix.computeSVD`
+  *    (ARPACK) keeps U distributed; only the small V (|vocab| × k) and the
+  *    k singular values are local.
+  *  - IDF is the reference's `log10(N/df)` (quirk Q3).
+  *  - Sign convention (quirk Q9/H2): each singular vector is flipped so
+  *    its max-|loading| V-entry is positive, making signed-loading top-k
+  *    deterministic across runs/backends.
+  *  - Vocabulary order is pinned to (df desc, token asc) — deterministic,
+  *    unlike the reference's driver-side `set()` (quirk Q6).
+  */
+object Lsa {
+
+  final case class Config(
+      k: Int = 5,
+      nKeywords: Int = 3,
+      nDocs: Int = 3,
+      lemma: Boolean = true)
+
+  final case class Concept(
+      concept: Int,
+      singular_value: Double,
+      keywords: Seq[String],
+      doc_ids: Seq[Long])
+
+  /** Vocabulary table (token, idx) ordered by (df desc, token). */
+  def vocabulary(tf: DataFrame): DataFrame = {
+    val w = Window.orderBy(desc("df"), col("token"))
+    tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .withColumn("idx", row_number().over(w).cast("int") - 1)
+  }
+
+  /** Concepts from a (id: long, text: string) corpus. Returns a LOCAL
+    * small result (k rows) as a DataFrame.
+    */
+  def concepts(docs: DataFrame, idCol: String, textCol: String,
+      cfg: Config = Config()): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val tok = docs.select(col(idCol).cast("long").as("id"),
+      TextFunctions.lsaTokens(col(textCol), cfg.lemma).as("tokens"))
+      .filter(size(col("tokens")) > 0)
+    val tf = TfIdf.termFrequencies(tok, "id", "tokens")
+    val vocab = vocabulary(tf)
+    val nDocs = tok.count()
+    val vocabSize = vocab.count().toInt
+    val k = math.min(cfg.k, math.min(nDocs, vocabSize).toInt)
+
+    // doc ids -> dense matrix row indices (deterministic by id order)
+    val docIdx = tok.select(col("id"))
+      .withColumn("row", row_number().over(Window.orderBy(col("id"))).cast("long") - 1)
+
+    val idf = TfIdf.idfTable(tf, "id", nDocs)
+    val cells = tf.join(broadcast(vocab.select("token", "idx")), "token")
+      .join(broadcast(idf.select("token", "idf")), "token")
+      .join(docIdx, "id")
+      .select(col("row"), col("idx"), (col("tf") * col("idf")).as("v"))
+
+    val rows = cells.as[(Long, Int, Double)].rdd
+      .groupBy(_._1)
+      .map { case (row, cs) =>
+        val sorted = cs.toSeq.sortBy(_._2)
+        IndexedRow(row, MlVectors.sparse(vocabSize,
+          sorted.map(_._2).toArray, sorted.map(_._3).toArray))
+      }
+    val mat = new IndexedRowMatrix(rows)
+    val svd = mat.computeSVD(k, computeU = true)
+
+    // V: vocabSize x k (local). Sign convention per concept.
+    val v = svd.V
+    val signs = Array.tabulate(k) { j =>
+      var best = 0.0; var sign = 1.0
+      for (i <- 0 until vocabSize) {
+        val x = v(i, j)
+        if (math.abs(x) > best) { best = math.abs(x); sign = if (x < 0) -1.0 else 1.0 }
+      }
+      sign
+    }
+
+    // Loadings that are numerically zero (off-concept entries) carry only
+    // ARPACK round-off noise; snap them to 0 so top-k tie-breaks are
+    // deterministic across runs (part of the Q9/H2 determinism pin).
+    def snap(x: Double): Double = if (math.abs(x) < 1e-9) 0.0 else x
+
+    val vocabArr = vocab.orderBy(col("idx")).select("token").as[String].collect()
+    val keywords = Array.tabulate(k) { j =>
+      (0 until vocabSize)
+        .map(i => (snap(v(i, j) * signs(j)), vocabArr(i)))
+        .sortBy { case (l, t) => (-l, t) }
+        .take(cfg.nKeywords).map(_._2)
+    }
+
+    // U loadings per concept: top docs by signed loading, distributed top-k.
+    val idxToId = docIdx.select(col("row"), col("id")).as[(Long, Long)].rdd
+      .collectAsMap() // row->doc id; |docs| entries but only ids — small
+    val signsB = spark.sparkContext.broadcast(signs)
+    val topDocs: Map[Int, Seq[Long]] = (0 until k).map { j =>
+      val top = svd.U.rows
+        .map { r =>
+          val l = r.vector(j) * signsB.value(j)
+          (if (math.abs(l) < 1e-9) 0.0 else l, r.index)
+        }
+        .top(cfg.nDocs)(Ordering.by { case (l, i) => (l, -i) })
+      j -> top.map(t => idxToId(t._2)).toSeq
+    }.toMap
+
+    val out = (0 until k).map { j =>
+      Concept(j, svd.s(j), keywords(j), topDocs(j))
+    }
+    spark.createDataFrame(out)
+  }
+}

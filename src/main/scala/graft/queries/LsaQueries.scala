@@ -1,0 +1,64 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.baseline.OzsoyLsaSummarizer
+import graft.lsa.Lsa
+import graft.tables.Tables
+
+/** LSA concept extraction + the pytldr-equivalent baseline (EP1/V1).
+  * SVD factors are not SQL-expressible, so these are rows-only checks;
+  * determinism comes from the Q9 sign convention and pinned vocabulary
+  * order, asserted in unit tests.
+  */
+object LsaQueries extends QueryProvider {
+
+  override val all: Seq[Q] = Seq(
+
+    Q(
+      "ls01_concepts",
+      (s, dir) => {
+        import s.implicits._
+        Lsa.concepts(Tables.documents(s, dir), "doc_id", "text")
+          .select($"concept",
+            round($"singular_value", 4).as("singular_value"),
+            concat_ws(" ", $"keywords").as("keywords"),
+            concat_ws(" ", $"doc_ids").as("doc_ids"))
+          .orderBy($"concept")
+      },
+      None,
+      bench = true),
+
+    Q(
+      "ls02_baseline_scores",
+      (s, dir) => {
+        import s.implicits._
+        // V1 is a driver-local per-document baseline by design; the
+        // "document" here is the ordered en-corpus slice.
+        val sents = Tables.documents(s, dir)
+          .filter($"lang" === "en" && $"doc_id" < 200)
+          .orderBy($"doc_id")
+          .select($"text").as[String].collect().toSeq
+        val scored = OzsoyLsaSummarizer.scoreSentences(sents)
+        s.createDataFrame(scored.map(x => (x.index, math.rint(x.score * 1e6) / 1e6)))
+          .toDF("sent_idx", "score")
+          .orderBy($"sent_idx")
+      },
+      None),
+
+    Q(
+      "ls03_baseline_summary",
+      (s, dir) => {
+        import s.implicits._
+        val sents = Tables.documents(s, dir)
+          .filter($"lang" === "en" && $"doc_id" < 200)
+          .orderBy($"doc_id")
+          .select($"text").as[String].collect().toSeq
+        val summary = OzsoyLsaSummarizer.summarize(sents, topics = 15,
+          length = 15, topicSigmaThreshold = 0.75)
+        s.createDataFrame(summary.zipWithIndex.map(_.swap))
+          .toDF("pos", "sentence").orderBy($"pos")
+      },
+      None)
+  )
+}
