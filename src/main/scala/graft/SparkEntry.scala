@@ -17,7 +17,10 @@ object SparkEntry {
     TextQueries,
     TextRankQueries,
     RougeQueries,
-    LsaQueries
+    LsaQueries,
+    DedupQueries,
+    SimilarityQueries,
+    AnalysisQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

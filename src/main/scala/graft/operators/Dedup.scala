@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale corpus curation — the
+  * training-data-pipeline extension mandated by SURVEY.md §7.5. All
+  * stages are declarative DataFrame plans with shuffle-minimal shapes:
+  *
+  *  - exact: one hash-aggregate on a content digest (never ships text
+  *    twice across the wire — md5 computed at the scan);
+  *  - MinHash+LSH: per-doc signature (narrow), band explode (×b rows),
+  *    bucket self-join (shuffle on band key — bounded buckets, the
+  *    quadratic work happens only within buckets), exact-Jaccard verify
+  *    on the candidate pairs;
+  *  - SimHash: 64-bit signatures, candidates via 16-bit chunk banding
+  *    (Hamming ≤ 3 ⟹ at least one of 4 chunks equal — pigeonhole);
+  *  - n-gram Jaccard: brute-force verify step (quadratic; used directly
+  *    only on bounded slices, otherwise fed by the LSH candidates).
+  *
+  * At 100 TB the only all-pairs step (brute-force Jaccard) is replaced
+  * by the LSH path; everything else is linear in corpus size + a
+  * shuffle keyed on content/bucket hashes.
+  */
+object Dedup {
+
+  /** Whitespace-collapsed, lowercased, trimmed content key. */
+  def normalized(text: Column): Column =
+    lower(trim(regexp_replace(text, "\\s+", " ")))
+
+  /** Exact duplicate clusters: (content_hash, n_docs, doc_ids). */
+  def exactClusters(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), md5(normalized(col(textCol))).as("content_hash"))
+      .groupBy(col("content_hash"))
+      .agg(count(lit(1)).as("n_docs"),
+        sort_array(collect_list(col("id"))).as("doc_ids"))
+
+  /** Word n-gram shingles ("a b c" strings), empty array if too short. */
+  def shingles(tokens: Column, n: Int): Column =
+    when(size(tokens) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(tokens) - n),
+        i => array_join(slice(tokens, i + 1, lit(n)), " ")))
+
+  /** Distinct 64-bit shingle hashes (the MinHash universe). */
+  def shingleHashes(sh: Column): Column =
+    array_distinct(transform(sh, s => xxhash64(s)))
+
+  /** MinHash signature: element i = min over shingles of xxhash64(i, h).
+    * Seeding the hash family through an extra literal column keeps the
+    * whole signature inside codegen'd Catalyst expressions — no UDF.
+    */
+  def minhashSignature(hashes: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(hashes, h => xxhash64(i, h))))
+
+  /** Candidate pairs (a, b) from LSH banding of signatures.
+    *
+    * sigs: (id, sig array<long> of length bands*rowsPerBand).
+    * maxBucket guards against degenerate mega-buckets (skew control at
+    * scale — dropped buckets are all-identical docs anyway captured by
+    * exact dedup).
+    */
+  def lshCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int,
+      maxBucket: Int = 1000): DataFrame = {
+    val banded = sigs.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        j => array_join(slice(col("sig"), j * rowsPerBand + 1, lit(rowsPerBand)), ","))))
+      .toDF("id", "band", "key")
+    val sized = banded
+      .withColumn("bucket_n", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("key"))))
+      .filter(col("bucket_n") <= maxBucket)
+    val l = sized.select(col("band"), col("key"), col("id").as("a"))
+    val r = sized.select(col("band"), col("key"), col("id").as("b"))
+    l.join(r, Seq("band", "key"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard over distinct-shingle arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    when(size(array_union(a, b)) === 0, lit(0.0))
+      .otherwise(size(array_intersect(a, b)).cast("double") /
+        size(array_union(a, b)))
+
+  /** Full MinHash-LSH near-dup pipeline over (id, tokens):
+    * returns (a, b, jaccard) pairs with exact jaccard >= threshold.
+    */
+  def minhashNearDuplicates(toks: DataFrame, shingleN: Int, numHashes: Int,
+      bands: Int, threshold: Double): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sh = toks.select(col("id"),
+      array_distinct(shingles(col("tokens"), shingleN)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val withSig = sh.withColumn("sig",
+      minhashSignature(shingleHashes(col("sh")), numHashes))
+    val cands = lshCandidates(withSig.select("id", "sig"), bands, rowsPerBand)
+    val shOnly = sh.select(col("id"), col("sh"))
+    cands
+      .join(shOnly.withColumnRenamed("id", "a").withColumnRenamed("sh", "sh_a"), "a")
+      .join(shOnly.withColumnRenamed("id", "b").withColumnRenamed("sh", "sh_b"), "b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** Brute-force n-gram Jaccard pairs over a bounded slice (the verify
+    * path / small-corpus path; J2 shape with src<dst dedup).
+    */
+  def bruteForceJaccardPairs(toks: DataFrame, shingleN: Int,
+      threshold: Double): DataFrame = {
+    val sh = toks.select(col("id"),
+      array_distinct(shingles(col("tokens"), shingleN)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val a = sh.select(col("id").as("a"), col("sh").as("sh_a"))
+    val b = sh.select(col("id").as("b"), col("sh").as("sh_b"))
+    a.join(b, col("a") < col("b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  // ---- SimHash ----
+
+  private val simhashUdf = udf { (tokens: Seq[String]) =>
+    // 64-bit SimHash: weighted bit votes from per-token 64-bit hashes.
+    val acc = new Array[Int](64)
+    tokens.foreach { t =>
+      var h = scala.util.hashing.MurmurHash3.stringHash(t).toLong & 0xffffffffL
+      // widen 32-bit murmur to 64 via a second round on the reversed token
+      h = (h << 32) | (scala.util.hashing.MurmurHash3.stringHash(t.reverse).toLong & 0xffffffffL)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
+        i += 1
+      }
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) { if (acc(i) > 0) out |= (1L << i); i += 1 }
+    out
+  }
+
+  def simhash(tokens: Column): Column = simhashUdf(tokens)
+
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming (<= 3
+    * guaranteed recall via 4-chunk banding; pigeonhole over 16-bit
+    * chunks).
+    */
+  def simhashNearDuplicates(toks: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sigs = toks.select(col("id"), simhash(col("tokens")).as("sig"))
+    val chunks = sigs.select(col("id"), col("sig"),
+      posexplode(array((0 until 4).map(i =>
+        shiftrightunsigned(col("sig"), i * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .toDF("id", "sig", "chunk_idx", "chunk")
+    val l = chunks.select(col("chunk_idx"), col("chunk"), col("id").as("a"), col("sig").as("sig_a"))
+    val r = chunks.select(col("chunk_idx"), col("chunk"), col("id").as("b"), col("sig").as("sig_b"))
+    l.join(r, Seq("chunk_idx", "chunk"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ---- Embedding cosine near-dup ----
+
+  /** Cosine similarity between two double arrays (codegen'd HOFs). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+    val nb = sqrt(aggregate(b, lit(0.0), (acc, x) => acc + x * x))
+    dot / (na * nb)
+  }
+
+  /** Brute-force cosine near-dup pairs over (id, vec array<double>). */
+  def cosineNearDuplicates(vecs: DataFrame, threshold: Double): DataFrame = {
+    val a = vecs.select(col("id").as("a"), col("vec").as("va"))
+    val b = vecs.select(col("id").as("b"), col("vec").as("vb"))
+    a.join(b, col("a") < col("b"))
+      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a"), col("b"), col("cosine"))
+  }
+}

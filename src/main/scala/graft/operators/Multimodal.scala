@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing (SURVEY.md §7.5): media as opaque `binary`
+  * payloads with typed metadata, processed by partition-batched
+  * decode/feature kernels.
+  *
+  * The container has no image/audio codecs, so `decodeStub` is a
+  * clearly-marked deterministic fake — but every Spark-side piece the
+  * real kernel needs is genuine and tested: the (id, modality, payload,
+  * meta) schema, iterator-to-iterator `mapPartitions` (decoder state is
+  * initialized once per partition, NOT per row — the local equivalent of
+  * a Pandas-UDF batch loop), explicit output schema, and partition-count
+  * preservation. Swapping in a real JNI/FFmpeg/pillow-equivalent kernel
+  * changes only the body of `decodeStub`.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("n_bytes", LongType, nullable = false),
+      StructField("declared_lang", StringType, nullable = true))), nullable = true)))
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("checksum", LongType, nullable = false),
+    StructField("feature", ArrayType(DoubleType), nullable = false)))
+
+  /** Wrap a text corpus into the media schema (UTF-8 payloads standing in
+    * for image/audio bytes; modality round-robins for test coverage).
+    */
+  def asMedia(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).cast("long").as("id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col(idCol), lit(3)) + 1).cast("int")).as("modality"),
+      col(textCol).cast("binary").as("payload"),
+      struct(
+        octet_length(col(textCol)).cast("long").as("n_bytes"),
+        col("lang").as("declared_lang")).as("meta"))
+
+  /** STUB decode/feature-extract kernel. Deterministic fake standing in
+    * for the real decoder: frame count = ceil(bytes/256), checksum =
+    * FNV-1a over the payload, feature = 4 moments of the byte stream.
+    * Real implementation would decode frames/samples here — per
+    * partition, reusing one decoder instance.
+    */
+  def decodeStub(media: DataFrame): DataFrame = {
+    media.sparkSession.createDataFrame(
+      media.rdd.mapPartitions { it =>
+        // one-time per-partition "decoder" init happens HERE in a real kernel
+        it.map { r =>
+          val id = r.getLong(r.fieldIndex("id"))
+          val modality = r.getString(r.fieldIndex("modality"))
+          val payload = r.getAs[Array[Byte]]("payload")
+          val bytes = if (payload == null) Array.emptyByteArray else payload
+          var h = 0xcbf29ce484222325L
+          bytes.foreach { b => h ^= (b & 0xffL); h *= 0x100000001b3L }
+          val n = bytes.length
+          val mean = if (n == 0) 0.0 else bytes.map(b => (b & 0xff).toDouble).sum / n
+          val mx = if (n == 0) 0.0 else bytes.map(b => (b & 0xff).toDouble).max
+          val mn = if (n == 0) 0.0 else bytes.map(b => (b & 0xff).toDouble).min
+          Row(id, modality, n.toLong, (n + 255) / 256, h,
+            Seq(n.toDouble, mean, mn, mx))
+        }
+      }, featureSchema)
+  }
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (SURVEY.md §7.5). Two paths:
+  *
+  *  - brute-force cosine top-k: broadcast the (small) query set against
+  *    the full vector table — one narrow pass + per-query top-k via
+  *    window rank; exact, linear in table size, the correctness oracle;
+  *  - random-hyperplane LSH: sign-bit signatures from a fixed seeded
+  *    plane set, banded into buckets; candidates = bucket collisions,
+  *    then exact cosine re-rank. At 100 TB the bucket join replaces the
+  *    all-pairs scan; recall tunes with bands × planes-per-band.
+  *
+  * Vectors are float in storage; both paths cast to double before any
+  * arithmetic so results are reproducible against the DuckDB oracle.
+  */
+object Similarity {
+
+  def toDouble(vec: Column): Column = transform(vec, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for each query vector.
+    *
+    * vecs/queries: (id, vec array<double>). Output: (query_id, neighbor_id,
+    * cosine, rank) with rank 1..k, self-matches excluded, ties broken by
+    * neighbor id on the 6-decimal-rounded cosine (determinism pin).
+    */
+  def bruteForceTopK(vecs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"))
+    val v = vecs.select(col("id").as("neighbor_id"), col("vec").as("nv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cosine"), col("neighbor_id"))
+    v.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(cosine(col("qv"), col("nv")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** Deterministic random hyperplanes: nPlanes × dim, seeded. */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit signature of a vector against the plane set (one long per
+    * band of up to 63 planes is overkill here; we keep an int array —
+    * one sign per plane — and band at candidate time).
+    */
+  def signBits(vec: Column, planes: Array[Array[Double]]): Column = {
+    val planeCols = planes.map { p =>
+      val planeArr = array(p.map(lit): _*)
+      when(dot(vec, planeArr) >= 0, lit(1)).otherwise(lit(0))
+    }
+    array(planeCols: _*)
+  }
+
+  /** ANN top-k via LSH buckets + exact re-rank. bands×rowsPerBand planes.
+    * Output schema matches bruteForceTopK (rank may hold < k rows for
+    * queries whose buckets are sparse — the recall/cost dial).
+    */
+  def lshTopK(vecs: DataFrame, queries: DataFrame, k: Int, bands: Int,
+      rowsPerBand: Int, seed: Long, dim: Int): DataFrame = {
+    val planes = hyperplanes(bands * rowsPerBand, dim, seed)
+    def banded(df: DataFrame, idName: String): DataFrame =
+      df.select(col("id").as(idName), col("vec"),
+        signBits(col("vec"), planes).as("bits"))
+        .select(col(idName), col("vec"),
+          posexplode(transform(sequence(lit(0), lit(bands - 1)),
+            j => array_join(slice(col("bits"), j * rowsPerBand + 1, lit(rowsPerBand)), ""))))
+        .toDF(idName, if (idName == "query_id") "qv" else "nv", "band", "key")
+    val qb = banded(queries, "query_id")
+    val vb = banded(vecs, "neighbor_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cosine"), col("neighbor_id"))
+    vb.join(qb, Seq("band", "key"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("nv"))
+      .distinct()
+      .withColumn("cosine", round(cosine(col("qv"), col("nv")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+}

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.text.StopWords
+
+/** Corpus-quality operators for training-data curation (SURVEY.md §7.5):
+  * language ID, quality scoring, token counting, fingerprinting. All but
+  * the fingerprint are pure Catalyst expressions (oracle-checkable and
+  * codegen'd); the fingerprint is a per-row rolling hash UDF.
+  */
+object TextAnalysis {
+
+  /** Tiny high-frequency function-word lexicons for the n-gram/stopword
+    * voting heuristic. Public-knowledge word lists.
+    */
+  val lexicons: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "you", "that", "it",
+      "for", "was", "with", "are", "this", "have", "from", "not"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "et", "en", "un", "une",
+      "est", "que", "pour", "dans", "qui", "pas", "sur", "vous"),
+    "es" -> Seq("el", "la", "los", "las", "de", "y", "en", "un", "una",
+      "es", "que", "por", "con", "para", "del", "se", "no"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den",
+      "ein", "eine", "zu", "nicht", "auf", "sich", "dem", "des"))
+
+  private def lexVotes(tokens: Column, lex: Seq[String]): Column = {
+    val arr = array(lex.map(lit): _*)
+    size(filter(tokens, t => array_contains(arr, t)))
+  }
+
+  /** Heuristic language guess over lowercase word tokens: CJK char
+    * presence wins for "zh"; otherwise the function-word lexicon with the
+    * most votes (ties broken by lexicon order en,fr,es,de); "und"
+    * (undetermined) when no lexicon matches.
+    */
+  def languageId(text: Column): Column = {
+    val tokens = split(lower(text), "[^a-zA-Z]+")
+    val votes = Seq("en", "fr", "es", "de").map(l => l -> lexVotes(tokens, lexicons(l)))
+    val best = votes.map(_._2).reduce((a, b) => greatest(a, b))
+    // left-to-right when-chain so "en" wins ties
+    val ordered = votes.foldLeft(None: Option[Column]) {
+      case (None, (lang, v)) => Some(when(v === best && v > 0, lit(lang)))
+      case (Some(c), (lang, v)) => Some(c.when(v === best && v > 0, lit(lang)))
+    }.get.otherwise(lit("und"))
+    when(length(regexp_replace(text, "[^\\p{IsHan}]", "")) > 0, lit("zh"))
+      .otherwise(ordered)
+  }
+
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("double") /
+      greatest(length(text), lit(1))
+
+  def digitRatio(text: Column): Column =
+    length(regexp_replace(text, "[^0-9]", "")).cast("double") /
+      greatest(length(text), lit(1))
+
+  def stopwordRatio(tokens: Column): Column = {
+    val stop = array(StopWords.nltkEnglishAlpha.map(lit): _*)
+    size(filter(tokens, t => array_contains(stop, t))).cast("double") /
+      greatest(size(tokens), lit(1))
+  }
+
+  def meanWordLen(tokens: Column): Column =
+    aggregate(tokens, lit(0.0), (acc, t) => acc + length(t)).cast("double") /
+      greatest(size(tokens), lit(1))
+
+  /** Composite quality score in [0,1]: rewards mid-length docs with low
+    * punctuation/digit noise and a natural stopword share. Weights are
+    * engine policy (no reference equivalent), fixed for determinism.
+    */
+  def qualityScore(text: Column, tokens: Column): Column = {
+    val lenScore = least(size(tokens).cast("double") / 64.0, lit(1.0))
+    val punctOk = lit(1.0) - least(punctRatio(text) * 4.0, lit(1.0))
+    val digitOk = lit(1.0) - least(digitRatio(text) * 4.0, lit(1.0))
+    val stopOk = lit(1.0) - abs(stopwordRatio(tokens) - lit(0.4))
+    round(lenScore * 0.3 + punctOk * 0.25 + digitOk * 0.2 + stopOk * 0.25, 6)
+  }
+
+  /** Whitespace token count (the cheap length signal). */
+  def wsTokenCount(text: Column): Column = size(split(trim(text), "\\s+"))
+
+  /** BPE-ish token count: word pieces + isolated non-word symbols —
+    * the standard pre-tokenizer shape `\w+|[^\w\s]`.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"), lit(0)))
+
+  /** 64-bit polynomial rolling fingerprint (base-31, wrapping mod 2^64);
+    * deterministic content id usable for doc-level caching/sharding.
+    */
+  private val fingerprintUdf = udf { (s: String) =>
+    if (s == null) 0L
+    else {
+      var h = 1125899906842597L
+      var i = 0
+      while (i < s.length) { h = 31 * h + s.charAt(i); i += 1 }
+      h
+    }
+  }
+  def fingerprint(text: Column): Column = fingerprintUdf(text)
+}

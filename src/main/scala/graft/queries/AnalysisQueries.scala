@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Multimodal, TextAnalysis => TA}
+import graft.tables.Tables
+import graft.text.{StopWords, TextFunctions => TF}
+
+/** Text-quality / language-ID / token-counting / multimodal coverage
+  * (SURVEY §7.5). Quality metrics, language votes and multimodal
+  * metadata are pure Catalyst expressions with full DuckDB oracles; the
+  * rolling-hash fingerprint and the decode-stub checksum/features are
+  * rows-only (JVM hashing not reproducible in SQL).
+  */
+object AnalysisQueries extends QueryProvider {
+
+  private val stopSql: String =
+    StopWords.nltkEnglishAlpha.map(w => s"'$w'").mkString("[", ",", "]")
+
+  override val all: Seq[Q] = Seq(
+
+    Q(
+      "a01_quality",
+      (s, dir) => {
+        import s.implicits._
+        val tok = TF.tokenize($"text")
+        Tables.documents(s, dir)
+          .select(
+            $"doc_id",
+            TA.wsTokenCount($"text").cast("long").as("ws_tokens"),
+            TA.bpeishTokenCount($"text").cast("long").as("bpeish_tokens"),
+            round(TA.punctRatio($"text"), 6).as("punct_ratio"),
+            round(TA.digitRatio($"text"), 6).as("digit_ratio"),
+            round(TA.stopwordRatio(tok), 6).as("stopword_ratio"),
+            round(TA.meanWordLen(tok), 6).as("mean_word_len"),
+            TA.qualityScore($"text", tok).as("quality"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH base AS (SELECT doc_id, text,
+              |  regexp_extract_all(lower(text),'[a-zA-Z]+') AS tok FROM documents),
+              |m AS (SELECT doc_id, text, tok,
+              |  len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 / greatest(length(text), 1) AS pr,
+              |  len(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / greatest(length(text), 1) AS dr,
+              |  len(list_filter(tok, x -> list_contains($stopSql, x))) * 1.0 / greatest(len(tok), 1) AS sr,
+              |  CASE WHEN len(tok) = 0 THEN 0.0 ELSE
+              |    list_reduce(list_transform(tok, x -> len(x) * 1.0), (a, b) -> a + b) / len(tok) END AS mwl
+              |  FROM base)
+              |SELECT doc_id,
+              |CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+              |CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS BIGINT) AS bpeish_tokens,
+              |round(pr, 6) AS punct_ratio,
+              |round(dr, 6) AS digit_ratio,
+              |round(sr, 6) AS stopword_ratio,
+              |round(mwl, 6) AS mean_word_len,
+              |round(least(len(tok) / 64.0, 1.0) * 0.3
+              |  + (1.0 - least(pr * 4.0, 1.0)) * 0.25
+              |  + (1.0 - least(dr * 4.0, 1.0)) * 0.2
+              |  + (1.0 - abs(sr - 0.4)) * 0.25, 6) AS quality
+              |FROM m ORDER BY doc_id""".stripMargin),
+      bench = true),
+
+    Q(
+      "a02_langid",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select($"doc_id", $"lang".as("declared"),
+            TA.languageId($"text").as("guessed"))
+          .orderBy($"doc_id")
+      },
+      Some {
+        val lex = TA.lexicons.map { case (l, ws) =>
+          l -> ws.map(w => s"'$w'").mkString("[", ",", "]")
+        }
+        s"""WITH t AS (SELECT doc_id, lang,
+           |  regexp_split_to_array(lower(text), '[^a-zA-Z]+') AS tk, text FROM documents),
+           |v AS (SELECT doc_id, lang, text,
+           |  len(list_filter(tk, x -> list_contains(${lex("en")}, x))) AS ven,
+           |  len(list_filter(tk, x -> list_contains(${lex("fr")}, x))) AS vfr,
+           |  len(list_filter(tk, x -> list_contains(${lex("es")}, x))) AS ves,
+           |  len(list_filter(tk, x -> list_contains(${lex("de")}, x))) AS vde
+           |  FROM t)
+           |SELECT doc_id, lang AS declared,
+           |CASE WHEN len(regexp_replace(text, '[^\\p{Han}]', '', 'g')) > 0 THEN 'zh'
+           |  WHEN ven = greatest(ven, vfr, ves, vde) AND ven > 0 THEN 'en'
+           |  WHEN vfr = greatest(ven, vfr, ves, vde) AND vfr > 0 THEN 'fr'
+           |  WHEN ves = greatest(ven, vfr, ves, vde) AND ves > 0 THEN 'es'
+           |  WHEN vde = greatest(ven, vfr, ves, vde) AND vde > 0 THEN 'de'
+           |  ELSE 'und' END AS guessed
+           |FROM v ORDER BY doc_id""".stripMargin
+      }),
+
+    Q(
+      "a03_fingerprints",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select($"doc_id", TA.fingerprint($"text").as("fp"))
+          .orderBy($"doc_id")
+      },
+      None),
+
+    // Multimodal: schema plumbing + metadata (oracle) ...
+    Q(
+      "mm01_media_meta",
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text")
+          .select($"id", $"modality", $"meta.n_bytes".as("n_bytes"),
+            $"meta.declared_lang".as("declared_lang"))
+          .orderBy($"id")
+      },
+      Some("""SELECT doc_id AS id,
+             |CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+             |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |lang AS declared_lang
+             |FROM documents ORDER BY id""".stripMargin)),
+
+    // ... and the partition-batched decode kernel (stub features rows-only
+    // except frame counts, which the oracle can derive from byte length).
+    Q(
+      "mm02_decoded_features",
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.decodeStub(
+          Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text"))
+          .select($"id", $"modality", $"n_bytes", $"n_frames", $"checksum",
+            round(element_at($"feature", 2), 6).as("byte_mean"))
+          .orderBy($"id")
+      },
+      None)
+  )
+}

@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again today"
+  private val docs = Seq(
+    (0L, base),
+    (1L, base), // exact dup of 0
+    (2L, base.replace("lazy", "sleepy")), // near dup
+    (3L, "completely different content about spark clusters and shuffles here"),
+    (4L, "  THE  quick brown fox jumps over the lazy dog again and again today ") // normalized dup of 0
+  ).toDF("doc_id", "text")
+
+  private def toks = docs.select($"doc_id".as("id"),
+    graft.text.TextFunctions.tokenize($"text").as("tokens"))
+
+  test("exact clusters catch normalized duplicates") {
+    val c = Dedup.exactClusters(docs, "doc_id", "text")
+      .filter($"n_docs" > 1).collect()
+    assert(c.length == 1)
+    assert(c.head.getAs[scala.collection.Seq[Long]]("doc_ids").toSeq == Seq(0L, 1L, 4L))
+  }
+
+  test("brute-force jaccard finds near + exact dup pairs") {
+    val pairs = Dedup.bruteForceJaccardPairs(toks, 3, 0.5)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 4L)))
+    assert(pairs.contains((0L, 2L))) // near dup above 0.5
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash-LSH recovers the brute-force pairs on planted dups") {
+    val brute = Dedup.bruteForceJaccardPairs(toks, 3, 0.5)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashNearDuplicates(toks, 3, 32, 8, 0.5)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(lsh == brute) // high-similarity pairs: recall 1 at b=8,r=4
+  }
+
+  test("simhash: identical token lists collide at hamming 0") {
+    val pairs = Dedup.simhashNearDuplicates(toks, maxHamming = 3)
+      .as[(Long, Long, Int)].collect()
+    val h = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(h((0L, 1L)) == 0)
+    assert(h((0L, 4L)) == 0)
+  }
+
+  test("cosine near-dup on orthogonal vs identical vectors") {
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0, 0.0)),
+      (1L, Seq(1.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0)),
+      (3L, Seq(0.9, 0.1, 0.0))).toDF("id", "vec")
+    val pairs = Dedup.cosineNearDuplicates(vecs, 0.95)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 3L)))
+    assert(!pairs.contains((0L, 2L)))
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("language id votes on real sentences") {
+    val df = Seq(
+      (0L, "the cat is in the house and it is warm"),
+      (1L, "le chat est dans la maison et il est chaud"),
+      (2L, "el gato es bueno y la casa es grande"),
+      (3L, "der Hund ist in dem Haus und die Katze"),
+      (4L, "你好世界"), // CJK chars -> zh
+      (5L, "xyzzy plugh")).toDF("id", "text")
+    val got = df.select($"id", TextAnalysis.languageId($"text").as("g"))
+      .as[(Long, String)].collect().toMap
+    assert(got(0L) == "en")
+    assert(got(1L) == "fr")
+    assert(got(2L) == "es")
+    assert(got(3L) == "de")
+    assert(got(4L) == "zh")
+    assert(got(5L) == "und")
+  }
+
+  test("token counts: whitespace vs bpe-ish") {
+    val df = Seq((0L, "Hello, world! It's 2024.")).toDF("id", "text")
+    val r = df.select(
+      TextAnalysis.wsTokenCount($"text").as("ws"),
+      TextAnalysis.bpeishTokenCount($"text").as("bpe"))
+      .as[(Int, Int)].collect().head
+    assert(r._1 == 4)
+    // Hello , world ! It ' s 2024 . -> 9
+    assert(r._2 == 9)
+  }
+
+  test("ratios on a crafted string") {
+    val df = Seq((0L, "ab cd!!")).toDF("id", "text")
+    val r = df.select(
+      TextAnalysis.punctRatio($"text").as("p"),
+      TextAnalysis.digitRatio($"text").as("d"))
+      .as[(Double, Double)].collect().head
+    assert(math.abs(r._1 - 2.0 / 7) < 1e-12)
+    assert(r._2 == 0.0)
+  }
+
+  test("fingerprint is deterministic and content-sensitive") {
+    val df = Seq((0L, "abc"), (1L, "abc"), (2L, "abd")).toDF("id", "text")
+    val fp = df.select($"id", TextAnalysis.fingerprint($"text").as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(fp(0L) == fp(1L))
+    assert(fp(0L) != fp(2L))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Seq(1.0, 0.0)), (1L, Seq(0.9, 0.1)), (2L, Seq(0.0, 1.0)),
+    (3L, Seq(-1.0, 0.0)), (4L, Seq(0.7, 0.7))).toDF("id", "vec")
+
+  test("brute-force top-k ranks by cosine") {
+    val r = Similarity.bruteForceTopK(vecs, vecs.filter($"id" === 0), 2)
+      .select($"rank", $"neighbor_id").as[(Int, Long)].collect().sortBy(_._1)
+    assert(r.map(_._2).toSeq == Seq(1L, 4L))
+  }
+
+  test("lsh top-k finds the near-identical neighbor at rank 1") {
+    val r = Similarity.lshTopK(vecs, vecs.filter($"id" === 0), 2,
+      bands = 8, rowsPerBand = 2, seed = 7L, dim = 2)
+      .select($"rank", $"neighbor_id").as[(Int, Long)].collect().sortBy(_._1)
+    assert(r.nonEmpty && r.head._2 == 1L)
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("media schema + decode stub preserves rows and derives features") {
+    val docs = Seq((0L, "abcd", "en"), (1L, "x" * 300, "fr"), (2L, "", "es"))
+      .toDF("doc_id", "text", "lang")
+    val media = Multimodal.asMedia(docs, "doc_id", "text")
+    assert(media.schema("payload").dataType.typeName == "binary")
+    val out = Multimodal.decodeStub(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 3)
+    assert(out(0L).getLong(2) == 4L) // n_bytes
+    assert(out(0L).getInt(3) == 1) // n_frames = ceil(4/256)
+    assert(out(1L).getInt(3) == 2) // ceil(300/256)
+    assert(out(2L).getLong(2) == 0L)
+    val feat = out(0L).getSeq[Double](5)
+    assert(feat.length == 4 && feat.head == 4.0)
+  }
+
+  test("decode stub checksum is deterministic") {
+    val docs = Seq((0L, "hello", "en")).toDF("doc_id", "text", "lang")
+    def run() = Multimodal.decodeStub(Multimodal.asMedia(docs, "doc_id", "text"))
+      .select($"checksum").as[Long].collect().head
+    assert(run() == run())
+  }
+}
