@@ -20,7 +20,8 @@ object SparkEntry {
     LsaQueries,
     DedupQueries,
     SimilarityQueries,
-    AnalysisQueries
+    AnalysisQueries,
+    StreamingQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

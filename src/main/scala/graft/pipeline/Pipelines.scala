@@ -1,0 +1,111 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.baseline.OzsoyLsaSummarizer
+import graft.io.ReviewSource
+import graft.lsa.Lsa
+import graft.rouge.Rouge
+import graft.text.TextFunctions
+import graft.textrank.TextRank
+
+/** The reference's three entry points (SURVEY.md §3 EP1-EP3) as
+  * Spark-native APIs over the review TSV input shape.
+  */
+object Pipelines {
+
+  /** Sentence table with surrogate long ids for the matrix row index
+    * (deterministic by (review_id, sent_idx)); F1 length filter applied.
+    */
+  def sentencesWithSid(sents: DataFrame, minWords: Int = 5): DataFrame =
+    sents.filter(TextFunctions.spaceWordCount(col("sentence")) >= minWords)
+      // Small per-product table: a single global window is fine here; a
+      // corpus-scale variant would partition the window by product.
+      .withColumn("sid",
+        row_number().over(Window.orderBy(col("review_id"), col("sent_idx"))).cast("long"))
+
+  /** EP1 core — LSA summary from a sentence table.
+    * Output: (concept, singular_value, keywords, sentence_ids, sentences).
+    */
+  def lsaSummaryFromSentences(sents0: DataFrame,
+      cfg: Lsa.Config = Lsa.Config()): DataFrame = {
+    val spark = sents0.sparkSession
+    import spark.implicits._
+    val sents = sentencesWithSid(sents0)
+    val concepts = Lsa.concepts(sents, "sid", "sentence", cfg)
+    concepts
+      .select($"concept", $"singular_value",
+        concat_ws(" ", $"keywords").as("keywords"),
+        posexplode($"doc_ids").as(Seq("ord", "sid")))
+      .join(sents.select($"sid", $"sentence_id", $"sentence"), "sid")
+      .groupBy($"concept", $"singular_value", $"keywords")
+      .agg(
+        concat_ws(",", transform(array_sort(collect_list(struct($"ord", $"sentence_id"))),
+          x => x.getField("sentence_id"))).as("sentence_ids"),
+        concat_ws(" | ", transform(array_sort(collect_list(struct($"ord", $"sentence"))),
+          x => x.getField("sentence"))).as("sentences"))
+      .orderBy($"concept")
+  }
+
+  /** EP1 — LSA review summary for a product path. */
+  def lsaSummary(spark: SparkSession, path: String,
+      cfg: Lsa.Config = Lsa.Config()): DataFrame =
+    lsaSummaryFromSentences(
+      ReviewSource.sentences(ReviewSource.reviews(spark, path)), cfg)
+
+  /** EP2 — TextRank review summary: top-k sentences by rank. */
+  def textrankSummary(spark: SparkSession, path: String, k: Int = 5,
+      cfg: TextRank.Config = TextRank.Config()): DataFrame = {
+    val sents = ReviewSource.sentences(ReviewSource.reviews(spark, path))
+    TextRank.summarize(sents, "sentence_id", "sentence", k, cfg)
+  }
+
+  /** EP3 — evaluation: LSA system summary vs the Ozsoy/pytldr-style
+    * baseline, zip-paired (J3: zip truncates to the shorter list) and
+    * ROUGE-scored with stemming, per product. Implements the INTENDED
+    * per-product comparison — not the reference's file-0 bug (quirk Q7).
+    *
+    * Output: one row per product × metric with mean P/R/F (A7).
+    */
+  def evaluate(spark: SparkSession, path: String,
+      topics: Int = 15, summaryLen: Int = 15): DataFrame = {
+    import spark.implicits._
+    val all = ReviewSource.sentences(ReviewSource.reviews(spark, path))
+      .filter(length(trim(col("sentence"))) > 0)
+      .persist()
+
+    val products = all.select($"product_id").distinct()
+      .as[String].collect().sorted.toSeq
+
+    val rows = products.flatMap { pid =>
+      val psents = all.filter($"product_id" === pid)
+      val sys = lsaSummaryFromSentences(psents)
+        .select($"sentences").as[String].collect()
+        .flatMap(_.split(" \\| ")).toSeq
+      // baseline: driver-local like pytldr; one product's sentences fit
+      val ordered = psents.orderBy($"review_id", $"sent_idx")
+        .select($"sentence").as[String].collect().toSeq
+      val ref = OzsoyLsaSummarizer.summarize(ordered, topics, summaryLen.toDouble)
+      val pairs = sys.zip(ref)
+      Seq("rouge1", "rouge2", "rougeL").map { metric =>
+        val scores = pairs.map { case (s, r) =>
+          metric match {
+            case "rouge1" => Rouge.rougeN(s, r, 1, stem = true)
+            case "rouge2" => Rouge.rougeN(s, r, 2, stem = true)
+            case _ => Rouge.rougeL(s, r, stem = true)
+          }
+        }
+        val n = math.max(scores.size, 1)
+        (pid, metric,
+          scores.map(_.precision).sum / n,
+          scores.map(_.recall).sum / n,
+          scores.map(_.f1).sum / n)
+      }
+    }
+    all.unpersist()
+    spark.createDataFrame(rows)
+      .toDF("product_id", "metric", "precision", "recall", "f1")
+  }
+}

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.tables.Tables
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("windowed counts over a MemoryStream match the batch equivalent") {
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[EventStreams.Event]
+    val events = (0 until 100).map { i =>
+      EventStreams.Event(i, new Timestamp(1700000000000L + i * 60000L),
+        i % 5, if (i % 2 == 0) "click" else "view", i.toDouble)
+    }
+    src.addData(events: _*)
+    val q = EventStreams.windowedCounts(src.toDF())
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("wincounts").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("wincounts")
+      .select($"window_start", $"event_type", $"n", $"sum_value")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    val batch = EventStreams.windowedCounts(events.toDF())
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("file-source streaming from the harness events parquet") {
+    val batch = Tables.events(spark, sf("sf0.001"))
+    // the raw file stores ts as INT64 nanos (see Tables.events): stream it
+    // as long and apply the same µs truncation
+    val rawSchema = org.apache.spark.sql.types.StructType(batch.schema.map {
+      case f if f.name == "ts" => f.copy(dataType = org.apache.spark.sql.types.LongType)
+      case f => f
+    })
+    // FileStreamSource wants a directory: stage the file into one
+    val dir = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${sf("sf0.001")}/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = spark.readStream.schema(rawSchema)
+      .parquet(dir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = EventStreams.windowedCounts(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("filewin").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("filewin").count()
+    val expected = EventStreams.windowedCounts(batch).count()
+    assert(streamed == expected)
+  }
+
+  test("sessionization closes sessions on gaps, keeps state across batches") {
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[EventStreams.Event]
+    def ev(id: Long, tMs: Long, user: Long) =
+      EventStreams.Event(id, new Timestamp(tMs), user, "click", 1.0)
+    // batch 1: user 1 events at t=0s,30s; user 2 at t=0s
+    src.addData(ev(1, 0, 1), ev(2, 30000, 1), ev(3, 0, 2))
+    val q = EventStreams.sessionize(src.toDS(), gapMs = 60000)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions").start()
+    q.processAllAvailable()
+    assert(spark.table("sessions").count() == 0) // nothing closed yet
+    // batch 2: user 1 event 10 min later -> closes first session (2 events)
+    src.addData(ev(4, 600000, 1))
+    q.processAllAvailable()
+    q.stop()
+    val closed = spark.table("sessions")
+      .as[EventStreams.Session].collect()
+    assert(closed.length == 1)
+    assert(closed.head.user_id == 1 && closed.head.n_events == 2)
+    assert(closed.head.start_ms == 0 && closed.head.end_ms == 30000)
+  }
+}
