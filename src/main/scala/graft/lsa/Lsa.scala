@@ -59,8 +59,9 @@ object Lsa {
     val tok = docs.select(col(idCol).cast("long").as("id"),
       TextFunctions.lsaTokens(col(textCol), cfg.lemma).as("tokens"))
       .filter(size(col("tokens")) > 0)
-    val tf = TfIdf.termFrequencies(tok, "id", "tokens")
-    val vocab = vocabulary(tf)
+      .persist() // the lemmatizer UDF pass is the expensive bit — run once
+    val tf = TfIdf.termFrequencies(tok, "id", "tokens").persist() // feeds vocab, idf, cells
+    val vocab = vocabulary(tf).persist()
     val nDocs = tok.count()
     val vocabSize = vocab.count().toInt
     val k = math.min(cfg.k, math.min(nDocs, vocabSize).toInt)
@@ -68,6 +69,7 @@ object Lsa {
     // doc ids -> dense matrix row indices (deterministic by id order)
     val docIdx = tok.select(col("id"))
       .withColumn("row", row_number().over(Window.orderBy(col("id"))).cast("long") - 1)
+      .persist() // used by the cell join and the row->id back-map
 
     val idf = TfIdf.idfTable(tf, "id", nDocs)
     val cells = tf.join(broadcast(vocab.select("token", "idx")), "token")
@@ -113,15 +115,36 @@ object Lsa {
     val idxToId = docIdx.select(col("row"), col("id")).as[(Long, Long)].rdd
       .collectAsMap() // row->doc id; |docs| entries but only ids — small
     val signsB = spark.sparkContext.broadcast(signs)
-    val topDocs: Map[Int, Seq[Long]] = (0 until k).map { j =>
-      val top = svd.U.rows
-        .map { r =>
-          val l = r.vector(j) * signsB.value(j)
-          (if (math.abs(l) < 1e-9) 0.0 else l, r.index)
+    // One distributed pass for ALL concepts' top docs: per-partition
+    // bounded heaps aggregated on the driver (k × nDocs entries), instead
+    // of k separate jobs each recomputing the U lineage.
+    val nTop = cfg.nDocs
+    val ord = Ordering.by[(Double, Long), (Double, Long)] { case (l, i) => (l, -i) }
+    val tops: Array[Seq[(Double, Long)]] = svd.U.rows
+      .mapPartitions { it =>
+        val heaps = Array.fill(k)(scala.collection.mutable.ArrayBuffer.empty[(Double, Long)])
+        it.foreach { r =>
+          var j = 0
+          while (j < k) {
+            val raw = r.vector(j) * signsB.value(j)
+            val l = if (math.abs(raw) < 1e-9) 0.0 else raw
+            heaps(j) += ((l, r.index))
+            if (heaps(j).size > 4 * nTop) {
+              val kept = heaps(j).sorted(ord.reverse).take(nTop)
+              heaps(j).clear(); heaps(j) ++= kept
+            }
+            j += 1
+          }
         }
-        .top(cfg.nDocs)(Ordering.by { case (l, i) => (l, -i) })
-      j -> top.map(t => idxToId(t._2)).toSeq
+        Iterator.single(heaps.map(_.toSeq))
+      }
+      .reduce { (x, y) =>
+        Array.tabulate(k)(j => (x(j) ++ y(j)).sorted(ord.reverse).take(nTop))
+      }
+    val topDocs: Map[Int, Seq[Long]] = (0 until k).map { j =>
+      j -> tops(j).sorted(ord.reverse).take(nTop).map(t => idxToId(t._2)).toSeq
     }.toMap
+    tok.unpersist(); tf.unpersist(); vocab.unpersist(); docIdx.unpersist()
 
     val out = (0 until k).map { j =>
       Concept(j, svd.s(j), keywords(j), topDocs(j))

@@ -93,8 +93,13 @@ object Dedup {
     val sh = toks.select(col("id"),
       array_distinct(shingles(col("tokens"), shingleN)).as("sh"))
       .filter(size(col("sh")) > 0)
-    val withSig = sh.withColumn("sig",
-      minhashSignature(shingleHashes(col("sh")), numHashes))
+      .persist() // feeds the signature build and both verify joins
+    // Materialize the hash array as its own column BEFORE the signature
+    // transform: referencing the expression inside the outer lambda would
+    // re-evaluate shingle hashing numHashes times per row.
+    val withSig = sh
+      .withColumn("hv", shingleHashes(col("sh")))
+      .withColumn("sig", minhashSignature(col("hv"), numHashes))
     val cands = lshCandidates(withSig.select("id", "sig"), bands, rowsPerBand)
     val shOnly = sh.select(col("id"), col("sh"))
     cands

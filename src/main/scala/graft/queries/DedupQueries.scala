@@ -47,18 +47,20 @@ object DedupQueries extends QueryProvider {
              |GROUP BY 1 HAVING count(*) > 1 ORDER BY content_hash""".stripMargin)),
 
     // Brute-force word-3-gram Jaccard pairs (the exact truth the LSH
-    // path approximates; bounded-slice/J2 shape).
+    // path approximates). Deliberately bounded to a doc_id slice: the
+    // quadratic exact path is the correctness/verify tool, never the
+    // scale path — that is d04's LSH job.
     Q(
       "d03_jaccard_pairs",
       (s, dir) => {
         import s.implicits._
-        val toks = Tables.documents(s, dir)
+        val toks = Tables.documents(s, dir).filter($"doc_id" < 1000)
           .select($"doc_id".as("id"), TF.tokenize($"text").as("tokens"))
         Dedup.bruteForceJaccardPairs(toks, 3, 0.05)
           .select($"a", $"b", round($"jaccard", 6).as("jaccard"))
           .orderBy($"a", $"b")
       },
-      Some("""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text),'[a-zA-Z]+') AS tk FROM documents),
+      Some("""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text),'[a-zA-Z]+') AS tk FROM documents WHERE doc_id < 1000),
              |s AS (SELECT doc_id,
              |  list_distinct(list_transform(range(1, len(tk)-1),
              |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
@@ -69,8 +71,7 @@ object DedupQueries extends QueryProvider {
              |FROM s a JOIN s b ON a.doc_id < b.doc_id
              |WHERE len(list_intersect(a.sh, b.sh)) * 1.0
              |  / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.05
-             |ORDER BY a, b""".stripMargin),
-      bench = true),
+             |ORDER BY a, b""".stripMargin)),
 
     // MinHash-LSH near-dup (the 100 TB path; rows-only — hash family not
     // reproducible in SQL; recall vs d03 unit-tested).

@@ -47,12 +47,26 @@ object TextRank {
     * vertices: (id: long, tokens: array<string>), tokens non-empty.
     */
   def similarityEdges(vertices: DataFrame): DataFrame = {
-    val a = vertices.select(col("id").as("src"), col("tokens").as("toks_a"))
-    val b = vertices.select(col("id").as("dst"), col("tokens").as("toks_b"))
-    a.join(broadcast(b), col("src") =!= col("dst"))
-      .withColumn("weight", similarity(col("toks_a"), col("toks_b")))
+    // Distinct token sets and raw lengths are per-VERTEX quantities:
+    // compute them once before the quadratic join, not per pair (a
+    // V²→V reduction in array_distinct work).
+    val v = vertices.select(col("id"),
+      array_distinct(col("tokens")).as("dt"),
+      size(col("tokens")).as("n"))
+    val a = v.select(col("id").as("src"), col("dt").as("dt_a"), col("n").as("na"))
+    val b = v.select(col("id").as("dst"), col("dt").as("dt_b"), col("n").as("nb"))
+    // The graph is symmetric: compute each unordered pair's intersection
+    // once (src < dst) and mirror the edge — halves the quadratic work.
+    a.join(broadcast(b), col("src") < col("dst"))
+      .withColumn("weight",
+        size(array_intersect(col("dt_a"), col("dt_b"))).cast("double") /
+          (log2(col("na")) + log2(col("nb")) + lit(1.0)))
       .filter(col("weight") =!= 0.0)
-      .select("src", "dst", "weight")
+      // mirror in the same pass (a union would re-run the join subtree)
+      .select(explode(array(
+        struct(col("src"), col("dst"), col("weight")),
+        struct(col("dst").as("src"), col("src").as("dst"), col("weight")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.weight").as("weight"))
   }
 
   /** Iterative rank propagation (G4-G6). Returns (id, rnk). */
@@ -90,7 +104,12 @@ object TextRank {
       .select(col(idCol).as("id"),
         TextFunctions.textrankTokens(col(textCol), cfg.lemma).as("tokens"))
       .filter(size(col("tokens")) > 0)
-    ranks(similarityEdges(vertices), cfg)
+      .persist() // read once, joined against itself
+    // ranks() is eager (localCheckpoint per iteration), so the inputs are
+    // fully consumed by the time it returns — safe to release them.
+    val r = ranks(similarityEdges(vertices), cfg)
+    vertices.unpersist()
+    r
   }
 
   /** G7: top-k by rank with text recovered via an equi-join (not the

@@ -1,0 +1,34 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Prints formatted physical plans for selected queries so scan pruning
+  * (`PushedFilters`/`ReadSchema`), join strategies (BroadcastHashJoin vs
+  * SortMergeJoin), and WholeStageCodegen coverage can be audited.
+  *
+  * Usage: runMain graft.tools.ExplainAudit <sfDir> [queryName ...]
+  */
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("q01_pricing_summary", "q02_filter_project", "q03_shipping_priority",
+        "q04_brand_volume", "q05_top_orders", "q14_local_supplier_volume",
+        "t02_term_counts", "tr01_ranks", "d04_minhash_neardup", "s01_cosine_topk")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-explain")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val qmap = graft.SparkEntry.queries
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      try println(qmap(n)(spark, sfDir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+      catch { case e: Throwable => println(s"explain failed: $e") }
+    }
+    spark.stop()
+  }
+}
