@@ -78,11 +78,16 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact Jaccard over distinct-shingle arrays. */
-  def jaccard(a: Column, b: Column): Column =
-    when(size(array_union(a, b)) === 0, lit(0.0))
-      .otherwise(size(array_intersect(a, b)).cast("double") /
-        size(array_union(a, b)))
+  /** Exact Jaccard over DISTINCT-element arrays: |A∩B| via the fused
+    * intersect_size expression and |A∪B| = |A|+|B|−|A∩B|, so no
+    * intermediate union/intersection arrays are materialized (this runs
+    * once per candidate pair). Inputs must be array_distinct'ed.
+    */
+  def jaccard(a: Column, b: Column): Column = {
+    val i = graft.functions.IntersectSize.intersect_size(a, b).cast("double")
+    val u = size(a).cast("double") + size(b).cast("double") - i
+    when(u === 0.0, lit(0.0)).otherwise(i / u)
+  }
 
   /** Full MinHash-LSH near-dup pipeline over (id, tokens):
     * returns (a, b, jaccard) pairs with exact jaccard >= threshold.

@@ -59,7 +59,7 @@ object TextRank {
     // once (src < dst) and mirror the edge — halves the quadratic work.
     a.join(broadcast(b), col("src") < col("dst"))
       .withColumn("weight",
-        size(array_intersect(col("dt_a"), col("dt_b"))).cast("double") /
+        graft.functions.IntersectSize.intersect_size(col("dt_a"), col("dt_b")).cast("double") /
           (log2(col("na")) + log2(col("nb")) + lit(1.0)))
       .filter(col("weight") =!= 0.0)
       // mirror in the same pass (a union would re-run the join subtree)
