@@ -24,9 +24,13 @@ object SparkEntry {
     StreamingQueries
   )
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * TextRank top-5 — the reference's signature operation end-to-end:
+    * tokenize → similarity self-join → 5 damped rank iterations → top-k
+    * with text recovery.
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+    queries("tr02_top5")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -379,6 +379,23 @@ object Relational extends QueryProvider {
              |round(s_acctbal,2) AS s_acctbal
              |FROM supplier ORDER BY s_acctbal DESC, s_suppkey""".stripMargin)),
 
+    // ---- Salted skew-join: result must equal the plain equi-join ----
+    Q(
+      "q19_salted_join",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.SkewJoin.saltedEquiJoin(
+          Tables.lineitem(s, dir).select($"l_orderkey", $"l_linenumber", $"l_quantity"),
+          Tables.orders(s, dir).select($"o_orderkey", $"o_orderpriority"),
+          "l_orderkey", "o_orderkey", nSalts = 8)
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 2).as("qty"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n, round(sum(l_quantity),2) AS qty
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     // ---- Rolling window aggregation over event time (running sums) ----
     Q(
       "q18_user_running_value",

@@ -85,6 +85,25 @@ object TextRankQueries extends QueryProvider {
           .select($"id", round($"rnk", 6).as("rnk"))
           .orderBy(desc("rnk"), $"id")
       },
-      None)
+      None),
+
+    // GraphX/Pregel backend against the SAME unrolled oracle: both
+    // execution strategies must produce the identical rank vector.
+    Q(
+      "tr04_ranks_graphx",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val vertices = docs
+          .filter(graft.text.TextFunctions.spaceWordCount($"text") > 10 &&
+            graft.text.TextFunctions.spaceWordCount($"text") < 30)
+          .select($"doc_id".as("id"),
+            graft.text.TextFunctions.textrankTokens($"text", lemma = false).as("tokens"))
+          .filter(size($"tokens") > 0)
+        graft.textrank.TextRankGraphX.ranks(TextRank.similarityEdges(vertices))
+          .select($"id", round($"rnk", 6).as("rnk"))
+          .orderBy(desc("rnk"), $"id")
+      },
+      Some(oracleSql(5, None)))
   )
 }

@@ -1,0 +1,36 @@
+package graft.textrank
+
+import graft.SparkSpec
+
+class TextRankGraphXSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vertices = Seq(
+    (0L, Seq("x", "x", "y")),
+    (1L, Seq("x", "z")),
+    (2L, Seq("y", "z")),
+    (3L, Seq("x", "y", "z", "w"))).toDF("id", "tokens")
+
+  test("GraphX backend matches the DataFrame loop on the micro graph") {
+    val edges = TextRank.similarityEdges(vertices)
+    val df = TextRank.ranks(edges).as[(Long, Double)].collect().toMap
+    val gx = TextRankGraphX.ranks(edges).as[(Long, Double)].collect().toMap
+    assert(df.keySet == gx.keySet)
+    df.foreach { case (id, r) => assert(math.abs(r - gx(id)) < 1e-12, s"id=$id") }
+  }
+
+  test("GraphX backend matches on the sf0.001 documents table") {
+    val docs = graft.tables.Tables.documents(spark, sf("sf0.001"))
+    val vertices = docs
+      .filter(graft.text.TextFunctions.spaceWordCount($"text") > 10 &&
+        graft.text.TextFunctions.spaceWordCount($"text") < 30)
+      .select($"doc_id".as("id"),
+        graft.text.TextFunctions.textrankTokens($"text", lemma = false).as("tokens"))
+      .filter(org.apache.spark.sql.functions.size($"tokens") > 0)
+    val edges = TextRank.similarityEdges(vertices)
+    val df = TextRank.ranks(edges).as[(Long, Double)].collect().toMap
+    val gx = TextRankGraphX.ranks(edges).as[(Long, Double)].collect().toMap
+    assert(df.keySet == gx.keySet && df.nonEmpty)
+    df.foreach { case (id, r) => assert(math.abs(r - gx(id)) < 1e-9, s"id=$id") }
+  }
+}
