@@ -46,6 +46,21 @@ object LsaQueries extends QueryProvider {
       },
       None),
 
+    // Per-group (per-source) extractive top-k in one flatMapGroups job —
+    // one local SVD per bounded group, no driver loop. Rows-only (SVD).
+    Q(
+      "ls04_grouped_topk",
+      (s, dir) => {
+        import s.implicits._
+        val sents = Tables.documents(s, dir)
+          .select($"source".as("grp"), $"doc_id".as("sid"), $"text")
+        graft.operators.GroupedSummarizer.topKPerGroup(sents, 3)
+          .toDF()
+          .select($"grp", $"sid", $"score")
+          .orderBy($"grp", $"sid")
+      },
+      None),
+
     Q(
       "ls03_baseline_summary",
       (s, dir) => {

@@ -104,6 +104,47 @@ object TextRankQueries extends QueryProvider {
           .select($"id", round($"rnk", 6).as("rnk"))
           .orderBy(desc("rnk"), $"id")
       },
-      Some(oracleSql(5, None)))
+      Some(oracleSql(5, None))),
+
+    // Grouped (per-language) TextRank in ONE distributed job — the scale
+    // formulation of the reference's per-file loop — with a full grouped
+    // unrolled oracle.
+    Q(
+      "tr05_grouped_ranks",
+      (s, dir) => {
+        import s.implicits._
+        graft.textrank.GroupedTextRank.rankDocuments(
+          Tables.documents(s, dir), "lang", "doc_id", "text",
+          TextRank.Config(lemma = false))
+          .select($"grp", $"id", round($"rnk", 6).as("rnk"))
+          .orderBy($"grp", desc("rnk"), $"id")
+      },
+      Some {
+        val iters = (1 to 5).map { i =>
+          s"""r$i AS (SELECT en.grp, en.dst AS id, 0.15 + 0.85 * sum(r${i - 1}.rnk * en.wn) AS rnk
+             |FROM en JOIN r${i - 1} ON en.grp = r${i - 1}.grp AND en.src = r${i - 1}.id
+             |GROUP BY en.grp, en.dst)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH v0 AS (
+           |SELECT lang AS grp, doc_id AS id,
+           |list_filter(regexp_extract_all(lower(text),'[a-zA-Z]+'),
+           |  x -> len(x) >= 4 AND NOT list_contains($stopSql, x)) AS toks
+           |FROM documents
+           |WHERE len(string_split(text,' ')) > 10 AND len(string_split(text,' ')) < 30),
+           |v AS (SELECT grp, id, toks, len(toks) AS n FROM v0 WHERE len(toks) > 0),
+           |e AS (
+           |SELECT a.grp, a.id AS src, b.id AS dst,
+           |len(list_intersect(list_distinct(a.toks), list_distinct(b.toks))) * 1.0
+           |  / (log2(a.n) + log2(b.n) + 1) AS w
+           |FROM v a JOIN v b ON a.grp = b.grp AND a.id <> b.id
+           |WHERE len(list_intersect(list_distinct(a.toks), list_distinct(b.toks))) > 0),
+           |o AS (SELECT grp, src, sum(w) AS ow FROM e GROUP BY grp, src),
+           |en AS (SELECT e.grp, e.src, e.dst, e.w / o.ow AS wn
+           |  FROM e JOIN o ON e.grp = o.grp AND e.src = o.src),
+           |r0 AS (SELECT DISTINCT grp, src AS id, 0.15 AS rnk FROM e),
+           |$iters
+           |SELECT grp, id, round(rnk,6) AS rnk FROM r5
+           |ORDER BY grp, rnk DESC, id""".stripMargin
+      })
   )
 }
