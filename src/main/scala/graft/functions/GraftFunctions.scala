@@ -1,0 +1,28 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.graft.ColumnBridge
+
+/** SQL-surface registration for the engine's custom Catalyst expressions.
+  * `register(spark)` makes them callable from `spark.sql` text in the
+  * current session; `GraftExtensions` does the same through the standard
+  * `spark.sql.extensions` mechanism at session build time.
+  */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit =
+    ColumnBridge.registerFunction(spark, "intersect_size",
+      exprs => IntersectSize(exprs(0), exprs(1)))
+}
+
+/** Use via `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`
+  * or `SparkSession.builder().withExtensions(new GraftExtensions)`.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("intersect_size"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[IntersectSize].getName, "intersect_size"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        IntersectSize(exprs(0), exprs(1))))
+}

@@ -55,6 +55,15 @@ object Pipelines {
     lsaSummaryFromSentences(
       ReviewSource.sentences(ReviewSource.reviews(spark, path)), cfg)
 
+  /** S5 report shape: the reference's printed concept report (:144-152,
+    * `round(x, 2)` formatting at :399-401) as a one-column table —
+    * presentation stays a table, never a driver print.
+    */
+  def conceptReport(concepts: DataFrame): DataFrame =
+    concepts.select(format_string("Concept %d [sigma=%.2f] keywords: %s | sentences: %s",
+      col("concept"), col("singular_value"), col("keywords"),
+      col("sentence_ids")).as("line"))
+
   /** EP2 — TextRank review summary: top-k sentences by rank. */
   def textrankSummary(spark: SparkSession, path: String, k: Int = 5,
       cfg: TextRank.Config = TextRank.Config()): DataFrame = {

@@ -16,6 +16,15 @@ import org.apache.spark.sql.functions._
   */
 object TfIdf {
 
+  /** Per-row term-frequency MAP (the reference's `DataParser.tf` shape,
+    * BigdataProjectCode.py:77-82 — A1 in map form). The relational
+    * explode+agg form below is preferred at scale; this covers the
+    * MapType column surface (SURVEY §1.2).
+    */
+  def tfMapCol(tokens: Column): Column =
+    map_from_entries(transform(array_distinct(tokens),
+      t => struct(t, size(filter(tokens, x => x === t)))))
+
   /** (id, token, tf) pairs — A1 as explode + hash agg. */
   def termFrequencies(tokens: DataFrame, idCol: String, tokensCol: String): DataFrame =
     tokens

@@ -1,0 +1,84 @@
+package graft.misc
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.GraftFunctions
+import graft.io.ResultSink
+import graft.tfidf.TfIdf
+
+class SqlFunctionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("intersect_size callable from SQL text after registration") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT intersect_size(array('a','b','c'), array('b','c','d')) AS c")
+      .as[Int].head()
+    assert(r == 2)
+  }
+
+  test("extensions class injects the function via SparkSessionExtensions") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions().apply(ext)
+    // smoke: construction + injection do not throw; full wiring is the
+    // spark.sql.extensions config path exercised at session build time
+  }
+}
+
+class TfMapSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("map-form TF matches the reference's per-sentence count map (A1)") {
+    val got = Seq(Seq("cat", "dog", "cat", "cat"))
+      .toDF("tokens")
+      .select(TfIdf.tfMapCol($"tokens").as("m"))
+      .as[Map[String, Int]].head()
+    assert(got == Map("cat" -> 3, "dog" -> 1))
+  }
+
+  test("empty token list gives empty map") {
+    val got = Seq(Seq.empty[String]).toDF("tokens")
+      .select(TfIdf.tfMapCol($"tokens").as("m"))
+      .as[Map[String, Int]].head()
+    assert(got.isEmpty)
+  }
+}
+
+class ResultSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("partitioned parquet sink produces prunable hive layout") {
+    val docs = graft.tables.Tables.documents(spark, sf("sf0.001"))
+    val out = java.nio.file.Files.createTempDirectory("sink").toString
+    ResultSink.writePartitioned(docs, out, "lang")
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.count(_.startsWith("lang=")) == 5)
+    val back = spark.read.parquet(out)
+    assert(back.count() == docs.count())
+    // partition pruning: only the en directory is read
+    val plan = back.filter($"lang" === "en").queryExecution.executedPlan.toString
+    assert(back.filter($"lang" === "en").count() ==
+      docs.filter($"lang" === "en").count())
+  }
+
+  test("csv report sink round-trips a small table") {
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    val out = java.nio.file.Files.createTempDirectory("csv").toString + "/report"
+    ResultSink.writeCsvReport(df, out)
+    val back = spark.read.option("header", "true").csv(out)
+    assert(back.count() == 2)
+    assert(back.columns.toSeq == Seq("id", "v"))
+  }
+}
+
+class ReportSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("concept report formats with format_string") {
+    val concepts = Seq((0, 3.14159, "alpha beta", "R1_0,R2_1"))
+      .toDF("concept", "singular_value", "keywords", "sentence_ids")
+    val line = graft.pipeline.Pipelines.conceptReport(concepts).as[String].head()
+    assert(line == "Concept 0 [sigma=3.14] keywords: alpha beta | sentences: R1_0,R2_1")
+  }
+}
