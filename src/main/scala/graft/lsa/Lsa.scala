@@ -33,7 +33,13 @@ object Lsa {
       k: Int = 5,
       nKeywords: Int = 3,
       nDocs: Int = 3,
-      lemma: Boolean = true)
+      lemma: Boolean = true,
+      /** Drop vocabulary entries with document frequency below this.
+        * 1 keeps everything (reference semantics); at corpus scale a
+        * higher floor bounds the local V matrix (|vocab| × k) and the
+        * broadcast vocabulary table.
+        */
+      minDf: Long = 1L)
 
   final case class Concept(
       concept: Int,
@@ -41,10 +47,14 @@ object Lsa {
       keywords: Seq[String],
       doc_ids: Seq[Long])
 
-  /** Vocabulary table (token, idx) ordered by (df desc, token). */
-  def vocabulary(tf: DataFrame): DataFrame = {
+  /** Vocabulary table (token, idx) ordered by (df desc, token), with an
+    * optional document-frequency floor. (The idx window is global but
+    * vocabulary is sublinear in corpus size, and minDf bounds it further.)
+    */
+  def vocabulary(tf: DataFrame, minDf: Long = 1L): DataFrame = {
     val w = Window.orderBy(desc("df"), col("token"))
     tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
       .withColumn("idx", row_number().over(w).cast("int") - 1)
   }
 
@@ -61,15 +71,21 @@ object Lsa {
       .filter(size(col("tokens")) > 0)
       .persist() // the lemmatizer UDF pass is the expensive bit — run once
     val tf = TfIdf.termFrequencies(tok, "id", "tokens").persist() // feeds vocab, idf, cells
-    val vocab = vocabulary(tf).persist()
+    val vocab = vocabulary(tf, cfg.minDf).persist()
     val nDocs = tok.count()
     val vocabSize = vocab.count().toInt
     val k = math.min(cfg.k, math.min(nDocs, vocabSize).toInt)
 
-    // doc ids -> dense matrix row indices (deterministic by id order)
-    val docIdx = tok.select(col("id"))
-      .withColumn("row", row_number().over(Window.orderBy(col("id"))).cast("long") - 1)
-      .persist() // used by the cell join and the row->id back-map
+    // doc ids -> dense matrix row indices (deterministic by id order).
+    // zipWithIndex on the range-partitioned sort keeps the numbering
+    // distributed — a global row_number() window would funnel every row
+    // through one partition at corpus scale.
+    val docIdx = {
+      import spark.implicits._
+      tok.select(col("id")).orderBy(col("id")).as[Long].rdd
+        .zipWithIndex().toDF("id", "row")
+        .persist() // used by the cell join and the row->id back-map
+    }
 
     val idf = TfIdf.idfTable(tf, "id", nDocs)
     val cells = tf.join(broadcast(vocab.select("token", "idx")), "token")

@@ -184,12 +184,17 @@ object Dedup {
     dot / (na * nb)
   }
 
-  /** Brute-force cosine near-dup pairs over (id, vec array<double>). */
+  /** Brute-force cosine near-dup pairs over (id, vec array<double>).
+    * Norms precomputed per row (not per pair); cosine arithmetic stays
+    * dot/(na·nb) to match the oracle bit-for-bit after rounding.
+    */
   def cosineNearDuplicates(vecs: DataFrame, threshold: Double): DataFrame = {
-    val a = vecs.select(col("id").as("a"), col("vec").as("va"))
-    val b = vecs.select(col("id").as("b"), col("vec").as("vb"))
+    import graft.operators.{Similarity => S}
+    val withNorm = vecs.select(col("id"), col("vec"), S.norm(col("vec")).as("nrm"))
+    val a = withNorm.select(col("id").as("a"), col("vec").as("va"), col("nrm").as("na"))
+    val b = withNorm.select(col("id").as("b"), col("vec").as("vb"), col("nrm").as("nb"))
     a.join(b, col("a") < col("b"))
-      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .withColumn("cosine", S.dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cosine") >= threshold)
       .select(col("a"), col("b"), col("cosine"))
   }

@@ -37,13 +37,19 @@ object Similarity {
     * neighbor id on the 6-decimal-rounded cosine (determinism pin).
     */
   def bruteForceTopK(vecs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"))
-    val v = vecs.select(col("id").as("neighbor_id"), col("vec").as("nv"))
+    // Norms are per-VECTOR quantities: compute once per row before the
+    // pairwise join (a pairs→rows reduction in aggregate() work). The
+    // cosine stays dot/(na·nb) — identical arithmetic to the oracle.
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"),
+      norm(col("vec")).as("qn"))
+    val v = vecs.select(col("id").as("neighbor_id"), col("vec").as("nv"),
+      norm(col("vec")).as("nn"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cosine"), col("neighbor_id"))
     v.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", round(cosine(col("qv"), col("nv")), 6))
+      .withColumn("cosine",
+        round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
@@ -65,6 +71,49 @@ object Similarity {
       when(dot(vec, planeArr) >= 0, lit(1)).otherwise(lit(0))
     }
     array(planeCols: _*)
+  }
+
+  /** IVF (inverted-file) ANN: a seeded KMeans coarse quantizer assigns
+    * every vector to a cluster; each query probes only its `nProbe`
+    * nearest centroids and exact-ranks within those lists. The classic
+    * trade: one cheap clustering pass up front, then each query touches
+    * ~nProbe/nClusters of the table instead of all of it.
+    */
+  def ivfTopK(vecs: DataFrame, queries: DataFrame, k: Int, nClusters: Int,
+      nProbe: Int, seed: Long): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val train = vecs.select(col("id"), col("vec"),
+      array_to_vector(col("vec")).as("features"))
+    val model = new KMeans().setK(nClusters).setSeed(seed).setMaxIter(20)
+      .fit(train)
+    val assigned = model.transform(train)
+      .select(col("id").as("neighbor_id"), col("vec").as("nv"),
+        norm(col("vec")).as("nn"), col("prediction").as("cluster"))
+    // per-query probe list: nProbe nearest centroids by euclidean distance
+    val centroids = model.clusterCenters.map(_.toArray).zipWithIndex
+    val probeUdf = udf { (q: Seq[Double]) =>
+      centroids.map { case (c, i) =>
+        var d = 0.0
+        var j = 0
+        while (j < c.length) { val x = c(j) - q(j); d += x * x; j += 1 }
+        (d, i)
+      }.sortBy(_._1).take(nProbe).map(_._2)
+    }
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"),
+      norm(col("vec")).as("qn"))
+      .withColumn("cluster", explode(probeUdf(col("qv"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cosine"), col("neighbor_id"))
+    assigned.join(broadcast(q), Seq("cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
   /** ANN top-k via LSH buckets + exact re-rank. bands×rowsPerBand planes.

@@ -40,6 +40,20 @@ object SimilarityQueries extends QueryProvider {
              |ORDER BY query_id, rnk""".stripMargin),
       bench = true),
 
+    // IVF ANN: recall vs s01 depends on nProbe/nClusters; rows-only
+    // (KMeans not reproducible in SQL), unit-tested for recall@full-probe.
+    Q(
+      "s03_ivf_topk",
+      (s, dir) => {
+        import s.implicits._
+        val v = vecs(s, dir)
+        Similarity.ivfTopK(v, v.filter($"id" < 5), 10,
+          nClusters = 16, nProbe = 4, seed = 42L)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy($"query_id", $"rnk")
+      },
+      None),
+
     Q(
       "s02_lsh_topk",
       (s, dir) => {

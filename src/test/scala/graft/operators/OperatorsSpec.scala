@@ -129,6 +129,17 @@ class SimilaritySpec extends SparkSpec {
     assert(r.map(_._2).toSeq == Seq(1L, 4L))
   }
 
+  test("ivf with full probe equals brute force exactly") {
+    val brute = Similarity.bruteForceTopK(vecs, vecs.filter($"id" === 0), 3)
+      .select($"rank", $"neighbor_id", $"cosine").as[(Int, Long, Double)]
+      .collect().toSeq
+    val ivf = Similarity.ivfTopK(vecs, vecs.filter($"id" === 0), 3,
+      nClusters = 2, nProbe = 2, seed = 11L) // probe ALL clusters
+      .select($"rank", $"neighbor_id", $"cosine").as[(Int, Long, Double)]
+      .collect().toSeq
+    assert(ivf == brute)
+  }
+
   test("lsh top-k finds the near-identical neighbor at rank 1") {
     val r = Similarity.lshTopK(vecs, vecs.filter($"id" === 0), 2,
       bands = 8, rowsPerBand = 2, seed = 7L, dim = 2)
