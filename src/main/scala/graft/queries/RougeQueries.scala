@@ -21,11 +21,11 @@ object RougeQueries extends QueryProvider {
       |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 250
       |WHERE a.doc_id < 250)""".stripMargin
 
-  /** Oracle for multiset n-gram overlap P/R/F. `gramExpr(src)` must give a
-    * list of n-gram strings for column `src`.
+  /** CTE chain producing per-pair raw (pid, p, r) scores for a given
+    * n-gram expression; shared by the per-pair and mean oracles.
     */
-  private def rougeNSql(gram: String => String): String =
-    s"""WITH $pairsSql,
+  private def scoSql(gram: String => String): String =
+    s"""$pairsSql,
        |sg AS (SELECT pid, unnest(${gram("sys")}) AS g FROM pairs),
        |rg AS (SELECT pid, unnest(${gram("ref")}) AS g FROM pairs),
        |sc AS (SELECT pid, g, count(*) AS c FROM sg GROUP BY pid, g),
@@ -39,7 +39,13 @@ object RougeQueries extends QueryProvider {
        |sco AS (SELECT tot.pid,
        |  coalesce(ov.overlap, 0) * 1.0 / greatest(tot.ns, 1) AS p,
        |  coalesce(ov.overlap, 0) * 1.0 / greatest(tot.nr, 1) AS r
-       |  FROM tot LEFT JOIN ov ON tot.pid = ov.pid)
+       |  FROM tot LEFT JOIN ov ON tot.pid = ov.pid)""".stripMargin
+
+  /** Oracle for multiset n-gram overlap P/R/F. `gram(src)` must give a
+    * list of n-gram strings for column `src`.
+    */
+  private def rougeNSql(gram: String => String): String =
+    s"""WITH ${scoSql(gram)}
        |SELECT pid, round(p, 6) AS precision, round(r, 6) AS recall,
        |round(CASE WHEN p + r = 0 THEN 0 ELSE 2 * p * r / (p + r) END, 6) AS f1
        |FROM sco ORDER BY pid""".stripMargin
@@ -99,6 +105,28 @@ object RougeQueries extends QueryProvider {
       },
       Some(s"""WITH base AS (${rougeNSql(uniSql)})
               |SELECT round(avg(precision),6) AS avg_p, round(avg(recall),6) AS avg_r,
-              |round(avg(f1),6) AS avg_f, count(*) AS n_pairs FROM base""".stripMargin))
+              |round(avg(f1),6) AS avg_f, count(*) AS n_pairs FROM base""".stripMargin)),
+
+    // Same corpus means computed through the typed Aggregator (one
+    // partial+final aggregation, no per-pair score table) against an
+    // unrounded-average oracle.
+    Q("rg06_rouge1_mean_aggregator",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val pairs = docs.filter($"doc_id" < 250)
+          .select($"doc_id".as("pid"), $"text".as("sys"))
+          .join(docs.select(($"doc_id" - 250).as("pid"), $"text".as("ref")), "pid")
+          .select($"sys", $"ref").as[(String, String)]
+        val m = pairs.select(graft.rouge.RougeMean.rouge1(stem = false).toColumn).head()
+        def r6(x: Double) = // HALF_UP to match round() on both engines
+          BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        Seq((r6(m.precision), r6(m.recall), r6(m.f1)))
+          .toDF("avg_p", "avg_r", "avg_f")
+      },
+      Some(s"""WITH ${scoSql(uniSql)}
+              |SELECT round(avg(p),6) AS avg_p, round(avg(r),6) AS avg_r,
+              |round(avg(CASE WHEN p + r = 0 THEN 0 ELSE 2*p*r/(p+r) END),6) AS avg_f
+              |FROM sco""".stripMargin))
   )
 }
