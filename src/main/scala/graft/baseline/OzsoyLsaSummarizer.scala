@@ -62,8 +62,10 @@ object OzsoyLsaSummarizer {
   def summarize(sentences: Seq[String], topics: Int = 15,
       length: Double = 15, topicSigmaThreshold: Double = 0.75): Seq[String] = {
     val scored = scoreSentences(sentences, topics, topicSigmaThreshold)
+    // strictly-below-1 means a fraction; >= 1 is an absolute count
+    // (length = 1 must select ONE sentence, not the whole document)
     val n =
-      if (length > 0 && length <= 1) math.max(1, math.round(length * sentences.size).toInt)
+      if (length > 0 && length < 1) math.max(1, math.round(length * sentences.size).toInt)
       else math.min(length.toInt, sentences.size)
     scored.sortBy(s => (-s.score, s.index)).take(n)
       .sortBy(_.index).map(_.sentence)

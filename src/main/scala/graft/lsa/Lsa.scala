@@ -75,6 +75,10 @@ object Lsa {
     val nDocs = tok.count()
     val vocabSize = vocab.count().toInt
     val k = math.min(cfg.k, math.min(nDocs, vocabSize).toInt)
+    if (k <= 0) { // degenerate corpus (no tokens survive the pipeline)
+      tok.unpersist(); tf.unpersist(); vocab.unpersist()
+      return spark.createDataFrame(Seq.empty[Concept])
+    }
 
     // doc ids -> dense matrix row indices (deterministic by id order).
     // zipWithIndex on the range-partitioned sort keeps the numbering
@@ -102,10 +106,12 @@ object Lsa {
       }
     val mat = new IndexedRowMatrix(rows)
     val svd = mat.computeSVD(k, computeU = true)
+    // ARPACK may converge on fewer than k singular values — truncate.
+    val kEff = math.min(k, math.min(svd.s.size, svd.V.numCols))
 
-    // V: vocabSize x k (local). Sign convention per concept.
+    // V: vocabSize x kEff (local). Sign convention per concept.
     val v = svd.V
-    val signs = Array.tabulate(k) { j =>
+    val signs = Array.tabulate(kEff) { j =>
       var best = 0.0; var sign = 1.0
       for (i <- 0 until vocabSize) {
         val x = v(i, j)
@@ -120,28 +126,25 @@ object Lsa {
     def snap(x: Double): Double = if (math.abs(x) < 1e-9) 0.0 else x
 
     val vocabArr = vocab.orderBy(col("idx")).select("token").as[String].collect()
-    val keywords = Array.tabulate(k) { j =>
+    val keywords = Array.tabulate(kEff) { j =>
       (0 until vocabSize)
         .map(i => (snap(v(i, j) * signs(j)), vocabArr(i)))
         .sortBy { case (l, t) => (-l, t) }
         .take(cfg.nKeywords).map(_._2)
     }
 
-    // U loadings per concept: top docs by signed loading, distributed top-k.
-    val idxToId = docIdx.select(col("row"), col("id")).as[(Long, Long)].rdd
-      .collectAsMap() // row->doc id; |docs| entries but only ids — small
     val signsB = spark.sparkContext.broadcast(signs)
     // One distributed pass for ALL concepts' top docs: per-partition
-    // bounded heaps aggregated on the driver (k × nDocs entries), instead
-    // of k separate jobs each recomputing the U lineage.
+    // bounded heaps aggregated on the driver (kEff × nDocs entries),
+    // instead of k separate jobs each recomputing the U lineage.
     val nTop = cfg.nDocs
     val ord = Ordering.by[(Double, Long), (Double, Long)] { case (l, i) => (l, -i) }
     val tops: Array[Seq[(Double, Long)]] = svd.U.rows
       .mapPartitions { it =>
-        val heaps = Array.fill(k)(scala.collection.mutable.ArrayBuffer.empty[(Double, Long)])
+        val heaps = Array.fill(kEff)(scala.collection.mutable.ArrayBuffer.empty[(Double, Long)])
         it.foreach { r =>
           var j = 0
-          while (j < k) {
+          while (j < kEff) {
             val raw = r.vector(j) * signsB.value(j)
             val l = if (math.abs(raw) < 1e-9) 0.0 else raw
             heaps(j) += ((l, r.index))
@@ -155,14 +158,20 @@ object Lsa {
         Iterator.single(heaps.map(_.toSeq))
       }
       .reduce { (x, y) =>
-        Array.tabulate(k)(j => (x(j) ++ y(j)).sorted(ord.reverse).take(nTop))
+        Array.tabulate(kEff)(j => (x(j) ++ y(j)).sorted(ord.reverse).take(nTop))
       }
-    val topDocs: Map[Int, Seq[Long]] = (0 until k).map { j =>
+    // Recover doc ids for ONLY the winning rows (kEff × nDocs of them) —
+    // never the whole row->id map (it is corpus-sized).
+    val winRows = tops.flatten.map(_._2).distinct
+    val idxToId: Map[Long, Long] = docIdx
+      .filter(col("row").isin(winRows: _*))
+      .select(col("row"), col("id")).as[(Long, Long)].collect().toMap
+    val topDocs: Map[Int, Seq[Long]] = (0 until kEff).map { j =>
       j -> tops(j).sorted(ord.reverse).take(nTop).map(t => idxToId(t._2)).toSeq
     }.toMap
     tok.unpersist(); tf.unpersist(); vocab.unpersist(); docIdx.unpersist()
 
-    val out = (0 until k).map { j =>
+    val out = (0 until kEff).map { j =>
       Concept(j, svd.s(j), keywords(j), topDocs(j))
     }
     spark.createDataFrame(out)

@@ -57,8 +57,12 @@ object Dedup {
     *
     * sigs: (id, sig array<long> of length bands*rowsPerBand).
     * maxBucket guards against degenerate mega-buckets (skew control at
-    * scale — dropped buckets are all-identical docs anyway captured by
-    * exact dedup).
+    * scale). NOTE this is a recall/cost dial, not free: a pair colliding
+    * ONLY in dropped buckets is missed. Members of an oversized bucket
+    * usually also collide in other bands (high-similarity content
+    * collides almost everywhere), but callers wanting guaranteed recall
+    * should raise maxBucket or run the brute-force verify on the
+    * affected keys.
     */
   def lshCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int,
       maxBucket: Int = 1000): DataFrame = {

@@ -38,7 +38,10 @@ object Multimodal {
   /** Wrap a text corpus into the media schema (UTF-8 payloads standing in
     * for image/audio bytes; modality round-robins for test coverage).
     */
-  def asMedia(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  def asMedia(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // declared_lang is optional metadata — null when the corpus has none
+    val lang = if (docs.columns.contains("lang")) col("lang")
+      else lit(null).cast("string")
     docs.select(
       col(idCol).cast("long").as("id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
@@ -46,7 +49,8 @@ object Multimodal {
       col(textCol).cast("binary").as("payload"),
       struct(
         octet_length(col(textCol)).cast("long").as("n_bytes"),
-        col("lang").as("declared_lang")).as("meta"))
+        lang.as("declared_lang")).as("meta"))
+  }
 
   /** STUB decode/feature-extract kernel. Deterministic fake standing in
     * for the real decoder: frame count = ceil(bytes/256), checksum =

@@ -36,6 +36,9 @@ object StreamingQueries extends QueryProvider {
           .format("memory").queryName("sm01_mem").start()
         q.processAllAvailable()
         q.stop()
+        // the memory sink holds the results; drop the staged copy
+        Files.deleteIfExists(stage.resolve("events.parquet"))
+        Files.deleteIfExists(stage)
         s.table("sm01_mem")
           .select($"window_start", $"event_type", $"n",
             round($"sum_value", 2).as("sum_value"))

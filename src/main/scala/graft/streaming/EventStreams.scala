@@ -38,9 +38,14 @@ object EventStreams {
   /** Gap-based sessionization with custom state
     * (KeyValueGroupedDataset.flatMapGroupsWithState): a session closes
     * when the next event for the user arrives more than `gapMs` later.
-    * Works identically on batch Datasets (state sees each group once).
+    *
+    * `emitOpen`: in a STREAM the still-open session must stay in state
+    * (more events may arrive — default false). In a BATCH backfill there
+    * is no later batch, so pass true or every user's final session is
+    * silently dropped from the output.
     */
-  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+  def sessionize(events: Dataset[Event], gapMs: Long,
+      emitOpen: Boolean = false): Dataset[Session] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
@@ -62,7 +67,12 @@ object EventStreams {
                 cur = Some(SessionState(t, t, 1, e.value))
             }
           }
-          cur.foreach(state.update)
+          if (emitOpen) {
+            cur.foreach(s => closed += Session(userId, s.start_ms, s.last_ms, s.n, s.sum))
+            state.remove()
+          } else {
+            cur.foreach(state.update)
+          }
           closed.iterator
       }
   }

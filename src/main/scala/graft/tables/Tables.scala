@@ -28,9 +28,16 @@ object Tables {
     * microseconds — the same truncation DuckDB applies when it coerces the
     * column to its microsecond TIMESTAMP, so oracle comparisons line up.
     */
+  /** Explicit schema with ts:long sidesteps the TIMESTAMP(NANOS) mapping
+    * without touching any session conf (no hidden global state).
+    */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
+    import org.apache.spark.sql.types._
+    val raw = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    s.read.schema(raw).parquet(s"$d/events.parquet")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")

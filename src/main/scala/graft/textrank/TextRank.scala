@@ -35,11 +35,6 @@ object TextRank {
       maxWords: Int = 30,
       lemma: Boolean = true)
 
-  /** G2 edge weight between two token arrays. */
-  def similarity(a: Column, b: Column): Column =
-    size(array_intersect(array_distinct(a), array_distinct(b))).cast("double") /
-      (log2(size(a)) + log2(size(b)) + lit(1.0))
-
   /** Directed edge list (src, dst, weight) over all ordered pairs with
     * nonzero similarity (both directions present — the graph is
     * symmetric, matching the reference's adjacency map).

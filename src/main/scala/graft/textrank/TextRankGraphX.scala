@@ -30,12 +30,15 @@ object TextRankGraphX {
     import spark.implicits._
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
       col("weight").cast("double")).as[(Long, Long, Double)].rdd
+      .cache() // lineage holds the quadratic similarity join — 3 consumers
     val outSum = e.map(t => (t._1, t._3)).reduceByKey(_ + _)
     val normalized = e.map(t => (t._1, (t._2, t._3))).join(outSum)
       .map { case (src, ((dst, w), ow)) => Edge(src, dst, w / ow) }
     val vertices = e.flatMap(t => Seq(t._1, t._2)).distinct()
       .map(id => (id, cfg.initRank))
     var g = Graph(vertices, normalized).cache()
+    g.edges.count() // materialize once, then release the input lineage
+    e.unpersist(blocking = false)
     for (_ <- 1 to cfg.iterations) {
       val msgs = g.aggregateMessages[Double](
         ctx => ctx.sendToDst(ctx.srcAttr * ctx.attr), _ + _)

@@ -37,6 +37,10 @@ class OzsoySpec extends AnyFunSuite {
     assert(out.size == 2)
   }
 
+  test("length = 1 selects exactly one sentence (absolute count, not fraction)") {
+    assert(OzsoyLsaSummarizer.summarize(sentences, length = 1).size == 1)
+  }
+
   test("empty and stopword-only input degrade gracefully") {
     assert(OzsoyLsaSummarizer.summarize(Nil) == Nil)
     val s = OzsoyLsaSummarizer.scoreSentences(Seq("the of and", "a an"))

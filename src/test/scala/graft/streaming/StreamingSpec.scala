@@ -59,6 +59,18 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == expected)
   }
 
+  test("batch sessionize with emitOpen flushes every user's final session") {
+    def ev(id: Long, tMs: Long, user: Long) =
+      EventStreams.Event(id, new Timestamp(tMs), user, "click", 1.0)
+    val batch = Seq(
+      ev(1, 0, 1), ev(2, 30000, 1), ev(3, 600000, 1), // 2 sessions for user 1
+      ev(4, 0, 2)).toDS()
+    val out = EventStreams.sessionize(batch, gapMs = 60000, emitOpen = true)
+      .collect().sortBy(s => (s.user_id, s.start_ms))
+    assert(out.length == 3) // both user-1 sessions AND user-2's open one
+    assert(out.map(_.n_events).toSeq == Seq(2, 1, 1))
+  }
+
   test("sessionization closes sessions on gaps, keeps state across batches") {
     implicit val sql = spark.sqlContext
     val src = MemoryStream[EventStreams.Event]
