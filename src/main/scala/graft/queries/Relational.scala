@@ -41,8 +41,17 @@ object Relational extends QueryProvider {
           .agg(
             round(sum($"l_quantity"), 2).as("sum_qty"),
             round(sum($"l_extendedprice"), 2).as("sum_base_price"),
-            round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
-            round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")), 2).as("sum_charge"),
+            // 4e9-magnitude sums of 4/6-decimal products exceed double-sum
+            // reproducibility across engines: aggregate EXACTLY in decimal
+            // (inputs are 2-decimal quantities) and cast the exact result
+            // back to double — both engines then produce the identical value.
+            sum($"l_extendedprice".cast("decimal(14,2)") *
+              (lit(1).cast("decimal(3,2)") - $"l_discount".cast("decimal(3,2)")))
+              .cast("double").as("sum_disc_price"),
+            sum($"l_extendedprice".cast("decimal(14,2)") *
+              (lit(1).cast("decimal(3,2)") - $"l_discount".cast("decimal(3,2)")) *
+              (lit(1).cast("decimal(3,2)") + $"l_tax".cast("decimal(3,2)")))
+              .cast("double").as("sum_charge"),
             round(avg($"l_quantity"), 4).as("avg_qty"),
             round(avg($"l_extendedprice"), 4).as("avg_price"),
             round(avg($"l_discount"), 6).as("avg_disc"),
@@ -52,8 +61,8 @@ object Relational extends QueryProvider {
       Some(s"""SELECT l_returnflag, l_linestatus,
               |round(sum(l_quantity),2) AS sum_qty,
               |round(sum(l_extendedprice),2) AS sum_base_price,
-              |round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
-              |round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+              |CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
+              |CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(3,2))) * (1 + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
               |round(avg(l_quantity),4) AS avg_qty,
               |round(avg(l_extendedprice),4) AS avg_price,
               |round(avg(l_discount),6) AS avg_disc,
@@ -73,11 +82,11 @@ object Relational extends QueryProvider {
             $"l_shipdate" < lit("1999-04-01 00:00:00").cast("timestamp") &&
             $"l_discount" > 0.05 && $"l_quantity" < 10.0)
           .select($"l_orderkey", $"l_linenumber", $"l_partkey",
-            round($"l_extendedprice" * (lit(1.0) - $"l_discount"), 2).as("net_price"))
+            round($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("net_price"))
           .orderBy($"l_orderkey", $"l_linenumber")
       },
       Some("""SELECT l_orderkey, l_linenumber, l_partkey,
-             |round(l_extendedprice*(1-l_discount),2) AS net_price
+             |round(l_extendedprice*(1-l_discount),4) AS net_price
              |FROM lineitem
              |WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
              |AND l_shipdate < TIMESTAMP '1999-04-01 00:00:00'
@@ -99,12 +108,12 @@ object Relational extends QueryProvider {
         li.join(ord, $"l_orderkey" === $"o_orderkey")
           .join(broadcast(cust), $"o_custkey" === $"c_custkey")
           .groupBy($"l_orderkey", $"o_orderdate")
-          .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+          .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("revenue"))
           .orderBy(desc("revenue"), $"l_orderkey")
           .limit(10)
       },
       Some(s"""SELECT l_orderkey, o_orderdate,
-              |round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+              |round(sum(l_extendedprice*(1-l_discount)),4) AS revenue
               |FROM customer, orders, lineitem
               |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
               |AND l_orderkey = o_orderkey
@@ -315,12 +324,12 @@ object Relational extends QueryProvider {
           .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
           .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
           .groupBy($"r_name", $"n_name")
-          .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
+          .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("revenue"),
             count(lit(1)).as("n_items"))
           .orderBy($"r_name", $"n_name")
       },
       Some("""SELECT r_name, n_name,
-             |round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+             |round(sum(l_extendedprice*(1-l_discount)),4) AS revenue,
              |count(*) AS n_items
              |FROM lineitem, orders, customer, supplier, nation, region
              |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
