@@ -66,8 +66,9 @@ object Lsa {
     val spark = docs.sparkSession
     import spark.implicits._
 
-    val tok = docs.select(col(idCol).cast("long").as("id"),
-      TextFunctions.lsaTokens(col(textCol), cfg.lemma).as("tokens"))
+    val tok = graft.Par.fanOut(docs)
+      .select(col(idCol).cast("long").as("id"),
+        TextFunctions.lsaTokens(col(textCol), cfg.lemma).as("tokens"))
       .filter(size(col("tokens")) > 0)
       .persist() // the lemmatizer UDF pass is the expensive bit — run once
     val tf = TfIdf.termFrequencies(tok, "id", "tokens").persist() // feeds vocab, idf, cells
@@ -104,6 +105,10 @@ object Lsa {
         IndexedRow(row, MlVectors.sparse(vocabSize,
           sorted.map(_._2).toArray, sorted.map(_._3).toArray))
       }
+      // ARPACK multiplies against the row RDD once per Lanczos iteration
+      // (dozens of jobs) — without this persist each one replays the
+      // join+groupBy lineage above.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mat = new IndexedRowMatrix(rows)
     val svd = mat.computeSVD(k, computeU = true)
     // ARPACK may converge on fewer than k singular values — truncate.
@@ -170,6 +175,7 @@ object Lsa {
       j -> tops(j).sorted(ord.reverse).take(nTop).map(t => idxToId(t._2)).toSeq
     }.toMap
     tok.unpersist(); tf.unpersist(); vocab.unpersist(); docIdx.unpersist()
+    rows.unpersist()
 
     val out = (0 until kEff).map { j =>
       Concept(j, svd.s(j), keywords(j), topDocs(j))

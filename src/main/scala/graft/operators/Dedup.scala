@@ -96,9 +96,12 @@ object Dedup {
   /** Full MinHash-LSH near-dup pipeline over (id, tokens):
     * returns (a, b, jaccard) pairs with exact jaccard >= threshold.
     */
-  def minhashNearDuplicates(toks: DataFrame, shingleN: Int, numHashes: Int,
+  def minhashNearDuplicates(toks0: DataFrame, shingleN: Int, numHashes: Int,
       bands: Int, threshold: Double): DataFrame = {
     val rowsPerBand = numHashes / bands
+    // Shingling + numHashes×|shingles| hashing is the compute-bound stage:
+    // make sure it fans out across cores even off a one-row-group scan.
+    val toks = graft.Par.fanOut(toks0)
     val sh = toks.select(col("id"),
       array_distinct(shingles(col("tokens"), shingleN)).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -122,8 +125,9 @@ object Dedup {
   /** Brute-force n-gram Jaccard pairs over a bounded slice (the verify
     * path / small-corpus path; J2 shape with src<dst dedup).
     */
-  def bruteForceJaccardPairs(toks: DataFrame, shingleN: Int,
+  def bruteForceJaccardPairs(toks0: DataFrame, shingleN: Int,
       threshold: Double): DataFrame = {
+    val toks = graft.Par.fanOut(toks0)
     val sh = toks.select(col("id"),
       array_distinct(shingles(col("tokens"), shingleN)).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -162,7 +166,8 @@ object Dedup {
     * guaranteed recall via 4-chunk banding; pigeonhole over 16-bit
     * chunks).
     */
-  def simhashNearDuplicates(toks: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashNearDuplicates(toks0: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val toks = graft.Par.fanOut(toks0)
     val sigs = toks.select(col("id"), simhash(col("tokens")).as("sig"))
     val chunks = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until 4).map(i =>

@@ -24,7 +24,8 @@ object AnalysisQueries extends QueryProvider {
       (s, dir) => {
         import s.implicits._
         val tok = TF.tokenize($"text")
-        Tables.documents(s, dir)
+        // fanOut: seven regex/token expressions per row (see graft.Par)
+        graft.Par.fanOut(Tables.documents(s, dir))
           .select(
             $"doc_id",
             TA.wsTokenCount($"text").cast("long").as("ws_tokens"),

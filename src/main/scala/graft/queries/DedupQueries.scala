@@ -54,7 +54,7 @@ object DedupQueries extends QueryProvider {
       "d03_jaccard_pairs",
       (s, dir) => {
         import s.implicits._
-        val toks = Tables.documents(s, dir).filter($"doc_id" < 1000)
+        val toks = graft.Par.fanOut(Tables.documents(s, dir).filter($"doc_id" < 1000))
           .select($"doc_id".as("id"), TF.tokenize($"text").as("tokens"))
         Dedup.bruteForceJaccardPairs(toks, 3, 0.05)
           .select($"a", $"b", round($"jaccard", 6).as("jaccard"))
@@ -79,7 +79,9 @@ object DedupQueries extends QueryProvider {
       "d04_minhash_neardup",
       (s, dir) => {
         import s.implicits._
-        val toks = Tables.documents(s, dir)
+        // fanOut at the SCAN so tokenization itself parallelizes (the
+        // operator's internal fanOut can only widen what comes after it).
+        val toks = graft.Par.fanOut(Tables.documents(s, dir))
           .select($"doc_id".as("id"), TF.tokenize($"text").as("tokens"))
         Dedup.minhashNearDuplicates(toks, shingleN = 3, numHashes = 32,
           bands = 8, threshold = 0.3)
@@ -94,7 +96,7 @@ object DedupQueries extends QueryProvider {
       "d05_simhash_neardup",
       (s, dir) => {
         import s.implicits._
-        val toks = Tables.documents(s, dir)
+        val toks = graft.Par.fanOut(Tables.documents(s, dir))
           .select($"doc_id".as("id"), TF.tokenize($"text").as("tokens"))
         Dedup.simhashNearDuplicates(toks, maxHamming = 3)
           .orderBy($"a", $"b")

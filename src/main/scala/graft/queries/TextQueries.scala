@@ -38,7 +38,9 @@ object TextQueries extends QueryProvider {
       "t01_doc_stats",
       (s, dir) => {
         import s.implicits._
-        Tables.documents(s, dir)
+        // fanOut: four regex token pipelines per row off a one-row-group
+        // scan would otherwise run on a single core (see graft.Par).
+        graft.Par.fanOut(Tables.documents(s, dir))
           .select(
             $"doc_id", $"lang", $"source", $"n_chars",
             length($"text").cast("long").as("text_len"),
@@ -61,7 +63,7 @@ object TextQueries extends QueryProvider {
       "t02_term_counts",
       (s, dir) => {
         import s.implicits._
-        val tok = Tables.documents(s, dir)
+        val tok = graft.Par.fanOut(Tables.documents(s, dir))
           .select($"doc_id", TF.lsaTokens($"text", lemma = false).as("tokens"))
         TfIdf.termFrequencies(tok, "doc_id", "tokens")
           .groupBy($"token")

@@ -64,6 +64,13 @@ object TextRank {
       .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.weight").as("weight"))
   }
 
+  /** Vertex count below which the rank vector is broadcast each
+    * iteration. A rank row is ~16 bytes, so 2M vertices ≈ 32 MB —
+    * comfortably under executor broadcast budgets; beyond that the
+    * iteration falls back to a shuffled join.
+    */
+  val broadcastRankLimit: Long = 2000000L
+
   /** Iterative rank propagation (G4-G6). Returns (id, rnk). */
   def ranks(edges: DataFrame, cfg: Config = Config()): DataFrame = {
     val spark = edges.sparkSession
@@ -76,8 +83,16 @@ object TextRank {
 
     var r = norm.select(col("src").as("id")).distinct()
       .withColumn("rnk", lit(cfg.initRank))
+    // The rank vector is vertex-sized — orders of magnitude smaller than
+    // the edge list. Broadcasting it makes each iteration a map-side hash
+    // join over the CACHED edges (no edge shuffle; the groupBy ships only
+    // map-side partial sums). The checkpointed ranks plan carries no
+    // stats, so without the hint Spark would sort-merge-join, reshuffling
+    // every edge every iteration.
+    val bcast = r.count() <= broadcastRankLimit
     for (_ <- 1 to cfg.iterations) {
-      r = norm.join(r, norm("src") === r("id"))
+      val rside = if (bcast) broadcast(r) else r
+      r = norm.join(rside, norm("src") === r("id"))
         .groupBy(col("dst"))
         .agg((lit(cfg.initRank) + lit(cfg.damping) * sum(col("rnk") * col("wn"))).as("rnk"))
         .select(col("dst").as("id"), col("rnk"))
@@ -93,9 +108,12 @@ object TextRank {
     */
   def rankDocuments(docs: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config()): DataFrame = {
-    val vertices = docs
+    // fanOut BEFORE tokenizing: both the token pipeline and the quadratic
+    // similarity self-join that streams over these partitions must use
+    // every core, not the scan's (possibly single) input split.
+    val vertices = graft.Par.fanOut(docs
       .filter(TextFunctions.spaceWordCount(col(textCol)) > cfg.minWords &&
-        TextFunctions.spaceWordCount(col(textCol)) < cfg.maxWords)
+        TextFunctions.spaceWordCount(col(textCol)) < cfg.maxWords))
       .select(col(idCol).as("id"),
         TextFunctions.textrankTokens(col(textCol), cfg.lemma).as("tokens"))
       .filter(size(col("tokens")) > 0)

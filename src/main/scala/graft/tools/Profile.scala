@@ -1,0 +1,95 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+import graft.tables.Tables
+import graft.text.{TextFunctions => TF}
+
+/** Dev-only stage profiler for the bench hot paths. Not part of the
+  * driver contract; run with
+  *   sbt "runMain graft.tools.Profile /root/testdata/sf0.1 d04"
+  */
+object Profile {
+  def time[A](label: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[profile] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val which = args.lift(1).getOrElse("d04")
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", 16)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    which match {
+      case q if graft.SparkEntry.queries.contains(q) =>
+        val fn = graft.SparkEntry.queries(q)
+        time(s"$q-cold")(noop(fn(spark, sfDir)))
+        time(s"$q-warm")(noop(fn(spark, sfDir)))
+
+      case "d04" =>
+        val toks = graft.Par.fanOut(Tables.documents(spark, sfDir)
+          .select($"doc_id".as("id"), TF.tokenize($"text").as("tokens"))).persist()
+        time("tokenize+count")(toks.count())
+        val sh = toks.select(col("id"),
+          array_distinct(Dedup.shingles(col("tokens"), 3)).as("sh"))
+          .filter(size(col("sh")) > 0).persist()
+        time("shingles")(sh.count())
+        val withSig = sh
+          .withColumn("hv", Dedup.shingleHashes(col("sh")))
+          .withColumn("sig", Dedup.minhashSignature(col("hv"), 32))
+          .select("id", "sig").persist()
+        time("signatures")(withSig.count())
+        val cands = Dedup.lshCandidates(withSig, 8, 4).persist()
+        time("lsh-candidates")(println("cands=" + cands.count()))
+        val shOnly = sh.select(col("id"), col("sh"))
+        val out = cands
+          .join(shOnly.withColumnRenamed("id", "a").withColumnRenamed("sh", "sh_a"), "a")
+          .join(shOnly.withColumnRenamed("id", "b").withColumnRenamed("sh", "sh_b"), "b")
+          .withColumn("jaccard", Dedup.jaccard(col("sh_a"), col("sh_b")))
+          .filter(col("jaccard") >= 0.3)
+          .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+          .orderBy("a", "b")
+        time("verify-join")(noop(out))
+
+      case "ls01" =>
+        val docs = Tables.documents(spark, sfDir)
+        time("full-concepts")(noop(
+          graft.lsa.Lsa.concepts(docs, "doc_id", "text")))
+
+      case "tr02" =>
+        val docs = Tables.documents(spark, sfDir)
+          .select($"doc_id".as("id"), $"text")
+        val cfg = graft.textrank.TextRank.Config(lemma = false)
+        for (round <- Seq("cold", "warm")) {
+          val vertices = graft.Par.fanOut(docs
+            .filter(TF.spaceWordCount(col("text")) > cfg.minWords &&
+              TF.spaceWordCount(col("text")) < cfg.maxWords))
+            .select(col("id"), TF.textrankTokens(col("text"), cfg.lemma).as("tokens"))
+            .filter(size(col("tokens")) > 0)
+            .persist()
+          time(s"vertices-$round")(println("V=" + vertices.count()))
+          val edges = graft.textrank.TextRank.similarityEdges(vertices).persist()
+          time(s"edges-$round")(println("E=" + edges.count()))
+          val r = time(s"ranks-$round")(graft.textrank.TextRank.ranks(edges, cfg))
+          time(s"topk-$round")(noop(r.orderBy(desc("rnk"), col("id")).limit(5)))
+          vertices.unpersist(); edges.unpersist()
+        }
+    }
+    spark.stop()
+  }
+}
