@@ -64,9 +64,9 @@ object GroupedTextRank {
   def rankDocuments(docs: DataFrame, grpCol: String, idCol: String,
       textCol: String, cfg: TextRank.Config = TextRank.Config()): DataFrame = {
     import graft.text.TextFunctions
-    val vertices = docs
+    val vertices = graft.Par.fanOut(docs
       .filter(TextFunctions.spaceWordCount(col(textCol)) > cfg.minWords &&
-        TextFunctions.spaceWordCount(col(textCol)) < cfg.maxWords)
+        TextFunctions.spaceWordCount(col(textCol)) < cfg.maxWords))
       .select(col(grpCol).as("grp"), col(idCol).as("id"),
         TextFunctions.textrankTokens(col(textCol), cfg.lemma).as("tokens"))
       .filter(size(col("tokens")) > 0)
