@@ -91,6 +91,10 @@ object AnalysisQueries extends QueryProvider {
            |FROM v ORDER BY doc_id""".stripMargin
       }),
 
+    // The base-31 mod-2^64 rolling hash IS SQL-expressible: HUGEINT
+    // arithmetic + an explicit wrap, folding per-char codepoints. (Valid
+    // while text is BMP-only — `ord` yields codepoints, the JVM folds
+    // UTF-16 units; they agree below U+10000.)
     Q(
       "a03_fingerprints",
       (s, dir) => {
@@ -99,7 +103,17 @@ object AnalysisQueries extends QueryProvider {
           .select($"doc_id", TA.fingerprint($"text").as("fp"))
           .orderBy($"doc_id")
       },
-      None),
+      Some("""SELECT doc_id,
+             |CAST(CASE WHEN m >= 9223372036854775808::HUGEINT
+             |  THEN m - 18446744073709551616::HUGEINT ELSE m END AS BIGINT) AS fp
+             |FROM (SELECT doc_id,
+             |  CASE WHEN text IS NULL THEN 0::HUGEINT ELSE
+             |  list_reduce(
+             |    list_prepend(1125899906842597::HUGEINT,
+             |      list_transform(range(length(text)), i -> ord(text[i+1])::HUGEINT)),
+             |    (h, c) -> (31*h + c) % 18446744073709551616::HUGEINT) END AS m
+             |  FROM documents) t
+             |ORDER BY doc_id""".stripMargin)),
 
     // Multimodal: schema plumbing + metadata (oracle) ...
     Q(
