@@ -1,0 +1,36 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class BucketingSpec extends SparkSpec {
+
+  test("bucketed co-located join: no Exchange in the plan, same result") {
+    val s = spark
+    import s.implicits._
+    val dir = sf("sf0.001")
+    val orders = s.read.parquet(s"$dir/orders.parquet")
+      .select($"o_orderkey", $"o_orderdate")
+    val lineitem = s.read.parquet(s"$dir/lineitem.parquet")
+      .select($"l_orderkey", $"l_quantity")
+    val prevBroadcast = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      Bucketing.writeBucketed(orders, "b_orders", 4, Seq("o_orderkey"))
+      Bucketing.writeBucketed(lineitem, "b_lineitem", 4, Seq("l_orderkey"))
+      // force the shuffle-based strategy so the assertion is about the
+      // bucketed layout, not about broadcast kicking in
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = s.table("b_orders")
+        .join(s.table("b_lineitem"), $"o_orderkey" === $"l_orderkey")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should be shuffle-free, got:\n$plan")
+      val expected = orders
+        .join(lineitem, $"o_orderkey" === $"l_orderkey").count()
+      assert(j.count() == expected)
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      s.sql("DROP TABLE IF EXISTS b_orders")
+      s.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+}
