@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical._
 
 /** Partitioning helpers shared by the compute-bound operators. */
 object Par {
@@ -17,9 +18,32 @@ object Par {
     *
     * At real scale the scan already yields >= cores splits and the input
     * passes through untouched — this is a floor, never a cap.
+    *
+    * Inputs whose plan already contains a shuffle boundary (an explicit
+    * repartition, join, aggregate, …) are returned unchanged WITHOUT
+    * consulting the physical plan: their parallelism is already governed
+    * by spark.sql.shuffle.partitions, and materializing `.rdd` on such a
+    * plan under AQE would eagerly submit the upstream shuffle job only to
+    * throw its result away.
     */
   def fanOut(df: DataFrame): DataFrame = {
-    val cores = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+    val hasShuffleBoundary = df.queryExecution.optimizedPlan.exists {
+      // coalesce (Repartition with shuffle=false) is narrow — an input
+      // squeezed to few partitions is exactly the case to widen
+      case r: Repartition => r.shuffle
+      case _: RepartitionByExpression => true
+      case _: Join => true
+      case _: Aggregate => true
+      case _: Window => true
+      case _: Sort => true
+      case _: Deduplicate => true
+      case _ => false
+    }
+    if (hasShuffleBoundary) df
+    else {
+      // shuffle-free (scan + narrow ops): .rdd plans but runs no job
+      val cores = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+    }
   }
 }

@@ -10,7 +10,10 @@ import org.apache.spark.sql.DataFrame
   * `lineitem ⋈ orders` on orderkey) pays one hash-partitioned write;
   * every subsequent join reads the co-located layout directly — the
   * shuffle that AQE would otherwise re-run per query disappears from the
-  * plan. Sorted buckets additionally let sort-merge join skip its sort.
+  * plan. Buckets are also written pre-sorted (one file per bucket);
+  * exploiting that ordering to skip the merge-join sort additionally
+  * needs `spark.sql.legacy.bucketedTableScan.outputOrdering=true`
+  * (off by default since Spark 3.0 — SPARK-28595).
   */
 object Bucketing {
 
@@ -20,7 +23,12 @@ object Bucketing {
     */
   def writeBucketed(df: DataFrame, name: String, buckets: Int,
       keys: Seq[String]): Unit =
-    df.write
+    // Repartition by the bucket keys FIRST: otherwise every input task
+    // writes its own file into every bucket (tasks × buckets small
+    // files), and Spark only trusts sortBy metadata when a bucket is a
+    // single file — multi-file buckets silently re-Sort in the join.
+    df.repartition(buckets, keys.map(org.apache.spark.sql.functions.col): _*)
+      .write
       .mode("overwrite")
       .format("parquet")
       .bucketBy(buckets, keys.head, keys.tail: _*)

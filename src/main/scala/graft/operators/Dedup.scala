@@ -105,7 +105,12 @@ object Dedup {
     val sh = toks.select(col("id"),
       array_distinct(shingles(col("tokens"), shingleN)).as("sh"))
       .filter(size(col("sh")) > 0)
-      .persist() // feeds the signature build and both verify joins
+      // Feeds the signature build and both verify joins. The cache has no
+      // unpersist hook (the result is a lazy plan that still references
+      // it); entries are MEMORY_AND_DISK and LRU-evicted, so repeated
+      // calls in one session are bounded by the storage region, not
+      // leaked unboundedly.
+      .persist()
     // Materialize the hash array as its own column BEFORE the signature
     // transform: referencing the expression inside the outer lambda would
     // re-evaluate shingle hashing numHashes times per row.

@@ -65,11 +65,14 @@ object TextRank {
   }
 
   /** Vertex count below which the rank vector is broadcast each
-    * iteration. A rank row is ~16 bytes, so 2M vertices ≈ 32 MB —
-    * comfortably under executor broadcast budgets; beyond that the
-    * iteration falls back to a shuffled join.
+    * iteration. A broadcast hash relation costs far more than the 16
+    * payload bytes per row (UnsafeRow headers + BytesToBytesMap
+    * overhead, ~60-100 B/row), and the explicit hint bypasses
+    * autoBroadcastJoinThreshold — so budget honestly: 500k vertices
+    * ≈ 30-50 MB per iteration on the driver, rebuilt cfg.iterations
+    * times. Beyond that the iteration falls back to a shuffled join.
     */
-  val broadcastRankLimit: Long = 2000000L
+  val broadcastRankLimit: Long = 500000L
 
   /** Iterative rank propagation (G4-G6). Returns (id, rnk). */
   def ranks(edges: DataFrame, cfg: Config = Config()): DataFrame = {

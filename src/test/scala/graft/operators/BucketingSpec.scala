@@ -24,6 +24,12 @@ class BucketingSpec extends SparkSpec {
       val plan = j.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"),
         s"bucketed join should be shuffle-free, got:\n$plan")
+      // the pre-write repartition gives exactly one data file per bucket
+      // (no tasks×buckets fragmentation)
+      val files = new java.io.File(s.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:"), "b_orders")
+        .listFiles().count(_.getName.endsWith(".parquet"))
+      assert(files == 4, s"expected 4 bucket files, got $files")
       val expected = orders
         .join(lineitem, $"o_orderkey" === $"l_orderkey").count()
       assert(j.count() == expected)
