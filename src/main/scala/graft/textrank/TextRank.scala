@@ -33,7 +33,13 @@ object TextRank {
       initRank: Double = 0.15,
       minWords: Int = 10,
       maxWords: Int = 30,
-      lemma: Boolean = true)
+      lemma: Boolean = true,
+      /** Vertex count above which the iteration's rank side falls back
+        * from a broadcast join to a shuffled join (see
+        * [[broadcastRankLimit]]). Overridable per call, mainly so tests
+        * can exercise the shuffled path on small fixtures.
+        */
+      broadcastLimit: Long = broadcastRankLimit)
 
   /** Directed edge list (src, dst, weight) over all ordered pairs with
     * nonzero similarity (both directions present — the graph is
@@ -92,7 +98,7 @@ object TextRank {
     // map-side partial sums). The checkpointed ranks plan carries no
     // stats, so without the hint Spark would sort-merge-join, reshuffling
     // every edge every iteration.
-    val bcast = r.count() <= broadcastRankLimit
+    val bcast = r.count() <= cfg.broadcastLimit
     for (_ <- 1 to cfg.iterations) {
       val rside = if (bcast) broadcast(r) else r
       r = norm.join(rside, norm("src") === r("id"))

@@ -50,6 +50,18 @@ class TextRankSpec extends SparkSpec {
     assert(r.values.forall(_ >= 0.15))
   }
 
+  test("shuffled fallback (broadcastLimit=0) matches the broadcast path") {
+    val broadcasted = TextRank.ranks(TextRank.similarityEdges(vertices))
+      .as[(Long, Double)].collect().toMap
+    val shuffled = TextRank.ranks(TextRank.similarityEdges(vertices),
+      TextRank.Config(broadcastLimit = 0L))
+      .as[(Long, Double)].collect().toMap
+    assert(broadcasted.keySet == shuffled.keySet)
+    broadcasted.foreach { case (id, v) =>
+      assert(math.abs(v - shuffled(id)) < 1e-12, s"vertex $id")
+    }
+  }
+
   test("rankDocuments applies the exclusive 10..30 word band (F2)") {
     val docs = Seq(
       (0L, ("alpha beta " * 8).trim), // 16 words, in band
