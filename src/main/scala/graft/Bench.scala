@@ -30,21 +30,26 @@ object Bench {
     // plans). A long-running engine runs every plan shape many times, so
     // the steady-state number is the representative one; the warmup pass
     // is executed identically (same noop sink, full materialization).
-    def runOnce(name: String): Unit =
-      try qmap(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+    def runOnce(name: String): Boolean =
+      try { qmap(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
     names.foreach(runOnce)
+    // A failed query is recorded as a NEGATIVE time (sentinel) and listed
+    // under "failed" — never as a fast success that silently shrinks the
+    // headline total.
     val results = names.map { name =>
       val t0 = System.nanoTime()
-      runOnce(name)
+      val ok = runOnce(name)
       val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name: $dt%.2f s")
-      name -> dt
+      System.err.println(f"[bench] $name: $dt%.2f s" + (if (ok) "" else " (FAILED)"))
+      (name, if (ok) dt else -dt)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

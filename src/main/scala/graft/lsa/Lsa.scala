@@ -3,7 +3,6 @@ package graft.lsa
 import org.apache.spark.mllib.linalg.{Vectors => MlVectors}
 import org.apache.spark.mllib.linalg.distributed.{IndexedRow, IndexedRowMatrix}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.text.TextFunctions
@@ -47,15 +46,22 @@ object Lsa {
       keywords: Seq[String],
       doc_ids: Seq[Long])
 
-  /** Vocabulary table (token, idx) ordered by (df desc, token), with an
-    * optional document-frequency floor. (The idx window is global but
-    * vocabulary is sublinear in corpus size, and minDf bounds it further.)
+  /** Vocabulary table (token, df, idx) ordered by (df desc, token), with an
+    * optional document-frequency floor. Numbering is distributed: the sorted
+    * table is range-partitioned and `zipWithIndex` assigns contiguous ids
+    * per partition — no single-partition global window (the same pattern as
+    * the docIdx numbering in [[concepts]]).
     */
   def vocabulary(tf: DataFrame, minDf: Long = 1L): DataFrame = {
-    val w = Window.orderBy(desc("df"), col("token"))
+    val spark = tf.sparkSession
+    import spark.implicits._
     tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
-      .withColumn("idx", row_number().over(w).cast("int") - 1)
+      .orderBy(desc("df"), col("token"))
+      .select(col("token"), col("df")).as[(String, Long)].rdd
+      .zipWithIndex()
+      .map { case ((token, df), idx) => (token, df, idx.toInt) }
+      .toDF("token", "df", "idx")
   }
 
   /** Concepts from a (id: long, text: string) corpus. Returns a LOCAL

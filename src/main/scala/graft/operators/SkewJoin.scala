@@ -11,7 +11,10 @@ import org.apache.spark.sql.functions._
   * Salting breaks such keys apart deterministically:
   *
   *  - the skewed (big) side gets a salt in [0, n) derived from xxhash64
-  *    over ALL of its columns — deterministic, no rand(), replayable;
+  *    over the join key plus a stable per-row discriminator
+  *    (partition id + row offset) — deterministic, no rand(), replayable,
+  *    and independent of the other columns' types (a MapType payload
+  *    column would break a whole-row hash);
   *  - the small side is replicated n× (one row per salt value);
   *  - the join key becomes (key, salt), spreading each hot key over n
   *    reducers. Result set is identical to the plain join.
@@ -25,13 +28,21 @@ object SkewJoin {
 
   def saltedEquiJoin(big: DataFrame, small: DataFrame, bigKey: String,
       smallKey: String, nSalts: Int = 16): DataFrame = {
-    val saltedBig = big.withColumn("__salt",
-      pmod(xxhash64(big.columns.map(col): _*), lit(nSalts)).cast("int"))
+    // Collision-proof salt column name (caller tables may already have
+    // a __salt column of their own).
+    val taken = (big.columns ++ small.columns).toSet
+    val saltCol = Iterator.from(0).map(i => s"__graft_salt_$i")
+      .dropWhile(taken.contains).next()
+    // Hash only the join key plus a stable row discriminator — never the
+    // whole row (unhashable types, e.g. MapType payloads, would throw).
+    val saltedBig = big.withColumn(saltCol,
+      pmod(xxhash64(col(bigKey), spark_partition_id(), monotonically_increasing_id()),
+        lit(nSalts)).cast("int"))
     val saltedSmall = small
-      .withColumn("__salt", explode(sequence(lit(0), lit(nSalts - 1))))
+      .withColumn(saltCol, explode(sequence(lit(0), lit(nSalts - 1))))
     saltedBig.join(saltedSmall,
       saltedBig(bigKey) === saltedSmall(smallKey) &&
-        saltedBig("__salt") === saltedSmall("__salt"))
-      .drop("__salt")
+        saltedBig(saltCol) === saltedSmall(saltCol))
+      .drop(saltCol)
   }
 }

@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.baseline.OzsoyLsaSummarizer
@@ -18,13 +17,21 @@ object Pipelines {
 
   /** Sentence table with surrogate long ids for the matrix row index
     * (deterministic by (review_id, sent_idx)); F1 length filter applied.
+    * Numbering is distributed: sort range-partitions the table and
+    * `zipWithIndex` assigns contiguous ids per partition — no
+    * single-partition global window even on multi-product input.
     */
-  def sentencesWithSid(sents: DataFrame, minWords: Int = 5): DataFrame =
-    sents.filter(TextFunctions.spaceWordCount(col("sentence")) >= minWords)
-      // Small per-product table: a single global window is fine here; a
-      // corpus-scale variant would partition the window by product.
-      .withColumn("sid",
-        row_number().over(Window.orderBy(col("review_id"), col("sent_idx"))).cast("long"))
+  def sentencesWithSid(sents: DataFrame, minWords: Int = 5): DataFrame = {
+    val spark = sents.sparkSession
+    val sorted = sents
+      .filter(TextFunctions.spaceWordCount(col("sentence")) >= minWords)
+      .orderBy(col("review_id"), col("sent_idx"))
+    val numbered = sorted.rdd.zipWithIndex().map { case (row, i) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (i + 1L))
+    }
+    spark.createDataFrame(numbered,
+      sorted.schema.add("sid", org.apache.spark.sql.types.LongType))
+  }
 
   /** EP1 core — LSA summary from a sentence table.
     * Output: (concept, singular_value, keywords, sentence_ids, sentences).

@@ -26,20 +26,27 @@ object StreamingQueries extends QueryProvider {
           case f if f.name == "ts" => f.copy(dataType = LongType)
           case f => f
         })
+        // Unique sink name + staging dir per invocation: two concurrent
+        // (or back-to-back) runs in one session must not collide.
+        val sink = s"sm01_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
         val stage = Files.createTempDirectory("sm01_events")
-        Files.copy(Paths.get(s"$dir/events.parquet"),
-          stage.resolve("events.parquet"))
-        val stream = s.readStream.schema(rawSchema).parquet(stage.toString)
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        val q = EventStreams.windowedCounts(stream, "1 hour")
-          .writeStream.outputMode("complete")
-          .format("memory").queryName("sm01_mem").start()
-        q.processAllAvailable()
-        q.stop()
-        // the memory sink holds the results; drop the staged copy
-        Files.deleteIfExists(stage.resolve("events.parquet"))
-        Files.deleteIfExists(stage)
-        s.table("sm01_mem")
+        var q: org.apache.spark.sql.streaming.StreamingQuery = null
+        try {
+          Files.copy(Paths.get(s"$dir/events.parquet"),
+            stage.resolve("events.parquet"))
+          val stream = s.readStream.schema(rawSchema).parquet(stage.toString)
+            .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          q = EventStreams.windowedCounts(stream, "1 hour")
+            .writeStream.outputMode("complete")
+            .format("memory").queryName(sink).start()
+          q.processAllAvailable()
+        } finally {
+          if (q != null) q.stop()
+          // the memory sink holds the results; drop the staged copy
+          Files.deleteIfExists(stage.resolve("events.parquet"))
+          Files.deleteIfExists(stage)
+        }
+        s.table(sink)
           .select($"window_start", $"event_type", $"n",
             round($"sum_value", 2).as("sum_value"))
           .orderBy($"window_start", $"event_type")

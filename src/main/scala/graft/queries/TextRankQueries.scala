@@ -106,6 +106,23 @@ object TextRankQueries extends QueryProvider {
       },
       Some(oracleSql(5, None))),
 
+    // The 100 TB edge-generation path: MinHash-LSH candidate prefilter
+    // (minVertices=0 forces LSH even at gate scale so the path is
+    // exercised end-to-end). Rows-only: banding recall depends on JVM
+    // xxhash64 seeding, which DuckDB cannot reproduce; TextRankLshSpec
+    // bounds the divergence vs the oracle-checked tr01 instead.
+    Q(
+      "tr06_lsh_ranks",
+      (s, dir) => {
+        import s.implicits._
+        TextRank.rankDocuments(Tables.documents(s, dir), "doc_id", "text",
+          TextRank.Config(lemma = false,
+            edgeCandidates = TextRank.EdgeCandidates.Lsh()))
+          .select($"id", round($"rnk", 6).as("rnk"))
+          .orderBy(desc("rnk"), $"id")
+      },
+      None),
+
     // Grouped (per-language) TextRank in ONE distributed job — the scale
     // formulation of the reference's per-file loop — with a full grouped
     // unrolled oracle.

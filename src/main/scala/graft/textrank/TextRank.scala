@@ -19,13 +19,48 @@ import graft.text.TextFunctions
   *    — the reference would crash on them; F7).
   *
   * Scale design: the all-pairs similarity join (J2) is the quadratic
-  * step. Here it is a broadcast-nested-loop self-join, correct and fast
-  * while the vertex set (sentence band survivors) fits a broadcast; the
-  * 100 TB path swaps `similarityEdges` for the MinHash-LSH prefilter in
-  * `graft.operators.Dedup` (same edge schema) so the rank loop — two
-  * shuffles per iteration, lineage cut by localCheckpoint — is unchanged.
+  * step. The exact path is a broadcast-nested-loop self-join, correct and
+  * fast while the vertex set (sentence band survivors) fits a broadcast;
+  * the 100 TB path ([[EdgeCandidates.Lsh]]) routes edge generation through
+  * the MinHash-LSH banding in `graft.operators.Dedup` — candidates from
+  * bucket joins (linear + bounded-bucket quadratic), exact re-weighting
+  * only on candidate pairs — producing the same edge schema so the rank
+  * loop (two shuffles per iteration, lineage cut by localCheckpoint) is
+  * unchanged.
   */
 object TextRank {
+
+  /** How the all-pairs similarity edge list is generated. */
+  sealed trait EdgeCandidates
+  object EdgeCandidates {
+    /** Exact all-pairs self-join (src<dst halving + mirror). O(V²)
+      * comparisons — the correctness oracle path, right up to the point
+      * where the vertex set outgrows a broadcast.
+      */
+    case object Exact extends EdgeCandidates
+
+    /** MinHash-LSH candidate prefilter: signature over the distinct
+      * token set, band/bucket join for candidates, exact TextRank
+      * re-weighting ONLY on candidate pairs. Linear in V plus the
+      * bounded within-bucket joins — the 100 TB shape.
+      *
+      * Recall caveat: a pair whose token-set Jaccard is low (but whose
+      * intersection is nonzero) may never collide in any band; its edge
+      * is dropped, perturbing ranks slightly. With rowsPerBand=2 and
+      * bands=64 a pair at Jaccard 0.2 is caught with p≈0.93, at 0.5
+      * with p≈1-2e-8. `TextRankLshSpec` bounds the rank divergence on
+      * the fixture corpus.
+      *
+      * @param minVertices below this vertex count the exact path is used
+      *        instead — one config serves the gate scale (exact, oracle-
+      *        matching) and the corpus scale (LSH) without re-plumbing.
+      */
+    final case class Lsh(
+        numHashes: Int = 128,
+        bands: Int = 64,
+        maxBucket: Int = 10000,
+        minVertices: Long = 0L) extends EdgeCandidates
+  }
 
   final case class Config(
       iterations: Int = 5,
@@ -39,7 +74,9 @@ object TextRank {
         * [[broadcastRankLimit]]). Overridable per call, mainly so tests
         * can exercise the shuffled path on small fixtures.
         */
-      broadcastLimit: Long = broadcastRankLimit)
+      broadcastLimit: Long = broadcastRankLimit,
+      /** Edge-generation strategy; Exact below, LSH at corpus scale. */
+      edgeCandidates: EdgeCandidates = EdgeCandidates.Exact)
 
   /** Directed edge list (src, dst, weight) over all ordered pairs with
     * nonzero similarity (both directions present — the graph is
@@ -69,6 +106,59 @@ object TextRank {
         struct(col("dst").as("src"), col("src").as("dst"), col("weight")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.weight").as("weight"))
   }
+
+  /** LSH-prefiltered edge list — same schema and weight semantics as
+    * [[similarityEdges]], but candidate pairs come from MinHash banding
+    * over the distinct token sets instead of the quadratic self-join.
+    * Exact TextRank weights are recomputed on the candidates, so every
+    * SURVIVING edge is bit-identical to the exact path's; only edges the
+    * banding misses (low-Jaccard pairs) can differ.
+    */
+  def lshSimilarityEdges(vertices: DataFrame,
+      lsh: EdgeCandidates.Lsh): DataFrame = {
+    import graft.operators.Dedup
+    val rowsPerBand = math.max(1, lsh.numHashes / lsh.bands)
+    // Distinct token sets / raw lengths are per-vertex quantities; this
+    // table feeds the signature build and both candidate re-join sides.
+    // (Persisted without an unpersist hook — the result is a lazy plan
+    // that still references it; MEMORY_AND_DISK entries are LRU-evicted,
+    // same documented pattern as Dedup.minhashNearDuplicates.)
+    val v = vertices.select(col("id"),
+      array_distinct(col("tokens")).as("dt"),
+      size(col("tokens")).as("n"))
+      .persist()
+    val sigs = v
+      .withColumn("hv", Dedup.shingleHashes(col("dt")))
+      .withColumn("sig", Dedup.minhashSignature(col("hv"), lsh.bands * rowsPerBand))
+      .select("id", "sig")
+    val cands = Dedup.lshCandidates(sigs, lsh.bands, rowsPerBand, lsh.maxBucket)
+    val a = v.select(col("id").as("src"), col("dt").as("dt_a"), col("n").as("na"))
+    val b = v.select(col("id").as("dst"), col("dt").as("dt_b"), col("n").as("nb"))
+    cands.select(col("a").as("src"), col("b").as("dst"))
+      .join(a, "src").join(b, "dst")
+      .withColumn("weight",
+        graft.functions.IntersectSize.intersect_size(col("dt_a"), col("dt_b")).cast("double") /
+          (log2(col("na")) + log2(col("nb")) + lit(1.0)))
+      .filter(col("weight") =!= 0.0)
+      .select(explode(array(
+        struct(col("src"), col("dst"), col("weight")),
+        struct(col("dst").as("src"), col("src").as("dst"), col("weight")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.weight").as("weight"))
+  }
+
+  /** Routes edge generation per [[Config.edgeCandidates]]: exact all-pairs,
+    * or LSH candidates above `minVertices` (vertices should be persisted
+    * by the caller — the routing count and the downstream plan both read
+    * it).
+    */
+  def edges(vertices: DataFrame, cfg: Config): DataFrame =
+    cfg.edgeCandidates match {
+      case EdgeCandidates.Exact => similarityEdges(vertices)
+      case l: EdgeCandidates.Lsh =>
+        if (l.minVertices > 0L && vertices.count() < l.minVertices)
+          similarityEdges(vertices)
+        else lshSimilarityEdges(vertices, l)
+    }
 
   /** Vertex count below which the rank vector is broadcast each
     * iteration. A broadcast hash relation costs far more than the 16
@@ -129,7 +219,7 @@ object TextRank {
       .persist() // read once, joined against itself
     // ranks() is eager (localCheckpoint per iteration), so the inputs are
     // fully consumed by the time it returns — safe to release them.
-    val r = ranks(similarityEdges(vertices), cfg)
+    val r = ranks(edges(vertices, cfg), cfg)
     vertices.unpersist()
     r
   }
