@@ -131,10 +131,16 @@ object Lsa {
       sign
     }
 
-    // Loadings that are numerically zero (off-concept entries) carry only
-    // ARPACK round-off noise; snap them to 0 so top-k tie-breaks are
-    // deterministic across runs (part of the Q9/H2 determinism pin).
-    def snap(x: Double): Double = if (math.abs(x) < 1e-9) 0.0 else x
+    // Quantize loadings to a 1e-6 grid before ordering: mathematically
+    // tied loadings (tokens with identical count patterns) differ only by
+    // solver round-off whose SIGN depends on the backend (ARPACK here,
+    // LAPACK in LocalLsa) and run state — without the grid the top-k
+    // tie-break flips nondeterministically. On the grid, ties fall to the
+    // deterministic secondary key (part of the Q9/H2 determinism pin).
+    def snap(x: Double): Double = {
+      val q = math.rint(x * 1e6) / 1e6
+      if (q == 0.0) 0.0 else q
+    }
 
     val vocabArr = vocab.orderBy(col("idx")).select("token").as[String].collect()
     val keywords = Array.tabulate(kEff) { j =>
@@ -157,7 +163,8 @@ object Lsa {
           var j = 0
           while (j < kEff) {
             val raw = r.vector(j) * signsB.value(j)
-            val l = if (math.abs(raw) < 1e-9) 0.0 else raw
+            val q = math.rint(raw * 1e6) / 1e6 // same 1e-6 grid as keywords
+            val l = if (q == 0.0) 0.0 else q
             heaps(j) += ((l, r.index))
             if (heaps(j).size > 4 * nTop) {
               val kept = heaps(j).sorted(ord.reverse).take(nTop)

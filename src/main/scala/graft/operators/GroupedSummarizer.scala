@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 import graft.baseline.OzsoyLsaSummarizer
+import graft.lsa.{LocalLsa, Lsa}
+import graft.rouge.Rouge
 
 /** Distributed per-group extractive summarization: the Ozsoy/LSA scorer
   * runs INSIDE `flatMapGroups`, one local SVD per group (a group = one
@@ -18,8 +20,9 @@ object GroupedSummarizer {
   final case class SentenceRow(grp: String, sid: Long, text: String)
   final case class ScoredSentence(grp: String, sid: Long, score: Double, text: String)
 
-  /** Top-k sentences per group by the Steinberger-Ježek score, emitted in
-    * each group's original sentence order.
+  /** Top-k sentences per group by the Ozsoy cross-method score (the
+    * pytldr-parity default of [[OzsoyLsaSummarizer.scoreSentences]]),
+    * emitted in each group's original sentence order.
     *
     * sents: (grp string, sid long, text string).
     */
@@ -41,6 +44,74 @@ object GroupedSummarizer {
           .map(s => ScoredSentence(grp, rows(s.index).sid,
             math.rint(s.score * 1e6) / 1e6, s.sentence))
           .iterator
+      }
+  }
+
+  final case class EvalSentence(grp: String, review_id: String,
+      sent_idx: Int, sentence: String)
+  final case class EvalRow(product_id: String, metric: String,
+      precision: Double, recall: Double, f1: Double)
+
+  /** EP3 at scale: the full per-product system-vs-baseline ROUGE
+    * evaluation of `Pipelines.evaluate` as ONE `flatMapGroups` job — no
+    * driver loop, no per-product Spark jobs. Per group (bounded: one
+    * product's review sentences):
+    *
+    *  1. system summary: [[LocalLsa.concepts]] (the local mirror of the
+    *     distributed `Lsa.concepts`) over the sid-numbered sentences,
+    *     concepts' top documents in concept order;
+    *  2. baseline: Ozsoy cross-method summary of the ordered sentences
+    *     (same call as `Pipelines.evaluate`);
+    *  3. zip-paired (J3 truncation; `conceptPairs` exactly as in
+    *     `Pipelines.evaluate`), stemmed ROUGE-1/2/L, mean P/R/F per
+    *     metric (A7).
+    *
+    * `GroupedEvalSpec` asserts equality with `Pipelines.evaluate` on the
+    * review fixture.
+    *
+    * sents: (grp, review_id, sent_idx, sentence).
+    */
+  def evaluatePerGroup(sents: DataFrame, topics: Int = 15,
+      summaryLen: Int = 15, conceptPairs: Boolean = true,
+      lsaCfg: Lsa.Config = Lsa.Config()): Dataset[EvalRow] = {
+    val spark = sents.sparkSession
+    import spark.implicits._
+    sents.select(col("grp").cast("string"),
+        col("review_id").cast("string"), col("sent_idx").cast("int"),
+        col("sentence").cast("string"))
+      .filter(length(trim(col("sentence"))) > 0)
+      .as[EvalSentence]
+      .groupByKey(_.grp)
+      .flatMapGroups { (grp, it) =>
+        val ordered = it.toVector.sortBy(r => (r.review_id, r.sent_idx))
+        // sid numbering mirrors Pipelines.sentencesWithSid: (review_id,
+        // sent_idx) order, 1-based, F1 space-word filter (split keeps
+        // trailing empties, like Spark's split(col, " "))
+        val sided = ordered
+          .filter(_.sentence.split(" ", -1).length >= 5)
+          .zipWithIndex.map { case (r, i) => (i + 1L, r.sentence) }
+        val sentenceOf = sided.toMap
+        val concepts = LocalLsa.concepts(sided, lsaCfg).sortBy(_.concept)
+        val sys =
+          if (conceptPairs) concepts.map(_.docIds.map(sentenceOf).mkString(" "))
+          else concepts.flatMap(_.docIds.map(sentenceOf))
+        val ref = OzsoyLsaSummarizer.summarize(
+          ordered.map(_.sentence), topics, summaryLen.toDouble)
+        val pairs = sys.zip(ref)
+        Seq("rouge1", "rouge2", "rougeL").map { metric =>
+          val scores = pairs.map { case (s, r) =>
+            metric match {
+              case "rouge1" => Rouge.rougeN(s, r, 1, stem = true)
+              case "rouge2" => Rouge.rougeN(s, r, 2, stem = true)
+              case _ => Rouge.rougeL(s, r, stem = true)
+            }
+          }
+          val n = math.max(scores.size, 1)
+          EvalRow(grp, metric,
+            scores.map(_.precision).sum / n,
+            scores.map(_.recall).sum / n,
+            scores.map(_.f1).sum / n)
+        }.iterator
       }
   }
 }

@@ -83,10 +83,18 @@ object Pipelines {
     * ROUGE-scored with stemming, per product. Implements the INTENDED
     * per-product comparison — not the reference's file-0 bug (quirk Q7).
     *
+    * `conceptPairs = true` (default) pairs like the reference
+    * (BigdataProjectCode.py:196: `zip(textSummariesConcepts, rfrncedata)`):
+    * each system element is ONE CONCEPT's sentences joined, zipped against
+    * single baseline sentences — the length asymmetry behind the published
+    * ROUGE-L P ≪ R shape (BASELINE.md Fig-5/6). `false` pairs
+    * sentence-by-sentence (symmetric lengths).
+    *
     * Output: one row per product × metric with mean P/R/F (A7).
     */
   def evaluate(spark: SparkSession, path: String,
-      topics: Int = 15, summaryLen: Int = 15): DataFrame = {
+      topics: Int = 15, summaryLen: Int = 15,
+      conceptPairs: Boolean = true): DataFrame = {
     import spark.implicits._
     val all = ReviewSource.sentences(ReviewSource.reviews(spark, path))
       .filter(length(trim(col("sentence"))) > 0)
@@ -97,9 +105,11 @@ object Pipelines {
 
     val rows = products.flatMap { pid =>
       val psents = all.filter($"product_id" === pid)
-      val sys = lsaSummaryFromSentences(psents)
+      val conceptSents = lsaSummaryFromSentences(psents)
         .select($"sentences").as[String].collect()
-        .flatMap(_.split(" \\| ")).toSeq
+      val sys =
+        if (conceptPairs) conceptSents.map(_.replace(" | ", " ")).toSeq
+        else conceptSents.flatMap(_.split(" \\| ")).toSeq
       // baseline: driver-local like pytldr; one product's sentences fit
       val ordered = psents.orderBy($"review_id", $"sent_idx")
         .select($"sentence").as[String].collect().toSeq

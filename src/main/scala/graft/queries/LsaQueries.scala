@@ -61,6 +61,25 @@ object LsaQueries extends QueryProvider {
       },
       None),
 
+    // EP3 at scale: per-source system-vs-baseline ROUGE table in ONE
+    // flatMapGroups job (no driver loop). Rows-only (SVD inside);
+    // GroupedEvalSpec asserts equality with Pipelines.evaluate.
+    Q(
+      "ls05_grouped_eval",
+      (s, dir) => {
+        import s.implicits._
+        val sents = Tables.documents(s, dir)
+          .select($"source".as("grp"), $"doc_id".cast("string").as("review_id"),
+            lit(0).as("sent_idx"), $"text".as("sentence"))
+        graft.operators.GroupedSummarizer.evaluatePerGroup(sents).toDF()
+          .select($"product_id", $"metric",
+            round($"precision", 6).as("precision"),
+            round($"recall", 6).as("recall"),
+            round($"f1", 6).as("f1"))
+          .orderBy($"product_id", $"metric")
+      },
+      None),
+
     Q(
       "ls03_baseline_summary",
       (s, dir) => {

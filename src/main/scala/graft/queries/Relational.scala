@@ -405,6 +405,42 @@ object Relational extends QueryProvider {
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
+    // ---- Bucketed co-located join: pre-shuffled layout, no Exchange ----
+    // Same aggregation (and oracle) as q19, but through Bucketing
+    // .writeBucketed: both fact tables are hash-bucketed on orderkey at
+    // write time, so the join itself plans with ZERO Exchange (asserted
+    // in BucketingSpec) — the 100 TB repeated-join path. The 5-row
+    // result is materialized so the scratch tables can be dropped before
+    // returning.
+    Q(
+      "q20_bucketed_join",
+      (s, dir) => {
+        import s.implicits._
+        val id = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+        val (lt, ot) = (s"graft_li_$id", s"graft_or_$id")
+        try {
+          graft.operators.Bucketing.writeBucketed(
+            Tables.lineitem(s, dir).select($"l_orderkey", $"l_linenumber", $"l_quantity"),
+            lt, 8, Seq("l_orderkey"))
+          graft.operators.Bucketing.writeBucketed(
+            Tables.orders(s, dir).select($"o_orderkey", $"o_orderpriority"),
+            ot, 8, Seq("o_orderkey"))
+          val rows = s.table(lt)
+            .join(s.table(ot), $"l_orderkey" === $"o_orderkey")
+            .groupBy($"o_orderpriority")
+            .agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 2).as("qty"))
+            .orderBy($"o_orderpriority")
+            .as[(String, Long, Double)].collect().toSeq
+          rows.toDF("o_orderpriority", "n", "qty")
+        } finally {
+          s.sql(s"DROP TABLE IF EXISTS $lt")
+          s.sql(s"DROP TABLE IF EXISTS $ot")
+        }
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n, round(sum(l_quantity),2) AS qty
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     // ---- Rolling window aggregation over event time (running sums) ----
     Q(
       "q18_user_running_value",

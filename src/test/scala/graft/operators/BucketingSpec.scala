@@ -39,4 +39,26 @@ class BucketingSpec extends SparkSpec {
       s.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  test("q20 gate query equals the plain join aggregation and cleans up") {
+    val s = spark
+    import s.implicits._
+    val dir = sf("sf0.001")
+    val q20 = graft.queries.Relational.all.find(_.name == "q20_bucketed_join").get
+    val got = q20.run(s, dir).as[(String, Long, Double)].collect().toSeq
+    val want = s.read.parquet(s"$dir/lineitem.parquet")
+      .join(s.read.parquet(s"$dir/orders.parquet"),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.round(
+          org.apache.spark.sql.functions.sum($"l_quantity"), 2).as("qty"))
+      .orderBy($"o_orderpriority")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got == want)
+    // scratch tables dropped
+    assert(!s.catalog.listTables().collect()
+      .exists(_.name.startsWith("graft_li_")))
+  }
 }

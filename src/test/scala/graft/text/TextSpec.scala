@@ -48,19 +48,50 @@ class LemmatizerSpec extends AnyFunSuite {
     assert(Lemmatizer.lemma("boxes") == "box")
     assert(Lemmatizer.lemma("churches") == "church")
     assert(Lemmatizer.lemma("wishes") == "wish")
-    assert(Lemmatizer.lemma("quizzes") == "quizz") // zes -> z
+    // OOV fallback (no rule reaches "quiz"; NLTK would leave it alone
+    // only because "quizz" is not a WordNet lemma)
+    assert(Lemmatizer.lemma("quizzes") == "quizz")
   }
-  test("irregulars via exception list") {
+  test("irregulars via exception list with min-length selection") {
     assert(Lemmatizer.lemma("children") == "child")
     assert(Lemmatizer.lemma("men") == "man")
-    assert(Lemmatizer.lemma("data") == "datum")
+    // "data" is itself a WordNet lemma; NLTK's min(lemmas, key=len)
+    // keeps it over "datum" (tie on length -> original first)
+    assert(Lemmatizer.lemma("data") == "data")
+    assert(Lemmatizer.lemma("people") == "people")
+    assert(Lemmatizer.lemma("bases") == "basis")
     assert(Lemmatizer.lemma("matrices") == "matrix")
+  }
+  test("lexicon stops over-stripping (the ADVICE divergers)") {
+    assert(Lemmatizer.lemma("movies") == "movie") // not "movy"
+    assert(Lemmatizer.lemma("cookies") == "cookie")
+    assert(Lemmatizer.lemma("specimen") == "specimen") // not "specimal"
+    assert(Lemmatizer.lemma("regimen") == "regimen")
+    assert(Lemmatizer.lemma("women") == "woman")
+    assert(Lemmatizer.lemma("policemen") == "policeman")
   }
   test("guards: -ss/-us/-is and short words untouched") {
     assert(Lemmatizer.lemma("class") == "class")
     assert(Lemmatizer.lemma("bus") == "bus")
     assert(Lemmatizer.lemma("basis") == "basis")
     assert(Lemmatizer.lemma("is") == "is")
+  }
+  test("fidelity: >=99% agreement with NLTK-expected lemmas (H1 bound)") {
+    val in = getClass.getResourceAsStream("/graft/morphy_expected.tsv")
+    assert(in != null)
+    val pairs =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).map { l =>
+          val Array(f, e) = l.split("\t", 2); (f, e)
+        }.toVector
+      finally in.close()
+    assert(pairs.size > 2000, s"fixture shrank: ${pairs.size}")
+    val bad = pairs.filter { case (f, e) => Lemmatizer.lemma(f) != e }
+    val rate = 1.0 - bad.size.toDouble / pairs.size
+    assert(rate >= 0.99,
+      s"agreement $rate; first divergers: ${bad.take(10).map { case (f, e) =>
+          s"$f->${Lemmatizer.lemma(f)} (want $e)"
+        }.mkString(", ")}")
   }
 }
 
