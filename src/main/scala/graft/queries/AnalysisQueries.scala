@@ -131,8 +131,12 @@ object AnalysisQueries extends QueryProvider {
              |lang AS declared_lang
              |FROM documents ORDER BY id""".stripMargin)),
 
-    // ... and the partition-batched decode kernel (stub features rows-only
-    // except frame counts, which the oracle can derive from byte length).
+    // ... and the partition-batched decode kernel. Full oracle: the
+    // deterministic stub is pure arithmetic, so DuckDB recomputes it —
+    // UTF-8 bytes recovered via hex() (ord() would give codepoints),
+    // FNV-1a's 64-bit wrap in HUGEINT with the XOR decomposed onto the
+    // low byte (h^b = h - h%256 + xor(h%256, b) since b < 256), signed
+    // BIGINT conversion as in a03.
     Q(
       "mm02_decoded_features",
       (s, dir) => {
@@ -143,6 +147,32 @@ object AnalysisQueries extends QueryProvider {
             round(element_at($"feature", 2), 6).as("byte_mean"))
           .orderBy($"id")
       },
-      None)
+      Some("""WITH b AS (
+             |  SELECT doc_id AS id,
+             |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+             |      ELSE 'video' END AS modality,
+             |    hex(encode(coalesce(text,''))) AS hx,
+             |    octet_length(encode(coalesce(text,''))) AS n
+             |  FROM documents),
+             |by2 AS (
+             |  SELECT id, modality, n,
+             |    list_transform(range(n), i ->
+             |      (strpos('0123456789ABCDEF', hx[2*i+1])-1)*16 +
+             |      (strpos('0123456789ABCDEF', hx[2*i+2])-1)) AS bytes
+             |  FROM b),
+             |hsh AS (
+             |  SELECT *, list_reduce(
+             |    list_prepend(14695981039346656037::HUGEINT,
+             |      list_transform(bytes, x -> x::HUGEINT)),
+             |    (acc, x) -> ((acc - acc % 256 +
+             |        xor((acc % 256)::BIGINT, x::BIGINT)::HUGEINT)
+             |      * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) AS h
+             |  FROM by2)
+             |SELECT id, modality, CAST(n AS BIGINT) AS n_bytes,
+             |  CAST((n + 255) // 256 AS INTEGER) AS n_frames,
+             |  CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+             |    THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS checksum,
+             |  round(CASE WHEN n = 0 THEN 0 ELSE list_sum(bytes) * 1.0 / n END, 6) AS byte_mean
+             |FROM hsh ORDER BY id""".stripMargin))
   )
 }

@@ -53,6 +53,62 @@ object StreamingQueries extends QueryProvider {
       },
       Some("""SELECT date_trunc('hour', ts) AS window_start, event_type,
              |count(*) AS n, round(sum(value),2) AS sum_value
-             |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin))
+             |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)),
+
+    // Gap-based sessionization through the REAL streaming path:
+    // readStream → flatMapGroupsWithState (custom state) → memory sink,
+    // hash-compared against DuckDB's batch gaps-and-islands equivalent
+    // (lag → break marks → running-sum island ids → per-island agg).
+    // emitOpen=true: this is the batch-complete backfill contract — no
+    // later micro-batch exists, so still-open sessions must flush.
+    Q(
+      "sm02_stream_sessions",
+      (s, dir) => {
+        import s.implicits._
+        val gapMs = 3600L * 1000 // 1 hour
+        val batchSchema = Tables.events(s, dir).schema
+        val rawSchema = StructType(batchSchema.map {
+          case f if f.name == "ts" => f.copy(dataType = LongType)
+          case f => f
+        })
+        val sink = s"sm02_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val stage = Files.createTempDirectory("sm02_events")
+        var q: org.apache.spark.sql.streaming.StreamingQuery = null
+        try {
+          Files.copy(Paths.get(s"$dir/events.parquet"),
+            stage.resolve("events.parquet"))
+          val stream = s.readStream.schema(rawSchema).parquet(stage.toString)
+            .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+            .as[EventStreams.Event]
+          q = EventStreams.sessionize(stream, gapMs, emitOpen = true)
+            .writeStream.outputMode("append")
+            .format("memory").queryName(sink).start()
+          q.processAllAvailable()
+        } finally {
+          if (q != null) q.stop()
+          Files.deleteIfExists(stage.resolve("events.parquet"))
+          Files.deleteIfExists(stage)
+        }
+        s.table(sink)
+          .select($"user_id", $"start_ms", $"end_ms",
+            $"n_events".cast("long").as("n_events"),
+            round($"sum_value", 2).as("sum_value"))
+          .orderBy($"user_id", $"start_ms")
+      },
+      Some("""WITH marks AS (
+             |  SELECT user_id, event_id, epoch_ms(ts) AS t, value,
+             |    CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+             |      (PARTITION BY user_id ORDER BY ts, event_id) > 3600000
+             |    THEN 1 ELSE 0 END AS brk
+             |  FROM events),
+             |isl AS (
+             |  SELECT user_id, t, value,
+             |    sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+             |      ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM marks)
+             |SELECT user_id, min(t) AS start_ms, max(t) AS end_ms,
+             |count(*) AS n_events, round(sum(value),2) AS sum_value
+             |FROM isl GROUP BY user_id, sid
+             |ORDER BY user_id, start_ms""".stripMargin))
   )
 }

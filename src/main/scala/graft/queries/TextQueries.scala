@@ -15,10 +15,9 @@ import graft.tfidf.TfIdf
   * are two-level hash aggregations with map-side partial combine, and the
   * IDF join broadcasts the (tiny, sublinear) vocabulary table.
   *
-  * Lemmatization (a UDF, SURVEY H1) is deliberately excluded from the
-  * oracle-checked pipelines so DuckDB can replicate them exactly; it is
-  * unit-tested separately and exercised by the rows-only summarizer
-  * queries.
+  * Lemmatization (a UDF, SURVEY H1) is kept out of t01-t05 so those
+  * pipelines stay pure built-ins; it gets its own gate query (t07) whose
+  * oracle re-implements morphy in SQL ([[MorphySql]]).
   */
 object TextQueries extends QueryProvider {
 
@@ -146,6 +145,31 @@ object TextQueries extends QueryProvider {
       },
       Some("""SELECT lang, count(*) AS n_docs, round(avg(n_chars),4) AS avg_chars,
              |round(avg(len(regexp_extract_all(lower(text),'[a-zA-Z]+'))),4) AS avg_tokens
-             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // The lemmatizer itself (SURVEY H1), oracle-checked on the corpus
+    // vocabulary: DuckDB re-implements morphy from the same public data —
+    // a recursive CTE generates detachment candidates level by level
+    // (ord encodes generation order), a lexicon semi-join keeps known
+    // forms, and the pick is NLTK's: lowest non-empty level bucket, then
+    // shortest, then first-generated; exceptions and the OOV fallback
+    // strip mirror Lemmatizer.lemma exactly.
+    Q(
+      "t07_lemma_vocab",
+      (s, dir) => {
+        import s.implicits._
+        val lem = udf((w: String) => graft.text.Lemmatizer.lemma(w))
+        Tables.documents(s, dir)
+          .select(explode(TF.tokenize($"text")).as("tok"))
+          .distinct()
+          .select($"tok", lem($"tok").as("lemma"))
+          .orderBy($"tok")
+      },
+      Some(
+        s"""WITH RECURSIVE
+           |toks AS (SELECT DISTINCT unnest(regexp_extract_all(lower(text),'[a-zA-Z]+')) AS tok
+           |  FROM documents),
+           |${MorphySql.ctes}
+           |SELECT tok, lemma FROM lem ORDER BY tok""".stripMargin))
   )
 }

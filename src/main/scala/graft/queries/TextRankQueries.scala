@@ -9,17 +9,19 @@ import graft.textrank.TextRank
 /** TextRank over the `documents` table with a full DuckDB oracle: the
   * 5-iteration rank loop is unrolled into chained CTEs (r0..r5), so the
   * engine's iterative join+agg propagation is hash-checked end-to-end —
-  * not just rows-counted. The oracle configuration disables the
-  * lemmatizer UDF (not expressible in SQL); the lemmatized variant is the
-  * rows-only `tr03` query.
+  * not just rows-counted. The lemmatized variant (tr03) is oracle-checked
+  * too: its token CTE routes every token through the [[MorphySql]] lemma
+  * mapping before the len>3 filter, exactly like `textrankTokens`.
   */
 object TextRankQueries extends QueryProvider {
 
   private val stopSql: String =
     StopWords.nltkEnglishAlpha.map(w => s"'$w'").mkString("[", ",", "]")
 
-  /** Unrolled oracle for `TextRank.rankDocuments(lemma = false)`. */
-  private def oracleSql(iterations: Int, topK: Option[Int]): String = {
+  /** Rank iterations + final projection, shared by both oracles. `v` must
+    * be defined as (id, toks, n).
+    */
+  private def rankSql(iterations: Int, topK: Option[Int]): String = {
     val iters = (1 to iterations).map { i =>
       s"""r$i AS (SELECT en.dst AS id, 0.15 + 0.85 * sum(r${i - 1}.rnk * en.wn) AS rnk
          |FROM en JOIN r${i - 1} ON en.src = r${i - 1}.id GROUP BY en.dst)""".stripMargin
@@ -32,14 +34,7 @@ object TextRankQueries extends QueryProvider {
       case None =>
         s"SELECT id, round(rnk,6) AS rnk FROM r$iterations ORDER BY rnk DESC, id"
     }
-    s"""WITH v0 AS (
-       |SELECT doc_id AS id,
-       |list_filter(regexp_extract_all(lower(text),'[a-zA-Z]+'),
-       |  x -> len(x) >= 4 AND NOT list_contains($stopSql, x)) AS toks
-       |FROM documents
-       |WHERE len(string_split(text,' ')) > 10 AND len(string_split(text,' ')) < 30),
-       |v AS (SELECT id, toks, len(toks) AS n FROM v0 WHERE len(toks) > 0),
-       |e AS (
+    s"""e AS (
        |SELECT a.id AS src, b.id AS dst,
        |len(list_intersect(list_distinct(a.toks), list_distinct(b.toks))) * 1.0
        |  / (log2(a.n) + log2(b.n) + 1) AS w
@@ -51,6 +46,41 @@ object TextRankQueries extends QueryProvider {
        |$iters
        |$tail""".stripMargin
   }
+
+  /** Unrolled oracle for `TextRank.rankDocuments(lemma = false)`. */
+  private def oracleSql(iterations: Int, topK: Option[Int]): String =
+    s"""WITH v0 AS (
+       |SELECT doc_id AS id,
+       |list_filter(regexp_extract_all(lower(text),'[a-zA-Z]+'),
+       |  x -> len(x) >= 4 AND NOT list_contains($stopSql, x)) AS toks
+       |FROM documents
+       |WHERE len(string_split(text,' ')) > 10 AND len(string_split(text,' ')) < 30),
+       |v AS (SELECT id, toks, len(toks) AS n FROM v0 WHERE len(toks) > 0),
+       |${rankSql(iterations, topK)}""".stripMargin
+
+  /** Unrolled oracle for the lemma=true path: stopword-filtered tokens
+    * exploded with positions, joined through the morphy `lem` mapping,
+    * len>3 applied POST-lemma (F5), re-assembled in document order.
+    */
+  private def lemmaOracleSql(iterations: Int, topK: Option[Int]): String =
+    s"""WITH RECURSIVE
+       |d0 AS (
+       |SELECT doc_id,
+       |list_filter(regexp_extract_all(lower(text),'[a-zA-Z]+'),
+       |  x -> NOT list_contains($stopSql, x)) AS t0
+       |FROM documents
+       |WHERE len(string_split(text,' ')) > 10 AND len(string_split(text,' ')) < 30),
+       |tokrows AS (SELECT doc_id, unnest(range(len(t0))) AS pos,
+       |  unnest(t0) AS tok FROM d0),
+       |toks AS (SELECT DISTINCT tok FROM tokrows),
+       |${MorphySql.ctes},
+       |lemtok AS (SELECT tr.doc_id, tr.pos, l.lemma
+       |  FROM tokrows tr JOIN lem l ON l.tok = tr.tok
+       |  WHERE len(l.lemma) >= 4),
+       |v0 AS (SELECT doc_id AS id, list(lemma ORDER BY pos) AS toks
+       |  FROM lemtok GROUP BY doc_id),
+       |v AS (SELECT id, toks, len(toks) AS n FROM v0 WHERE len(toks) > 0),
+       |${rankSql(iterations, topK)}""".stripMargin
 
   override val all: Seq[Q] = Seq(
 
@@ -76,7 +106,8 @@ object TextRankQueries extends QueryProvider {
       Some(oracleSql(5, Some(5))),
       bench = true),
 
-    // Reference-faithful configuration (lemmatizer on) — no SQL oracle.
+    // Reference-faithful configuration (lemmatizer ON), hash-checked
+    // against the unrolled oracle with the morphy-in-SQL token mapping.
     Q(
       "tr03_ranks_lemma",
       (s, dir) => {
@@ -85,7 +116,7 @@ object TextRankQueries extends QueryProvider {
           .select($"id", round($"rnk", 6).as("rnk"))
           .orderBy(desc("rnk"), $"id")
       },
-      None),
+      Some(lemmaOracleSql(5, None))),
 
     // GraphX/Pregel backend against the SAME unrolled oracle: both
     // execution strategies must produce the identical rank vector.

@@ -118,4 +118,11 @@ object Lemmatizer {
   }
 
   def lemmaAll(words: Seq[String]): Seq[String] = words.map(lemma)
+
+  /** Lexicon/exception data for embedding into oracle SQL (the t07 gate
+    * query re-implements morphy in DuckDB against the same public data).
+    */
+  private[graft] def lexiconEntries: Seq[String] = lexicon.toSeq.sorted
+  private[graft] def exceptionEntries: Seq[(String, Seq[String])] =
+    exceptions.toSeq.sortBy(_._1)
 }

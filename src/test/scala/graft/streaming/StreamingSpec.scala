@@ -93,4 +93,21 @@ class StreamingSpec extends SparkSpec {
     assert(closed.head.user_id == 1 && closed.head.n_events == 2)
     assert(closed.head.start_ms == 0 && closed.head.end_ms == 30000)
   }
+
+  test("sm02 gate query (streamed sessions) equals the batch sessionizer") {
+    val sm02 = graft.queries.StreamingQueries.all
+      .find(_.name == "sm02_stream_sessions").get
+    val streamed = sm02.run(spark, sf("sf0.001"))
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    val batch = EventStreams.sessionize(
+        Tables.events(spark, sf("sf0.001")).as[EventStreams.Event],
+        gapMs = 3600L * 1000, emitOpen = true)
+      .collect()
+      .map(s => (s.user_id, s.start_ms, s.end_ms, s.n_events.toLong,
+        BigDecimal(s.sum_value).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
 }
