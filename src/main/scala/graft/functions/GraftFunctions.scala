@@ -9,20 +9,38 @@ import org.apache.spark.sql.graft.ColumnBridge
   * `spark.sql.extensions` mechanism at session build time.
   */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     ColumnBridge.registerFunction(spark, "intersect_size",
       exprs => IntersectSize(exprs(0), exprs(1)))
+    ColumnBridge.registerFunction(spark, "fnv1a64",
+      exprs => Fnv1a64(exprs(0)))
+    ColumnBridge.registerFunction(spark, "fnv1a_perm",
+      exprs => Fnv1aPerm(exprs(0), exprs(1)))
+  }
 }
 
 /** Use via `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`
   * or `SparkSession.builder().withExtensions(new GraftExtensions)`.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("intersect_size"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[IntersectSize].getName, "intersect_size"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         IntersectSize(exprs(0), exprs(1))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("fnv1a64"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[Fnv1a64].getName, "fnv1a64"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Fnv1a64(exprs(0))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("fnv1a_perm"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[Fnv1aPerm].getName, "fnv1a_perm"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Fnv1aPerm(exprs(0), exprs(1))))
+  }
 }

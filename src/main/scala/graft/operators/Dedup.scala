@@ -41,17 +41,22 @@ object Dedup {
       .otherwise(transform(sequence(lit(0), size(tokens) - n),
         i => array_join(slice(tokens, i + 1, lit(n)), " ")))
 
-  /** Distinct 64-bit shingle hashes (the MinHash universe). */
+  /** Distinct 64-bit shingle hashes (the MinHash universe). FNV-1a via
+    * the custom codegen'd expression — chosen so the DuckDB oracle can
+    * reproduce the exact hash family (see graft.functions.Fnv).
+    */
   def shingleHashes(sh: Column): Column =
-    array_distinct(transform(sh, s => xxhash64(s)))
+    array_distinct(transform(sh, s => graft.functions.Fnv.fnv1a64(s)))
 
-  /** MinHash signature: element i = min over shingles of xxhash64(i, h).
-    * Seeding the hash family through an extra literal column keeps the
-    * whole signature inside codegen'd Catalyst expressions — no UDF.
+  /** MinHash signature: element i = min over shingles of the seeded
+    * permutation hash h_i. Seeding through the expression's first operand
+    * keeps the whole signature inside codegen'd Catalyst expressions —
+    * no UDF — and the FNV-based family is oracle-reproducible.
     */
   def minhashSignature(hashes: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(hashes, h => xxhash64(i, h))))
+      i => array_min(transform(hashes,
+        h => graft.functions.Fnv.fnv1a_perm(i.cast("int"), h))))
 
   /** Candidate pairs (a, b) from LSH banding of signatures.
     *
@@ -146,26 +151,25 @@ object Dedup {
 
   // ---- SimHash ----
 
-  private val simhashUdf = udf { (tokens: Seq[String]) =>
-    // 64-bit SimHash: weighted bit votes from per-token 64-bit hashes.
-    val acc = new Array[Int](64)
-    tokens.foreach { t =>
-      var h = scala.util.hashing.MurmurHash3.stringHash(t).toLong & 0xffffffffL
-      // widen 32-bit murmur to 64 via a second round on the reversed token
-      h = (h << 32) | (scala.util.hashing.MurmurHash3.stringHash(t.reverse).toLong & 0xffffffffL)
-      var i = 0
-      while (i < 64) {
-        if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
-        i += 1
-      }
-    }
-    var out = 0L
-    var i = 0
-    while (i < 64) { if (acc(i) > 0) out |= (1L << i); i += 1 }
-    out
+  /** 64-bit SimHash: weighted bit votes from per-token FNV-1a hashes,
+    * composed entirely from codegen'd higher-order functions (no UDF):
+    * one pass hashes the tokens, then per bit position the vote sum
+    * decides the output bit. Disjoint powers of two are OR-combined, so
+    * bit 63 wraps into the sign bit exactly like the long arithmetic.
+    */
+  def simhash(tokens: Column): Column = {
+    val hs = transform(tokens, t => graft.functions.Fnv.fnv1a64(t))
+    aggregate(
+      sequence(lit(0L), lit(63L)),
+      lit(0L),
+      (acc, i) => acc.bitwiseOR(
+        when(
+          aggregate(hs, lit(0),
+            (v, h) => v + when(
+              call_function("shiftrightunsigned", h, i)
+                .bitwiseAND(lit(1L)) === lit(1L), 1).otherwise(-1)) > 0,
+          call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))))
   }
-
-  def simhash(tokens: Column): Column = simhashUdf(tokens)
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming (<= 3
     * guaranteed recall via 4-chunk banding; pigeonhole over 16-bit

@@ -7,10 +7,11 @@ import graft.tables.Tables
 import graft.text.{TextFunctions => TF}
 
 /** Deduplication coverage over `documents` + `embeddings` (SURVEY §7.5).
-  * Exact hashing, brute-force n-gram Jaccard and embedding-cosine
-  * near-dup all carry DuckDB oracles; the MinHash-LSH and SimHash paths
-  * hash with xxhash64/murmur3 (no DuckDB equivalent) and are rows-only —
-  * their recall against the brute-force truth is unit-tested instead.
+  * EVERY path carries a DuckDB oracle: exact hashing and Jaccard via
+  * builtins, and — since the hash family moved to FNV-1a ([[FnvSql]],
+  * `graft.functions.Fnv`) — the MinHash-LSH banding pipeline and the
+  * SimHash bit votes are replayed hash-for-hash in SQL too. Recall
+  * against the brute-force truth additionally stays unit-tested.
   */
 object DedupQueries extends QueryProvider {
 
@@ -73,8 +74,10 @@ object DedupQueries extends QueryProvider {
              |  / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.05
              |ORDER BY a, b""".stripMargin)),
 
-    // MinHash-LSH near-dup (the 100 TB path; rows-only — hash family not
-    // reproducible in SQL; recall vs d03 unit-tested).
+    // MinHash-LSH near-dup (the 100 TB path), hash-for-hash oracle: the
+    // whole banding pipeline — FNV shingle hashes, seeded permutation
+    // minima, band keys, bucket cap, candidate join, exact-Jaccard
+    // verify — replayed in SQL.
     Q(
       "d04_minhash_neardup",
       (s, dir) => {
@@ -88,10 +91,38 @@ object DedupQueries extends QueryProvider {
           .select($"a", $"b", round($"jaccard", 6).as("jaccard"))
           .orderBy($"a", $"b")
       },
-      None,
+      Some(
+        s"""WITH t AS (SELECT doc_id AS id, regexp_extract_all(lower(text),'[a-zA-Z]+') AS tk FROM documents),
+           |s AS (SELECT id, list_distinct(list_transform(range(1, len(tk)-1),
+           |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+           |  FROM t WHERE len(tk) >= 3),
+           |shr AS (SELECT id, unnest(sh) AS g FROM s),
+           |voc AS (SELECT DISTINCT g FROM shr),
+           |gh AS (SELECT g, ${FnvSql.ofString("g")} AS hu FROM voc),
+           |hv AS (SELECT DISTINCT id, hu FROM shr JOIN gh USING (g)),
+           |perm AS (SELECT id, r.i, ${FnvSql.perm("r.i", "hu")} AS p
+           |  FROM hv CROSS JOIN (SELECT unnest(range(32)) AS i) r),
+           |sig AS (SELECT id, i, min(${FnvSql.toSigned("p")}) AS m
+           |  FROM perm GROUP BY id, i),
+           |bands AS (SELECT id, i // 4 AS band,
+           |    string_agg(m::VARCHAR, ',' ORDER BY i) AS key
+           |  FROM sig GROUP BY id, i // 4),
+           |sized AS (SELECT * FROM (SELECT id, band, key,
+           |    count(*) OVER (PARTITION BY band, key) AS bn FROM bands)
+           |  WHERE bn <= 1000),
+           |cand AS (SELECT DISTINCT l.id AS a, r.id AS b
+           |  FROM sized l JOIN sized r ON l.band = r.band AND l.key = r.key AND l.id < r.id),
+           |jac AS (SELECT c.a, c.b,
+           |    len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+           |      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS j
+           |  FROM cand c JOIN s sa ON sa.id = c.a JOIN s sb ON sb.id = c.b)
+           |SELECT a, b, round(j, 6) AS jaccard FROM jac WHERE j >= 0.3
+           |ORDER BY a, b""".stripMargin),
       bench = true),
 
-    // SimHash near-dup (rows-only).
+    // SimHash near-dup, hash-for-hash oracle: FNV token hashes, per-bit
+    // vote sums, signature assembly in HUGEINT (bit 63 = the sign bit
+    // after the signed conversion), 16-bit chunk banding, Hamming check.
     Q(
       "d05_simhash_neardup",
       (s, dir) => {
@@ -101,7 +132,31 @@ object DedupQueries extends QueryProvider {
         Dedup.simhashNearDuplicates(toks, maxHamming = 3)
           .orderBy($"a", $"b")
       },
-      None),
+      Some(
+        s"""WITH t AS (SELECT doc_id AS id, regexp_extract_all(lower(text),'[a-zA-Z]+') AS tk FROM documents),
+           |tr AS (SELECT id, unnest(tk) AS tok FROM t),
+           |voc AS (SELECT DISTINCT tok FROM tr),
+           |th AS (SELECT tok, ${FnvSql.ofString("tok")} AS hu FROM voc),
+           |bits AS (SELECT i, p FROM (SELECT unnest(range(64)) AS i,
+           |    unnest(list_transform(range(64), k ->
+           |      list_reduce(list_prepend(1::HUGEINT, list_transform(range(k), x -> 2::HUGEINT)),
+           |        (a, b) -> a * b))) AS p)),
+           |votes AS (SELECT r.id, b.i, b.p,
+           |    sum(CASE WHEN (h.hu // b.p) % 2 = 1 THEN 1 ELSE -1 END) AS v
+           |  FROM tr r JOIN th h ON h.tok = r.tok CROSS JOIN bits b
+           |  GROUP BY r.id, b.i, b.p),
+           |sigs AS (SELECT id, sum(CASE WHEN v > 0 THEN p ELSE 0::HUGEINT END) AS su
+           |  FROM votes GROUP BY id),
+           |sig AS (SELECT id, su, ${FnvSql.toSigned("su")} AS s FROM sigs),
+           |chunks AS (SELECT id, s, cp.j, (su // cp.p) % 65536 AS chunk
+           |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS j,
+           |    unnest([1::HUGEINT, 65536::HUGEINT, 4294967296::HUGEINT,
+           |      281474976710656::HUGEINT]) AS p) cp),
+           |pairs AS (SELECT DISTINCT l.id AS a, r.id AS b, l.s AS sa, r.s AS sb
+           |  FROM chunks l JOIN chunks r ON l.j = r.j AND l.chunk = r.chunk AND l.id < r.id)
+           |SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+           |FROM pairs
+           |WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY a, b""".stripMargin)),
 
     // Embedding-cosine near-dup pairs (oracle via list_cosine_similarity).
     Q(

@@ -64,14 +64,12 @@ object RougeQueries extends QueryProvider {
     * the list's first element ([[0]] = dp[i][0]); `acc[len(acc)]` is
     * dp[i][j-1], `row[x[1]]`/`row[x[1]+1]` are dp[i-1][j-1]/dp[i-1][j].
     * O(n·m) like the Scala DP; validated cell-for-cell against an
-    * independent Python LCS on sf0.01 (250/250 exact).
+    * independent Python LCS on sf0.01 (250/250 exact). `pairCtes` must
+    * end with a `tpairs(pid, sys, ref)` CTE of token lists.
     */
-  private val lcsSql: String =
+  private def lcsOver(pairCtes: String): String =
     s"""WITH RECURSIVE
-       |tpairs AS (SELECT a.doc_id AS pid, ${uniSql("a.text")} AS sys,
-       |  ${uniSql("b.text")} AS ref
-       |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 250
-       |  WHERE a.doc_id < 250),
+       |$pairCtes,
        |lcs(pid, i, row) AS (
        |  SELECT pid, 0, list_transform(range(0, len(ref)+1), x -> 0) FROM tpairs
        |  UNION ALL
@@ -124,15 +122,40 @@ object RougeQueries extends QueryProvider {
 
     Q("rg03_rougeL",
       (s, dir) => pairedScores(s, dir, Rouge.rougeLCol(stem = false)),
-      Some(lcsSql)),
+      Some(lcsOver(
+        s"""tpairs AS (SELECT a.doc_id AS pid, ${uniSql("a.text")} AS sys,
+           |  ${uniSql("b.text")} AS ref
+           |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 250
+           |  WHERE a.doc_id < 250)""".stripMargin))),
 
-    // Rows-only: the oracle would need Porter stemming (rouge-score
-    // stems tokens > 3 chars) before the LCS — not expressible in SQL;
-    // the stemmer itself is pinned by PorterStemmerSpec and the LCS by
-    // rg03's recursive-CTE oracle.
+    // Stemmed ROUGE-L, fully oracle-checked: tokens longer than 3 chars
+    // (the rouge-score quirk) run through the generated Porter-in-SQL
+    // stemmer ([[PorterSql]]) before the same recursive-CTE LCS.
     Q("rg04_rouge_stemmed",
       (s, dir) => pairedScores(s, dir, Rouge.rougeLCol(stem = true)),
-      None),
+      Some(lcsOver(
+        s"""rawpairs AS (SELECT a.doc_id AS pid, ${uniSql("a.text")} AS syst,
+           |  ${uniSql("b.text")} AS reft
+           |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 250
+           |  WHERE a.doc_id < 250),
+           |tokr AS (
+           |  SELECT pid, 's' AS side, unnest(range(len(syst))) AS pos,
+           |    unnest(syst) AS tok FROM rawpairs
+           |  UNION ALL
+           |  SELECT pid, 'r', unnest(range(len(reft))), unnest(reft) FROM rawpairs),
+           |voc AS (SELECT DISTINCT tok FROM tokr WHERE len(tok) > 3),
+           |${PorterSql.ctes("voc")},
+           |mapped AS (SELECT t.pid, t.side, t.pos,
+           |    CASE WHEN len(t.tok) <= 3 THEN t.tok ELSE s.stm END AS stok
+           |  FROM tokr t LEFT JOIN stems s ON s.tok = t.tok),
+           |agg AS (SELECT pid, side, list(stok ORDER BY pos) AS toks
+           |  FROM mapped GROUP BY pid, side),
+           |tpairs AS (SELECT rp.pid,
+           |    coalesce(sa.toks, []::VARCHAR[]) AS sys,
+           |    coalesce(ra.toks, []::VARCHAR[]) AS ref
+           |  FROM rawpairs rp
+           |  LEFT JOIN agg sa ON sa.pid = rp.pid AND sa.side = 's'
+           |  LEFT JOIN agg ra ON ra.pid = rp.pid AND ra.side = 'r')""".stripMargin))),
 
     // Corpus means (A7) of the oracle-able variant.
     Q("rg05_rouge1_mean",

@@ -18,10 +18,10 @@ object TextRankQueries extends QueryProvider {
   private val stopSql: String =
     StopWords.nltkEnglishAlpha.map(w => s"'$w'").mkString("[", ",", "]")
 
-  /** Rank iterations + final projection, shared by both oracles. `v` must
-    * be defined as (id, toks, n).
+  /** Out-normalization + rank init + unrolled iterations + final
+    * projection; an `e(src, dst, w)` CTE must already be defined.
     */
-  private def rankSql(iterations: Int, topK: Option[Int]): String = {
+  private def propagateSql(iterations: Int, topK: Option[Int]): String = {
     val iters = (1 to iterations).map { i =>
       s"""r$i AS (SELECT en.dst AS id, 0.15 + 0.85 * sum(r${i - 1}.rnk * en.wn) AS rnk
          |FROM en JOIN r${i - 1} ON en.src = r${i - 1}.id GROUP BY en.dst)""".stripMargin
@@ -34,18 +34,24 @@ object TextRankQueries extends QueryProvider {
       case None =>
         s"SELECT id, round(rnk,6) AS rnk FROM r$iterations ORDER BY rnk DESC, id"
     }
+    s"""o AS (SELECT src, sum(w) AS ow FROM e GROUP BY src),
+       |en AS (SELECT e.src, e.dst, e.w / o.ow AS wn FROM e JOIN o ON e.src = o.src),
+       |r0 AS (SELECT DISTINCT src AS id, 0.15 AS rnk FROM e),
+       |$iters
+       |$tail""".stripMargin
+  }
+
+  /** Rank iterations + final projection over the exact all-pairs edge
+    * list. `v` must be defined as (id, toks, n).
+    */
+  private def rankSql(iterations: Int, topK: Option[Int]): String =
     s"""e AS (
        |SELECT a.id AS src, b.id AS dst,
        |len(list_intersect(list_distinct(a.toks), list_distinct(b.toks))) * 1.0
        |  / (log2(a.n) + log2(b.n) + 1) AS w
        |FROM v a JOIN v b ON a.id <> b.id
        |WHERE len(list_intersect(list_distinct(a.toks), list_distinct(b.toks))) > 0),
-       |o AS (SELECT src, sum(w) AS ow FROM e GROUP BY src),
-       |en AS (SELECT e.src, e.dst, e.w / o.ow AS wn FROM e JOIN o ON e.src = o.src),
-       |r0 AS (SELECT DISTINCT src AS id, 0.15 AS rnk FROM e),
-       |$iters
-       |$tail""".stripMargin
-  }
+       |${propagateSql(iterations, topK)}""".stripMargin
 
   /** Unrolled oracle for `TextRank.rankDocuments(lemma = false)`. */
   private def oracleSql(iterations: Int, topK: Option[Int]): String =
@@ -139,9 +145,11 @@ object TextRankQueries extends QueryProvider {
 
     // The 100 TB edge-generation path: MinHash-LSH candidate prefilter
     // (minVertices=0 forces LSH even at gate scale so the path is
-    // exercised end-to-end). Rows-only: banding recall depends on JVM
-    // xxhash64 seeding, which DuckDB cannot reproduce; TextRankLshSpec
-    // bounds the divergence vs the oracle-checked tr01 instead.
+    // exercised end-to-end). Full hash-for-hash oracle since the family
+    // moved to FNV-1a: the banding (128 hashes, 64 bands of 2), bucket
+    // cap, candidate join, exact re-weighting and the rank propagation
+    // are all replayed in SQL. TextRankLshSpec additionally bounds the
+    // divergence vs the oracle-checked exact tr01.
     Q(
       "tr06_lsh_ranks",
       (s, dir) => {
@@ -152,7 +160,39 @@ object TextRankQueries extends QueryProvider {
           .select($"id", round($"rnk", 6).as("rnk"))
           .orderBy(desc("rnk"), $"id")
       },
-      None),
+      Some(
+        s"""WITH v0 AS (
+           |SELECT doc_id AS id,
+           |list_filter(regexp_extract_all(lower(text),'[a-zA-Z]+'),
+           |  x -> len(x) >= 4 AND NOT list_contains($stopSql, x)) AS toks
+           |FROM documents
+           |WHERE len(string_split(text,' ')) > 10 AND len(string_split(text,' ')) < 30),
+           |v AS (SELECT id, toks, len(toks) AS n FROM v0 WHERE len(toks) > 0),
+           |vd AS (SELECT id, list_distinct(toks) AS dt, n FROM v),
+           |dtr AS (SELECT id, unnest(dt) AS g FROM vd),
+           |voc AS (SELECT DISTINCT g FROM dtr),
+           |gh AS (SELECT g, ${FnvSql.ofString("g")} AS hu FROM voc),
+           |hv AS (SELECT DISTINCT id, hu FROM dtr JOIN gh USING (g)),
+           |perm AS (SELECT id, r.i, ${FnvSql.perm("r.i", "hu")} AS p
+           |  FROM hv CROSS JOIN (SELECT unnest(range(128)) AS i) r),
+           |sig AS (SELECT id, i, min(${FnvSql.toSigned("p")}) AS m
+           |  FROM perm GROUP BY id, i),
+           |bnd AS (SELECT id, i // 2 AS band,
+           |    string_agg(m::VARCHAR, ',' ORDER BY i) AS key
+           |  FROM sig GROUP BY id, i // 2),
+           |sized AS (SELECT * FROM (SELECT id, band, key,
+           |    count(*) OVER (PARTITION BY band, key) AS bn FROM bnd)
+           |  WHERE bn <= 10000),
+           |cand AS (SELECT DISTINCT l.id AS a, r.id AS b
+           |  FROM sized l JOIN sized r ON l.band = r.band AND l.key = r.key AND l.id < r.id),
+           |e0 AS (SELECT c.a AS src, c.b AS dst,
+           |    len(list_intersect(va.dt, vb.dt)) * 1.0
+           |      / (log2(va.n) + log2(vb.n) + 1) AS w
+           |  FROM cand c JOIN vd va ON va.id = c.a JOIN vd vb ON vb.id = c.b
+           |  WHERE len(list_intersect(va.dt, vb.dt)) > 0),
+           |e AS (SELECT src, dst, w FROM e0
+           |  UNION ALL SELECT dst AS src, src AS dst, w FROM e0),
+           |${propagateSql(5, None)}""".stripMargin)),
 
     // Grouped (per-language) TextRank in ONE distributed job — the scale
     // formulation of the reference's per-file loop — with a full grouped
