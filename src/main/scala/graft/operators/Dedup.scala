@@ -149,6 +149,35 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Near-duplicate CLUSTERS from a pair list: connected components via
+    * min-label propagation — after k iterations every node carries the
+    * smallest id within k hops, so components with diameter <= k are
+    * fully labeled. Near-dup components are cliquish (everything matched
+    * everything), so small k converges; at 100 TB scale the iteration is
+    * the standard shuffle-per-round connected-components shape (each
+    * round: edge join + min-aggregate, lineage cut per round). The
+    * FIXED iteration count (not a convergence loop) keeps the result a
+    * pure function of (pairs, k) — oracle-checkable by unrolling.
+    *
+    * pairs: (a, b); output: (id, cluster) for every node in pairs,
+    * cluster = min reachable id within k hops.
+    */
+  def labelPropagationClusters(pairs: DataFrame, iterations: Int = 3): DataFrame = {
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val nodes = edges.select(col("dst").as("id")).distinct()
+    var labels = nodes.select(col("id"), col("id").as("lbl")).localCheckpoint()
+    (1 to iterations).foreach { _ =>
+      val nb = edges.join(labels, edges("src") === labels("id"))
+        .groupBy(col("dst")).agg(min(col("lbl")).as("nlbl"))
+      labels = labels.join(nb, labels("id") === nb("dst"), "left")
+        .select(labels("id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+    }
+    labels.select(col("id"), col("lbl").as("cluster"))
+  }
+
   // ---- SimHash ----
 
   /** 64-bit SimHash: weighted bit votes from per-token FNV-1a hashes,

@@ -100,4 +100,30 @@ object TextAnalysis {
     }
   }
   def fingerprint(text: Column): Column = fingerprintUdf(text)
+
+  /** PII-style scrubbing for training-data curation: URLs, then emails,
+    * then phone-shaped digit runs are replaced by typed placeholders.
+    * Order matters (a URL may contain an @) and is part of the operator
+    * contract. Patterns deliberately stay in the RE2-compatible subset
+    * (no lookaround) so engine-independent oracles replay them exactly;
+    * everything is codegen'd `regexp_replace` — a narrow map at any
+    * scale.
+    */
+  val UrlRe = "https?://[^\\s]+"
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}[-.]\\d{3,4}[-.]\\d{4}\\b"
+
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, UrlRe, "<URL>"),
+        EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+
+  /** Per-kind match counts (for curation stats / filter decisions). */
+  def piiCounts(text: Column): Column = struct(
+    size(regexp_extract_all(text, lit(UrlRe), lit(0))).as("n_urls"),
+    size(regexp_extract_all(regexp_replace(text, UrlRe, "<URL>"),
+      lit(EmailRe), lit(0))).as("n_emails"),
+    size(regexp_extract_all(text, lit(PhoneRe), lit(0))).as("n_phones"))
 }

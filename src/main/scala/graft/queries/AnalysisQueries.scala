@@ -115,6 +115,32 @@ object AnalysisQueries extends QueryProvider {
              |  FROM documents) t
              |ORDER BY doc_id""".stripMargin)),
 
+    // PII-style scrubbing (curation pipeline): typed placeholders +
+    // per-kind counts; md5 of the redacted text keeps the output small
+    // while still pinning every replaced character.
+    Q(
+      "a04_redaction",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .withColumn("p", TA.piiCounts($"text"))
+          .select($"doc_id", md5(TA.redact($"text")).as("redacted_md5"),
+            $"p.n_urls".as("n_urls"), $"p.n_emails".as("n_emails"),
+            $"p.n_phones".as("n_phones"))
+          .orderBy($"doc_id")
+      },
+      Some(
+        s"""SELECT doc_id,
+           |md5(regexp_replace(regexp_replace(regexp_replace(text,
+           |  '${TA.UrlRe}', '<URL>', 'g'),
+           |  '${TA.EmailRe}', '<EMAIL>', 'g'),
+           |  '${TA.PhoneRe}', '<PHONE>', 'g')) AS redacted_md5,
+           |CAST(len(regexp_extract_all(text, '${TA.UrlRe}')) AS INTEGER) AS n_urls,
+           |CAST(len(regexp_extract_all(regexp_replace(text, '${TA.UrlRe}', '<URL>', 'g'),
+           |  '${TA.EmailRe}')) AS INTEGER) AS n_emails,
+           |CAST(len(regexp_extract_all(text, '${TA.PhoneRe}')) AS INTEGER) AS n_phones
+           |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Multimodal: schema plumbing + metadata (oracle) ...
     Q(
       "mm01_media_meta",

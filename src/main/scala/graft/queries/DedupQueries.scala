@@ -15,6 +15,35 @@ import graft.text.{TextFunctions => TF}
   */
 object DedupQueries extends QueryProvider {
 
+  /** d04's full MinHash pipeline as CTEs ending in `jac(a, b, j)` —
+    * shared by the d04 gate query and d07's clustering oracle.
+    */
+  private val minhashPairCtes: String =
+    s"""t AS (SELECT doc_id AS id, regexp_extract_all(lower(text),'[a-zA-Z]+') AS tk FROM documents),
+       |s AS (SELECT id, list_distinct(list_transform(range(1, len(tk)-1),
+       |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+       |  FROM t WHERE len(tk) >= 3),
+       |shr AS (SELECT id, unnest(sh) AS g FROM s),
+       |voc AS (SELECT DISTINCT g FROM shr),
+       |gh AS (SELECT g, ${FnvSql.ofString("g")} AS hu FROM voc),
+       |hv AS (SELECT DISTINCT id, hu FROM shr JOIN gh USING (g)),
+       |perm AS (SELECT id, r.i, ${FnvSql.perm("r.i", "hu")} AS p
+       |  FROM hv CROSS JOIN (SELECT unnest(range(32)) AS i) r),
+       |sig AS (SELECT id, i, min(${FnvSql.toSigned("p")}) AS m
+       |  FROM perm GROUP BY id, i),
+       |bands AS (SELECT id, i // 4 AS band,
+       |    string_agg(m::VARCHAR, ',' ORDER BY i) AS key
+       |  FROM sig GROUP BY id, i // 4),
+       |sized AS (SELECT * FROM (SELECT id, band, key,
+       |    count(*) OVER (PARTITION BY band, key) AS bn FROM bands)
+       |  WHERE bn <= 1000),
+       |cand AS (SELECT DISTINCT l.id AS a, r.id AS b
+       |  FROM sized l JOIN sized r ON l.band = r.band AND l.key = r.key AND l.id < r.id),
+       |jac AS (SELECT c.a, c.b,
+       |    len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+       |      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS j
+       |  FROM cand c JOIN s sa ON sa.id = c.a JOIN s sb ON sb.id = c.b)""".stripMargin
+
   override val all: Seq[Q] = Seq(
 
     // md5 content-hash parity + normalization (whitespace collapse).
@@ -92,33 +121,41 @@ object DedupQueries extends QueryProvider {
           .orderBy($"a", $"b")
       },
       Some(
-        s"""WITH t AS (SELECT doc_id AS id, regexp_extract_all(lower(text),'[a-zA-Z]+') AS tk FROM documents),
-           |s AS (SELECT id, list_distinct(list_transform(range(1, len(tk)-1),
-           |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
-           |  FROM t WHERE len(tk) >= 3),
-           |shr AS (SELECT id, unnest(sh) AS g FROM s),
-           |voc AS (SELECT DISTINCT g FROM shr),
-           |gh AS (SELECT g, ${FnvSql.ofString("g")} AS hu FROM voc),
-           |hv AS (SELECT DISTINCT id, hu FROM shr JOIN gh USING (g)),
-           |perm AS (SELECT id, r.i, ${FnvSql.perm("r.i", "hu")} AS p
-           |  FROM hv CROSS JOIN (SELECT unnest(range(32)) AS i) r),
-           |sig AS (SELECT id, i, min(${FnvSql.toSigned("p")}) AS m
-           |  FROM perm GROUP BY id, i),
-           |bands AS (SELECT id, i // 4 AS band,
-           |    string_agg(m::VARCHAR, ',' ORDER BY i) AS key
-           |  FROM sig GROUP BY id, i // 4),
-           |sized AS (SELECT * FROM (SELECT id, band, key,
-           |    count(*) OVER (PARTITION BY band, key) AS bn FROM bands)
-           |  WHERE bn <= 1000),
-           |cand AS (SELECT DISTINCT l.id AS a, r.id AS b
-           |  FROM sized l JOIN sized r ON l.band = r.band AND l.key = r.key AND l.id < r.id),
-           |jac AS (SELECT c.a, c.b,
-           |    len(list_intersect(sa.sh, sb.sh)) * 1.0 /
-           |      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS j
-           |  FROM cand c JOIN s sa ON sa.id = c.a JOIN s sb ON sb.id = c.b)
+        s"""WITH $minhashPairCtes
            |SELECT a, b, round(j, 6) AS jaccard FROM jac WHERE j >= 0.3
            |ORDER BY a, b""".stripMargin),
       bench = true),
+
+    // Near-dup CLUSTERS (the "keep one per component" step of a curation
+    // pipeline): min-label propagation over the d04 pair graph, 3 fixed
+    // rounds, oracle via the same pipeline + unrolled label CTEs.
+    Q(
+      "d07_neardup_clusters",
+      (s, dir) => {
+        import s.implicits._
+        val toks = graft.Par.fanOut(Tables.documents(s, dir))
+          .select($"doc_id".as("id"), TF.tokenize($"text").as("tokens"))
+        val pairs = Dedup.minhashNearDuplicates(toks, shingleN = 3,
+          numHashes = 32, bands = 8, threshold = 0.3)
+        Dedup.labelPropagationClusters(pairs, iterations = 3)
+          .orderBy($"id")
+      },
+      Some {
+        val rounds = (1 to 3).map { k =>
+          s"""l$k AS (SELECT n.id, least(n.lbl, coalesce(min(l.lbl), n.lbl)) AS lbl
+             |  FROM l${k - 1} n
+             |  LEFT JOIN e2 ON e2.dst = n.id
+             |  LEFT JOIN l${k - 1} l ON l.id = e2.src
+             |  GROUP BY n.id, n.lbl)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $minhashPairCtes,
+           |p2 AS (SELECT a, b FROM jac WHERE j >= 0.3),
+           |e2 AS (SELECT a AS src, b AS dst FROM p2
+           |  UNION ALL SELECT b AS src, a AS dst FROM p2),
+           |l0 AS (SELECT DISTINCT dst AS id, dst AS lbl FROM e2),
+           |$rounds
+           |SELECT id, lbl AS cluster FROM l3 ORDER BY id""".stripMargin
+      }),
 
     // SimHash near-dup, hash-for-hash oracle: FNV token hashes, per-bit
     // vote sums, signature assembly in HUGEINT (bit 63 = the sign bit

@@ -63,6 +63,26 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((0L, 3L)))
     assert(!pairs.contains((0L, 2L)))
   }
+
+  test("label propagation clusters a chain and keeps components apart") {
+    // chain 5-3-7 plus pair (10,12); 9 appears nowhere -> absent
+    val pairs = Seq((5L, 3L), (3L, 7L), (10L, 12L)).toDF("a", "b")
+    val out = Dedup.labelPropagationClusters(pairs, iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(3L -> 3L, 5L -> 3L, 7L -> 3L, 10L -> 10L, 12L -> 10L))
+  }
+
+  test("label propagation labels a diameter-k chain in k rounds") {
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    // diameter 3: node 4 is 3 hops from node 1
+    val k3 = Dedup.labelPropagationClusters(chain, iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(k3.values.toSet == Set(1L))
+    // 1 round is not enough for the far end — fixed-iteration semantics
+    val k1 = Dedup.labelPropagationClusters(chain, iterations = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(k1(4L) == 3L && k1(2L) == 1L)
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {
@@ -113,6 +133,23 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(fp(0L) == fp(1L))
     assert(fp(0L) != fp(2L))
+  }
+
+  test("redaction replaces urls, emails and phones with typed tags") {
+    val rows = Seq(
+      (0L, "mail me at a.b+c@ex-ample.org or call 555-123-4567 now"),
+      (1L, "see https://ex.com/a?u=x@y.zz and http://b.io plain"),
+      (2L, "no pii here")).toDF("doc_id", "text")
+    val out = rows.select($"doc_id", TextAnalysis.redact($"text").as("r"),
+        TextAnalysis.piiCounts($"text").as("p"))
+      .select($"doc_id", $"r", $"p.n_urls", $"p.n_emails", $"p.n_phones")
+      .as[(Long, String, Int, Int, Int)].collect().sortBy(_._1)
+    assert(out(0)._2 == "mail me at <EMAIL> or call <PHONE> now")
+    assert((out(0)._4, out(0)._5) == (1, 1))
+    // the URL swallows the embedded @; email count is 0 post-URL-redact
+    assert(out(1)._2 == "see <URL> and <URL> plain")
+    assert((out(1)._3, out(1)._4) == (2, 0))
+    assert(out(2)._2 == "no pii here" && (out(2)._3, out(2)._4, out(2)._5) == (0, 0, 0))
   }
 }
 
