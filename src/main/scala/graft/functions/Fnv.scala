@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionDescription, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, ExpressionDescription, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -70,6 +70,12 @@ object Fnv {
     ColumnBridge.column(Fnv1aPerm(
       ColumnBridge.expression(seed), ColumnBridge.expression(h)))
   }
+
+  /** SQL-registry builder: coerces the int/int literals SQL text
+    * produces (the expression itself is strictly (int, bigint)).
+    */
+  def permBuilder(exprs: Seq[Expression]): Expression =
+    Fnv1aPerm(Cast(exprs(0), IntegerType), Cast(exprs(1), LongType))
 }
 
 @ExpressionDescription(

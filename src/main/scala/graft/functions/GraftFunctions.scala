@@ -15,7 +15,7 @@ object GraftFunctions {
     ColumnBridge.registerFunction(spark, "fnv1a64",
       exprs => Fnv1a64(exprs(0)))
     ColumnBridge.registerFunction(spark, "fnv1a_perm",
-      exprs => Fnv1aPerm(exprs(0), exprs(1)))
+      exprs => Fnv.permBuilder(exprs))
   }
 }
 
@@ -41,6 +41,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[Fnv1aPerm].getName, "fnv1a_perm"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        Fnv1aPerm(exprs(0), exprs(1))))
+        Fnv.permBuilder(exprs)))
   }
 }

@@ -91,10 +91,19 @@ object Pipelines {
     * sentence-by-sentence (symmetric lengths).
     *
     * Output: one row per product × metric with mean P/R/F (A7).
+    *
+    * Scale routing: the faithful per-product driver loop (pytldr-shaped,
+    * one Spark job per product) runs only while the corpus is small;
+    * above `groupedThreshold` products the SAME evaluation runs as ONE
+    * `flatMapGroups` job ([[graft.operators.GroupedSummarizer
+    * .evaluatePerGroup]] — a million corpora = one job). The two paths
+    * are asserted row-equal in GroupedEvalSpec, so the routing is a pure
+    * execution-strategy choice.
     */
   def evaluate(spark: SparkSession, path: String,
       topics: Int = 15, summaryLen: Int = 15,
-      conceptPairs: Boolean = true): DataFrame = {
+      conceptPairs: Boolean = true,
+      groupedThreshold: Int = 64): DataFrame = {
     import spark.implicits._
     val all = ReviewSource.sentences(ReviewSource.reviews(spark, path))
       .filter(length(trim(col("sentence"))) > 0)
@@ -102,6 +111,15 @@ object Pipelines {
 
     val products = all.select($"product_id").distinct()
       .as[String].collect().sorted.toSeq
+
+    if (products.length > groupedThreshold) {
+      val out = graft.operators.GroupedSummarizer.evaluatePerGroup(
+        all.select($"product_id".as("grp"), $"review_id", $"sent_idx",
+          $"sentence"),
+        topics, summaryLen, conceptPairs).toDF()
+      all.unpersist()
+      return out
+    }
 
     val rows = products.flatMap { pid =>
       val psents = all.filter($"product_id" === pid)

@@ -45,6 +45,22 @@ class GroupedEvalSpec extends SparkSpec {
     check(conceptPairs = false)
   }
 
+  test("evaluate's scale routing returns identical rows on both paths") {
+    val path = res("small_product.txt")
+    def rows(threshold: Int) =
+      Pipelines.evaluate(spark, path, groupedThreshold = threshold)
+        .as[(String, String, Double, Double, Double)].collect()
+        .sortBy(r => (r._1, r._2)).toSeq
+    val viaLoop = rows(Int.MaxValue) // forced driver loop
+    val viaGrouped = rows(0) // forced single-job flatMapGroups
+    assert(viaLoop.nonEmpty)
+    viaLoop.zip(viaGrouped).foreach { case (l, g) =>
+      assert(l._1 == g._1 && l._2 == g._2)
+      assert(math.abs(l._3 - g._3) < 1e-9 && math.abs(l._4 - g._4) < 1e-9 &&
+        math.abs(l._5 - g._5) < 1e-9, s"$l vs $g")
+    }
+  }
+
   test("grouped EP3 keeps groups independent (two products, one job)") {
     val path = res("small_product.txt")
     val base = ReviewSource.sentences(ReviewSource.reviews(spark, path))
