@@ -195,7 +195,10 @@ object TextRank {
         .groupBy(col("dst"))
         .agg((lit(cfg.initRank) + lit(cfg.damping) * sum(col("rnk") * col("wn"))).as("rnk"))
         .select(col("dst").as("id"), col("rnk"))
-        // cut lineage each round or the plan doubles per iteration (H5)
+        // Cut lineage each round or the plan doubles per iteration (H5).
+        // (Measured at sf0.1: making mid-loop checkpoints lazy does NOT
+        // help — the per-round cost is the genuine edge-scatter map work,
+        // not the checkpoint job — so this stays in the simple eager form.)
         .localCheckpoint()
     }
     norm.unpersist()
