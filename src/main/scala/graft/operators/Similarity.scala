@@ -73,11 +73,100 @@ object Similarity {
     array(planeCols: _*)
   }
 
+  /** Squared euclidean distance as a strict left fold — the SAME
+    * summation order as the DuckDB oracle's `list_reduce`, so distances
+    * (and therefore argmin assignments) are bit-identical cross-engine.
+    */
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Deterministic fixed-iteration Lloyd quantizer + IVF probe — the
+    * oracle-replicable variant of [[ivfTopK]] (same output contract):
+    *
+    *  - init: the `nClusters` vectors with the smallest ids;
+    *  - `lloydIters` unrolled rounds of assign (argmin squared distance,
+    *    ties to the lowest cluster) + recompute means;
+    *  - means are computed as EXACT decimal sums divided in double:
+    *    double summation over rows is partition-order-dependent, which
+    *    would let run-to-run float noise flip near-tie assignments;
+    *    decimal sums make every centroid a pure function of the data;
+    *  - empty clusters keep their previous centroid;
+    *  - probe: per query the `nProbe` nearest centroids, exact cosine
+    *    re-rank over their inverted lists.
+    *
+    * Everything is DataFrame ops (posexplode + hash agg + window) — no
+    * MLlib, no UDF; recall@full-probe equals brute force for ANY
+    * quantizer, which the spec asserts for this one too.
+    */
+  def ivfTopKDeterministic(vecs: DataFrame, queries: DataFrame, k: Int,
+      nClusters: Int, nProbe: Int, lloydIters: Int = 2): DataFrame = {
+    val v = vecs.select(col("id"), col("vec"))
+    var centroids = v.orderBy(col("id")).limit(nClusters)
+      .select(col("id").as("cid"), col("vec").as("cv"))
+      .withColumn("cluster",
+        row_number().over(Window.orderBy(col("cid"))) - 1)
+      .select(col("cluster"), col("cv"))
+      .localCheckpoint()
+
+    def assign(cs: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("id"))
+        .orderBy(col("dist"), col("cluster"))
+      v.crossJoin(broadcast(cs))
+        .withColumn("dist", sqDist(col("vec"), col("cv")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("id"), col("vec"), col("cluster"))
+    }
+
+    (1 to lloydIters).foreach { _ =>
+      val a = assign(centroids)
+      val means = a
+        .select(col("cluster"), posexplode(col("vec")).as(Seq("pos", "x")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(col("x").cast("decimal(28,14)")).cast("double").as("s"),
+          count(lit(1)).as("n"))
+        .withColumn("coord", col("s") / col("n"))
+        .groupBy(col("cluster"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("coord")))),
+          e => e.getField("coord")).as("cv"))
+      // empty clusters keep their previous centroid
+      centroids = centroids.select(col("cluster"), col("cv").as("cv0"))
+        .join(means, Seq("cluster"), "left")
+        .select(col("cluster"), coalesce(col("cv"), col("cv0")).as("cv"))
+        .localCheckpoint()
+    }
+
+    val assigned = assign(centroids)
+      .select(col("id").as("neighbor_id"), col("vec").as("nv"),
+        norm(col("vec")).as("nn"), col("cluster"))
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist"), col("cluster"))
+    val probes = queries.select(col("id").as("query_id"), col("vec").as("qv"),
+        norm(col("vec")).as("qn"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("dist", sqDist(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cluster"))
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cosine"), col("neighbor_id"))
+    assigned.join(broadcast(probes), Seq("cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** IVF (inverted-file) ANN: a seeded KMeans coarse quantizer assigns
     * every vector to a cluster; each query probes only its `nProbe`
     * nearest centroids and exact-ranks within those lists. The classic
     * trade: one cheap clustering pass up front, then each query touches
     * ~nProbe/nClusters of the table instead of all of it.
+    * [[ivfTopKDeterministic]] is the oracle-replicable sibling; this
+    * MLlib-quantizer form stays as the alternative backend.
     */
   def ivfTopK(vecs: DataFrame, queries: DataFrame, k: Int, nClusters: Int,
       nProbe: Int, seed: Long): DataFrame = {

@@ -5,12 +5,13 @@ import org.apache.spark.sql.functions._
 import graft.operators.Similarity
 import graft.tables.Tables
 
-/** ANN similarity search over `embeddings` (SURVEY §7.5): exact
-  * brute-force cosine top-k, the hyperplane-LSH bucketed path (both
-  * oracle-checked — s02's oracle embeds the seeded plane constants as
+/** ANN similarity search over `embeddings` (SURVEY §7.5), ALL
+  * oracle-checked: exact brute-force cosine top-k; the hyperplane-LSH
+  * bucketed path (s02's oracle embeds the seeded plane constants as
   * literal data and independently recomputes sign bits, banding, the
-  * bucket join and the exact re-rank), and IVF (rows-only: the KMeans
-  * quantizer is not reproducible in SQL; recall@full-probe unit-tested).
+  * bucket join and the exact re-rank); and IVF through the
+  * deterministic Lloyd quantizer (s03's oracle recomputes the
+  * clustering itself — nothing embedded).
   */
 object SimilarityQueries extends QueryProvider {
 
@@ -42,19 +43,22 @@ object SimilarityQueries extends QueryProvider {
              |ORDER BY query_id, rnk""".stripMargin),
       bench = true),
 
-    // IVF ANN: recall vs s01 depends on nProbe/nClusters; rows-only
-    // (KMeans not reproducible in SQL), unit-tested for recall@full-probe.
+    // IVF ANN through the deterministic fixed-iteration Lloyd quantizer
+    // — fully oracle-checked: first-k init, 2 unrolled assign/mean
+    // rounds (decimal-exact means, fold-identical distances), probe,
+    // inverted-list re-rank, all replayed in SQL. The MLlib-KMeans
+    // backend stays as an alternative, unit-tested for recall@full-probe.
     Q(
       "s03_ivf_topk",
       (s, dir) => {
         import s.implicits._
         val v = vecs(s, dir)
-        Similarity.ivfTopK(v, v.filter($"id" < 5), 10,
-          nClusters = 16, nProbe = 4, seed = 42L)
+        Similarity.ivfTopKDeterministic(v, v.filter($"id" < 5), 10,
+          nClusters = 16, nProbe = 4, lloydIters = 2)
           .withColumnRenamed("rank", "rnk")
           .orderBy($"query_id", $"rnk")
       },
-      None),
+      Some(s03OracleSql)),
 
     Q(
       "s02_lsh_topk",
@@ -68,6 +72,56 @@ object SimilarityQueries extends QueryProvider {
       },
       Some(s02OracleSql))
   )
+
+  /** s03 oracle: the deterministic Lloyd IVF replayed in SQL. Distances
+    * are strict left folds (`list_reduce` seeded 0.0) matching Spark's
+    * `aggregate` fold order, centroids are exact DECIMAL sums divided in
+    * double — so assignments are bit-identical cross-engine.
+    */
+  private lazy val s03OracleSql: String = {
+    def dist(v: String, c: String): String =
+      s"""list_reduce(list_prepend(0.0, list_transform(range(len($v)),
+         |  i -> ($v[i+1] - $c[i+1]) * ($v[i+1] - $c[i+1]))),
+         |  (acc, x) -> acc + x)""".stripMargin
+    def assignCte(name: String, cs: String): String =
+      s"""$name AS (SELECT id, e, cluster FROM (
+         |  SELECT vv.id, vv.e, c.cluster,
+         |    row_number() OVER (PARTITION BY vv.id
+         |      ORDER BY ${dist("vv.e", "c.cv")}, c.cluster) AS rn
+         |  FROM v vv CROSS JOIN $cs c) WHERE rn = 1)""".stripMargin
+    def meanCtes(a: String, prev: String, out: String): String =
+      s"""${out}m AS (SELECT cluster, list(s / n ORDER BY pos) AS cv
+         |  FROM (SELECT cluster, pos,
+         |      CAST(sum(CAST(x AS DECIMAL(28,14))) AS DOUBLE) AS s,
+         |      count(*) AS n
+         |    FROM (SELECT cluster, unnest(range(len(e))) AS pos,
+         |        unnest(e) AS x FROM $a)
+         |    GROUP BY cluster, pos)
+         |  GROUP BY cluster),
+         |$out AS (SELECT p.cluster, coalesce(m.cv, p.cv) AS cv
+         |  FROM $prev p LEFT JOIN ${out}m m USING (cluster))""".stripMargin
+    s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings),
+       |c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cluster, e AS cv
+       |  FROM (SELECT id, e FROM v ORDER BY id LIMIT 16)),
+       |${assignCte("a1", "c0")},
+       |${meanCtes("a1", "c0", "c1")},
+       |${assignCte("a2", "c1")},
+       |${meanCtes("a2", "c1", "c2")},
+       |${assignCte("af", "c2")},
+       |probes AS (SELECT query_id, qe, cluster FROM (
+       |  SELECT q.id AS query_id, q.e AS qe, c.cluster,
+       |    row_number() OVER (PARTITION BY q.id
+       |      ORDER BY ${dist("q.e", "c.cv")}, c.cluster) AS rn
+       |  FROM v q CROSS JOIN c2 c WHERE q.id < 5) WHERE rn <= 4),
+       |sc AS (SELECT p.query_id, a.id AS neighbor_id,
+       |    round(list_cosine_similarity(p.qe, a.e), 6) AS cosine
+       |  FROM probes p JOIN af a ON a.cluster = p.cluster
+       |  WHERE p.query_id <> a.id),
+       |r AS (SELECT *, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM sc)
+       |SELECT query_id, rnk, neighbor_id, cosine FROM r WHERE rnk <= 10
+       |ORDER BY query_id, rnk""".stripMargin
+  }
 
   /** s02 oracle: the 32 seeded hyperplanes are deterministic constants of
     * the query's configuration (seed 42, dim 64) — embedded as literal

@@ -175,6 +175,21 @@ class SimilaritySpec extends SparkSpec {
       .select($"rank", $"neighbor_id", $"cosine").as[(Int, Long, Double)]
       .collect().toSeq
     assert(ivf == brute)
+    // quantizer-independence: the deterministic Lloyd variant too
+    val det = Similarity.ivfTopKDeterministic(vecs, vecs.filter($"id" === 0),
+      3, nClusters = 2, nProbe = 2)
+      .select($"rank", $"neighbor_id", $"cosine").as[(Int, Long, Double)]
+      .collect().toSeq
+    assert(det == brute)
+  }
+
+  test("deterministic lloyd ivf is run-to-run stable") {
+    def run() = Similarity.ivfTopKDeterministic(vecs,
+        vecs.filter($"id" < 2), 3, nClusters = 2, nProbe = 1)
+      .as[(Long, Int, Long, Double)].collect().toSeq.sortBy(r => (r._1, r._2))
+    val a = run()
+    assert(a.nonEmpty)
+    assert(a == run())
   }
 
   test("lsh top-k finds the near-identical neighbor at rank 1") {
