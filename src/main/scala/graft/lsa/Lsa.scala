@@ -79,7 +79,13 @@ object Lsa {
       .persist() // the lemmatizer UDF pass is the expensive bit — run once
     val tf = TfIdf.termFrequencies(tok, "id", "tokens").persist() // feeds vocab, idf, cells
     val vocab = vocabulary(tf, cfg.minDf).persist()
-    val nDocs = tok.count()
+    // One job for both corpus scalars (cell count sizes the SVD row
+    // partitioning; doc count feeds IDF and k): tf rows are (id, token)
+    // distinct pairs, so nnz = count and nDocs = distinct ids.
+    val (nnz, nDocs) = {
+      val row = tf.agg(count(lit(1)), count_distinct(col("id"))).head()
+      (row.getLong(0), row.getLong(1))
+    }
     val vocabSize = vocab.count().toInt
     val k = math.min(cfg.k, math.min(nDocs, vocabSize).toInt)
     if (k <= 0) { // degenerate corpus (no tokens survive the pipeline)
@@ -104,15 +110,22 @@ object Lsa {
       .join(docIdx, "id")
       .select(col("row"), col("idx"), (col("tf") * col("idf")).as("v"))
 
+    // ARPACK runs one treeAggregate job over this RDD per Lanczos
+    // iteration (dozens of jobs), so per-iteration cost = per-task
+    // scheduling × partitions + the actual multiply. Size partitions by
+    // nonzero count (~250k cells each): a small corpus collapses to a
+    // couple of tasks (scheduling overhead was dominating the SVD at
+    // bench scale), a 100 TB corpus still spreads across the cluster.
+    val rowParts = math.max(1,
+      math.min((nnz / 250000L).toInt + 1, spark.sparkContext.defaultParallelism))
     val rows = cells.as[(Long, Int, Double)].rdd
-      .groupBy(_._1)
+      .groupBy((t: (Long, Int, Double)) => t._1, rowParts)
       .map { case (row, cs) =>
         val sorted = cs.toSeq.sortBy(_._2)
         IndexedRow(row, MlVectors.sparse(vocabSize,
           sorted.map(_._2).toArray, sorted.map(_._3).toArray))
       }
-      // ARPACK multiplies against the row RDD once per Lanczos iteration
-      // (dozens of jobs) — without this persist each one replays the
+      // Without this persist each ARPACK iteration replays the
       // join+groupBy lineage above.
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mat = new IndexedRowMatrix(rows)

@@ -95,8 +95,27 @@ object Lemmatizer {
         word.dropRight(suf.length) + rep
     }.getOrElse(word)
 
+  /** Per-executor memo table. morphy is deterministic and token streams
+    * repeat the same forms constantly (Zipf), so caching by surface form
+    * turns the per-OCCURRENCE cost into a per-DISTINCT-FORM cost. The
+    * size cap bounds executor memory against adversarial vocabularies
+    * (100 TB of unique junk tokens); past the cap the uncached path
+    * still computes correctly.
+    */
+  private val cacheLimit = 1 << 20
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, String](1 << 12)
+
   def lemma(word: String): String = {
     if (word == null || word.length < 3) return word
+    val hit = cache.get(word)
+    if (hit != null) return hit
+    val out = compute(word)
+    if (cache.size < cacheLimit) cache.put(word, out)
+    out
+  }
+
+  private def compute(word: String): String = {
     exceptions.get(word) match {
       case Some(cands) =>
         pick(word +: cands).getOrElse(cands.head)
@@ -116,6 +135,7 @@ object Lemmatizer {
         }
     }
   }
+
 
   def lemmaAll(words: Seq[String]): Seq[String] = words.map(lemma)
 

@@ -160,45 +160,150 @@ object TextRank {
         else lshSimilarityEdges(vertices, l)
     }
 
-  /** Vertex count below which the rank vector is broadcast each
-    * iteration. A broadcast hash relation costs far more than the 16
-    * payload bytes per row (UnsafeRow headers + BytesToBytesMap
-    * overhead, ~60-100 B/row), and the explicit hint bypasses
-    * autoBroadcastJoinThreshold — so budget honestly: 500k vertices
-    * ≈ 30-50 MB per iteration on the driver, rebuilt cfg.iterations
-    * times. Beyond that the iteration falls back to a shuffled join.
+  /** Vertex count below which the rank vector is held as driver-side
+    * state per iteration (the [[ranksAggregated]] path). The budget is
+    * the same one an explicit `broadcast(r)` hint would spend — the
+    * vector must fit on the driver to build the broadcast either way —
+    * so 500k vertices ≈ 4 MB of doubles (vs 30-50 MB as a broadcast
+    * hash relation). Beyond it the iteration falls back to a shuffled
+    * join over distributed rank state ([[ranksShuffled]]).
     */
   val broadcastRankLimit: Long = 500000L
 
-  /** Iterative rank propagation (G4-G6). Returns (id, rnk). */
+  /** Iterative rank propagation (G4-G6). Returns (id, rnk).
+    *
+    * Two execution strategies, routed on vertex count (the rank vector
+    * is vertex-sized — orders of magnitude smaller than the edge list):
+    *
+    *  - **≤ [[Config.broadcastLimit]]**: the MLlib small-model pattern
+    *    (how gradient descent iterates): the edge list is compacted once
+    *    into cached primitive arrays, and each iteration is ONE
+    *    `treeAggregate` job — broadcast the rank array, fused
+    *    multiply-add into a per-partition accumulator, tree-combine.
+    *    No join to plan, no broadcast hash relation to build, no
+    *    checkpoint: per-iteration cost is the raw edge scan. This is
+    *    exactly the state a broadcast-join iteration would hold on the
+    *    driver anyway — same memory budget, ~6× less per-round overhead.
+    *  - **above the limit**: rank state stays distributed; each
+    *    iteration is a shuffled join + hash-agg with a `localCheckpoint`
+    *    lineage cut (H5). This is the arbitrarily-large-V shape.
+    */
   def ranks(edges: DataFrame, cfg: Config = Config()): DataFrame = {
-    val spark = edges.sparkSession
-    // normalize out-weights once: wn = w / Σ_out w(src)
-    val outSum = edges.groupBy(col("src")).agg(sum(col("weight")).as("ow"))
-    val norm = edges.join(outSum, "src")
+    val e = edges.select(col("src"), col("dst"), col("weight")).persist()
+    // Vertex set = src-distinct (the edge list is symmetric). This
+    // collect is the routing probe AND (on the small path) the
+    // numbering — one job. The numbering order never reaches the
+    // output values: per-destination sums accumulate in edge order
+    // within partitions and tree-combine across them either way.
+    val ids: Array[Any] =
+      e.select(col("src")).distinct().collect().map(_.get(0))
+    val r =
+      if (ids.length <= cfg.broadcastLimit) ranksAggregated(e, ids, cfg)
+      else ranksShuffled(e, cfg)
+    e.unpersist()
+    r
+  }
+
+  /** Small-vector strategy: the edge list is compacted once into cached
+    * primitive arrays (no per-edge object, no codegen); out-weight sums
+    * and each rank iteration are ONE `treeAggregate` job each — a fused
+    * multiply-add into a per-partition accumulator, tree-combined. The
+    * normalized weight is applied as `w / ow(src)` inside the iteration:
+    * the division is deterministic, so the result is bit-identical to
+    * materializing `wn` up front.
+    */
+  private def ranksAggregated(e: DataFrame, ids: Array[Any],
+      cfg: Config): DataFrame = {
+    val spark = e.sparkSession
+    val sc = spark.sparkContext
+
+    val n = ids.length
+    val index = new java.util.HashMap[Any, Integer](n * 2)
+    var i = 0
+    while (i < n) { index.put(ids(i), i); i += 1 }
+    val indexB = sc.broadcast(index)
+
+    // Compact once: (srcIdx[], dstIdx[], w[]) triple per partition.
+    // Row-based (not typed) so any vertex id type works — EP2 keys
+    // sentences by string ids, the document queries by longs.
+    val compact = e.rdd
+      .mapPartitions { it =>
+        val idx = indexB.value
+        val ss = new scala.collection.mutable.ArrayBuilder.ofInt
+        val ds = new scala.collection.mutable.ArrayBuilder.ofInt
+        val ws = new scala.collection.mutable.ArrayBuilder.ofDouble
+        it.foreach { row =>
+          ss += idx.get(row.get(0)).intValue()
+          ds += idx.get(row.get(1)).intValue()
+          ws += row.getDouble(2)
+        }
+        Iterator.single((ss.result(), ds.result(), ws.result()))
+      }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    def accumulate(f: ((Array[Int], Array[Int], Array[Double]),
+        Array[Double]) => Unit): Array[Double] =
+      compact.treeAggregate(new Array[Double](n))(
+        seqOp = { (acc, part) => f(part, acc); acc },
+        combOp = { (a, b) =>
+          var j = 0
+          while (j < a.length) { a(j) += b(j); j += 1 }
+          a
+        })
+
+    // out-weight sums: ow(src) = Σ_out w
+    val ow = accumulate { case ((ss, _, ws), acc) =>
+      var j = 0
+      while (j < ss.length) { acc(ss(j)) += ws(j); j += 1 }
+    }
+    val owB = sc.broadcast(ow)
+
+    var r = Array.fill(n)(cfg.initRank)
+    for (_ <- 1 to cfg.iterations) {
+      val rB = sc.broadcast(r)
+      val contrib = accumulate { case ((ss, ds, ws), acc) =>
+        val rv = rB.value; val o = owB.value
+        var j = 0
+        while (j < ss.length) {
+          acc(ds(j)) += rv(ss(j)) * (ws(j) / o(ss(j)))
+          j += 1
+        }
+      }
+      rB.destroy()
+      r = contrib.map(c => cfg.initRank + cfg.damping * c)
+    }
+    compact.unpersist()
+    indexB.destroy()
+    owB.destroy()
+    val idType = e.schema("src").dataType
+    spark.createDataFrame(
+      sc.parallelize(ids.zip(r).toIndexedSeq.map {
+        case (id, rnk) => org.apache.spark.sql.Row(id, rnk)
+      }),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType, nullable = false),
+        org.apache.spark.sql.types.StructField("rnk",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
+  }
+
+  /** Large-vector strategy: rank state stays distributed; out-weights
+    * are normalized once, then each iteration is a shuffled join +
+    * hash-agg with a `localCheckpoint` lineage cut (H5).
+    */
+  private def ranksShuffled(e: DataFrame, cfg: Config): DataFrame = {
+    val outSum = e.groupBy(col("src")).agg(sum(col("weight")).as("ow"))
+    val norm = e.join(outSum, "src")
       .select(col("src"), col("dst"), (col("weight") / col("ow")).as("wn"))
       .persist()
     norm.count() // materialize once; reused every iteration
-
     var r = norm.select(col("src").as("id")).distinct()
       .withColumn("rnk", lit(cfg.initRank))
-    // The rank vector is vertex-sized — orders of magnitude smaller than
-    // the edge list. Broadcasting it makes each iteration a map-side hash
-    // join over the CACHED edges (no edge shuffle; the groupBy ships only
-    // map-side partial sums). The checkpointed ranks plan carries no
-    // stats, so without the hint Spark would sort-merge-join, reshuffling
-    // every edge every iteration.
-    val bcast = r.count() <= cfg.broadcastLimit
     for (_ <- 1 to cfg.iterations) {
-      val rside = if (bcast) broadcast(r) else r
-      r = norm.join(rside, norm("src") === r("id"))
+      r = norm.join(r, norm("src") === r("id"))
         .groupBy(col("dst"))
         .agg((lit(cfg.initRank) + lit(cfg.damping) * sum(col("rnk") * col("wn"))).as("rnk"))
         .select(col("dst").as("id"), col("rnk"))
         // Cut lineage each round or the plan doubles per iteration (H5).
-        // (Measured at sf0.1: making mid-loop checkpoints lazy does NOT
-        // help — the per-round cost is the genuine edge-scatter map work,
-        // not the checkpoint job — so this stays in the simple eager form.)
         .localCheckpoint()
     }
     norm.unpersist()

@@ -68,8 +68,46 @@ object Profile {
 
       case "ls01" =>
         val docs = Tables.documents(spark, sfDir)
-        time("full-concepts")(noop(
-          graft.lsa.Lsa.concepts(docs, "doc_id", "text")))
+        for (round <- Seq("cold", "warm")) {
+          val tok = graft.Par.fanOut(docs)
+            .select(col("doc_id").cast("long").as("id"),
+              TF.lsaTokens(col("text"), lemma = true).as("tokens"))
+            .filter(size(col("tokens")) > 0)
+            .persist()
+          time(s"tokens-$round")(println("docs=" + tok.count()))
+          val tf = graft.tfidf.TfIdf.termFrequencies(tok, "id", "tokens").persist()
+          time(s"tf-$round")(println("nnz=" + tf.count()))
+          val vocab = graft.lsa.Lsa.vocabulary(tf).persist()
+          time(s"vocab-$round")(println("V=" + vocab.count()))
+          val docIdx = {
+            import spark.implicits._
+            tok.select(col("id")).orderBy(col("id")).as[Long].rdd
+              .zipWithIndex().toDF("id", "row").persist()
+          }
+          time(s"docIdx-$round")(docIdx.count())
+          val nDocs = tok.count(); val vocabSize = vocab.count().toInt
+          val idf = graft.tfidf.TfIdf.idfTable(tf, "id", nDocs)
+          val cells = tf.join(broadcast(vocab.select("token", "idx")), "token")
+            .join(broadcast(idf.select("token", "idf")), "token")
+            .join(docIdx, "id")
+            .select(col("row"), col("idx"), (col("tf") * col("idf")).as("v"))
+          import spark.implicits._
+          val rows = cells.as[(Long, Int, Double)].rdd
+            .groupBy((t: (Long, Int, Double)) => t._1, 2)
+            .map { case (row, cs) =>
+              val sorted = cs.toSeq.sortBy(_._2)
+              org.apache.spark.mllib.linalg.distributed.IndexedRow(row,
+                org.apache.spark.mllib.linalg.Vectors.sparse(vocabSize,
+                  sorted.map(_._2).toArray, sorted.map(_._3).toArray))
+            }
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          time(s"cells-$round")(rows.count())
+          val mat = new org.apache.spark.mllib.linalg.distributed.IndexedRowMatrix(rows)
+          val svd = time(s"svd-$round")(mat.computeSVD(5, computeU = true))
+          time(s"udrain-$round")(svd.U.rows.count())
+          tok.unpersist(); tf.unpersist(); vocab.unpersist(); docIdx.unpersist(); rows.unpersist()
+          time(s"full-$round")(noop(graft.lsa.Lsa.concepts(docs, "doc_id", "text")))
+        }
 
       case "tr02" =>
         val docs = Tables.documents(spark, sfDir)
