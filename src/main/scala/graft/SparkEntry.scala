@@ -21,6 +21,10 @@ object SparkEntry {
     DedupQueries,
     SimilarityQueries,
     AnalysisQueries,
+    TemporalQueries,
+    SketchQueries,
+    CurationQueries,
+    IoQueries,
     StreamingQueries
   )
 

@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextAnalysis => TA}
+import graft.tables.Tables
+import graft.text.{StopWords, TextFunctions => TF}
+
+/** The end-to-end training-data curation pipeline — the composition a
+  * 100 TB pretraining corpus actually runs, as ONE declarative plan:
+  *
+  *   quality scoring → language-ID gate → exact near-dup canonicalization
+  *   (min doc_id per content hash) → curated corpus + per-language stats.
+  *
+  * Every stage reuses an operator that is individually oracle-green
+  * (a01 quality, a02 lang-ID, d01 content hashes), and the composed
+  * oracle replays the whole pipeline in SQL — so the gate checks the
+  * STAGES COMPOSE, not just that each works alone.
+  *
+  * Scale shape: narrow per-row expressions (quality, lang, hash), one
+  * hash-shuffle for the canonical-copy window (partitioned BY HASH — no
+  * global window), one partial-aggregated groupBy for the stats. No
+  * driver loops, no collects.
+  */
+object CurationQueries extends QueryProvider {
+
+  private val stopSql: String =
+    StopWords.nltkEnglishAlpha.map(w => s"'$w'").mkString("[", ",", "]")
+
+  /** Rounded quality-score filter threshold (filter on the ROUNDED
+    * value on both sides — oracle parity rule).
+    */
+  private val MinQuality = 0.5
+
+  /** Spark-side curated-doc plan: (doc_id, lang, quality, ws_tokens),
+    * quality-gated, lang-verified, canonical copy per content hash.
+    */
+  private def curated(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import s.implicits._
+    val tok = TF.tokenize($"text")
+    val scored = graft.Par.fanOut(Tables.documents(s, dir))
+      .select($"doc_id", $"lang",
+        TA.wsTokenCount($"text").cast("long").as("ws_tokens"),
+        round(TA.qualityScore($"text", tok), 6).as("quality"),
+        TA.languageId($"text").as("guessed"),
+        md5(Dedup.normalized($"text")).as("content_hash"))
+      .filter($"quality" >= MinQuality && $"guessed" === $"lang")
+    val canon = Window.partitionBy($"content_hash")
+    scored
+      .withColumn("keeper", min($"doc_id").over(canon))
+      .filter($"doc_id" === $"keeper")
+      .select($"doc_id", $"lang", $"quality", $"ws_tokens")
+  }
+
+  /** The a01 quality + a02 lang-ID + d01 hash fragments composed into
+    * one WITH chain ending in `curated`.
+    */
+  private val curatedSql: String = {
+    val lex = TA.lexicons.map { case (l, ws) =>
+      l -> ws.map(w => s"'$w'").mkString("[", ",", "]")
+    }
+    s"""base AS (SELECT doc_id, lang, text,
+       |  regexp_extract_all(lower(text),'[a-zA-Z]+') AS tok,
+       |  regexp_split_to_array(lower(text), '[^a-zA-Z]+') AS tk FROM documents),
+       |m AS (SELECT *,
+       |  len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 / greatest(length(text), 1) AS pr,
+       |  len(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / greatest(length(text), 1) AS dr,
+       |  len(list_filter(tok, x -> list_contains($stopSql, x))) * 1.0 / greatest(len(tok), 1) AS sr
+       |  FROM base),
+       |q AS (SELECT doc_id, lang, text,
+       |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+       |  round(least(len(tok) / 64.0, 1.0) * 0.3
+       |    + (1.0 - least(pr * 4.0, 1.0)) * 0.25
+       |    + (1.0 - least(dr * 4.0, 1.0)) * 0.2
+       |    + (1.0 - abs(sr - 0.4)) * 0.25, 6) AS quality,
+       |  len(list_filter(tk, x -> list_contains(${lex("en")}, x))) AS ven,
+       |  len(list_filter(tk, x -> list_contains(${lex("fr")}, x))) AS vfr,
+       |  len(list_filter(tk, x -> list_contains(${lex("es")}, x))) AS ves,
+       |  len(list_filter(tk, x -> list_contains(${lex("de")}, x))) AS vde
+       |  FROM m),
+       |g AS (SELECT *,
+       |  CASE WHEN len(regexp_replace(text, '[^\\p{Han}]', '', 'g')) > 0 THEN 'zh'
+       |    WHEN ven = greatest(ven, vfr, ves, vde) AND ven > 0 THEN 'en'
+       |    WHEN vfr = greatest(ven, vfr, ves, vde) AND vfr > 0 THEN 'fr'
+       |    WHEN ves = greatest(ven, vfr, ves, vde) AND ves > 0 THEN 'es'
+       |    WHEN vde = greatest(ven, vfr, ves, vde) AND vde > 0 THEN 'de'
+       |    ELSE 'und' END AS guessed
+       |  FROM q),
+       |gated AS (SELECT doc_id, lang, quality, ws_tokens,
+       |    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash
+       |  FROM g WHERE quality >= $MinQuality AND guessed = lang),
+       |curated AS (SELECT doc_id, lang, quality, ws_tokens FROM (
+       |    SELECT *, min(doc_id) OVER (PARTITION BY content_hash) AS keeper
+       |    FROM gated)
+       |  WHERE doc_id = keeper)""".stripMargin
+  }
+
+  override val all: Seq[Q] = Seq(
+
+    // The curated corpus itself — per-document decisions hash-checked.
+    Q(
+      "c01_curated_docs",
+      (s, dir) => {
+        import s.implicits._
+        curated(s, dir).orderBy($"doc_id")
+      },
+      Some(s"""WITH $curatedSql
+              |SELECT doc_id, lang, quality, ws_tokens
+              |FROM curated ORDER BY doc_id""".stripMargin),
+      bench = true),
+
+    // Per-language corpus stats over the curated set (the reporting
+    // stage of the pipeline).
+    Q(
+      "c02_curated_stats",
+      (s, dir) => {
+        import s.implicits._
+        curated(s, dir)
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"ws_tokens").as("total_tokens"),
+            round(avg($"quality"), 6).as("mean_quality"))
+          .orderBy($"lang")
+      },
+      Some(s"""WITH $curatedSql
+              |SELECT lang, count(*) AS n_docs, sum(ws_tokens) AS total_tokens,
+              |round(avg(quality), 6) AS mean_quality
+              |FROM curated GROUP BY lang ORDER BY lang""".stripMargin))
+  )
+}

@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.HllSketch
+import graft.tables.Tables
+
+/** Sketch / approximate-analytics operators (SURVEY §7.5): a
+  * deterministic FNV-based HyperLogLog (register table + estimate, both
+  * fully DuckDB-replayable — the reason this sketch exists instead of
+  * `approx_count_distinct`, whose xxhash64 registers no SQL oracle can
+  * recompute), and exact distributed quantiles.
+  *
+  * The oracle replays the full path: FNV-1a over the value's canonical
+  * string form in HUGEINT space, register = low p bits (hu % m), ρ =
+  * trailing-zero count of the remaining bits via exact power-of-two
+  * identities (`w & -w` isolates the lowest set bit; a 64-row powers
+  * table maps it to its exponent — floor(log2) in doubles would corrupt
+  * boundaries), max-ρ registers, and the harmonic estimate from an
+  * exact integer-scaled sum with the published α_64 constant. See
+  * `HllSketch` for why the split is LSB-side.
+  */
+object SketchQueries extends QueryProvider {
+
+  private val P = 6 // m = 64: both test SFs land on the RAW estimate
+  private val M = 1 << P
+
+  /** Powers-of-two CTE (exact HUGEINT values for i in [0, 63]). */
+  private val powsSql: String =
+    """pows AS (SELECT i, CASE WHEN i < 63 THEN (1::BIGINT << i)::HUGEINT
+      |  ELSE 9223372036854775808::HUGEINT END AS pv
+      |  FROM (SELECT unnest(range(64)) AS i))""".stripMargin
+
+  /** Shared CTE chain: distinct values → hash → (reg, ρ) → full m-row
+    * register grid per group.
+    */
+  private val gridSql: String = {
+    s"""vals AS (SELECT DISTINCT l_returnflag AS grp, l_partkey AS v FROM lineitem),
+       |h AS (SELECT grp, v, ${FnvSql.ofString("(v::VARCHAR)")} AS hu FROM vals),
+       |$powsSql,
+       |rr AS (SELECT grp, v, (hu % $M::HUGEINT) AS reg,
+       |  CAST(hu // $M::HUGEINT AS BIGINT) AS w FROM h),
+       |rho AS (SELECT r.grp, r.v, r.reg,
+       |  CASE WHEN r.w = 0 THEN ${65 - P} ELSE max(p.i) + 1 END AS rho
+       |  FROM rr r LEFT JOIN pows p ON p.pv = (r.w & (-r.w))::HUGEINT
+       |  GROUP BY r.grp, r.v, r.reg, r.w),
+       |obs AS (SELECT grp, reg, max(rho) AS maxrho FROM rho GROUP BY grp, reg),
+       |grid AS (SELECT g.grp, r.reg, CAST(coalesce(o.maxrho, 0) AS INTEGER) AS maxrho
+       |  FROM (SELECT DISTINCT l_returnflag AS grp FROM lineitem) g
+       |  CROSS JOIN (SELECT unnest(range($M)) AS reg) r
+       |  LEFT JOIN obs o ON o.grp = g.grp AND o.reg = r.reg)""".stripMargin
+  }
+
+  override val all: Seq[Q] = Seq(
+
+    // The register table itself — every (group, register, max ρ) cell
+    // hash-checked, i.e. the sketch STATE is verified exactly, not just
+    // the estimate.
+    Q(
+      "sk01_hll_registers",
+      (s, dir) => {
+        import s.implicits._
+        HllSketch.registerTable(
+          Tables.lineitem(s, dir), "l_returnflag", $"l_partkey", P)
+          .select($"grp", $"reg".cast("int").as("reg"), $"maxrho")
+          .orderBy($"grp", $"reg")
+      },
+      Some(s"""WITH $gridSql
+              |SELECT grp, CAST(reg AS INTEGER) AS reg, maxrho
+              |FROM grid ORDER BY grp, reg""".stripMargin)),
+
+    // Harmonic-mean estimate + linear-counting correction. The branch
+    // condition and the division are computed from exact integers on
+    // both sides, so the double math is deterministic across engines.
+    Q(
+      "sk02_hll_estimate",
+      (s, dir) => {
+        import s.implicits._
+        val regs = HllSketch.registerTable(
+          Tables.lineitem(s, dir), "l_returnflag", $"l_partkey", P)
+        HllSketch.estimates(regs, P)
+          .select($"grp", $"zeros", $"est")
+          .orderBy($"grp")
+      },
+      Some {
+        val scale = 64 - P + 1
+        val numer = HllSketch.alphaM2(P) * math.pow(2.0, scale)
+        s"""WITH $gridSql,
+           |agg AS (SELECT grp,
+           |  CAST(sum(CASE WHEN maxrho = 0 THEN 1 ELSE 0 END) AS INTEGER) AS zeros,
+           |  sum(((1::BIGINT << ($scale - maxrho))::HUGEINT)) AS sscaled
+           |  FROM grid GROUP BY grp)
+           |SELECT grp, zeros,
+           |round(CASE WHEN ($numer / sscaled::DOUBLE) <= ${2.5 * M}
+           |    AND zeros > 0
+           |  THEN ${M.toDouble} * ln(${M.toDouble} / zeros)
+           |  ELSE ($numer / sscaled::DOUBLE) END, 3) AS est
+           |FROM agg ORDER BY grp""".stripMargin
+      }),
+
+    // Exact distributed quantiles (Spark's `percentile` is the exact
+    // sort-based aggregate; DuckDB's `quantile_cont` shares the
+    // (n-1)·q linear-interpolation definition). The approximate scale
+    // path is `approx_percentile` (GK sketch) — same query shape, not
+    // oracle-checkable, covered by SketchSpec against this exact one.
+    Q(
+      "sk03_quantiles",
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .groupBy($"l_returnflag".as("grp"))
+          .agg(
+            round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+            round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+            round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+            round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))
+          .orderBy($"grp")
+      },
+      Some("""SELECT l_returnflag AS grp,
+             |round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+             |round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+             |round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+             |round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+             |FROM lineitem GROUP BY l_returnflag ORDER BY grp""".stripMargin))
+  )
+}

@@ -109,6 +109,42 @@ object StreamingQueries extends QueryProvider {
              |SELECT user_id, min(t) AS start_ms, max(t) AS end_ms,
              |count(*) AS n_events, round(sum(value),2) AS sum_value
              |FROM isl GROUP BY user_id, sid
-             |ORDER BY user_id, start_ms""".stripMargin))
+             |ORDER BY user_id, start_ms""".stripMargin)),
+
+    // Streaming exact dedup — the training-pipeline shape (a document
+    // stream deduplicated by content hash as it lands) through the REAL
+    // `dropDuplicates` state store. Output is the distinct hash set
+    // (key-only, so which physical copy arrived first cannot perturb
+    // the result), hash-compared against batch DISTINCT — the
+    // stream/batch backfill contract for dedup. At corpus scale the
+    // same plan takes a `withWatermark` to bound state; the gate replay
+    // is batch-complete so none is needed here.
+    Q(
+      "sm03_stream_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val sink = s"sm03_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val stage = Files.createTempDirectory("sm03_docs")
+        var q: org.apache.spark.sql.streaming.StreamingQuery = null
+        try {
+          Files.copy(Paths.get(s"$dir/documents.parquet"),
+            stage.resolve("documents.parquet"))
+          val schema = Tables.documents(s, dir).schema
+          val stream = s.readStream.schema(schema).parquet(stage.toString)
+          q = stream
+            .select(md5(graft.operators.Dedup.normalized($"text")).as("content_hash"))
+            .dropDuplicates("content_hash")
+            .writeStream.outputMode("append")
+            .format("memory").queryName(sink).start()
+          q.processAllAvailable()
+        } finally {
+          if (q != null) q.stop()
+          Files.deleteIfExists(stage.resolve("documents.parquet"))
+          Files.deleteIfExists(stage)
+        }
+        s.table(sink).select($"content_hash").orderBy($"content_hash")
+      },
+      Some("""SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash
+             |FROM documents ORDER BY content_hash""".stripMargin))
   )
 }

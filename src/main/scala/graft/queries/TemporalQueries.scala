@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsofJoin, RangeJoin}
+import graft.tables.Tables
+
+/** Temporal join operators over the event/order streams: backward as-of
+  * join (q21) and bucketized interval join (q22). Both oracles use an
+  * INDEPENDENT formulation (pair-explosion + QUALIFY top-1, and a plain
+  * range-predicate join DuckDB plans as IEJoin) so the gate checks the
+  * semantics, not a re-implementation of the same plan.
+  */
+object TemporalQueries extends QueryProvider {
+
+  override val all: Seq[Q] = Seq(
+
+    // For every click, the latest at-or-before purchase by the same
+    // user (ties at equal ts → greatest event_id). Clicks with no prior
+    // purchase survive with nulls — the left join semantics.
+    Q(
+      "q21_asof_join",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"event_id", $"user_id", $"ts")
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"event_id", $"user_id", $"ts", $"value")
+        AsofJoin.asofBackward(
+          clicks, purchases,
+          leftKey = "user_id", rightKey = "user_id",
+          leftTime = "ts", rightTime = "ts",
+          payload = Seq("event_id", "value"), rightTie = "event_id")
+          .select($"event_id", $"user_id",
+            $"asof_event_id", round($"asof_value", 6).as("asof_value"))
+          .orderBy($"event_id")
+      },
+      Some("""SELECT c.event_id, c.user_id,
+             |  p.event_id AS asof_event_id, round(p.value, 6) AS asof_value
+             |FROM (SELECT * FROM events WHERE event_type = 'click') c
+             |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+             |  ON p.user_id = c.user_id AND p.ts <= c.ts
+             |QUALIFY row_number() OVER (PARTITION BY c.event_id
+             |  ORDER BY p.ts DESC NULLS LAST, p.event_id DESC NULLS LAST) = 1
+             |ORDER BY c.event_id""".stripMargin)),
+
+    // Pure range join (no equality key): per urgent order, lineitems —
+    // of ANY order — shipped within [orderdate, orderdate + 7 days).
+    // The engine buckets the time axis at the interval width, so the
+    // join is a shuffled equi-join on bucket id; the oracle states the
+    // range predicate directly.
+    Q(
+      "q22_range_join",
+      (s, dir) => {
+        import s.implicits._
+        val iv = Tables.orders(s, dir)
+          .filter($"o_orderpriority" === "1-URGENT")
+          .select($"o_orderkey",
+            unix_timestamp($"o_orderdate").as("lo"),
+            (unix_timestamp($"o_orderdate") + lit(7L * 86400)).as("hi"))
+        val pts = Tables.lineitem(s, dir)
+          .select($"l_quantity", unix_timestamp($"l_shipdate").as("pt"))
+        RangeJoin.intervalJoin(iv, "lo", "hi", pts, "pt",
+          bucketWidth = 7L * 86400)
+          .groupBy($"o_orderkey")
+          .agg(count(lit(1)).as("n_items"),
+            round(sum($"l_quantity"), 2).as("sum_qty"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o.o_orderkey, count(*) AS n_items,
+             |  round(sum(l.l_quantity), 2) AS sum_qty
+             |FROM orders o JOIN lineitem l
+             |  ON l.l_shipdate >= o.o_orderdate
+             | AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+             |WHERE o.o_orderpriority = '1-URGENT'
+             |GROUP BY o.o_orderkey ORDER BY o.o_orderkey""".stripMargin))
+  )
+}
