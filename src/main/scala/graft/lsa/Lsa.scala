@@ -105,9 +105,14 @@ object Lsa {
     }
 
     val idf = TfIdf.idfTable(tf, "id", nDocs)
+    // docIdx is doc-count-sized: broadcast while it fits a sane driver
+    // budget (~16 B/row → 1M docs ≈ 60-100 MB hashed) so the cell join
+    // is map-side; at corpus scale it falls back to a shuffled join.
+    val docIdxSide =
+      if (nDocs <= 1000000L) broadcast(docIdx) else docIdx
     val cells = tf.join(broadcast(vocab.select("token", "idx")), "token")
       .join(broadcast(idf.select("token", "idf")), "token")
-      .join(docIdx, "id")
+      .join(docIdxSide, "id")
       .select(col("row"), col("idx"), (col("tf") * col("idf")).as("v"))
 
     // ARPACK runs one treeAggregate job over this RDD per Lanczos
