@@ -245,4 +245,40 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("a"), col("b"), col("cosine"))
   }
+
+  /** Edit-distance near-dup pairs over (id, key): all unordered pairs
+    * with `levenshtein(key_a, key_b) <= maxDist`.
+    *
+    * LOSSLESS length banding instead of the all-pairs cross join:
+    * `|len(a) - len(b)| <= lev(a, b)`, so a pair within distance k can
+    * only span length bands of width k that are equal or adjacent —
+    * each key joins its own band plus band+1 (the `src < dst`-style
+    * halving comes free: same-band pairs dedup on id, adjacent-band
+    * pairs are generated once in band order). The quadratic work drops
+    * from |D|² to Σ per-band² over a skew-bounded distribution, and the
+    * band id is a plain shuffled equi-join key Catalyst partitions —
+    * the same shape as the SimHash chunk banding (pigeonhole, exact
+    * recall) rather than MinHash (probabilistic recall).
+    */
+  def editDistanceNearDuplicates(keys: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist >= 1, "maxDist must be >= 1")
+    val banded = keys.select(col("id"), col("key"),
+      floor(length(col("key")) / maxDist).cast("long").as("band"))
+    // The probe side carries two tags (its band and band+1), the build
+    // side its band only, keeping the join a pure shuffled EQUI-join
+    // (an OR of band conditions would fall back to nested-loop). A
+    // same-band pair meets once after the a<b halving; an adjacent-band
+    // pair meets exactly once, with the lower-band row on the probe
+    // side — then the output is normalized to id order.
+    val l = banded.select(col("id").as("a"), col("key").as("ka"),
+      col("band"), explode(array(col("band"), col("band") + 1)).as("tag"))
+    val r = banded.select(col("id").as("b"), col("key").as("kb"),
+      col("band").as("band_r"))
+    l.join(r, col("tag") === col("band_r"))
+      .filter(col("band") =!= col("band_r") || col("a") < col("b"))
+      .withColumn("dist", levenshtein(col("ka"), col("kb")))
+      .filter(col("dist") <= maxDist)
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"), col("dist"))
+  }
 }

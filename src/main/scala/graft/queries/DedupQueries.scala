@@ -212,6 +212,31 @@ object DedupQueries extends QueryProvider {
              |round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
              |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
              |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35
+             |ORDER BY a, b""".stripMargin)),
+
+    // Edit-distance near-dup over the normalized text: the engine runs
+    // the lossless length-banded equi-join (|len Δ| ≤ k bounds band Δ
+    // to ≤ 1 — pigeonhole, exact recall); the oracle states the naive
+    // length-prefiltered quadratic independently. Both engines share
+    // the classic Wagner-Fischer levenshtein definition.
+    Q(
+      "d08_editdist_neardup",
+      (s, dir) => {
+        import s.implicits._
+        val keys = Tables.documents(s, dir)
+          .select($"doc_id".as("id"), Dedup.normalized($"text").as("key"))
+        Dedup.editDistanceNearDuplicates(keys, maxDist = 8)
+          .select($"a", $"b", $"dist".cast("int").as("dist"))
+          .orderBy($"a", $"b")
+      },
+      Some("""WITH n AS (SELECT doc_id AS id,
+             |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS k
+             |  FROM documents),
+             |cand AS (SELECT a.id AS a, b.id AS b, a.k AS ka, b.k AS kb
+             |  FROM n a JOIN n b ON a.id < b.id
+             |    AND length(b.k) BETWEEN length(a.k) - 8 AND length(a.k) + 8)
+             |SELECT a, b, CAST(levenshtein(ka, kb) AS INTEGER) AS dist
+             |FROM cand WHERE levenshtein(ka, kb) <= 8
              |ORDER BY a, b""".stripMargin))
   )
 }

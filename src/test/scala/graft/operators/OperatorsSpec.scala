@@ -64,6 +64,36 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((0L, 2L)))
   }
 
+  test("edit-distance banding equals the naive quadratic on random keys") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcde"
+    val keys = (1 to 150).map { i =>
+      val len = 5 + rnd.nextInt(30)
+      (i.toLong, (0 until len).map(_ => alphabet(rnd.nextInt(5))).mkString)
+    }
+    val df = keys.toDF("id", "key")
+    for (k <- Seq(2, 5)) {
+      val fast = Dedup.editDistanceNearDuplicates(df, k)
+        .select($"a", $"b", $"dist").as[(Long, Long, Int)].collect().toSet
+      val naive = (for {
+        (ia, ka) <- keys; (ib, kb) <- keys if ia < ib
+        d = levenshteinRef(ka, kb) if d <= k
+      } yield (ia, ib, d)).toSet
+      assert(fast === naive, s"k=$k")
+    }
+  }
+
+  /** Straight Wagner-Fischer reference. */
+  private def levenshteinRef(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+        dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    dp(a.length)(b.length)
+  }
+
   test("label propagation clusters a chain and keeps components apart") {
     // chain 5-3-7 plus pair (10,12); 9 appears nowhere -> absent
     val pairs = Seq((5L, 3L), (3L, 7L), (10L, 12L)).toDF("a", "b")
