@@ -126,6 +126,33 @@ object CurationQueries extends QueryProvider {
       Some(s"""WITH $curatedSql
               |SELECT lang, count(*) AS n_docs, sum(ws_tokens) AS total_tokens,
               |round(avg(quality), 6) AS mean_quality
-              |FROM curated GROUP BY lang ORDER BY lang""".stripMargin))
+              |FROM curated GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Deterministic train/val/test assignment by content-independent
+    // hash bucketing — the production split technique (reproducible
+    // across runs, engines and re-shards, unlike `df.sample`, whose RNG
+    // stream is implementation-defined and thus un-oracle-able). FNV of
+    // the canonical id string mod 100 → 80/10/10.
+    Q(
+      "c03_hash_split",
+      (s, dir) => {
+        import s.implicits._
+        val bucket = pmod(graft.functions.Fnv.fnv1a64($"doc_id".cast("string")),
+          lit(100L)).cast("int")
+        Tables.documents(s, dir)
+          .select($"doc_id", bucket.as("bucket"),
+            when(bucket < 80, "train").when(bucket < 90, "val")
+              .otherwise("test").as("split"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH h0 AS (SELECT doc_id,
+              |  ${FnvSql.toSigned(FnvSql.ofString("(doc_id::VARCHAR)"))} AS hs
+              |  FROM documents),
+              |h AS (SELECT doc_id,
+              |  CAST(((hs % 100) + 100) % 100 AS INTEGER) AS bucket FROM h0)
+              |SELECT doc_id, bucket,
+              |CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+              |  ELSE 'test' END AS split
+              |FROM h ORDER BY doc_id""".stripMargin))
   )
 }
