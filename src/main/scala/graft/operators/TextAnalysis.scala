@@ -25,28 +25,18 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den",
       "ein", "eine", "zu", "nicht", "auf", "sich", "dem", "des"))
 
-  private def lexVotes(tokens: Column, lex: Seq[String]): Column = {
-    val arr = array(lex.map(lit): _*)
-    size(filter(tokens, t => array_contains(arr, t)))
-  }
-
   /** Heuristic language guess over lowercase word tokens: CJK char
     * presence wins for "zh"; otherwise the function-word lexicon with the
     * most votes (ties broken by lexicon order en,fr,es,de); "und"
     * (undetermined) when no lexicon matches.
     */
-  def languageId(text: Column): Column = {
-    val tokens = split(lower(text), "[^a-zA-Z]+")
-    val votes = Seq("en", "fr", "es", "de").map(l => l -> lexVotes(tokens, lexicons(l)))
-    val best = votes.map(_._2).reduce((a, b) => greatest(a, b))
-    // left-to-right when-chain so "en" wins ties
-    val ordered = votes.foldLeft(None: Option[Column]) {
-      case (None, (lang, v)) => Some(when(v === best && v > 0, lit(lang)))
-      case (Some(c), (lang, v)) => Some(c.when(v === best && v > 0, lit(lang)))
-    }.get.otherwise(lit("und"))
-    when(length(regexp_replace(text, "[^\\p{IsHan}]", "")) > 0, lit("zh"))
-      .otherwise(ordered)
-  }
+  def languageId(text: Column): Column =
+    // Native one-pass form of: Han-char probe → lexicon votes over
+    // split(lower(text), "[^a-zA-Z]+") → greatest with en,fr,es,de tie
+    // order → "und". The composed-builtin original repeated the
+    // O(tokens × lexicon) vote subexpression ~6× through the
+    // greatest/when chain; see [[graft.functions.TextNative]].
+    graft.functions.TextNative.lang_id(text)
 
   def punctRatio(text: Column): Column =
     length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("double") /
@@ -56,11 +46,11 @@ object TextAnalysis {
     length(regexp_replace(text, "[^0-9]", "")).cast("double") /
       greatest(length(text), lit(1))
 
-  def stopwordRatio(tokens: Column): Column = {
-    val stop = array(StopWords.nltkEnglishAlpha.map(lit): _*)
-    size(filter(tokens, t => array_contains(stop, t))).cast("double") /
+  def stopwordRatio(tokens: Column): Column =
+    // hashed-set occurrence count (duplicates counted), identical to
+    // size(filter(tokens, array_contains(<nltk list>, t)))
+    graft.functions.TextNative.nltk_stop_count(tokens).cast("double") /
       greatest(size(tokens), lit(1))
-  }
 
   def meanWordLen(tokens: Column): Column =
     aggregate(tokens, lit(0.0), (acc, t) => acc + length(t)).cast("double") /
