@@ -54,6 +54,26 @@ class TemporalJoinSpec extends SparkSpec {
     assert(out === Seq(19L))
   }
 
+  test("asofBackward equals the naive per-left top-1 on random data") {
+    val rnd = new scala.util.Random(11)
+    val left = (1 to 400).map(i =>
+      (i.toLong, rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong))
+    val right = (1 to 400).map(i =>
+      (1000L + i, rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong,
+        rnd.nextInt(100).toDouble))
+    val out = AsofJoin.asofBackward(
+      left.toDF("lid", "k", "t"), right.toDF("rid", "k", "t", "v"),
+      "k", "k", "t", "t", Seq("rid", "v"), "rid")
+      .select($"lid", $"asof_rid")
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Long]))).toMap
+    left.foreach { case (lid, k, t) =>
+      val naive = right.filter(r => r._2 == k && r._3 <= t)
+        .sortBy(r => (r._3, r._1)).lastOption.map(_._1)
+      assert(out(lid) === naive, s"lid=$lid")
+    }
+  }
+
   test("bucketized interval join equals the naive range predicate") {
     val rnd = new scala.util.Random(42)
     val intervals = (1 to 200).map { i =>
