@@ -16,6 +16,14 @@ object GraftFunctions {
       exprs => Fnv1a64(exprs(0)))
     ColumnBridge.registerFunction(spark, "fnv1a_perm",
       exprs => Fnv.permBuilder(exprs))
+    ColumnBridge.registerFunction(spark, "nlz_plus1",
+      exprs => NlzPlus1(exprs(0)))
+    ColumnBridge.registerFunction(spark, "ntz_plus1",
+      exprs => NtzPlus1(exprs(0)))
+    ColumnBridge.registerFunction(spark, "lang_id",
+      exprs => LangIdExpr(exprs(0)))
+    ColumnBridge.registerFunction(spark, "nltk_stop_count",
+      exprs => NltkStopCount(exprs(0)))
   }
 }
 
@@ -42,5 +50,29 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         classOf[Fnv1aPerm].getName, "fnv1a_perm"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         Fnv.permBuilder(exprs)))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("nlz_plus1"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[NlzPlus1].getName, "nlz_plus1"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        NlzPlus1(exprs(0))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("ntz_plus1"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[NtzPlus1].getName, "ntz_plus1"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        NtzPlus1(exprs(0))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("lang_id"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[LangIdExpr].getName, "lang_id"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        LangIdExpr(exprs(0))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("nltk_stop_count"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[NltkStopCount].getName, "nltk_stop_count"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        NltkStopCount(exprs(0))))
   }
 }

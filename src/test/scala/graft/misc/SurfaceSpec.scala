@@ -18,6 +18,16 @@ class SqlFunctionSpec extends SparkSpec {
     assert(r == 2)
   }
 
+  test("round-3 expressions callable from SQL text after registration") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT ntz_plus1(8L) AS a, nlz_plus1(1L) AS b,
+        |lang_id('the cat and the dog is here for you') AS c,
+        |nltk_stop_count(array('the', 'cat', 'and')) AS d""".stripMargin)
+      .as[(Int, Int, String, Int)].head()
+    assert(r == ((4, 64, "en", 2)))
+  }
+
   test("extensions class injects the function via SparkSessionExtensions") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.functions.GraftExtensions().apply(ext)
