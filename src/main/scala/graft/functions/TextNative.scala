@@ -105,9 +105,45 @@ object TextNative {
     c
   }
 
+  /** One-pass insertion-ordered token→count map (the reference's
+    * `DataParser.tf` shape). O(n) per row vs the composed
+    * `map_from_entries(transform(array_distinct(...), filter-count))`
+    * form's O(n·distinct).
+    */
+  def tokenCounts(tokens: ArrayData)
+      : org.apache.spark.sql.catalyst.util.MapData = {
+    val m = new java.util.LinkedHashMap[UTF8String, Integer]()
+    var i = 0
+    while (i < tokens.numElements()) {
+      if (!tokens.isNullAt(i)) {
+        val t = tokens.getUTF8String(i)
+        val c = m.get(t)
+        m.put(t, if (c == null) 1 else c + 1)
+      }
+      i += 1
+    }
+    val keys = new Array[Any](m.size)
+    val vals = new Array[Any](m.size)
+    val it = m.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      keys(j) = e.getKey; vals(j) = e.getValue.intValue()
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(keys),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(vals))
+  }
+
   def lang_id(text: Column): Column = {
     import org.apache.spark.sql.graft.ColumnBridge
     ColumnBridge.column(LangIdExpr(ColumnBridge.expression(text)))
+  }
+
+  def token_counts(tokens: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(TokenCountsExpr(ColumnBridge.expression(tokens)))
   }
 
   def nltk_stop_count(tokens: Column): Column = {
@@ -136,6 +172,31 @@ case class LangIdExpr(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, s => s"graft.functions.TextNative.langId($s)")
 
   override protected def withNewChildInternal(newChild: Expression): LangIdExpr =
+    copy(child = newChild)
+}
+
+@ExpressionDescription(
+  usage = "token_counts(tokens) - insertion-ordered token -> occurrence-count map")
+case class TokenCountsExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.MapType(StringType, IntegerType,
+      valueContainsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"token_counts expects array<string>, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(a: Any): Any =
+    TextNative.tokenCounts(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.TextNative.tokenCounts($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenCountsExpr =
     copy(child = newChild)
 }
 

@@ -17,20 +17,24 @@ import org.apache.spark.sql.functions._
 object TfIdf {
 
   /** Per-row term-frequency MAP (the reference's `DataParser.tf` shape,
-    * BigdataProjectCode.py:77-82 — A1 in map form). The relational
-    * explode+agg form below is preferred at scale; this covers the
-    * MapType column surface (SURVEY §1.2).
+    * BigdataProjectCode.py:77-82 — A1 in map form): a one-pass native
+    * expression (O(tokens), insertion-ordered).
     */
   def tfMapCol(tokens: Column): Column =
-    map_from_entries(transform(array_distinct(tokens),
-      t => struct(t, size(filter(tokens, x => x === t)))))
+    graft.functions.TextNative.token_counts(tokens)
 
-  /** (id, token, tf) pairs — A1 as explode + hash agg. */
+  /** (id, token, tf) pairs — A1. NARROW: term frequency is a per-ROW
+    * quantity, so it is counted row-locally ([[tfMapCol]]) and the map
+    * exploded — no shuffle at all, where the explode + groupBy(id,
+    * token) form reshuffles every token occurrence. Downstream DF/IDF
+    * aggregate these already-collapsed pairs (one row per (doc, term)),
+    * so the whole TF-IDF build shuffles |pairs|, not |occurrences|.
+    */
   def termFrequencies(tokens: DataFrame, idCol: String, tokensCol: String): DataFrame =
     tokens
-      .select(col(idCol), explode(col(tokensCol)).as("token"))
-      .groupBy(col(idCol), col("token"))
-      .agg(count(lit(1)).as("tf"))
+      .select(col(idCol), explode(tfMapCol(col(tokensCol))))
+      .select(col(idCol), col("key").as("token"),
+        col("value").cast("long").as("tf"))
 
   /** (token, df) — A3: number of documents containing the token. */
   def docFrequencies(tf: DataFrame, idCol: String): DataFrame =
