@@ -145,6 +145,62 @@ object StreamingQueries extends QueryProvider {
         s.table(sink).select($"content_hash").orderBy($"content_hash")
       },
       Some("""SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash
-             |FROM documents ORDER BY content_hash""".stripMargin))
+             |FROM documents ORDER BY content_hash""".stripMargin)),
+
+    // Stream-STREAM inner join (state on both sides — the capability
+    // windowed aggregation and dedup don't exercise): every click
+    // paired with the same user's purchases in the preceding hour. Both
+    // branches carry watermarks so the join state is bounded by the
+    // time-range condition (the production shape); inner-join matches
+    // emit without waiting for the watermark, so the batch-complete
+    // replay is deterministic and equals the batch join the oracle
+    // states directly.
+    Q(
+      "sm04_stream_join",
+      (s, dir) => {
+        import s.implicits._
+        val batchSchema = Tables.events(s, dir).schema
+        val rawSchema = StructType(batchSchema.map {
+          case f if f.name == "ts" => f.copy(dataType = LongType)
+          case f => f
+        })
+        val sink = s"sm04_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val stage = Files.createTempDirectory("sm04_events")
+        var q: org.apache.spark.sql.streaming.StreamingQuery = null
+        try {
+          Files.copy(Paths.get(s"$dir/events.parquet"),
+            stage.resolve("events.parquet"))
+          val stream = s.readStream.schema(rawSchema).parquet(stage.toString)
+            .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          val clicks = stream.filter($"event_type" === "click")
+            .select($"event_id".as("click_id"), $"user_id".as("cu"),
+              $"ts".as("cts"))
+            .withWatermark("cts", "2 hours")
+          val purchases = stream.filter($"event_type" === "purchase")
+            .select($"event_id".as("purchase_id"), $"user_id".as("pu"),
+              $"ts".as("pts"))
+            .withWatermark("pts", "2 hours")
+          q = clicks.join(purchases,
+              $"pu" === $"cu" &&
+                $"pts" >= $"cts" - expr("INTERVAL 1 HOUR") &&
+                $"pts" <= $"cts")
+            .select($"click_id", $"purchase_id")
+            .writeStream.outputMode("append")
+            .format("memory").queryName(sink).start()
+          q.processAllAvailable()
+        } finally {
+          if (q != null) q.stop()
+          Files.deleteIfExists(stage.resolve("events.parquet"))
+          Files.deleteIfExists(stage)
+        }
+        s.table(sink).select($"click_id", $"purchase_id")
+          .orderBy($"click_id", $"purchase_id")
+      },
+      Some("""SELECT c.event_id AS click_id, p.event_id AS purchase_id
+             |FROM events c JOIN events p
+             |  ON p.user_id = c.user_id
+             | AND c.event_type = 'click' AND p.event_type = 'purchase'
+             | AND p.ts BETWEEN c.ts - INTERVAL 1 HOUR AND c.ts
+             |ORDER BY click_id, purchase_id""".stripMargin))
   )
 }
