@@ -93,6 +93,40 @@ object TextNative {
     if (bestIdx < 0) und else langU(bestIdx)
   }
 
+  /** One-pass "punct" count: chars outside [A-Za-z0-9] and Java's `\\s`
+    * class ([ \t\n\x0B\f\r]) - exactly
+    * `length(regexp_replace(text, "[A-Za-z0-9\\s]", ""))`. Counts are
+    * UTF-16 units, matching `length` of the replaced string (non-BMP
+    * codepoints count as 2 in both forms - each half is "punct").
+    */
+  def punctCount(text: UTF8String): Int = {
+    val s = text.toString
+    var punct = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val isDigit = c >= '0' && c <= '9'
+      val isAlpha = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+      val isWs = c == ' ' || c == '\t' || c == '\n' || c == '\u000B' ||
+        c == '\f' || c == '\r'
+      if (!isDigit && !isAlpha && !isWs) punct += 1
+      i += 1
+    }
+    punct
+  }
+
+  /** [0-9] count = `length(regexp_replace(text, "[^0-9]", ""))`. */
+  def digitCount(text: UTF8String): Int = {
+    val s = text.toString
+    var digit = 0
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) >= '0' && s.charAt(i) <= '9') digit += 1
+      i += 1
+    }
+    digit
+  }
+
   /** Stopword occurrences (duplicates counted; null elements ignored). */
   def stopCount(tokens: ArrayData): Int = {
     var c = 0
@@ -150,6 +184,49 @@ object TextNative {
     import org.apache.spark.sql.graft.ColumnBridge
     ColumnBridge.column(NltkStopCount(ColumnBridge.expression(tokens)))
   }
+
+  def punct_count(text: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(PunctCount(ColumnBridge.expression(text)))
+  }
+
+  def digit_count(text: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(DigitCount(ColumnBridge.expression(text)))
+  }
+}
+
+/** Base for the one-pass string-counter expressions. */
+abstract class StringCountExpr extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects a string argument, got ${other.catalogString}")
+    }
+}
+
+@ExpressionDescription(
+  usage = "punct_count(text) - chars outside [A-Za-z0-9] and \\s, one pass")
+case class PunctCount(child: Expression) extends StringCountExpr {
+  override def nullSafeEval(s: Any): Any =
+    TextNative.punctCount(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.TextNative.punctCount($s)")
+  override protected def withNewChildInternal(newChild: Expression): PunctCount =
+    copy(child = newChild)
+}
+
+@ExpressionDescription(
+  usage = "digit_count(text) - [0-9] char count, one pass")
+case class DigitCount(child: Expression) extends StringCountExpr {
+  override def nullSafeEval(s: Any): Any =
+    TextNative.digitCount(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.TextNative.digitCount($s)")
+  override protected def withNewChildInternal(newChild: Expression): DigitCount =
+    copy(child = newChild)
 }
 
 @ExpressionDescription(

@@ -39,11 +39,13 @@ object TextAnalysis {
     graft.functions.TextNative.lang_id(text)
 
   def punctRatio(text: Column): Column =
-    length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("double") /
+    // one-pass native counter = length(regexp_replace(text,
+    // "[A-Za-z0-9\\s]", "")) without materializing the stripped string
+    graft.functions.TextNative.punct_count(text).cast("double") /
       greatest(length(text), lit(1))
 
   def digitRatio(text: Column): Column =
-    length(regexp_replace(text, "[^0-9]", "")).cast("double") /
+    graft.functions.TextNative.digit_count(text).cast("double") /
       greatest(length(text), lit(1))
 
   def stopwordRatio(tokens: Column): Column =
