@@ -317,7 +317,9 @@ object Relational extends QueryProvider {
         val supp = Tables.supplier(s, dir)
         val nat = Tables.nation(s, dir)
         val reg = Tables.region(s, dir)
-        li.join(ord, $"l_orderkey" === $"o_orderkey")
+        // fact-fact join: SHUFFLE_HASH skips sort-merge's two per-partition
+        // sorts (both sides shuffle either way; AQE still splits skew)
+        li.join(ord.hint("SHUFFLE_HASH"), $"l_orderkey" === $"o_orderkey")
           .join(broadcast(cust), $"o_custkey" === $"c_custkey")
           .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
           .filter($"c_nationkey" === $"s_nationkey")
