@@ -127,6 +127,28 @@ object TextNative {
     digit
   }
 
+  /** Tokens with NLTK stopwords removed — duplicates and order
+    * preserved (array_except would dedup, wrong for TextRank's
+    * duplicate-length semantics). One hashed-set pass, =
+    * `filter(tokens, t => !array_contains(<nltk list>, t))`.
+    */
+  def removeStops(tokens: ArrayData): ArrayData = {
+    val n = tokens.numElements()
+    val out = new java.util.ArrayList[AnyRef](n)
+    var i = 0
+    while (i < n) {
+      // null elements are dropped, exactly like the filter form (its
+      // !array_contains predicate is null-valued on null, not true)
+      if (!tokens.isNullAt(i)) {
+        val t = tokens.getUTF8String(i)
+        if (!stopSet.contains(t)) out.add(t)
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(new Array[AnyRef](out.size)))
+  }
+
   /** Stopword occurrences (duplicates counted; null elements ignored). */
   def stopCount(tokens: ArrayData): Int = {
     var c = 0
@@ -190,6 +212,11 @@ object TextNative {
     ColumnBridge.column(PunctCount(ColumnBridge.expression(text)))
   }
 
+  def remove_stopwords(tokens: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(RemoveStopwords(ColumnBridge.expression(tokens)))
+  }
+
   def digit_count(text: Column): Column = {
     import org.apache.spark.sql.graft.ColumnBridge
     ColumnBridge.column(DigitCount(ColumnBridge.expression(text)))
@@ -205,6 +232,29 @@ abstract class StringCountExpr extends UnaryExpression {
       case other => TypeCheckResult.TypeCheckFailure(
         s"$prettyName expects a string argument, got ${other.catalogString}")
     }
+}
+
+@ExpressionDescription(
+  usage = "remove_stopwords(tokens) - drop NLTK English stopwords, keeping duplicates and order")
+case class RemoveStopwords(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = child.dataType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"remove_stopwords expects array<string>, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(a: Any): Any =
+    TextNative.removeStops(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.TextNative.removeStops($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): RemoveStopwords =
+    copy(child = newChild)
 }
 
 @ExpressionDescription(

@@ -26,10 +26,10 @@ object TextFunctions {
   /** Drop NLTK stopwords, preserving duplicates + order (array_except
     * would dedup — wrong for TextRank's length semantics, SURVEY G2).
     */
-  def removeStopwords(tokens: Column): Column = {
-    val stop = array(StopWords.nltkEnglishAlpha.map(lit): _*)
-    filter(tokens, t => !array_contains(stop, t))
-  }
+  def removeStopwords(tokens: Column): Column =
+    // native hashed-set pass; the filter/array_contains form scanned
+    // the 120-word literal array once per token
+    graft.functions.TextNative.remove_stopwords(tokens)
 
   def minTokenLength(tokens: Column, minLen: Int): Column =
     filter(tokens, t => length(t) >= minLen)
