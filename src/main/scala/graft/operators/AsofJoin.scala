@@ -44,13 +44,20 @@ object AsofJoin {
     val leftStruct = struct(left.columns.map(col).toIndexedSeq: _*)
     val leftType = left.select(leftStruct).schema.head.dataType
 
-    val rSide = right.select(
-      col(rightKey).cast("long").as("__k"),
-      col(rightTime).as("__t"),
-      lit(0).as("__tag"),
-      col(rightTie).cast("long").as("__tie"),
-      payloadStruct.as("__p"),
-      lit(null).cast(leftType).as("__l"))
+    // SQL join semantics: a NULL key or NULL time never matches, so
+    // such right rows must not enter the window (they would otherwise
+    // sort into the null-key partition / nulls-first position and be
+    // carried onto left rows there). Left rows with nulls pass through
+    // and simply find no earlier payload.
+    val rSide = right
+      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .select(
+        col(rightKey).cast("long").as("__k"),
+        col(rightTime).as("__t"),
+        lit(0).as("__tag"),
+        col(rightTie).cast("long").as("__tie"),
+        payloadStruct.as("__p"),
+        lit(null).cast(leftType).as("__l"))
     val lSide = left.select(
       col(leftKey).cast("long").as("__k"),
       col(leftTime).as("__t"),

@@ -54,6 +54,25 @@ class TemporalJoinSpec extends SparkSpec {
     assert(out === Seq(19L))
   }
 
+  test("asofBackward never matches null keys or times (SQL join semantics)") {
+    val left = Seq(
+      (1L, Some(5L), Some(100L)),
+      (2L, None, Some(100L)), // null key: no match possible
+      (3L, Some(5L), None) // null time: comparison is null, no match
+    ).toDF("lid", "k", "t")
+    val right = Seq(
+      (11L, Some(5L), Some(50L), 1.0),
+      (12L, None, Some(40L), 2.0), // null-key right row must not be carried
+      (13L, Some(5L), None, 3.0) // null-time right row must not be carried
+    ).toDF("rid", "k", "t", "v")
+    val out = AsofJoin.asofBackward(left, right,
+      "k", "k", "t", "t", Seq("rid", "v"), "rid")
+      .select($"lid", $"asof_rid")
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Long]))).toMap
+    assert(out === Map(1L -> Some(11L), 2L -> None, 3L -> None))
+  }
+
   test("asofBackward equals the naive per-left top-1 on random data") {
     val rnd = new scala.util.Random(11)
     val left = (1 to 400).map(i =>
