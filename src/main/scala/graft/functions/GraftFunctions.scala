@@ -32,6 +32,7 @@ object GraftFunctions {
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => graft.plans.FuseTextExpressions)
     e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("intersect_size"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

@@ -1,0 +1,50 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.{DigitCount, IntersectSize, PunctCount}
+
+/** Optimizer rule: rewrite composed-builtin patterns into the engine's
+  * fused native expressions, so a user writing PLAIN declarative Spark
+  * gets the fast paths without knowing they exist:
+  *
+  *  - `size(array_intersect(a, b))` over string arrays →
+  *    `intersect_size(a, b)` (skips materializing the intersection
+  *    array per row — the O(V²) TextRank inner loop);
+  *  - `length(regexp_replace(text, "[^0-9]", ""))` → `digit_count`
+  *    and `length(regexp_replace(text, "[A-Za-z0-9\\s]", ""))` →
+  *    `punct_count` (skip building the stripped string copy).
+  *
+  * Each rewrite is expression-local, null-behavior-identical and
+  * type-identical (see the target expressions' docs), so it is safe
+  * anywhere in any plan. Registered through `GraftExtensions`
+  * (`spark.sql.extensions`) — the standard mechanism for extending
+  * Catalyst without forking it.
+  */
+object FuseTextExpressions extends Rule[LogicalPlan] {
+
+  private def lit(s: String): Literal = Literal(UTF8String.fromString(s), StringType)
+
+  private def isStringArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(StringType, _) => true
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case Size(ArrayIntersect(a, b), _) if isStringArray(a) && isStringArray(b) =>
+        IntersectSize(a, b)
+      case Length(RegExpReplace(t, Literal(re, StringType), Literal(rep, StringType), _))
+          if rep == UTF8String.fromString("") &&
+            re == UTF8String.fromString("[^0-9]") =>
+        DigitCount(t)
+      case Length(RegExpReplace(t, Literal(re, StringType), Literal(rep, StringType), _))
+          if rep == UTF8String.fromString("") &&
+            re == UTF8String.fromString("[A-Za-z0-9\\s]") =>
+        PunctCount(t)
+    }
+}

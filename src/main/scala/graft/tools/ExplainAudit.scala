@@ -16,6 +16,7 @@ object ExplainAudit {
         "q04_brand_volume", "q05_top_orders", "q14_local_supplier_volume",
         "t02_term_counts", "tr01_ranks", "d04_minhash_neardup", "s01_cosine_topk")
     val spark = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
       .master("local[4]")
       .appName("graft-explain")
       .config("spark.sql.shuffle.partitions", "4")

@@ -1,0 +1,85 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.{DigitCount, IntersectSize, PunctCount}
+
+/** FuseTextExpressions optimizer rule: plain declarative Spark
+  * (`size(array_intersect(..))`, `length(regexp_replace(..))`) must be
+  * rewritten to the engine's fused native expressions with identical
+  * results, including null behavior.
+  */
+class FuseSpec extends SparkSpec {
+
+  /** Run `f` with the fusion rule active on the shared session. */
+  private def withRule[T](f: => T): T = {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ FuseTextExpressions
+    try f
+    finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == FuseTextExpressions)
+  }
+
+  private def docs: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d"), "ab1, c2; d3!"),
+      (Seq.empty[String], Seq("x"), ""),
+      (null, Seq("x"), null),
+      (Seq("x"), null, "no digits here...")
+    ).toDF("xs", "ys", "text")
+      // Barrier: without it ConvertToLocalRelation evaluates the whole
+      // projection at optimization time and there is no plan to inspect.
+      .repartition(2)
+  }
+
+  test("size(array_intersect) fuses to IntersectSize with equal results") {
+    val q = docs.select(size(array_intersect(col("xs"), col("ys"))).as("n"))
+    val plain = q.collect().toSeq
+    withRule {
+      val fusedQ = docs.select(size(array_intersect(col("xs"), col("ys"))).as("n"))
+      val optimized = fusedQ.queryExecution.optimizedPlan
+      assert(optimized.expressions.exists(_.exists(_.isInstanceOf[IntersectSize])),
+        s"expected IntersectSize in:\n$optimized")
+      assert(fusedQ.collect().toSeq == plain)
+    }
+  }
+
+  test("length(regexp_replace) digit/punct patterns fuse with equal results") {
+    def q = docs.select(
+      length(regexp_replace(col("text"), "[^0-9]", "")).as("digits"),
+      length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")).as("punct"))
+    val plain = q.collect().toSeq
+    withRule {
+      val optimized = q.queryExecution.optimizedPlan
+      assert(optimized.expressions.exists(_.exists(_.isInstanceOf[DigitCount])),
+        s"expected DigitCount in:\n$optimized")
+      assert(optimized.expressions.exists(_.exists(_.isInstanceOf[PunctCount])),
+        s"expected PunctCount in:\n$optimized")
+      assert(q.collect().toSeq == plain)
+    }
+  }
+
+  test("non-matching regex replacement is left alone") {
+    withRule {
+      val q = docs.select(
+        length(regexp_replace(col("text"), "[^0-9]", "X")).as("n"))
+      val optimized = q.queryExecution.optimizedPlan
+      assert(!optimized.expressions.exists(_.exists(_.isInstanceOf[DigitCount])),
+        s"unexpected DigitCount in:\n$optimized")
+    }
+  }
+
+  test("non-string arrays are left alone") {
+    import spark.implicits._
+    withRule {
+      val q = Seq((Seq(1, 2), Seq(2, 3))).toDF("xs", "ys").repartition(2)
+        .select(size(array_intersect(col("xs"), col("ys"))).as("n"))
+      assert(!q.queryExecution.optimizedPlan.expressions
+        .exists(_.exists(_.isInstanceOf[IntersectSize])))
+      assert(q.collect().map(_.getInt(0)).toSeq == Seq(1))
+    }
+  }
+}
