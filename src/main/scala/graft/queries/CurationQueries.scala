@@ -33,6 +33,12 @@ object CurationQueries extends QueryProvider {
     */
   private val MinQuality = 0.5
 
+  /** Mixture spec: keep-threshold out of 1024 hash buckets per language
+    * (en 75%, fr/es 50%, de/zh 25%, anything else 12.5%).
+    */
+  private val MixRates1024: Map[String, Int] =
+    Map("en" -> 768, "fr" -> 512, "es" -> 512, "de" -> 256, "zh" -> 256)
+
   /** Spark-side curated-doc plan: (doc_id, lang, quality, ws_tokens),
     * quality-gated, lang-verified, canonical copy per content hash.
     */
@@ -153,6 +159,39 @@ object CurationQueries extends QueryProvider {
               |SELECT doc_id, bucket,
               |CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
               |  ELSE 'test' END AS split
-              |FROM h ORDER BY doc_id""".stripMargin))
+              |FROM h ORDER BY doc_id""".stripMargin)),
+
+    // Deterministic stratified mixture sampling — dataset mixing with
+    // per-language keep rates (the "sample en at 75%, zh at 25%"
+    // re-weighting every pretraining corpus applies). Same hash-bucket
+    // technique as c03, with a power-of-two modulus so the signed Spark
+    // `& 1023` and the oracle's unsigned `% 1024` agree bit-for-bit.
+    // Narrow per-row filter, no shuffle at all: at 100 TB this is a
+    // pure scan-and-keep whose selectivity is exactly the mixture spec,
+    // reproducible across runs and engines.
+    Q(
+      "c04_mixture_sample",
+      (s, dir) => {
+        import s.implicits._
+        val bucket = graft.functions.Fnv.fnv1a64($"doc_id".cast("string"))
+          .bitwiseAND(lit(1023L)).cast("int")
+        val keep = typedLit(MixRates1024)
+        Tables.documents(s, dir)
+          .select($"doc_id", $"lang", $"source", bucket.as("bucket"),
+            coalesce(keep($"lang"), lit(128)).as("keep_below"))
+          .filter($"bucket" < $"keep_below")
+          .orderBy($"doc_id")
+      },
+      Some {
+        val cases = MixRates1024
+          .map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
+        s"""WITH h AS (SELECT doc_id, lang, source,
+           |  CAST(${FnvSql.ofString("(doc_id::VARCHAR)")} % 1024::HUGEINT AS INTEGER) AS bucket
+           |  FROM documents),
+           |k AS (SELECT *, CASE lang $cases ELSE 128 END AS keep_below FROM h)
+           |SELECT doc_id, lang, source, bucket, keep_below
+           |FROM k WHERE bucket < keep_below ORDER BY doc_id""".stripMargin
+      })
   )
+
 }

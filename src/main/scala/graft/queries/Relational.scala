@@ -460,6 +460,40 @@ object Relational extends QueryProvider {
              |round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
              |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_value
              |FROM events WHERE user_id < 20
-             |ORDER BY user_id, event_id""".stripMargin))
+             |ORDER BY user_id, event_id""".stripMargin)),
+
+    // ---- Multi-level aggregation (ROLLUP) ----
+    // Subtotals + grand total in ONE pass: Catalyst plans rollup as a
+    // single Expand + hash-aggregate (with map-side partial agg), not
+    // one job per level. Group keys are coalesced to a sentinel and the
+    // standard GROUPING bit-vector is emitted so the result is
+    // deterministic and null-free for cross-engine comparison.
+    Q(
+      "q23_rollup",
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .rollup($"l_returnflag", $"l_linestatus")
+          .agg(
+            grouping_id().cast("int").as("gid"),
+            round(sum($"l_quantity"), 2).as("sum_qty"),
+            sum($"l_extendedprice".cast("decimal(14,2)") *
+              (lit(1).cast("decimal(3,2)") - $"l_discount".cast("decimal(3,2)")))
+              .cast("double").as("sum_disc_price"),
+            count(lit(1)).as("n"))
+          .select(
+            coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+            coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+            $"gid", $"sum_qty", $"sum_disc_price", $"n")
+          .orderBy($"gid", $"returnflag", $"linestatus")
+      },
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+             |coalesce(l_linestatus, 'ALL') AS linestatus,
+             |CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid,
+             |round(sum(l_quantity), 2) AS sum_qty,
+             |CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
+             |count(*) AS n
+             |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+             |ORDER BY gid, returnflag, linestatus""".stripMargin))
   )
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.HllSketch
+import graft.operators.{CmsSketch, HllSketch}
 import graft.tables.Tables
 
 /** Sketch / approximate-analytics operators (SURVEY §7.5): a
@@ -50,6 +50,22 @@ object SketchQueries extends QueryProvider {
        |  CROSS JOIN (SELECT unnest(range($M)) AS reg) r
        |  LEFT JOIN obs o ON o.grp = g.grp AND o.reg = r.reg)""".stripMargin
   }
+
+  private val CmsDepth = 4
+  private val CmsWidth = 64
+
+  /** DuckDB replay of the CMS cell grid over lineitem.l_suppkey. */
+  private val cmsCellsSql: String =
+    s"""h AS (SELECT ${FnvSql.ofString("(l_suppkey::VARCHAR)")} AS hu FROM lineitem),
+       |cells AS (SELECT d.d,
+       |    CAST(${FnvSql.perm("d.d", "h.hu")} % $CmsWidth::HUGEINT AS INTEGER) AS bucket,
+       |    count(*) AS cnt
+       |  FROM h CROSS JOIN (SELECT unnest(range($CmsDepth)) AS d) d
+       |  GROUP BY 1, 2),
+       |grid AS (SELECT gd.d, gb.bucket, coalesce(c.cnt, 0) AS cnt
+       |  FROM (SELECT unnest(range($CmsDepth)) AS d) gd
+       |  CROSS JOIN (SELECT unnest(range($CmsWidth)) AS bucket) gb
+       |  LEFT JOIN cells c ON c.d = gd.d AND c.bucket = gb.bucket)""".stripMargin
 
   override val all: Seq[Q] = Seq(
 
@@ -121,6 +137,52 @@ object SketchQueries extends QueryProvider {
              |round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
              |round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
              |round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
-             |FROM lineitem GROUP BY l_returnflag ORDER BY grp""".stripMargin))
+             |FROM lineitem GROUP BY l_returnflag ORDER BY grp""".stripMargin)),
+
+    // Count-min sketch STATE — every (depth, bucket, count) cell
+    // hash-checked (same verification philosophy as sk01).
+    Q(
+      "sk04_cms_registers",
+      (s, dir) => {
+        import s.implicits._
+        CmsSketch.sketchTable(
+          Tables.lineitem(s, dir), $"l_suppkey", CmsDepth, CmsWidth)
+          .orderBy($"d", $"bucket")
+      },
+      Some(s"""WITH $cmsCellsSql
+              |SELECT CAST(d AS INTEGER) AS d, CAST(bucket AS INTEGER) AS bucket,
+              |  cnt FROM grid ORDER BY d, bucket""".stripMargin)),
+
+    // Point-frequency estimates for every supplier key: min over the
+    // depth counters, alongside the true per-key count — the
+    // overestimate structure itself is verified cell-exactly.
+    Q(
+      "sk05_cms_estimate",
+      (s, dir) => {
+        import s.implicits._
+        val sk = CmsSketch.sketchTable(
+          Tables.lineitem(s, dir), $"l_suppkey", CmsDepth, CmsWidth)
+        val est = CmsSketch.estimates(
+          sk, Tables.supplier(s, dir), $"s_suppkey", CmsDepth, CmsWidth)
+        val truth = Tables.lineitem(s, dir)
+          .groupBy($"l_suppkey".as("key")).agg(count(lit(1)).as("true_cnt"))
+        est.join(truth, Seq("key"), "left")
+          .select($"key", coalesce($"true_cnt", lit(0L)).as("true_cnt"), $"est")
+          .orderBy($"key")
+      },
+      Some(s"""WITH $cmsCellsSql,
+              |probes AS (SELECT s_suppkey AS key, d.d,
+              |    CAST(${FnvSql.perm("d.d", "h.hu")} % $CmsWidth::HUGEINT AS INTEGER) AS bucket
+              |  FROM (SELECT s_suppkey, ${FnvSql.ofString("(s_suppkey::VARCHAR)")} AS hu
+              |        FROM supplier) h
+              |  CROSS JOIN (SELECT unnest(range($CmsDepth)) AS d) d),
+              |est AS (SELECT p.key, min(g.cnt) AS est FROM probes p
+              |  JOIN grid g ON g.d = p.d AND g.bucket = p.bucket GROUP BY p.key),
+              |truth AS (SELECT l_suppkey AS key, count(*) AS true_cnt
+              |  FROM lineitem GROUP BY l_suppkey)
+              |SELECT e.key, coalesce(t.true_cnt, 0) AS true_cnt, e.est
+              |FROM est e LEFT JOIN truth t ON t.key = e.key
+              |ORDER BY e.key""".stripMargin))
   )
+
 }

@@ -170,6 +170,64 @@ object TextQueries extends QueryProvider {
            |toks AS (SELECT DISTINCT unnest(regexp_extract_all(lower(text),'[a-zA-Z]+')) AS tok
            |  FROM documents),
            |${MorphySql.ctes}
-           |SELECT tok, lemma FROM lem ORDER BY tok""".stripMargin))
+           |SELECT tok, lemma FROM lem ORDER BY tok""".stripMargin)),
+
+    // Adjacent-token bigram counts (n-gram language statistics — the
+    // building block of n-gram LMs and contamination checks). The
+    // bigram list is built row-locally with zip_with over two slices
+    // (no self-join, no posexplode shuffle); the only shuffle is the
+    // final count hash-aggregate with map-side combine. cnt >= 5 bounds
+    // the output to the interesting head.
+    Q(
+      "t08_bigram_counts",
+      (s, dir) => {
+        import s.implicits._
+        graft.Par.fanOut(Tables.documents(s, dir))
+          .select($"doc_id", TF.tokenize($"text").as("t"))
+          .select($"doc_id", explode(zip_with(
+            slice($"t", lit(1), greatest(size($"t") - 1, lit(0))),
+            slice($"t", lit(2), greatest(size($"t") - 1, lit(0))),
+            (a, b) => concat_ws(" ", a, b))).as("bigram"))
+          .groupBy($"bigram")
+          .agg(count(lit(1)).as("cnt"),
+            countDistinct($"doc_id").as("n_docs"))
+          .filter($"cnt" >= 5)
+          .orderBy(desc("cnt"), $"bigram")
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+             |  regexp_extract_all(lower(text),'[a-zA-Z]+') AS t FROM documents),
+             |bg AS (SELECT doc_id, unnest(list_transform(
+             |    range(greatest(len(t)-1, 0)), i -> t[i+1] || ' ' || t[i+2])) AS bigram
+             |  FROM tok)
+             |SELECT bigram, count(*) AS cnt, count(DISTINCT doc_id) AS n_docs
+             |FROM bg GROUP BY bigram HAVING count(*) >= 5
+             |ORDER BY cnt DESC, bigram""".stripMargin)),
+
+    // Inverted index: kept-token term -> document frequency + sorted
+    // postings list. One distinct-explode (narrow) + one hash-aggregate
+    // on term. Postings are emitted as a canonical comma-joined string
+    // (cross-engine-comparable; a production index at 100 TB would
+    // delta-encode and shard postings by term range, but the groupBy
+    // shape — all postings for a term meet in one place — is the same).
+    Q(
+      "t09_inverted_index",
+      (s, dir) => {
+        import s.implicits._
+        graft.Par.fanOut(Tables.documents(s, dir))
+          .select($"doc_id",
+            explode(array_distinct(TF.lsaTokens($"text", lemma = false))).as("term"))
+          .groupBy($"term")
+          .agg(count(lit(1)).as("df"),
+            array_join(transform(sort_array(collect_set($"doc_id")),
+              _.cast("string")), ",").as("postings"))
+          .filter($"df" >= 3)
+          .orderBy($"term")
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest(list_distinct(${tokSql()})) AS term
+              |  FROM documents)
+              |SELECT term, count(*) AS df,
+              |array_to_string(list_sort(list(doc_id)), ',') AS postings
+              |FROM tok GROUP BY term HAVING count(*) >= 3
+              |ORDER BY term""".stripMargin))
   )
 }
