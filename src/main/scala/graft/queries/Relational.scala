@@ -494,6 +494,33 @@ object Relational extends QueryProvider {
              |CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
              |count(*) AS n
              |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
-             |ORDER BY gid, returnflag, linestatus""".stripMargin))
+             |ORDER BY gid, returnflag, linestatus""".stripMargin)),
+
+    // ---- Semi-structured extraction (JSON property column) ----
+    // `get_json_object` is a codegen'd per-row path evaluation — a
+    // narrow map feeding the usual partial-aggregated groupBy, exactly
+    // how a props/payload column is consumed at 100 TB. The oracle
+    // parses the same field with an engine-neutral regexp so the gate
+    // does not depend on DuckDB's JSON extension.
+    Q(
+      "q25_json_props",
+      (s, dir) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .select($"event_type",
+            get_json_object($"props", "$.k").cast("long").as("k"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"), min($"k").as("min_k"),
+            max($"k").as("max_k"), round(avg($"k"), 4).as("avg_k"),
+            sum(when($"k" >= 50, 1L).otherwise(0L)).as("n_high"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH e AS (SELECT event_type,
+             |  CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+             |  FROM events)
+             |SELECT event_type, count(*) AS n, min(k) AS min_k,
+             |max(k) AS max_k, round(avg(k), 4) AS avg_k,
+             |sum(CASE WHEN k >= 50 THEN 1 ELSE 0 END) AS n_high
+             |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }

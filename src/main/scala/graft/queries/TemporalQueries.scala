@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.{AsofJoin, RangeJoin}
@@ -74,6 +75,44 @@ object TemporalQueries extends QueryProvider {
              |  ON l.l_shipdate >= o.o_orderdate
              | AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
              |WHERE o.o_orderpriority = '1-URGENT'
-             |GROUP BY o.o_orderkey ORDER BY o.o_orderkey""".stripMargin))
+             |GROUP BY o.o_orderkey ORDER BY o.o_orderkey""".stripMargin)),
+
+    // Batch gap-based sessionization — the classic lag→break→cumsum
+    // pattern: a new session starts when the gap to the previous event
+    // of the same user exceeds 30 minutes. Both windows are PARTITIONED
+    // BY user_id (one shuffle, no global window), so at 100 TB the plan
+    // is a single hash-shuffle followed by narrow per-user sorted scans;
+    // the streaming twin with true incremental state is sm02.
+    Q(
+      "q24_sessionize",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+        val gapUs = 30L * 60 * 1000000
+        Tables.events(s, dir)
+          .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"), $"value")
+          .withColumn("brk",
+            when(lag($"ts_us", 1).over(w).isNull ||
+              $"ts_us" - lag($"ts_us", 1).over(w) > gapUs, 1).otherwise(0))
+          .withColumn("sid", sum($"brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy($"user_id", $"sid")
+          .agg(count(lit(1)).as("n_events"),
+            min($"ts_us").as("start_us"), max($"ts_us").as("end_us"),
+            round(sum($"value"), 2).as("total_value"))
+          .orderBy($"user_id", $"sid")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value
+             |  FROM events),
+             |s AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+             |    OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+             |g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+             |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM s)
+             |SELECT user_id, sid, count(*) AS n_events,
+             |min(ts_us) AS start_us, max(ts_us) AS end_us,
+             |round(sum(value), 2) AS total_value
+             |FROM g GROUP BY user_id, sid
+             |ORDER BY user_id, sid""".stripMargin))
   )
 }
