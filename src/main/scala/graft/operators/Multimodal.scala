@@ -52,6 +52,45 @@ object Multimodal {
         lang.as("declared_lang")).as("meta"))
   }
 
+  val frameSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("frame_bytes", LongType, nullable = false),
+    StructField("frame_checksum", LongType, nullable = false)))
+
+  /** STUB frame-sampling kernel — the 1→many batch shape a video frame
+    * sampler has (decodeStub is the 1→1 shape): every `stride`-th
+    * window of `frameBytes` payload bytes becomes one output row, with
+    * an FNV-1a checksum of the window standing in for the decoded frame
+    * tensor. flatMap keeps it iterator-to-iterator, so a real decoder
+    * would stream frames without materializing a per-document list.
+    */
+  def frameSampleStub(media: DataFrame, frameBytes: Int = 256,
+      stride: Int = 4): DataFrame = {
+    require(frameBytes > 0 && stride > 0)
+    media.sparkSession.createDataFrame(
+      media.rdd.mapPartitions { it =>
+        // one-time per-partition decoder init would happen HERE
+        it.flatMap { r =>
+          val id = r.getLong(r.fieldIndex("id"))
+          val modality = r.getString(r.fieldIndex("modality"))
+          val payload = r.getAs[Array[Byte]]("payload")
+          val bytes = if (payload == null) Array.emptyByteArray else payload
+          val n = bytes.length
+          val nFrames = (n + frameBytes - 1) / frameBytes
+          (0 until nFrames by stride).iterator.map { f =>
+            val lo = f * frameBytes
+            val hi = math.min(lo + frameBytes, n)
+            var h = 0xcbf29ce484222325L
+            var i = lo
+            while (i < hi) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+            Row(id, modality, f, (hi - lo).toLong, h)
+          }
+        }
+      }, frameSchema)
+  }
+
   /** STUB decode/feature-extract kernel. Deterministic fake standing in
     * for the real decoder: frame count = ceil(bytes/256), checksum =
     * FNV-1a over the payload, feature = 4 moments of the byte stream.

@@ -199,6 +199,49 @@ object AnalysisQueries extends QueryProvider {
              |  CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
              |    THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS checksum,
              |  round(CASE WHEN n = 0 THEN 0 ELSE list_sum(bytes) * 1.0 / n END, 6) AS byte_mean
-             |FROM hsh ORDER BY id""".stripMargin))
+             |FROM hsh ORDER BY id""".stripMargin)),
+
+    // The 1→many frame-sampling kernel (every 4th 256-byte frame, per
+    // frame an FNV checksum of its window) — the explode-shaped batch
+    // plumbing a video sampler needs, oracle-replayed by slicing the
+    // recovered byte list per sampled frame.
+    Q(
+      "mm03_frame_samples",
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.frameSampleStub(
+          Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text"))
+          .orderBy($"id", $"frame_idx")
+      },
+      Some(s"""WITH b AS (
+             |  SELECT doc_id AS id,
+             |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+             |      ELSE 'video' END AS modality,
+             |    hex(encode(coalesce(text,''))) AS hx,
+             |    octet_length(encode(coalesce(text,''))) AS n
+             |  FROM documents),
+             |by2 AS (
+             |  SELECT id, modality, n,
+             |    list_transform(range(n), i ->
+             |      ((strpos('0123456789ABCDEF', hx[2*i+1])-1)*16 +
+             |       (strpos('0123456789ABCDEF', hx[2*i+2])-1))::HUGEINT) AS bytes
+             |  FROM b),
+             |fr AS (
+             |  SELECT id, modality, bytes, n,
+             |    unnest(range(0, (n + 255) // 256, 4)) AS frame_idx
+             |  FROM by2),
+             |sl AS (
+             |  SELECT id, modality, frame_idx,
+             |    bytes[(frame_idx*256+1):least((frame_idx+1)*256, n)] AS fb
+             |  FROM fr),
+             |hs AS (
+             |  SELECT id, modality, frame_idx, len(fb) AS frame_bytes,
+             |    list_reduce(list_prepend(14695981039346656037::HUGEINT, fb),
+             |      ${FnvSql.fold}) AS h
+             |  FROM sl)
+             |SELECT id, modality, CAST(frame_idx AS INTEGER) AS frame_idx,
+             |  CAST(frame_bytes AS BIGINT) AS frame_bytes,
+             |  ${FnvSql.toSigned("h")} AS frame_checksum
+             |FROM hs ORDER BY id, frame_idx""".stripMargin))
   )
 }
