@@ -237,6 +237,46 @@ object DedupQueries extends QueryProvider {
              |    AND length(b.k) BETWEEN length(a.k) - 8 AND length(a.k) + 8)
              |SELECT a, b, CAST(levenshtein(ka, kb) AS INTEGER) AS dist
              |FROM cand WHERE levenshtein(ka, kb) <= 8
-             |ORDER BY a, b""".stripMargin))
+             |ORDER BY a, b""".stripMargin)),
+
+    // Benchmark-contamination check (decontamination, the eval-hygiene
+    // twin of dedup): corpus documents sharing any 4-gram shingle with
+    // the "benchmark" subset (doc_id % 50 = 0 stands in for an eval
+    // set), with the shared-shingle count and contamination ratio.
+    // Scale shape: the benchmark n-gram set is tiny relative to the
+    // corpus — it broadcasts — and the corpus side is one distinct
+    // explode + broadcast semi-join + count aggregate; no quadratic
+    // document pairing anywhere.
+    Q(
+      "d09_contamination",
+      (s, dir) => {
+        import s.implicits._
+        val sh = graft.Par.fanOut(Tables.documents(s, dir))
+          .select($"doc_id",
+            array_distinct(Dedup.shingles(TF.tokenize($"text"), 4)).as("sh"))
+        val bench = sh.filter($"doc_id" % 50 === 0)
+          .select(explode($"sh").as("g")).distinct()
+        sh.filter($"doc_id" % 50 =!= 0)
+          .select($"doc_id", size($"sh").cast("long").as("n_shingles"),
+            explode($"sh").as("g"))
+          .join(broadcast(bench), Seq("g"))
+          .groupBy($"doc_id", $"n_shingles")
+          .agg(count(lit(1)).as("n_shared"))
+          .select($"doc_id", $"n_shingles", $"n_shared",
+            round($"n_shared" * 1.0 / $"n_shingles", 6).as("contamination"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |  regexp_extract_all(lower(text),'[a-zA-Z]+') AS tk FROM documents),
+             |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk)-2),
+             |    i -> array_to_string(tk[i:i+3], ' '))) AS sh
+             |  FROM t WHERE len(tk) >= 4),
+             |b AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 50 = 0),
+             |c AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,
+             |    unnest(sh) AS g FROM s WHERE doc_id % 50 <> 0)
+             |SELECT doc_id, n_shingles, count(*) AS n_shared,
+             |round(count(*) * 1.0 / n_shingles, 6) AS contamination
+             |FROM c JOIN b USING (g) GROUP BY doc_id, n_shingles
+             |ORDER BY doc_id""".stripMargin))
   )
 }

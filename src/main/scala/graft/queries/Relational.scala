@@ -521,6 +521,30 @@ object Relational extends QueryProvider {
              |SELECT event_type, count(*) AS n, min(k) AS min_k,
              |max(k) AS max_k, round(avg(k), 4) AS avg_k,
              |sum(CASE WHEN k >= 50 THEN 1 ELSE 0 END) AS n_high
-             |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- Statistical aggregates (corr / stddev / covar) ----
+    // All four are single-pass partially-aggregatable moments — one
+    // shuffle of constant-size state per group, any input size.
+    Q(
+      "q26_stat_aggregates",
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .groupBy($"l_returnflag")
+          .agg(
+            round(corr($"l_quantity", $"l_extendedprice"), 6).as("qty_price_corr"),
+            round(stddev_samp($"l_quantity"), 6).as("qty_stddev"),
+            round(covar_samp($"l_quantity", $"l_extendedprice"), 2).as("qty_price_covar"),
+            round(var_samp($"l_discount"), 8).as("disc_var"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+             |round(stddev_samp(l_quantity), 6) AS qty_stddev,
+             |round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+             |round(var_samp(l_discount), 8) AS disc_var
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin))
   )
 }
