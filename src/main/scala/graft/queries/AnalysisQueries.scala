@@ -242,6 +242,35 @@ object AnalysisQueries extends QueryProvider {
              |SELECT id, modality, CAST(frame_idx AS INTEGER) AS frame_idx,
              |  CAST(frame_bytes AS BIGINT) AS frame_bytes,
              |  ${FnvSql.toSigned("h")} AS frame_checksum
-             |FROM hs ORDER BY id, frame_idx""".stripMargin))
+             |FROM hs ORDER BY id, frame_idx""".stripMargin)),
+
+    // Long→wide pivot with an EXPLICIT value list: one partial-agg
+    // shuffle, no extra values-discovery job (an implicit pivot first
+    // runs a distinct scan to learn the columns — a full extra pass at
+    // 100 TB), and a deterministic schema regardless of which langs a
+    // given data slice happens to contain.
+    Q(
+      "a05_lang_source_pivot",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .groupBy($"source")
+          .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+          .count()
+          .select($"source",
+            coalesce($"de", lit(0L)).as("n_de"),
+            coalesce($"en", lit(0L)).as("n_en"),
+            coalesce($"es", lit(0L)).as("n_es"),
+            coalesce($"fr", lit(0L)).as("n_fr"),
+            coalesce($"zh", lit(0L)).as("n_zh"))
+          .orderBy($"source")
+      },
+      Some("""SELECT source,
+             |sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS n_de,
+             |sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en,
+             |sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS n_es,
+             |sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS n_fr,
+             |sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS n_zh
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin))
   )
 }

@@ -75,6 +75,35 @@ object IoQueries extends QueryProvider {
       (s, dir) => roundTrip(s, dir)(
         (df, p) => df.write.mode("overwrite").orc(p),
         (sp, p, orig) => sp.read.schema(orig.schema).orc(p)),
-      Some(oracle))
+      Some(oracle)),
+
+    // Hive-style partitioned layout: write partitioned by lang, read
+    // back with a partition-key filter. The filter is satisfied by
+    // PRUNING (only the lang=en directory is listed/scanned — the
+    // mechanism that turns a 100 TB corpus scan into a single-
+    // partition read); ContractSpec asserts the pruned plan shape.
+    Q(
+      "io04_partitioned_roundtrip",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val stage = Files.createTempDirectory("graft_io4").toString
+        try {
+          docs.write.mode("overwrite").partitionBy("lang").parquet(stage)
+          s.read.parquet(stage)
+            .filter($"lang" === "en")
+            .select($"doc_id", length($"text").cast("long").as("n"),
+              $"lang", $"source")
+            .orderBy($"doc_id")
+            .localCheckpoint()
+        } finally deleteRecursively(new java.io.File(stage))
+      },
+      Some("""SELECT doc_id, length(text) AS n, lang, source
+             |FROM documents WHERE lang = 'en' ORDER BY doc_id""".stripMargin))
   )
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
 }
