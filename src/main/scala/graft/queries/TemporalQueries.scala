@@ -113,6 +113,37 @@ object TemporalQueries extends QueryProvider {
              |min(ts_us) AS start_us, max(ts_us) AS end_us,
              |round(sum(value), 2) AS total_value
              |FROM g GROUP BY user_id, sid
-             |ORDER BY user_id, sid""".stripMargin))
+             |ORDER BY user_id, sid""".stripMargin),
+      bench = true),
+
+    // Forward as-of: each click's NEXT purchase by the same user (the
+    // attribution/conversion-lag direction). Same union-window plan as
+    // q21 mirrored; the oracle is the independent pair-explosion top-1.
+    Q(
+      "q27_asof_forward",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"event_id", $"user_id", $"ts")
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"event_id", $"user_id", $"ts", $"value")
+        AsofJoin.asofForward(
+          clicks, purchases,
+          leftKey = "user_id", rightKey = "user_id",
+          leftTime = "ts", rightTime = "ts",
+          payload = Seq("event_id", "value"), rightTie = "event_id")
+          .select($"event_id", $"user_id",
+            $"asof_event_id", round($"asof_value", 6).as("asof_value"))
+          .orderBy($"event_id")
+      },
+      Some("""SELECT c.event_id, c.user_id,
+             |  p.event_id AS asof_event_id, round(p.value, 6) AS asof_value
+             |FROM (SELECT * FROM events WHERE event_type = 'click') c
+             |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+             |  ON p.user_id = c.user_id AND p.ts >= c.ts
+             |QUALIFY row_number() OVER (PARTITION BY c.event_id
+             |  ORDER BY p.ts ASC NULLS LAST, p.event_id ASC NULLS LAST) = 1
+             |ORDER BY c.event_id""".stripMargin))
   )
 }

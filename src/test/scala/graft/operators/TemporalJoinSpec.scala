@@ -93,6 +93,60 @@ class TemporalJoinSpec extends SparkSpec {
     }
   }
 
+  test("asofForward picks the earliest at-or-after right row per key") {
+    val left = Seq(
+      (1L, 10L, 100L), // exact-time right row counts (≥)
+      (2L, 10L, 250L),
+      (3L, 10L, 350L), // after every right row of key 10
+      (4L, 30L, 400L) // key 30: no right rows at all
+    ).toDF("lid", "k", "t")
+    val right = Seq(
+      (101L, 10L, 100L, 1.5),
+      (102L, 10L, 200L, 2.5),
+      (103L, 10L, 300L, 3.5)
+    ).toDF("rid", "k", "t", "v")
+    val out = AsofJoin.asofForward(left, right,
+      "k", "k", "t", "t", Seq("rid", "v"), "rid")
+      .select($"lid", $"asof_rid")
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Long]))).toMap
+    assert(out === Map(
+      1L -> Some(101L), 2L -> Some(103L), 3L -> None, 4L -> None))
+  }
+
+  test("asofForward breaks equal-timestamp ties to the smallest tie key") {
+    val left = Seq((1L, 7L, 100L)).toDF("lid", "k", "t")
+    val right = Seq(
+      (19L, 7L, 100L, 1.0),
+      (11L, 7L, 100L, 2.0), // same ts — smallest rid wins
+      (15L, 7L, 100L, 3.0)
+    ).toDF("rid", "k", "t", "v")
+    val out = AsofJoin.asofForward(left, right,
+      "k", "k", "t", "t", Seq("rid", "v"), "rid")
+      .select($"asof_rid").as[Long].collect().toSeq
+    assert(out === Seq(11L))
+  }
+
+  test("asofForward equals the naive per-left top-1 on random data") {
+    val rnd = new scala.util.Random(13)
+    val left = (1 to 400).map(i =>
+      (i.toLong, rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong))
+    val right = (1 to 400).map(i =>
+      (1000L + i, rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong,
+        rnd.nextInt(100).toDouble))
+    val out = AsofJoin.asofForward(
+      left.toDF("lid", "k", "t"), right.toDF("rid", "k", "t", "v"),
+      "k", "k", "t", "t", Seq("rid", "v"), "rid")
+      .select($"lid", $"asof_rid")
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Long]))).toMap
+    left.foreach { case (lid, k, t) =>
+      val naive = right.filter(r => r._2 == k && r._3 >= t)
+        .sortBy(r => (r._3, r._1)).headOption.map(_._1)
+      assert(out(lid) === naive, s"lid=$lid")
+    }
+  }
+
   test("bucketized interval join equals the naive range predicate") {
     val rnd = new scala.util.Random(42)
     val intervals = (1 to 200).map { i =>
