@@ -70,7 +70,31 @@ object SimilarityQueries extends QueryProvider {
           .withColumnRenamed("rank", "rnk")
           .orderBy($"query_id", $"rnk")
       },
-      Some(s02OracleSql))
+      Some(s02OracleSql)),
+
+    // Per-label embedding centroids (long form): posexplode amplifies
+    // rows ×dim LOCALLY, then map-side partial aggregation collapses
+    // each partition to at most |labels|×dim cells before the shuffle —
+    // so the wire cost is the centroid grid, not the corpus. The same
+    // shape computes class means for IVF seeding or embedding drift
+    // monitoring at 100 TB.
+    Q(
+      "s04_label_centroids",
+      (s, dir) => {
+        import s.implicits._
+        Tables.embeddings(s, dir)
+          .select($"label", posexplode($"embedding").as(Seq("dim", "v")))
+          .groupBy($"label", $"dim")
+          .agg(round(avg($"v".cast("double")), 6).as("centroid"),
+            count(lit(1)).as("n"))
+          .orderBy($"label", $"dim")
+      },
+      Some("""WITH v AS (SELECT label, embedding::DOUBLE[] AS e FROM embeddings),
+             |x AS (SELECT label, unnest(range(len(e))) AS dim, unnest(e) AS v
+             |  FROM v)
+             |SELECT label, CAST(dim AS INTEGER) AS dim,
+             |round(avg(v), 6) AS centroid, count(*) AS n
+             |FROM x GROUP BY label, dim ORDER BY label, dim""".stripMargin))
   )
 
   /** s03 oracle: the deterministic Lloyd IVF replayed in SQL. Distances
