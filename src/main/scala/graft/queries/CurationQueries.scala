@@ -191,6 +191,74 @@ object CurationQueries extends QueryProvider {
            |k AS (SELECT *, CASE lang $cases ELSE 128 END AS keep_below FROM h)
            |SELECT doc_id, lang, source, bucket, keep_below
            |FROM k WHERE bucket < keep_below ORDER BY doc_id""".stripMargin
+      }),
+
+    // The assembled pretraining-corpus flow: mixture-sample (c04) →
+    // decontaminate against the benchmark subset (d09's shingle
+    // semi-join, as an ANTI join) → deterministic split (c03) →
+    // per-(lang, split) token budget. Every stage is individually
+    // oracle-green; this gates that they COMPOSE in one declarative
+    // plan: narrow hash filters, one broadcast anti-join, one final
+    // partial-aggregated groupBy — no driver loop, three shuffles
+    // total (benchmark shingle distinct, anti-join probe aggregate,
+    // final stats) regardless of corpus size.
+    Q(
+      "c05_corpus_assembly",
+      (s, dir) => {
+        import s.implicits._
+        val fnv = (c: org.apache.spark.sql.Column) =>
+          graft.functions.Fnv.fnv1a64(c.cast("string"))
+        val docs = graft.Par.fanOut(Tables.documents(s, dir))
+        val keep = typedLit(MixRates1024)
+        val sampled = docs
+          .filter($"doc_id" % 50 =!= 0) // benchmark rows never train
+          .filter(fnv($"doc_id").bitwiseAND(lit(1023L)) <
+            coalesce(keep($"lang"), lit(128)))
+        val benchGrams = docs.filter($"doc_id" % 50 === 0)
+          .select(explode(array_distinct(
+            Dedup.shingles(TF.tokenize($"text"), 4))).as("g")).distinct()
+        val contaminated = docs.filter($"doc_id" % 50 =!= 0)
+          .select($"doc_id", explode(array_distinct(
+            Dedup.shingles(TF.tokenize($"text"), 4))).as("g"))
+          .join(broadcast(benchGrams), Seq("g"))
+          .select($"doc_id").distinct()
+        sampled.join(contaminated, Seq("doc_id"), "left_anti")
+          .select($"doc_id", $"lang",
+            when(pmod(fnv($"doc_id"), lit(100L)) < 80, "train")
+              .when(pmod(fnv($"doc_id"), lit(100L)) < 90, "val")
+              .otherwise("test").as("split"),
+            TA.wsTokenCount($"text").cast("long").as("ws_tokens"))
+          .groupBy($"lang", $"split")
+          .agg(count(lit(1)).as("n_docs"), sum($"ws_tokens").as("total_tokens"))
+          .orderBy($"lang", $"split")
+      },
+      Some {
+        val cases = MixRates1024
+          .map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
+        s"""WITH hs AS (SELECT *,
+           |    ${FnvSql.ofString("(doc_id::VARCHAR)")} AS hu FROM documents),
+           |sampled AS (SELECT * FROM hs WHERE doc_id % 50 <> 0
+           |  AND CAST(hu % 1024::HUGEINT AS INTEGER) <
+           |      (CASE lang $cases ELSE 128 END)),
+           |t AS (SELECT doc_id,
+           |    regexp_extract_all(lower(text),'[a-zA-Z]+') AS tk FROM documents),
+           |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk)-2),
+           |    i -> array_to_string(tk[i:i+3], ' '))) AS g FROM t WHERE len(tk) >= 4),
+           |b AS (SELECT DISTINCT unnest(g) AS g FROM sh WHERE doc_id % 50 = 0),
+           |cont AS (SELECT DISTINCT doc_id FROM
+           |  (SELECT doc_id, unnest(g) AS g FROM sh WHERE doc_id % 50 <> 0) c
+           |  JOIN b USING (g)),
+           |kept AS (SELECT *, ${FnvSql.toSigned("hu")} AS hsg FROM sampled
+           |  WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+           |lab AS (SELECT lang,
+           |  CASE WHEN ((hsg % 100) + 100) % 100 < 80 THEN 'train'
+           |    WHEN ((hsg % 100) + 100) % 100 < 90 THEN 'val'
+           |    ELSE 'test' END AS split,
+           |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+           |    AS ws_tokens
+           |  FROM kept)
+           |SELECT lang, split, count(*) AS n_docs, sum(ws_tokens) AS total_tokens
+           |FROM lab GROUP BY lang, split ORDER BY lang, split""".stripMargin
       })
   )
 
