@@ -545,6 +545,35 @@ object Relational extends QueryProvider {
              |round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
              |round(var_samp(l_discount), 8) AS disc_var
              |FROM lineitem GROUP BY l_returnflag
-             |ORDER BY l_returnflag""".stripMargin))
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- Distribution windows (ntile / percent_rank / cume_dist) ----
+    // Per-segment balance percentiles: windows partitioned by segment
+    // (one shuffle), unique (acctbal, custkey) ordering for
+    // deterministic tie-free ranks; the custkey slice is applied AFTER
+    // the windows so ranks reflect the full population.
+    Q(
+      "q28_balance_deciles",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"c_mktsegment")
+          .orderBy($"c_acctbal", $"c_custkey")
+        Tables.customer(s, dir)
+          .select($"c_custkey", $"c_mktsegment",
+            ntile(10).over(w).as("decile"),
+            round(percent_rank().over(w), 6).as("pct_rank"),
+            round(cume_dist().over(w), 6).as("cume"))
+          .filter($"c_custkey" < 500)
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey, c_mktsegment, decile, pct_rank, cume FROM (
+             |  SELECT c_custkey, c_mktsegment,
+             |    ntile(10) OVER w AS decile,
+             |    round(percent_rank() OVER w, 6) AS pct_rank,
+             |    round(cume_dist() OVER w, 6) AS cume
+             |  FROM customer
+             |  WINDOW w AS (PARTITION BY c_mktsegment
+             |    ORDER BY c_acctbal, c_custkey))
+             |WHERE c_custkey < 500 ORDER BY c_custkey""".stripMargin))
   )
 }

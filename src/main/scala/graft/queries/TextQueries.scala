@@ -228,6 +228,44 @@ object TextQueries extends QueryProvider {
               |SELECT term, count(*) AS df,
               |array_to_string(list_sort(list(doc_id)), ',') AS postings
               |FROM tok GROUP BY term HAVING count(*) >= 3
-              |ORDER BY term""".stripMargin))
+              |ORDER BY term""".stripMargin)),
+
+    // Per-language character-bigram profile (the feature family n-gram
+    // language identifiers train on). The text is reduced to lowercase
+    // a-z FIRST and the reduced string materialized as a column, so the
+    // bigram lambda slices ASCII only (identical character semantics in
+    // both engines) and the cleaning regex runs once per row, not once
+    // per lambda element. Top-10 per language via a count-ordered
+    // window over the (tiny) per-language aggregate.
+    Q(
+      "t10_char_bigrams",
+      (s, dir) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"lang").orderBy(desc("cnt"), $"bigram")
+        graft.Par.fanOut(Tables.documents(s, dir))
+          .select($"lang",
+            regexp_replace(lower($"text"), "[^a-z]", "").as("c"))
+          .select($"lang", when(length($"c") < 2, array().cast("array<string>"))
+            .otherwise(transform(sequence(lit(1), length($"c") - 1),
+              i => $"c".substr(i, lit(2)))).as("bgs"))
+          .select($"lang", explode($"bgs").as("bigram"))
+          .groupBy($"lang", $"bigram").agg(count(lit(1)).as("cnt"))
+          .withColumn("rnk", row_number().over(w))
+          .filter($"rnk" <= 10)
+          .select($"lang", $"rnk", $"bigram", $"cnt")
+          .orderBy($"lang", $"rnk")
+      },
+      Some("""WITH c AS (SELECT lang,
+             |  regexp_replace(lower(text), '[^a-z]', '', 'g') AS s FROM documents),
+             |bg AS (SELECT lang, unnest(list_transform(range(1, len(s)),
+             |    i -> s[i:i+1])) AS bigram FROM c),
+             |cnts AS (SELECT lang, bigram, count(*) AS cnt
+             |  FROM bg GROUP BY lang, bigram),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+             |    ORDER BY cnt DESC, bigram) AS rnk FROM cnts)
+             |SELECT lang, CAST(rnk AS INTEGER) AS rnk, bigram, cnt
+             |FROM r WHERE rnk <= 10
+             |ORDER BY lang, rnk""".stripMargin))
   )
 }
