@@ -574,6 +574,39 @@ object Relational extends QueryProvider {
              |  FROM customer
              |  WINDOW w AS (PARTITION BY c_mktsegment
              |    ORDER BY c_acctbal, c_custkey))
-             |WHERE c_custkey < 500 ORDER BY c_custkey""".stripMargin))
+             |WHERE c_custkey < 500 ORDER BY c_custkey""".stripMargin)),
+
+    // ---- Full outer join (completes the join-type matrix) ----
+    // Per-nation customer vs supplier presence: both sides aggregated
+    // FIRST (two small per-nation tables), then full-outer joined —
+    // pre-aggregation keeps the outer join's null-expansion bounded by
+    // |nations|, not |rows|, which is how a reconciliation join should
+    // be shaped at any scale.
+    Q(
+      "q29_nation_presence",
+      (s, dir) => {
+        import s.implicits._
+        val cust = Tables.customer(s, dir)
+          .groupBy($"c_nationkey".as("nationkey"))
+          .agg(count(lit(1)).as("n_cust"))
+          .filter($"nationkey" % 3 =!= 0) // force right-only rows
+        val supp = Tables.supplier(s, dir)
+          .groupBy($"s_nationkey".as("nationkey"))
+          .agg(count(lit(1)).as("n_supp"))
+          .filter($"nationkey" % 4 =!= 0) // force left-only rows
+        cust.join(supp, Seq("nationkey"), "full_outer")
+          .select($"nationkey",
+            coalesce($"n_cust", lit(0L)).as("n_cust"),
+            coalesce($"n_supp", lit(0L)).as("n_supp"))
+          .orderBy($"nationkey")
+      },
+      Some("""WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_cust
+             |  FROM customer GROUP BY 1 HAVING c_nationkey % 3 <> 0),
+             |s AS (SELECT s_nationkey AS nationkey, count(*) AS n_supp
+             |  FROM supplier GROUP BY 1 HAVING s_nationkey % 4 <> 0)
+             |SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+             |coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+             |FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+             |ORDER BY nationkey""".stripMargin))
   )
 }
