@@ -72,6 +72,25 @@ class FuseSpec extends SparkSpec {
     }
   }
 
+  test("fused and unfused results agree on randomized inputs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def arr(): Seq[String] =
+      Seq.fill(rnd.nextInt(6))(rnd.nextInt(8).toString)
+    def txt(): String =
+      Seq.fill(rnd.nextInt(40))(
+        "ab1!,; \t.Z9".charAt(rnd.nextInt(11))).mkString
+    val rows = (1 to 300).map(_ => (arr(), arr(), txt()))
+    val df = rows.toDF("xs", "ys", "text").repartition(3)
+    def q(d: org.apache.spark.sql.DataFrame) = d.select(
+      size(array_intersect(col("xs"), col("ys"))).as("n"),
+      length(regexp_replace(col("text"), "[^0-9]", "")).as("digits"),
+      length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")).as("punct"))
+    val plain = q(df).collect().toSeq
+    val fused = withRule(q(df).collect().toSeq)
+    assert(fused == plain)
+  }
+
   test("non-string arrays are left alone") {
     import spark.implicits._
     withRule {

@@ -33,6 +33,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("append mode emits closed windows once and drops data later than the watermark") {
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[EventStreams.Event]
+    val base = 1700002800000L // hour-aligned, so minutes 0-59 share a window
+    assert(base % 3600000L == 0)
+    def ev(id: Long, tMin: Long) = EventStreams.Event(
+      id, new Timestamp(base + tMin * 60000L), 1L, "click", 1.0)
+    val sink = s"latewin_${System.nanoTime}"
+    val q = EventStreams.windowedCounts(src.toDF(),
+      windowDur = "1 hour", watermark = "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName(sink).start()
+    try {
+      // batch 1: three events inside hour 0
+      src.addData(ev(1, 0), ev(2, 10), ev(3, 50))
+      q.processAllAvailable()
+      // batch 2: event far in the future advances the watermark past
+      // hour 0's end -> hour 0's window becomes final and is emitted
+      src.addData(ev(4, 300))
+      q.processAllAvailable()
+      val afterClose = spark.table(sink)
+        .select($"window_start", $"n").as[(Timestamp, Long)].collect().toMap
+      assert(afterClose == Map(new Timestamp(base) -> 3L),
+        s"expected the closed hour-0 window with all 3 events: $afterClose")
+      // batch 3: a LATE event back in hour 0, far behind the watermark —
+      // state is gone, append mode must not re-emit or grow the window
+      src.addData(ev(5, 20))
+      q.processAllAvailable()
+      val afterLate = spark.table(sink)
+        .select($"window_start", $"n").as[(Timestamp, Long)].collect().toMap
+      assert(afterLate == afterClose,
+        s"late event changed emitted output: $afterLate vs $afterClose")
+    } finally q.stop()
+  }
+
   test("file-source streaming from the harness events parquet") {
     val batch = Tables.events(spark, sf("sf0.001"))
     // the raw file stores ts as INT64 nanos (see Tables.events): stream it
