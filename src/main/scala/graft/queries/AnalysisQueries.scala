@@ -271,6 +271,48 @@ object AnalysisQueries extends QueryProvider {
              |sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS n_es,
              |sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS n_fr,
              |sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS n_zh
-             |FROM documents GROUP BY source ORDER BY source""".stripMargin))
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Repetition signals (the Gopher-family quality filters): per-doc
+    // duplicate-token and duplicate-3-gram fractions. Both are
+    // row-local array expressions — a narrow map, no shuffle; a corpus
+    // filter would just add `WHERE dup_3gram_ratio > τ` to the scan.
+    Q(
+      "a06_repetition",
+      (s, dir) => {
+        import s.implicits._
+        graft.Par.fanOut(Tables.documents(s, dir))
+          .filter($"doc_id" < 200)
+          .select($"doc_id", TF.tokenize($"text").as("tk"))
+          .select($"doc_id", $"tk",
+            graft.operators.Dedup.shingles($"tk", 3).as("sh"))
+          .select($"doc_id",
+            size($"tk").cast("long").as("n_tokens"),
+            size(array_distinct($"tk")).cast("long").as("uniq_tokens"),
+            when(size($"tk") === 0, 0.0).otherwise(
+              round(lit(1.0) - size(array_distinct($"tk")) * 1.0 / size($"tk"), 6))
+              .as("dup_token_ratio"),
+            when(size($"sh") === 0, 0.0).otherwise(
+              round(lit(1.0) - size(array_distinct($"sh")) * 1.0 / size($"sh"), 6))
+              .as("dup_3gram_ratio"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |  regexp_extract_all(lower(text),'[a-zA-Z]+') AS tk
+             |  FROM documents WHERE doc_id < 200),
+             |s AS (SELECT doc_id, tk,
+             |  CASE WHEN len(tk) < 3 THEN []::VARCHAR[]
+             |    ELSE list_transform(range(1, len(tk)-1),
+             |      i -> array_to_string(tk[i:i+2], ' ')) END AS sh FROM t)
+             |SELECT doc_id,
+             |CAST(len(tk) AS BIGINT) AS n_tokens,
+             |CAST(len(list_distinct(tk)) AS BIGINT) AS uniq_tokens,
+             |CASE WHEN len(tk) = 0 THEN 0.0 ELSE
+             |  round(1.0 - len(list_distinct(tk)) * 1.0 / len(tk), 6) END
+             |  AS dup_token_ratio,
+             |CASE WHEN len(sh) = 0 THEN 0.0 ELSE
+             |  round(1.0 - len(list_distinct(sh)) * 1.0 / len(sh), 6) END
+             |  AS dup_3gram_ratio
+             |FROM s ORDER BY doc_id""".stripMargin))
   )
 }
