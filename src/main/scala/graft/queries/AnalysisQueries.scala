@@ -266,11 +266,11 @@ object AnalysisQueries extends QueryProvider {
           .orderBy($"source")
       },
       Some("""SELECT source,
-             |sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS n_de,
-             |sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en,
-             |sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS n_es,
-             |sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS n_fr,
-             |sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS n_zh
+             |count(*) FILTER (lang = 'de') AS n_de,
+             |count(*) FILTER (lang = 'en') AS n_en,
+             |count(*) FILTER (lang = 'es') AS n_es,
+             |count(*) FILTER (lang = 'fr') AS n_fr,
+             |count(*) FILTER (lang = 'zh') AS n_zh
              |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
 
     // Repetition signals (the Gopher-family quality filters): per-doc
@@ -313,6 +313,40 @@ object AnalysisQueries extends QueryProvider {
              |CASE WHEN len(sh) = 0 THEN 0.0 ELSE
              |  round(1.0 - len(list_distinct(sh)) * 1.0 / len(sh), 6) END
              |  AS dup_3gram_ratio
-             |FROM s ORDER BY doc_id""".stripMargin))
+             |FROM s ORDER BY doc_id""".stripMargin)),
+
+    // Wide→long UNPIVOT (melt) — the inverse of a05's pivot, through
+    // Spark's native `unpivot` operator (an Expand node: row-local
+    // 1→k fan-out, no shuffle, no values-discovery pass). Zero cells
+    // survive the round-trip, so pivot→unpivot is lossless — the
+    // oracle rebuilds the dense grid independently with a dimension
+    // cross join against the grouped counts.
+    Q(
+      "a07_unpivot",
+      (s, dir) => {
+        import s.implicits._
+        val langs = Seq("de", "en", "es", "fr", "zh")
+        val wide = Tables.documents(s, dir)
+          .groupBy($"source")
+          .pivot("lang", langs)
+          .count()
+          .select($"source" +: langs.map(l =>
+            coalesce(col(l), lit(0L)).as(s"n_$l")): _*)
+        wide.unpivot(
+          ids = Array($"source"),
+          values = langs.map(l => col(s"n_$l")).toArray,
+          variableColumnName = "lang",
+          valueColumnName = "n")
+          .select($"source", substring($"lang", 3, 2).as("lang"), $"n")
+          .orderBy($"source", $"lang")
+      },
+      Some("""WITH src AS (SELECT DISTINCT source FROM documents),
+             |l(lang) AS (VALUES ('de'),('en'),('es'),('fr'),('zh')),
+             |c AS (SELECT source, lang, count(*) AS n
+             |  FROM documents GROUP BY source, lang)
+             |SELECT s.source, l.lang, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+             |FROM src s CROSS JOIN l
+             |LEFT JOIN c ON c.source = s.source AND c.lang = l.lang
+             |ORDER BY s.source, l.lang""".stripMargin))
   )
 }

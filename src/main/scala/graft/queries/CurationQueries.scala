@@ -130,7 +130,8 @@ object CurationQueries extends QueryProvider {
           .orderBy($"lang")
       },
       Some(s"""WITH $curatedSql
-              |SELECT lang, count(*) AS n_docs, sum(ws_tokens) AS total_tokens,
+              |SELECT lang, count(*) AS n_docs,
+              |CAST(sum(ws_tokens) AS BIGINT) AS total_tokens,
               |round(avg(quality), 6) AS mean_quality
               |FROM curated GROUP BY lang ORDER BY lang""".stripMargin)),
 
@@ -257,9 +258,52 @@ object CurationQueries extends QueryProvider {
            |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
            |    AS ws_tokens
            |  FROM kept)
-           |SELECT lang, split, count(*) AS n_docs, sum(ws_tokens) AS total_tokens
+           |SELECT lang, split, count(*) AS n_docs,
+           |CAST(sum(ws_tokens) AS BIGINT) AS total_tokens
            |FROM lab GROUP BY lang, split ORDER BY lang, split""".stripMargin
-      })
+      }),
+
+    // Context-window packing — the "concat the token stream, cut it
+    // into ctx-length windows" step that turns a curated corpus into
+    // training sequences. Deterministic distributed shape: docs are
+    // hash-sharded (8 shards — in production, one per writer task) and
+    // hash-ORDERED within each shard (the reproducible stand-in for
+    // the training shuffle), then each doc's start offset is an
+    // EXCLUSIVE per-shard running token count and its window id is
+    // `offset div ctx`. One hash shuffle + per-shard sorted scan; no
+    // global order, no driver state — shards pack in parallel at any
+    // corpus size, and the assignment is a pure function of doc_id.
+    Q(
+      "c06_context_packing",
+      (s, dir) => {
+        import s.implicits._
+        val ctx = 2048L
+        val h = graft.functions.Fnv.fnv1a64($"doc_id".cast("string"))
+        val w = Window.partitionBy($"shard").orderBy($"hord", $"doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.documents(s, dir)
+          .select($"doc_id", TA.wsTokenCount($"text").cast("long").as("n_tokens"),
+            h.bitwiseAND(lit(7L)).cast("int").as("shard"), h.as("hord"))
+          .withColumn("start_offset", coalesce(sum($"n_tokens").over(w), lit(0L)))
+          .select($"doc_id", $"shard", $"n_tokens", $"start_offset",
+            expr("start_offset div 2048").as("window_id"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH h0 AS (SELECT doc_id,
+              |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+              |  ${FnvSql.toSigned(FnvSql.ofString("(doc_id::VARCHAR)"))} AS hs
+              |  FROM documents),
+              |sh AS (SELECT doc_id, n_tokens,
+              |  CAST(((hs % 8) + 8) % 8 AS INTEGER) AS shard, hs FROM h0),
+              |p AS (SELECT doc_id, shard, n_tokens,
+              |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard
+              |    ORDER BY hs, doc_id
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+              |    AS start_offset
+              |  FROM sh)
+              |SELECT doc_id, shard, n_tokens, start_offset,
+              |start_offset // 2048 AS window_id
+              |FROM p ORDER BY doc_id""".stripMargin))
   )
 
 }

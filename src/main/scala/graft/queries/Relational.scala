@@ -520,7 +520,7 @@ object Relational extends QueryProvider {
              |  FROM events)
              |SELECT event_type, count(*) AS n, min(k) AS min_k,
              |max(k) AS max_k, round(avg(k), 4) AS avg_k,
-             |sum(CASE WHEN k >= 50 THEN 1 ELSE 0 END) AS n_high
+             |count(*) FILTER (k >= 50) AS n_high
              |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // ---- Statistical aggregates (corr / stddev / covar) ----
@@ -607,6 +607,42 @@ object Relational extends QueryProvider {
              |SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
              |coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
              |FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
-             |ORDER BY nationkey""".stripMargin))
+             |ORDER BY nationkey""".stripMargin)),
+
+    // CUBE over (returnflag, linestatus): all four grouping combinations
+    // in ONE Expand + hash-aggregate pass over the scan — the subtotal
+    // lattice without re-reading the fact table per level (the rollup
+    // q23 pattern completed to the full lattice). Grouped-out cells are
+    // pinned to 'ALL' (not NULL) so row identity is total and the
+    // grouping bit-vector is emitted for determinism.
+    Q(
+      "q30_cube",
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .cube($"l_returnflag", $"l_linestatus")
+          .agg(count(lit(1)).as("n"),
+            // exact decimal sum (2-decimal quantities) → double: the
+            // grand-total cell sums the whole table, where double
+            // summation order is not reproducible across engines.
+            sum($"l_quantity".cast("decimal(14,2)"))
+              .cast("double").as("sum_qty"))
+          .select(
+            when(grouping($"l_returnflag") === 1, "ALL")
+              .otherwise($"l_returnflag").as("returnflag"),
+            when(grouping($"l_linestatus") === 1, "ALL")
+              .otherwise($"l_linestatus").as("linestatus"),
+            grouping_id().cast("int").as("gid"),
+            $"n", $"sum_qty")
+          .orderBy($"gid", $"returnflag", $"linestatus")
+      },
+      Some("""SELECT
+             |CASE WHEN grouping(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS returnflag,
+             |CASE WHEN grouping(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS linestatus,
+             |CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INTEGER) AS gid,
+             |count(*) AS n,
+             |CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+             |ORDER BY gid, returnflag, linestatus""".stripMargin))
   )
 }

@@ -109,7 +109,7 @@ object TemporalQueries extends QueryProvider {
              |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
              |g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
              |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM s)
-             |SELECT user_id, sid, count(*) AS n_events,
+             |SELECT user_id, CAST(sid AS BIGINT) AS sid, count(*) AS n_events,
              |min(ts_us) AS start_us, max(ts_us) AS end_us,
              |round(sum(value), 2) AS total_value
              |FROM g GROUP BY user_id, sid
@@ -144,6 +144,44 @@ object TemporalQueries extends QueryProvider {
              |  ON p.user_id = c.user_id AND p.ts >= c.ts
              |QUALIFY row_number() OVER (PARTITION BY c.event_id
              |  ORDER BY p.ts ASC NULLS LAST, p.event_id ASC NULLS LAST) = 1
-             |ORDER BY c.event_id""".stripMargin))
+             |ORDER BY c.event_id""".stripMargin)),
+
+    // Sliding-frame window family: trailing 4-row moving average /
+    // peak / trough per user, plus inter-event gap via lag — the
+    // rate-smoothing and spike-detection shapes of telemetry pipelines.
+    // ALL frames share ONE user-partitioned sort: a single shuffle, and
+    // the per-user frames never materialize pair explosions (the frame
+    // is a ring buffer inside WindowExec). Bounded to user_id < 100 to
+    // keep the gate output small — the plan is scale-free in users.
+    Q(
+      "q31_moving_window",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id")
+          .orderBy($"ts_us", $"event_id")
+        val trailing = w.rowsBetween(-3, Window.currentRow)
+        Tables.events(s, dir)
+          .filter($"user_id" < 100)
+          .select($"event_id", $"user_id",
+            unix_micros($"ts").as("ts_us"), $"value")
+          .select($"event_id", $"user_id", $"ts_us",
+            round(avg($"value").over(trailing), 6).as("ma4"),
+            round(max($"value").over(trailing), 6).as("peak4"),
+            round(min($"value").over(trailing), 6).as("trough4"),
+            ($"ts_us" - lag($"ts_us", 1).over(w)).as("gap_us"),
+            count(lit(1)).over(trailing).cast("int").as("n_in_frame"))
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             |round(avg(value) OVER w4, 6) AS ma4,
+             |round(max(value) OVER w4, 6) AS peak4,
+             |round(min(value) OVER w4, 6) AS trough4,
+             |epoch_us(ts) - lag(epoch_us(ts)) OVER wo AS gap_us,
+             |CAST(count(*) OVER w4 AS INTEGER) AS n_in_frame
+             |FROM events WHERE user_id < 100
+             |WINDOW wo AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id),
+             |w4 AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+             |ORDER BY event_id""".stripMargin))
   )
 }
