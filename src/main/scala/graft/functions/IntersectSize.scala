@@ -10,6 +10,9 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** `intersect_size(a, b)` — the number of DISTINCT string elements the two
   * arrays share: a fused, allocation-free `size(array_intersect(a, b))`.
+  * Matches `array_intersect` element semantics exactly, including nulls:
+  * a null element present in BOTH arrays counts once (array_intersect
+  * keeps one null in that case).
   *
   * This is the inner loop of the TextRank similarity join (SURVEY.md G2:
   * `|set(v1) & set(v2)|`, BigdataProjectCode.py:343) which runs once per
@@ -52,19 +55,28 @@ case class IntersectSize(left: Expression, right: Expression)
 
 object IntersectSize {
 
-  /** Distinct-overlap count over raw ArrayData (null elements ignored). */
+  /** Distinct-overlap count over raw ArrayData. A null element shared by
+    * both sides counts exactly once — the same rule `array_intersect`
+    * applies — so `intersect_size(a, b) == size(array_intersect(a, b))`
+    * for every input, null elements included.
+    */
   def compute(a: ArrayData, b: ArrayData): Int = {
     val (small, large) = if (a.numElements() <= b.numElements()) (a, b) else (b, a)
     val set = new java.util.HashSet[UTF8String](small.numElements() * 2)
+    var smallHasNull = false
     var i = 0
     while (i < small.numElements()) {
-      if (!small.isNullAt(i)) set.add(small.getUTF8String(i))
+      if (small.isNullAt(i)) smallHasNull = true
+      else set.add(small.getUTF8String(i))
       i += 1
     }
     var c = 0
+    var nullPending = smallHasNull
     i = 0
-    while (i < large.numElements() && !set.isEmpty) {
-      if (!large.isNullAt(i)) {
+    while (i < large.numElements() && (!set.isEmpty || nullPending)) {
+      if (large.isNullAt(i)) {
+        if (nullPending) { c += 1; nullPending = false }
+      } else {
         val e = large.getUTF8String(i)
         if (set.remove(e)) c += 1
       }

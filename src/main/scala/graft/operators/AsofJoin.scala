@@ -61,6 +61,24 @@ object AsofJoin {
       leftTime: String, rightTime: String,
       payload: Seq[String], rightTie: String,
       backward: Boolean): DataFrame = {
+    // The key only feeds the window's partitionBy, so ANY type works —
+    // but the two sides union into one column, so their types must
+    // agree; a silent cast would turn e.g. string keys into NULLs and
+    // "no match" instead of an error. The tie becomes a long so the
+    // left side can carry a ±∞ sentinel — integral only, checked.
+    val lkType = left.schema(leftKey).dataType
+    val rkType = right.schema(rightKey).dataType
+    require(lkType == rkType,
+      s"asof join key types must match: left $leftKey is ${lkType.catalogString}, " +
+        s"right $rightKey is ${rkType.catalogString}")
+    val tieType = right.schema(rightTie).dataType
+    val tieIsIntegral = tieType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    require(tieIsIntegral,
+      s"asof rightTie must be an integral column, got ${tieType.catalogString}")
     val payloadStruct = struct((payload :+ rightTie).distinct.map(col): _*)
     val payloadType = right.select(payloadStruct).schema.head.dataType
     val leftStruct = struct(left.columns.map(col).toIndexedSeq: _*)
@@ -82,14 +100,14 @@ object AsofJoin {
     val rSide = right
       .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
       .select(
-        col(rightKey).cast("long").as("__k"),
+        col(rightKey).as("__k"),
         col(rightTime).as("__t"),
         lit(rTag).as("__tag"),
         col(rightTie).cast("long").as("__tie"),
         payloadStruct.as("__p"),
         lit(null).cast(leftType).as("__l"))
     val lSide = left.select(
-      col(leftKey).cast("long").as("__k"),
+      col(leftKey).as("__k"),
       col(leftTime).as("__t"),
       lit(lTag).as("__tag"),
       lit(lTieSentinel).as("__tie"),

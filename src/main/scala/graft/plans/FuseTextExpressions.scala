@@ -36,7 +36,13 @@ object FuseTextExpressions extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      case Size(ArrayIntersect(a, b), _) if isStringArray(a) && isStringArray(b) =>
+      // legacySizeOfNull=true makes size(NULL) return -1; IntersectSize
+      // is null-propagating, so the rewrite only fires in the (default)
+      // non-legacy mode where the two agree. Null ELEMENTS are fine in
+      // either mode: compute() counts a shared null exactly as
+      // array_intersect keeps one.
+      case Size(ArrayIntersect(a, b), legacySizeOfNull)
+          if !legacySizeOfNull && isStringArray(a) && isStringArray(b) =>
         IntersectSize(a, b)
       case Length(RegExpReplace(t, Literal(re, StringType), Literal(rep, StringType), _))
           if rep == UTF8String.fromString("") &&

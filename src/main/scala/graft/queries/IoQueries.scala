@@ -34,11 +34,7 @@ object IoQueries extends QueryProvider {
           $"lang", $"source")
         .orderBy($"doc_id")
         .localCheckpoint()
-    } finally {
-      val root = new java.io.File(stage)
-      Option(root.listFiles()).foreach(_.foreach(_.delete()))
-      root.delete()
-    }
+    } finally deleteRecursively(new java.io.File(stage))
   }
 
   private val oracle: String =

@@ -190,16 +190,21 @@ object TextRank {
     */
   def ranks(edges: DataFrame, cfg: Config = Config()): DataFrame = {
     val e = edges.select(col("src"), col("dst"), col("weight")).persist()
-    // Vertex set = src-distinct (the edge list is symmetric). This
-    // collect is the routing probe AND (on the small path) the
-    // numbering — one job. The numbering order never reaches the
-    // output values: per-destination sums accumulate in edge order
-    // within partitions and tree-combine across them either way.
-    val ids: Array[Any] =
-      e.select(col("src")).distinct().collect().map(_.get(0))
+    // Vertex set = src ∪ dst (equal to src-distinct on the symmetric
+    // lists the pipeline builds, but a directed list through the public
+    // API gets its sink-only vertices ranked too instead of an NPE).
+    // Route on a COUNT first — the ids are only ever collected once the
+    // count proves they fit the driver-side budget; above the limit the
+    // vertex set never leaves the cluster.
+    val vertices = e.select(col("src")).union(e.select(col("dst"))).distinct()
     val r =
-      if (ids.length <= cfg.broadcastLimit) ranksAggregated(e, ids, cfg)
-      else ranksShuffled(e, cfg)
+      if (vertices.count() <= cfg.broadcastLimit) {
+        // Bounded by the check above. The numbering order never reaches
+        // the output values: per-destination sums accumulate in edge
+        // order within partitions and tree-combine across them.
+        val ids: Array[Any] = vertices.collect().map(_.get(0))
+        ranksAggregated(e, ids, cfg)
+      } else ranksShuffled(e, cfg)
     e.unpersist()
     r
   }
@@ -295,18 +300,28 @@ object TextRank {
     val norm = e.join(outSum, "src")
       .select(col("src"), col("dst"), (col("weight") / col("ow")).as("wn"))
       .persist()
-    norm.count() // materialize once; reused every iteration
-    var r = norm.select(col("src").as("id")).distinct()
-      .withColumn("rnk", lit(cfg.initRank))
+    // Full vertex set (src ∪ dst), kept through every iteration: a
+    // vertex with no in-edges still holds rank initRank and feeds its
+    // out-edges next round — dropping it after one groupBy(dst) would
+    // silently zero its contributions on directed inputs.
+    val vertices = norm.select(col("src").as("id"))
+      .union(norm.select(col("dst").as("id"))).distinct().persist()
+    vertices.count() // materialize both once; reused every iteration
+    var r = vertices.withColumn("rnk", lit(cfg.initRank))
     for (_ <- 1 to cfg.iterations) {
-      r = norm.join(r, norm("src") === r("id"))
+      val contrib = norm.join(r, norm("src") === r("id"))
         .groupBy(col("dst"))
-        .agg((lit(cfg.initRank) + lit(cfg.damping) * sum(col("rnk") * col("wn"))).as("rnk"))
-        .select(col("dst").as("id"), col("rnk"))
+        .agg(sum(col("rnk") * col("wn")).as("c"))
+        .select(col("dst").as("id"), col("c"))
+      // Left join keeps contribution-less vertices at initRank (c = 0).
+      r = vertices.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(cfg.initRank) + lit(cfg.damping) * coalesce(col("c"), lit(0.0))).as("rnk"))
         // Cut lineage each round or the plan doubles per iteration (H5).
         .localCheckpoint()
     }
     norm.unpersist()
+    vertices.unpersist()
     r
   }
 

@@ -24,6 +24,21 @@ class IntersectSizeSpec extends SparkSpec {
     assert(rows.map(_._1).toSeq == Seq(2, 1, 0, 0, 2))
   }
 
+  test("null ELEMENTS follow array_intersect: shared null counts once") {
+    val nd = Seq(
+      (Seq("a", null, "b"), Seq(null, "b", "c")), // shared null + b → 2
+      (Seq("a", null, null), Seq(null, null)),    // nulls dedup to one → 1
+      (Seq("a", null), Seq("a", "c")),            // null only on one side → 1
+      (Seq[String](null), Seq[String](null)))     // only a shared null → 1
+      .toDF("a", "b")
+    val rows = nd.select(
+      intersect_size($"a", $"b").as("fused"),
+      size(array_intersect($"a", $"b")).as("builtin"))
+      .as[(Int, Int)].collect()
+    rows.foreach { case (f, bi) => assert(f == bi, rows.mkString(",")) }
+    assert(rows.map(_._1).toSeq == Seq(2, 1, 1, 1))
+  }
+
   test("null array yields null (NullIntolerant binary expression)") {
     val r = Seq((Some(Seq("a")), Option.empty[Seq[String]]))
       .toDF("a", "b")

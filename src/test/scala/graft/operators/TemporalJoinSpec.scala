@@ -93,6 +93,32 @@ class TemporalJoinSpec extends SparkSpec {
     }
   }
 
+  test("asof joins work on string keys and reject mismatched key types") {
+    // String keys must join natively (they used to be cast to long →
+    // NULL → every left row silently unmatched).
+    val left = Seq((1L, "a", 100L), (2L, "b", 100L)).toDF("lid", "k", "t")
+    val right = Seq((11L, "a", 50L, 1.0)).toDF("rid", "k", "t", "v")
+    val out = AsofJoin.asofBackward(left, right,
+      "k", "k", "t", "t", Seq("v"), "rid")
+      .select($"lid", $"asof_v")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    assert(out === Set((1L, Some(1.0)), (2L, None)))
+
+    // Mismatched key types fail loudly instead of returning no matches.
+    val badRight = Seq((11L, 7L, 50L, 1.0)).toDF("rid", "k", "t", "v")
+    val err = intercept[IllegalArgumentException] {
+      AsofJoin.asofBackward(left, badRight, "k", "k", "t", "t", Seq("v"), "rid")
+    }
+    assert(err.getMessage.contains("key types must match"))
+
+    // Non-integral tie column is rejected too.
+    val err2 = intercept[IllegalArgumentException] {
+      AsofJoin.asofBackward(left.withColumn("k", $"lid"), badRight,
+        "k", "k", "t", "t", Seq("v"), rightTie = "v")
+    }
+    assert(err2.getMessage.contains("integral"))
+  }
+
   test("asofForward picks the earliest at-or-after right row per key") {
     val left = Seq(
       (1L, 10L, 100L), // exact-time right row counts (≥)

@@ -75,8 +75,12 @@ class FuseSpec extends SparkSpec {
   test("fused and unfused results agree on randomized inputs") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
+    // ~1 in 9 elements is a null: the rewrite must preserve
+    // array_intersect's shared-null-counts-once rule too.
     def arr(): Seq[String] =
-      Seq.fill(rnd.nextInt(6))(rnd.nextInt(8).toString)
+      Seq.fill(rnd.nextInt(6)) {
+        val v = rnd.nextInt(9); if (v == 8) null else v.toString
+      }
     def txt(): String =
       Seq.fill(rnd.nextInt(40))(
         "ab1!,; \t.Z9".charAt(rnd.nextInt(11))).mkString
@@ -89,6 +93,26 @@ class FuseSpec extends SparkSpec {
     val plain = q(df).collect().toSeq
     val fused = withRule(q(df).collect().toSeq)
     assert(fused == plain)
+  }
+
+  test("legacy sizeOfNull mode disables the rewrite (size(null) = -1)") {
+    withRule {
+      // Under ANSI (the Spark 4 default) Size always ignores the legacy
+      // flag, so legacy mode requires ANSI off as well.
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      spark.conf.set("spark.sql.legacy.sizeOfNull", "true")
+      try {
+        val q = docs.select(size(array_intersect(col("xs"), col("ys"))).as("n"))
+        assert(!q.queryExecution.optimizedPlan.expressions
+          .exists(_.exists(_.isInstanceOf[IntersectSize])),
+          s"rewrite must not fire under legacy sizeOfNull:\n${q.queryExecution.optimizedPlan}")
+        // Rows whose input array is null must keep the legacy -1.
+        assert(q.collect().map(_.getInt(0)).count(_ == -1) == 2)
+      } finally {
+        spark.conf.unset("spark.sql.legacy.sizeOfNull")
+        spark.conf.unset("spark.sql.ansi.enabled")
+      }
+    }
   }
 
   test("non-string arrays are left alone") {

@@ -62,6 +62,34 @@ class TextRankSpec extends SparkSpec {
     }
   }
 
+  test("directed edge list: sink-only vertices ranked, both paths agree") {
+    // 0→1→2 chain plus 0→2: vertex 2 never appears as src (pure sink),
+    // vertex 0 never as dst (pure source). The public ranks() API must
+    // neither NPE (old src-only index) nor drop vertices, and the
+    // aggregated and shuffled strategies must produce identical output.
+    val directed = Seq(
+      (0L, 1L, 1.0),
+      (1L, 2L, 2.0),
+      (0L, 2L, 3.0)).toDF("src", "dst", "weight")
+    val agg = TextRank.ranks(directed, TextRank.Config(iterations = 2))
+      .as[(Long, Double)].collect().toMap
+    val shf = TextRank.ranks(directed,
+      TextRank.Config(iterations = 2, broadcastLimit = 0L))
+      .as[(Long, Double)].collect().toMap
+    assert(agg.keySet == Set(0L, 1L, 2L))
+    assert(shf.keySet == Set(0L, 1L, 2L))
+    // Source-only vertex holds initRank; hand-check the chain after two
+    // iterations: r1 = .15 + .85*(r0 * 1/4); r2 uses iteration-1 ranks.
+    val r1i1 = 0.15 + 0.85 * (0.15 * 0.25)
+    assert(math.abs(agg(0L) - 0.15) < 1e-12)
+    assert(math.abs(agg(1L) - r1i1) < 1e-12) // r0 constant → r1 fixed point
+    val r2i2 = 0.15 + 0.85 * (0.15 * 0.75 + r1i1 * 1.0)
+    assert(math.abs(agg(2L) - r2i2) < 1e-12)
+    agg.foreach { case (id, v) =>
+      assert(math.abs(v - shf(id)) < 1e-12, s"vertex $id: $v vs ${shf(id)}")
+    }
+  }
+
   test("rankDocuments applies the exclusive 10..30 word band (F2)") {
     val docs = Seq(
       (0L, ("alpha beta " * 8).trim), // 16 words, in band
