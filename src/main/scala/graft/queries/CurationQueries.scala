@@ -277,16 +277,9 @@ object CurationQueries extends QueryProvider {
       "c06_context_packing",
       (s, dir) => {
         import s.implicits._
-        val ctx = 2048L
-        val h = graft.functions.Fnv.fnv1a64($"doc_id".cast("string"))
-        val w = Window.partitionBy($"shard").orderBy($"hord", $"doc_id")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        Tables.documents(s, dir)
-          .select($"doc_id", TA.wsTokenCount($"text").cast("long").as("n_tokens"),
-            h.bitwiseAND(lit(7L)).cast("int").as("shard"), h.as("hord"))
-          .withColumn("start_offset", coalesce(sum($"n_tokens").over(w), lit(0L)))
-          .select($"doc_id", $"shard", $"n_tokens", $"start_offset",
-            expr("start_offset div 2048").as("window_id"))
+        graft.operators.Packing.contextPack(
+          Tables.documents(s, dir), "doc_id",
+          TA.wsTokenCount($"text"), ctx = 2048L, shards = 8)
           .orderBy($"doc_id")
       },
       Some(s"""WITH h0 AS (SELECT doc_id,

@@ -277,6 +277,52 @@ object DedupQueries extends QueryProvider {
              |SELECT doc_id, n_shingles, count(*) AS n_shared,
              |round(count(*) * 1.0 / n_shingles, 6) AS contamination
              |FROM c JOIN b USING (g) GROUP BY doc_id, n_shingles
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // MinHash ESTIMATION accuracy, in-gate: for every LSH candidate
+    // pair, the signature-agreement Jaccard estimate (what a 100 TB
+    // run would use — it never touches the shingle sets again) next to
+    // the exact Jaccard (the truth the gate can still afford at this
+    // scale). est is an exact multiple of 1/32, so the hash compare is
+    // stable; the estimate-vs-truth residual is the quantity the d04
+    // threshold dial trades against bands/rows. Same banding plan as
+    // d04: linear signature build, bucket join, no all-pairs stage.
+    Q(
+      "d10_minhash_estimate",
+      (s, dir) => {
+        import s.implicits._
+        val sh = graft.Par.fanOut(Tables.documents(s, dir))
+          .select($"doc_id".as("id"), TF.tokenize($"text").as("tokens"))
+          .select($"id",
+            array_distinct(Dedup.shingles($"tokens", 3)).as("sh"))
+          .filter(size($"sh") > 0)
+          .persist()
+        val sigs = sh
+          .withColumn("hv", Dedup.shingleHashes($"sh"))
+          .withColumn("sig", Dedup.minhashSignature($"hv", 32))
+          .select($"id", $"sig")
+        val cands = Dedup.lshCandidates(sigs, bands = 8, rowsPerBand = 4)
+        cands
+          .join(sigs.select($"id".as("a"), $"sig".as("sig_a")), "a")
+          .join(sigs.select($"id".as("b"), $"sig".as("sig_b")), "b")
+          .join(sh.select($"id".as("a"), $"sh".as("sh_a")), "a")
+          .join(sh.select($"id".as("b"), $"sh".as("sh_b")), "b")
+          .select($"a", $"b",
+            round(size(filter(zip_with($"sig_a", $"sig_b", (x, y) => x === y),
+              m => m)).cast("double") / lit(32.0), 6).as("est_jaccard"),
+            round(Dedup.jaccard($"sh_a", $"sh_b"), 6).as("jaccard"))
+          .orderBy($"a", $"b")
+      },
+      Some(
+        s"""WITH $minhashPairCtes,
+           |est AS (SELECT c.a, c.b,
+           |    sum(CASE WHEN sa.m = sb.m THEN 1.0 ELSE 0.0 END) / 32.0 AS e
+           |  FROM cand c
+           |  JOIN sig sa ON sa.id = c.a
+           |  JOIN sig sb ON sb.id = c.b AND sb.i = sa.i
+           |  GROUP BY c.a, c.b)
+           |SELECT a, b, round(e, 6) AS est_jaccard, round(j, 6) AS jaccard
+           |FROM est JOIN jac USING (a, b)
+           |ORDER BY a, b""".stripMargin))
   )
 }

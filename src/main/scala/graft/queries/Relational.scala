@@ -626,14 +626,16 @@ object Relational extends QueryProvider {
             // grand-total cell sums the whole table, where double
             // summation order is not reproducible across engines.
             sum($"l_quantity".cast("decimal(14,2)"))
-              .cast("double").as("sum_qty"))
+              .cast("double").as("sum_qty"),
+            // grouping()/grouping_id() are only resolvable inside the
+            // cube aggregate itself.
+            grouping($"l_returnflag").as("g_rf"),
+            grouping($"l_linestatus").as("g_ls"),
+            grouping_id().cast("int").as("gid"))
           .select(
-            when(grouping($"l_returnflag") === 1, "ALL")
-              .otherwise($"l_returnflag").as("returnflag"),
-            when(grouping($"l_linestatus") === 1, "ALL")
-              .otherwise($"l_linestatus").as("linestatus"),
-            grouping_id().cast("int").as("gid"),
-            $"n", $"sum_qty")
+            when($"g_rf" === 1, "ALL").otherwise($"l_returnflag").as("returnflag"),
+            when($"g_ls" === 1, "ALL").otherwise($"l_linestatus").as("linestatus"),
+            $"gid", $"n", $"sum_qty")
           .orderBy($"gid", $"returnflag", $"linestatus")
       },
       Some("""SELECT

@@ -94,7 +94,45 @@ object SimilarityQueries extends QueryProvider {
              |  FROM v)
              |SELECT label, CAST(dim AS INTEGER) AS dim,
              |round(avg(v), 6) AS centroid, count(*) AS n
-             |FROM x GROUP BY label, dim ORDER BY label, dim""".stripMargin))
+             |FROM x GROUP BY label, dim ORDER BY label, dim""".stripMargin)),
+
+    // Int8 scalar quantization of the embedding column — the 4×
+    // compression step an ANN index applies before storing vectors at
+    // scale. Per-vector max-abs scale, `floor(v*127/s + 0.5)` cell
+    // codes (floor-form rounding: engine-neutral, unlike each SQL
+    // dialect's round-half rule). Pure row-local higher-order array
+    // expressions — a narrow map over the scan, no shuffle; the gate
+    // checks code sums (order-free reductions of the full code vector)
+    // so every cell participates in the hash without 64 columns.
+    Q(
+      "s05_quantize_int8",
+      (s, dir) => {
+        import s.implicits._
+        val e = transform($"embedding", x => x.cast("double"))
+        val ma = greatest(array_max(transform(e, x => abs(x))), lit(1e-12))
+        val q = transform(e, x => floor(x * lit(127.0) / $"ma" + lit(0.5)).cast("long"))
+        Tables.embeddings(s, dir)
+          .select($"vec_id", $"embedding", ma.as("ma"))
+          .select($"vec_id", round($"ma", 6).as("max_abs"), q.as("q"))
+          .select($"vec_id", $"max_abs",
+            aggregate($"q", lit(0L), (acc, x) => acc + x).as("qsum"),
+            aggregate($"q", lit(0L), (acc, x) => acc + abs(x)).as("qabssum"),
+            array_max($"q").cast("long").as("qmax"),
+            array_min($"q").cast("long").as("qmin"))
+          .orderBy($"vec_id")
+      },
+      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             |m AS (SELECT vec_id, e,
+             |  greatest(list_max(list_transform(e, x -> abs(x))), 1e-12) AS ma
+             |  FROM v),
+             |q AS (SELECT vec_id, ma,
+             |  list_transform(e, x -> CAST(floor(x * 127.0 / ma + 0.5) AS BIGINT)) AS qv
+             |  FROM m)
+             |SELECT vec_id, round(ma, 6) AS max_abs,
+             |CAST(list_sum(qv) AS BIGINT) AS qsum,
+             |CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS qabssum,
+             |list_max(qv) AS qmax, list_min(qv) AS qmin
+             |FROM q ORDER BY vec_id""".stripMargin))
   )
 
   /** s03 oracle: the deterministic Lloyd IVF replayed in SQL. Distances

@@ -201,6 +201,54 @@ object StreamingQueries extends QueryProvider {
              |  ON p.user_id = c.user_id
              | AND c.event_type = 'click' AND p.event_type = 'purchase'
              | AND p.ts BETWEEN c.ts - INTERVAL 1 HOUR AND c.ts
-             |ORDER BY click_id, purchase_id""".stripMargin))
+             |ORDER BY click_id, purchase_id""".stripMargin)),
+
+    // SLIDING (overlapping) windows through the real streaming path:
+    // 1-hour windows every 15 minutes, so each event feeds 4 windows.
+    // The overlap multiplies STATE ENTRIES (4× here), never input
+    // passes — the scan stays single at any rate. Oracle replays the
+    // fan-out relationally: each event joins to its 4 epoch-aligned
+    // window starts (Spark's window() aligns to the epoch; 15-minute
+    // buckets make day-offset origins equivalent).
+    Q(
+      "sm05_stream_sliding",
+      (s, dir) => {
+        import s.implicits._
+        val batchSchema = Tables.events(s, dir).schema
+        val rawSchema = StructType(batchSchema.map {
+          case f if f.name == "ts" => f.copy(dataType = LongType)
+          case f => f
+        })
+        val sink = s"sm05_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val stage = Files.createTempDirectory("sm05_events")
+        var q: org.apache.spark.sql.streaming.StreamingQuery = null
+        try {
+          Files.copy(Paths.get(s"$dir/events.parquet"),
+            stage.resolve("events.parquet"))
+          val stream = s.readStream.schema(rawSchema).parquet(stage.toString)
+            .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          q = EventStreams.slidingCounts(stream, "1 hour", "15 minutes")
+            .writeStream.outputMode("complete")
+            .format("memory").queryName(sink).start()
+          q.processAllAvailable()
+        } finally {
+          if (q != null) q.stop()
+          Files.deleteIfExists(stage.resolve("events.parquet"))
+          Files.deleteIfExists(stage)
+        }
+        s.table(sink)
+          .select($"window_start", $"event_type", $"n",
+            round($"sum_value", 2).as("sum_value"))
+          .orderBy($"window_start", $"event_type")
+      },
+      Some("""WITH e AS (SELECT event_type, value,
+             |  time_bucket(INTERVAL '15 minutes', ts) AS t0 FROM events),
+             |x AS (SELECT event_type, value,
+             |  t0 - unnest(range(4)) * INTERVAL '15 minutes' AS window_start
+             |  FROM e)
+             |SELECT window_start, event_type, count(*) AS n,
+             |round(sum(value), 2) AS sum_value
+             |FROM x GROUP BY window_start, event_type
+             |ORDER BY window_start, event_type""".stripMargin))
   )
 }

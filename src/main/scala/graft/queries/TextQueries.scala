@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
+import graft.operators.{TextAnalysis => TA}
 import graft.tables.Tables
 import graft.text.{StopWords, TextFunctions => TF}
 import graft.tfidf.TfIdf
@@ -266,6 +267,36 @@ object TextQueries extends QueryProvider {
              |    ORDER BY cnt DESC, bigram) AS rnk FROM cnts)
              |SELECT lang, CAST(rnk AS INTEGER) AS rnk, bigram, cnt
              |FROM r WHERE rnk <= 10
-             |ORDER BY lang, rnk""".stripMargin))
+             |ORDER BY lang, rnk""".stripMargin)),
+
+    // Sentence destructure as a GATE query (SURVEY P2 — previously
+    // unit-only): split on '.' with positional ids, exactly the
+    // reference's sentence table shape, plus a per-sentence word count.
+    // Row-local explode — a narrow 1→many map, no shuffle; the ORDER BY
+    // is the gate's determinism requirement, not part of the operator.
+    Q(
+      "t11_sentences",
+      (s, dir) => {
+        import s.implicits._
+        graft.Par.fanOut(Tables.documents(s, dir))
+          .filter($"doc_id" < 100)
+          .select($"doc_id",
+            posexplode(split($"text", "\\.")).as(Seq("sent_idx", "sentence")))
+          .select($"doc_id", $"sent_idx",
+            trim($"sentence").as("sentence"),
+            TA.wsTokenCount(trim($"sentence")).cast("long").as("ws_tokens"))
+          .filter(length($"sentence") > 0)
+          .orderBy($"doc_id", $"sent_idx")
+      },
+      Some("""WITH s AS (SELECT doc_id,
+             |  regexp_split_to_array(text, '\.') AS arr
+             |  FROM documents WHERE doc_id < 100),
+             |e AS (SELECT doc_id,
+             |  CAST(unnest(range(1, len(arr)+1)) - 1 AS INTEGER) AS sent_idx,
+             |  trim(unnest(arr)) AS sentence FROM s)
+             |SELECT doc_id, sent_idx, sentence,
+             |CAST(len(regexp_split_to_array(trim(sentence), '\s+')) AS BIGINT) AS ws_tokens
+             |FROM e WHERE length(sentence) > 0
+             |ORDER BY doc_id, sent_idx""".stripMargin))
   )
 }

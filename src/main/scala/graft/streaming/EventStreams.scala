@@ -35,6 +35,20 @@ object EventStreams {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Sliding (overlapping) windowed counts: each event lands in
+    * windowDur/slide windows. Same incremental state-store shape as
+    * [[windowedCounts]] — the overlap multiplies state entries, not
+    * input passes (the scan stays single).
+    */
+  def slidingCounts(events: DataFrame, windowDur: String = "1 hour",
+      slide: String = "15 minutes", watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
   /** Gap-based sessionization with custom state
     * (KeyValueGroupedDataset.flatMapGroupsWithState): a session closes
     * when the next event for the user arrives more than `gapMs` later.
