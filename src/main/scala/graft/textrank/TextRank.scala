@@ -197,6 +197,7 @@ object TextRank {
     // count proves they fit the driver-side budget; above the limit the
     // vertex set never leaves the cluster.
     val vertices = e.select(col("src")).union(e.select(col("dst"))).distinct()
+      .persist() // count probe + (small path) collect read it once each
     val r =
       if (vertices.count() <= cfg.broadcastLimit) {
         // Bounded by the check above. The numbering order never reaches
@@ -205,6 +206,7 @@ object TextRank {
         val ids: Array[Any] = vertices.collect().map(_.get(0))
         ranksAggregated(e, ids, cfg)
       } else ranksShuffled(e, cfg)
+    vertices.unpersist()
     e.unpersist()
     r
   }

@@ -1,0 +1,49 @@
+package graft.misc
+
+import graft.SparkSpec
+
+/** Physical-plan contracts for the round-4 operators: the scale story
+  * is a property of the PLAN (how many shuffles, which partitioning),
+  * not of the output — pin it so a refactor that silently adds an
+  * exchange fails here, not in a 100 TB run.
+  *
+  * Counted against the pre-AQE executed plan string; the final gate
+  * ORDER BY contributes the single rangepartitioning exchange, which
+  * is excluded (it's the determinism requirement, not the operator).
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def planOf(name: String): String = {
+    val q = graft.SparkEntry.queries(name)
+    q(spark, sf("sf0.001")).queryExecution.executedPlan.toString
+  }
+
+  private def hashExchanges(plan: String): Int =
+    "Exchange hashpartitioning".r.findAllIn(plan).length
+
+  test("q31 sliding-frame family shares ONE user-partitioned shuffle") {
+    val plan = planOf("q31_moving_window")
+    assert(hashExchanges(plan) == 1,
+      s"expected exactly 1 hash exchange (all frames off one sort), got:\n$plan")
+  }
+
+  test("c06 context packing is one shard-partitioned shuffle") {
+    val plan = planOf("c06_context_packing")
+    assert(hashExchanges(plan) == 1,
+      s"expected exactly 1 hash exchange (per-shard windows only), got:\n$plan")
+  }
+
+  test("q30 cube is a single Expand + aggregate pass") {
+    val plan = planOf("q30_cube")
+    assert("Expand".r.findAllIn(plan).length == 1,
+      s"expected one Expand (no per-level re-scan), got:\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).length == 1,
+      s"cube must not re-read the fact table per level, got:\n$plan")
+  }
+
+  test("s05 quantization is a narrow map: no shuffle before the sort") {
+    val plan = planOf("s05_quantize_int8")
+    assert(hashExchanges(plan) == 0,
+      s"expected no hash exchange (row-local expressions only), got:\n$plan")
+  }
+}
