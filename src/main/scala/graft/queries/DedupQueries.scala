@@ -323,6 +323,66 @@ object DedupQueries extends QueryProvider {
            |  GROUP BY c.a, c.b)
            |SELECT a, b, round(e, 6) AS est_jaccard, round(j, 6) AS jaccard
            |FROM est JOIN jac USING (a, b)
-           |ORDER BY a, b""".stripMargin))
+           |ORDER BY a, b""".stripMargin)),
+
+    // Bloom-filter decontamination — the 100 TB form of d09: instead of
+    // broadcasting the full benchmark shingle set, broadcast its
+    // constant-size Bloom bit set (sk06's state) and flag corpus docs
+    // whose ANY 4-gram probes fully set. Verified against the exact
+    // shared-shingle count side by side: n_bloom >= n_exact per doc
+    // (no false negatives), the overhang being the false-positive cost
+    // of the m/k dial. Shape: build = explode+distinct (≤ m rows),
+    // probe = broadcast join per shingle — the corpus side never
+    // shuffles its text anywhere.
+    Q(
+      "d11_bloom_decontam",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.BloomFilter
+        val (m, k) = (SketchQueries.BloomM, SketchQueries.BloomK)
+        val sh = graft.Par.fanOut(Tables.documents(s, dir))
+          .select($"doc_id",
+            array_distinct(Dedup.shingles(TF.tokenize($"text"), 4)).as("sh"))
+        val bench = sh.filter($"doc_id" % 50 === 0)
+          .select(explode($"sh").as("g")).distinct()
+        val words = BloomFilter.bitmap(BloomFilter.bitsTable(bench, $"g", k, m), m)
+        val corpus = sh.filter($"doc_id" % 50 =!= 0)
+          .select($"doc_id", explode($"sh").as("g"))
+        val flagged = BloomFilter.mightContain(words, corpus, $"g", k, m)
+          .groupBy($"doc_id").agg(count(lit(1)).as("n_bloom"))
+        val exact = corpus.join(broadcast(bench), Seq("g"))
+          .groupBy($"doc_id").agg(count(lit(1)).as("n_exact"))
+        flagged.join(exact, Seq("doc_id"), "left")
+          .select($"doc_id", $"n_bloom", coalesce($"n_exact", lit(0L)).as("n_exact"))
+          .orderBy($"doc_id")
+      },
+      Some {
+        val (m, k) = (SketchQueries.BloomM, SketchQueries.BloomK)
+        s"""WITH t AS (SELECT doc_id,
+           |  regexp_extract_all(lower(text),'[a-zA-Z]+') AS tk FROM documents),
+           |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk)-2),
+           |    i -> array_to_string(tk[i:i+3], ' '))) AS sh
+           |  FROM t WHERE len(tk) >= 4),
+           |b AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 50 = 0),
+           |corpus AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % 50 <> 0),
+           |gset AS (SELECT DISTINCT g FROM corpus),
+           |allg AS (SELECT g FROM gset UNION SELECT g FROM b),
+           |gh AS (SELECT g, ${FnvSql.ofString("g")} AS hu FROM allg),
+           |gp AS (SELECT g, list_distinct(list_transform(range($k),
+           |    d -> CAST(${FnvSql.perm("d", "hu")} % $m::HUGEINT AS INTEGER))) AS pos
+           |  FROM gh),
+           |bits AS (SELECT DISTINCT unnest(pos) AS bit FROM gp JOIN b USING (g)),
+           |pr AS (SELECT gp.g, len(gp.pos) AS np, unnest(gp.pos) AS bit
+           |  FROM gp JOIN gset USING (g)),
+           |hits AS (SELECT g FROM pr JOIN bits USING (bit)
+           |  GROUP BY g, np HAVING count(*) = np),
+           |nb AS (SELECT doc_id, count(*) AS n_bloom
+           |  FROM corpus JOIN hits USING (g) GROUP BY doc_id),
+           |ne AS (SELECT doc_id, count(*) AS n_exact
+           |  FROM corpus JOIN b USING (g) GROUP BY doc_id)
+           |SELECT nb.doc_id, nb.n_bloom, coalesce(ne.n_exact, 0) AS n_exact
+           |FROM nb LEFT JOIN ne ON ne.doc_id = nb.doc_id
+           |ORDER BY nb.doc_id""".stripMargin
+      })
   )
 }

@@ -645,6 +645,41 @@ object Relational extends QueryProvider {
              |count(*) AS n,
              |CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty
              |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
-             |ORDER BY gid, returnflag, linestatus""".stripMargin))
+             |ORDER BY gid, returnflag, linestatus""".stripMargin)),
+
+    // ---- Bloom-prefiltered join (runtime-filter / semi-join pushdown) ----
+    // The dim side is a selective filter over orders; instead of
+    // shuffling ALL of lineitem into the join, a constant-size Bloom
+    // bit set built from the dim keys prefilters the fact side at the
+    // scan — the hand-rolled form of the runtime row-filters AQE/DPP
+    // inject, and the classic 100 TB trick when the dim side is small
+    // but past the broadcast-join comfort zone. False positives are
+    // eliminated by the real join that follows, so the result is
+    // EXACTLY the plain join (which is the oracle).
+    Q(
+      "q33_bloom_join",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.BloomFilter
+        val (m, k) = (1 << 14, 3)
+        val dim = Tables.orders(s, dir)
+          .filter($"o_orderpriority" === "1-URGENT" && $"o_totalprice" > 250000.0)
+          .select($"o_orderkey", $"o_custkey")
+        val words = BloomFilter.bitmap(
+          BloomFilter.bitsTable(dim, $"o_orderkey", k, m), m)
+        val fact = BloomFilter.mightContain(
+          words, Tables.lineitem(s, dir).select($"l_orderkey", $"l_quantity"),
+          $"l_orderkey", k, m)
+        fact.join(dim, $"l_orderkey" === $"o_orderkey")
+          .groupBy($"o_orderkey")
+          .agg(count(lit(1)).as("n_items"),
+            round(sum($"l_quantity"), 2).as("sum_qty"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey, count(*) AS n_items,
+             |round(sum(l_quantity), 2) AS sum_qty
+             |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+             |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 250000.0
+             |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin))
   )
 }

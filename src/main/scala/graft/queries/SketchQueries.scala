@@ -2,8 +2,9 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{CmsSketch, HllSketch}
+import graft.operators.{BloomFilter, CmsSketch, Dedup, HllSketch}
 import graft.tables.Tables
+import graft.text.{TextFunctions => TF}
 
 /** Sketch / approximate-analytics operators (SURVEY §7.5): a
   * deterministic FNV-based HyperLogLog (register table + estimate, both
@@ -53,6 +54,12 @@ object SketchQueries extends QueryProvider {
 
   private val CmsDepth = 4
   private val CmsWidth = 64
+
+  /** Bloom config shared with d11: m = 4096 bits (power of two — the
+    * signed `& (m-1)` / unsigned `% m` parity trick), k = 3 hashes.
+    */
+  private[queries] val BloomM = 4096
+  private[queries] val BloomK = 3
 
   /** DuckDB replay of the CMS cell grid over lineitem.l_suppkey. */
   private val cmsCellsSql: String =
@@ -182,7 +189,35 @@ object SketchQueries extends QueryProvider {
               |  FROM lineitem GROUP BY l_suppkey)
               |SELECT e.key, coalesce(t.true_cnt, 0) AS true_cnt, e.est
               |FROM est e LEFT JOIN truth t ON t.key = e.key
-              |ORDER BY e.key""".stripMargin))
+              |ORDER BY e.key""".stripMargin)),
+
+    // Bloom-filter STATE over the benchmark 4-gram shingle set (the
+    // same set d09's exact decontamination broadcasts): every SET bit
+    // position hash-checked, like sk01/sk04. The filter is what ships
+    // at 100 TB — m bits regardless of how many billion shingles built
+    // it; d11 exercises the membership side.
+    Q(
+      "sk06_bloom_bits",
+      (s, dir) => {
+        import s.implicits._
+        val bench = graft.Par.fanOut(Tables.documents(s, dir))
+          .filter($"doc_id" % 50 === 0)
+          .select(explode(array_distinct(
+            Dedup.shingles(TF.tokenize($"text"), 4))).as("g")).distinct()
+        BloomFilter.bitsTable(bench, $"g", k = BloomK, mBits = BloomM)
+          .orderBy($"bit")
+      },
+      Some(s"""WITH t AS (SELECT doc_id,
+              |  regexp_extract_all(lower(text),'[a-zA-Z]+') AS tk FROM documents),
+              |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk)-2),
+              |    i -> array_to_string(tk[i:i+3], ' '))) AS sh
+              |  FROM t WHERE len(tk) >= 4),
+              |b AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 50 = 0),
+              |gh AS (SELECT g, ${FnvSql.ofString("g")} AS hu FROM b),
+              |pos AS (SELECT DISTINCT
+              |    CAST(${FnvSql.perm("d.d", "hu")} % $BloomM::HUGEINT AS INTEGER) AS bit
+              |  FROM gh CROSS JOIN (SELECT unnest(range($BloomK)) AS d) d)
+              |SELECT bit FROM pos ORDER BY bit""".stripMargin))
   )
 
 }

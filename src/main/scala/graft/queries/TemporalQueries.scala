@@ -182,6 +182,64 @@ object TemporalQueries extends QueryProvider {
              |WINDOW wo AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id),
              |w4 AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
              |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
-             |ORDER BY event_id""".stripMargin))
+             |ORDER BY event_id""".stripMargin)),
+
+    // Ordered-sequence funnel (view → click → purchase) with conversion
+    // windows: per user, the first view, the first click within 24 h AT
+    // OR AFTER that view, the first purchase within 24 h of that click —
+    // the strictly-ordered, attribution-windowed funnel semantics (a
+    // purchase before any view, or a week later, does not count). Three
+    // chained conditional-min windows share ONE user-partitioned sort —
+    // a single shuffle; the per-stage rollup is a 4-row aggregate. All
+    // timestamps integer micros, so every value is exact.
+    Q(
+      "q32_funnel",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id")
+        val hop = 24L * 3600 * 1000000 // 24 h conversion window, micros
+        val staged = Tables.events(s, dir)
+          .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_type")
+          .withColumn("tv",
+            min(when($"event_type" === "view", $"ts_us")).over(w))
+          .withColumn("tc",
+            min(when($"event_type" === "click" &&
+              $"ts_us" >= $"tv" && $"ts_us" <= $"tv" + hop, $"ts_us")).over(w))
+          .withColumn("tp",
+            min(when($"event_type" === "purchase" &&
+              $"ts_us" >= $"tc" && $"ts_us" <= $"tc" + hop, $"ts_us")).over(w))
+          .select($"user_id", $"tv", $"tc", $"tp").distinct()
+        staged
+          .select($"user_id",
+            when($"tp".isNotNull, "3_purchase")
+              .when($"tc".isNotNull, "2_click")
+              .when($"tv".isNotNull, "1_view")
+              .otherwise("0_none").as("stage"),
+            ($"tp" - $"tv").as("lag_us"))
+          .groupBy($"stage")
+          .agg(count(lit(1)).as("n_users"),
+            coalesce(sum($"lag_us"), lit(0L)).as("total_lag_us"))
+          .orderBy($"stage")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type
+             |  FROM events),
+             |w1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts_us END)
+             |    OVER (PARTITION BY user_id) AS tv FROM e),
+             |w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts_us >= tv
+             |    AND ts_us <= tv + 86400000000
+             |    THEN ts_us END) OVER (PARTITION BY user_id) AS tc FROM w1),
+             |w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts_us >= tc
+             |    AND ts_us <= tc + 86400000000
+             |    THEN ts_us END) OVER (PARTITION BY user_id) AS tp FROM w2),
+             |u AS (SELECT DISTINCT user_id, tv, tc, tp FROM w3),
+             |st AS (SELECT user_id,
+             |  CASE WHEN tp IS NOT NULL THEN '3_purchase'
+             |    WHEN tc IS NOT NULL THEN '2_click'
+             |    WHEN tv IS NOT NULL THEN '1_view'
+             |    ELSE '0_none' END AS stage,
+             |  tp - tv AS lag_us FROM u)
+             |SELECT stage, count(*) AS n_users,
+             |CAST(coalesce(sum(lag_us), 0) AS BIGINT) AS total_lag_us
+             |FROM st GROUP BY stage ORDER BY stage""".stripMargin))
   )
 }
