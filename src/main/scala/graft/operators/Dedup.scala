@@ -246,6 +246,44 @@ object Dedup {
       .select(col("a"), col("b"), col("cosine"))
   }
 
+  /** SemDeDup-style clustered semantic dedup (Abbas et al. 2023): Lloyd
+    * k-means partitions the embedding space, pairwise cosine runs only
+    * WITHIN clusters, and each near-dup group keeps its lowest-id
+    * member. Output: (id, cluster, n_dups_lower, keep) per vector —
+    * `keep = false` iff some LOWER id in the same cluster sits at
+    * cosine ≥ `tau` (min-id canonicalization, the same rule as c01's
+    * exact path).
+    *
+    * 100 TB shape: the all-pairs stage of [[cosineNearDuplicates]] is
+    * O(n²) over the corpus; here it is Σ O(|cluster|²) — the cluster
+    * count is the quadratic-cost dial, and the per-cluster join is a
+    * plain shuffled equi-join on the cluster id (skew-capped in
+    * production by splitting oversized clusters, the d04 `maxBucket`
+    * trick). Deterministic Lloyd means a SQL oracle replays the whole
+    * thing.
+    */
+  def semanticDedup(vecs: DataFrame, nClusters: Int, lloydIters: Int,
+      tau: Double): DataFrame = {
+    import graft.operators.{Similarity => S}
+    val (_, assigned) = S.lloydClusters(vecs, nClusters, lloydIters)
+    val withNorm = assigned.select(col("cluster"), col("id"), col("vec"),
+      S.norm(col("vec")).as("nrm"))
+    val a = withNorm.select(col("cluster"), col("id").as("a"),
+      col("vec").as("va"), col("nrm").as("na"))
+    val b = withNorm.select(col("cluster"), col("id").as("b"),
+      col("vec").as("vb"), col("nrm").as("nb"))
+    val dups = a.join(b, Seq("cluster")).filter(col("a") < col("b"))
+      .withColumn("cosine",
+        round(S.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("cosine") >= tau)
+      .groupBy(col("b").as("id")).agg(count(lit(1)).as("n_dups_lower"))
+    assigned.select(col("id"), col("cluster"))
+      .join(dups, Seq("id"), "left")
+      .select(col("id"), col("cluster"),
+        coalesce(col("n_dups_lower"), lit(0L)).as("n_dups_lower"))
+      .withColumn("keep", col("n_dups_lower") === 0L)
+  }
+
   /** Edit-distance near-dup pairs over (id, key): all unordered pairs
     * with `levenshtein(key_a, key_b) <= maxDist`.
     *

@@ -81,26 +81,18 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)
 
-  /** Deterministic fixed-iteration Lloyd quantizer + IVF probe — the
-    * oracle-replicable variant of [[ivfTopK]] (same output contract):
-    *
-    *  - init: the `nClusters` vectors with the smallest ids;
-    *  - `lloydIters` unrolled rounds of assign (argmin squared distance,
-    *    ties to the lowest cluster) + recompute means;
-    *  - means are computed as EXACT decimal sums divided in double:
-    *    double summation over rows is partition-order-dependent, which
-    *    would let run-to-run float noise flip near-tie assignments;
-    *    decimal sums make every centroid a pure function of the data;
-    *  - empty clusters keep their previous centroid;
-    *  - probe: per query the `nProbe` nearest centroids, exact cosine
-    *    re-rank over their inverted lists.
-    *
-    * Everything is DataFrame ops (posexplode + hash agg + window) — no
-    * MLlib, no UDF; recall@full-probe equals brute force for ANY
-    * quantizer, which the spec asserts for this one too.
+  /** Deterministic fixed-iteration Lloyd clustering — shared by the IVF
+    * probe (s03) and SemDeDup-style clustered semantic dedup (d12).
+    * Returns (final centroids (cluster, cv), assignment (id, vec,
+    * cluster)). Init = the `nClusters` lowest-id vectors; each round is
+    * assign (argmin squared distance via the fold-identical [[sqDist]],
+    * ties to the lowest cluster) + decimal-exact means; empty clusters
+    * keep their previous centroid. Every value is a pure function of
+    * the data — no RNG, no partition-order float drift — so a SQL
+    * oracle recomputes the clustering itself.
     */
-  def ivfTopKDeterministic(vecs: DataFrame, queries: DataFrame, k: Int,
-      nClusters: Int, nProbe: Int, lloydIters: Int = 2): DataFrame = {
+  def lloydClusters(vecs: DataFrame, nClusters: Int,
+      lloydIters: Int): (DataFrame, DataFrame) = {
     val v = vecs.select(col("id"), col("vec"))
     var centroids = v.orderBy(col("id")).limit(nClusters)
       .select(col("id").as("cid"), col("vec").as("cv"))
@@ -136,8 +128,31 @@ object Similarity {
         .select(col("cluster"), coalesce(col("cv"), col("cv0")).as("cv"))
         .localCheckpoint()
     }
+    (centroids, assign(centroids))
+  }
 
-    val assigned = assign(centroids)
+  /** Deterministic fixed-iteration Lloyd quantizer + IVF probe — the
+    * oracle-replicable variant of [[ivfTopK]] (same output contract):
+    *
+    *  - init: the `nClusters` vectors with the smallest ids;
+    *  - `lloydIters` unrolled rounds of assign (argmin squared distance,
+    *    ties to the lowest cluster) + recompute means;
+    *  - means are computed as EXACT decimal sums divided in double:
+    *    double summation over rows is partition-order-dependent, which
+    *    would let run-to-run float noise flip near-tie assignments;
+    *    decimal sums make every centroid a pure function of the data;
+    *  - empty clusters keep their previous centroid;
+    *  - probe: per query the `nProbe` nearest centroids, exact cosine
+    *    re-rank over their inverted lists.
+    *
+    * Everything is DataFrame ops (posexplode + hash agg + window) — no
+    * MLlib, no UDF; recall@full-probe equals brute force for ANY
+    * quantizer, which the spec asserts for this one too.
+    */
+  def ivfTopKDeterministic(vecs: DataFrame, queries: DataFrame, k: Int,
+      nClusters: Int, nProbe: Int, lloydIters: Int = 2): DataFrame = {
+    val (centroids, af) = lloydClusters(vecs, nClusters, lloydIters)
+    val assigned = af
       .select(col("id").as("neighbor_id"), col("vec").as("nv"),
         norm(col("vec")).as("nn"), col("cluster"))
     val wp = Window.partitionBy(col("query_id"))

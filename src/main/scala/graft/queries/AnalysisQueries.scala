@@ -347,6 +347,60 @@ object AnalysisQueries extends QueryProvider {
              |SELECT s.source, l.lang, CAST(coalesce(c.n, 0) AS BIGINT) AS n
              |FROM src s CROSS JOIN l
              |LEFT JOIN c ON c.source = s.source AND c.lang = l.lang
-             |ORDER BY s.source, l.lang""".stripMargin))
+             |ORDER BY s.source, l.lang""".stripMargin)),
+
+    // Bigram language-model scoring — the CCNet/perplexity-style quality
+    // filter of LLM curation: train an add-one-smoothed bigram LM on the
+    // corpus itself, score every document by mean log-probability of its
+    // bigrams. Cross-engine float discipline: each DISTINCT bigram's
+    // log-prob is computed once from exact integers and quantized to a
+    // BIGINT micro-log (round(ln·1e6)); per-doc totals are then exact
+    // integer sums — no double accumulation anywhere, so partitioning
+    // can never flip the hash. Scale shape: two counting aggregates
+    // (map-side combined), one shuffle join on the bigram key, one final
+    // per-doc aggregate; the model is data-sized, never driver-sized.
+    Q(
+      "a08_bigram_lm",
+      (s, dir) => {
+        import s.implicits._
+        val toks = graft.Par.fanOut(Tables.documents(s, dir))
+          .select($"doc_id", TF.tokenize($"text").as("t"))
+        val bg = toks.select($"doc_id", explode(zip_with(
+          slice($"t", lit(1), greatest(size($"t") - 1, lit(0))),
+          slice($"t", lit(2), greatest(size($"t") - 1, lit(0))),
+          (a, b) => concat_ws(" ", a, b))).as("g"))
+        val c2 = bg.groupBy($"g").agg(count(lit(1)).as("c2"))
+        val uni = toks.select(explode($"t").as("w"))
+        val c1 = uni.groupBy($"w").agg(count(lit(1)).as("c1"))
+        val v = uni.agg(countDistinct($"w").as("v"))
+        val lm = c2
+          .join(c1, split($"g", " ").getItem(0) === $"w")
+          .crossJoin(broadcast(v))
+          .select($"g",
+            round(log(($"c2" + lit(1.0)) / ($"c1" + $"v")) * 1e6).cast("long").as("lp6"))
+        bg.join(lm, Seq("g"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum($"lp6").as("sum_lp6"))
+          .select($"doc_id", $"n_bigrams", $"sum_lp6",
+            round($"sum_lp6" * 1.0 / $"n_bigrams" / 1e6, 6).as("mean_logp"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+             |  regexp_extract_all(lower(text),'[a-zA-Z]+') AS t FROM documents),
+             |bg AS (SELECT doc_id, unnest(list_transform(
+             |    range(greatest(len(t)-1, 0)), i -> t[i+1] || ' ' || t[i+2])) AS g
+             |  FROM tok),
+             |c2 AS (SELECT g, count(*) AS c2 FROM bg GROUP BY g),
+             |uni AS (SELECT unnest(t) AS w FROM tok),
+             |c1 AS (SELECT w, count(*) AS c1 FROM uni GROUP BY w),
+             |v AS (SELECT count(DISTINCT w) AS v FROM uni),
+             |lm AS (SELECT c2.g,
+             |    CAST(round(ln((c2.c2 + 1.0) / (c1.c1 + v.v)) * 1000000) AS BIGINT) AS lp6
+             |  FROM c2 JOIN c1 ON c1.w = split_part(c2.g, ' ', 1) CROSS JOIN v)
+             |SELECT bg.doc_id, count(*) AS n_bigrams,
+             |CAST(sum(lm.lp6) AS BIGINT) AS sum_lp6,
+             |round(sum(lm.lp6) * 1.0 / count(*) / 1000000.0, 6) AS mean_logp
+             |FROM bg JOIN lm USING (g) GROUP BY bg.doc_id
+             |ORDER BY bg.doc_id""".stripMargin))
   )
 }

@@ -383,6 +383,35 @@ object DedupQueries extends QueryProvider {
            |SELECT nb.doc_id, nb.n_bloom, coalesce(ne.n_exact, 0) AS n_exact
            |FROM nb LEFT JOIN ne ON ne.doc_id = nb.doc_id
            |ORDER BY nb.doc_id""".stripMargin
-      })
+      }),
+
+    // SemDeDup-style clustered semantic dedup: deterministic Lloyd
+    // k-means (the s03 quantizer) partitions the embedding space, the
+    // quadratic cosine stage runs only WITHIN clusters, each near-dup
+    // group keeps its lowest id. The oracle recomputes the clustering
+    // itself (shared LloydSql replay) and the within-cluster pruning —
+    // so the gate checks the composed semantics end to end, not a
+    // stored assignment.
+    Q(
+      "d12_semantic_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val vecs = Tables.embeddings(s, dir)
+          .select($"vec_id".as("id"),
+            graft.operators.Similarity.toDouble($"embedding").as("vec"))
+        Dedup.semanticDedup(vecs, nClusters = 16, lloydIters = 2, tau = 0.35)
+          .orderBy($"id")
+      },
+      Some(s"""WITH ${LloydSql.ctes(16, 2)},
+              |pairs AS (SELECT l.id AS a, r.id AS b,
+              |    round(list_cosine_similarity(l.e, r.e), 6) AS c
+              |  FROM af l JOIN af r ON l.cluster = r.cluster AND l.id < r.id),
+              |d AS (SELECT b AS id, count(*) AS n_dups_lower
+              |  FROM pairs WHERE c >= 0.35 GROUP BY b)
+              |SELECT af.id, CAST(af.cluster AS INTEGER) AS cluster,
+              |CAST(coalesce(d.n_dups_lower, 0) AS BIGINT) AS n_dups_lower,
+              |coalesce(d.n_dups_lower, 0) = 0 AS keep
+              |FROM af LEFT JOIN d ON d.id = af.id
+              |ORDER BY af.id""".stripMargin))
   )
 }

@@ -1,0 +1,54 @@
+package graft.queries
+
+/** DuckDB replay of `Similarity.lloydClusters` — the deterministic
+  * fixed-iteration Lloyd quantizer (first-k init, fold-identical
+  * squared distances, decimal-exact means, empty clusters keep their
+  * centroid). Shared by the s03 IVF oracle and the d12 SemDeDup oracle:
+  * the clustering is recomputed BY SQL, nothing embedded.
+  */
+private[queries] object LloydSql {
+
+  /** Fold-identical squared euclidean distance (same summation order as
+    * the engine's strict left fold).
+    */
+  def dist(v: String, c: String): String =
+    s"""list_reduce(list_prepend(0.0, list_transform(range(len($v)),
+       |  i -> ($v[i+1] - $c[i+1]) * ($v[i+1] - $c[i+1]))),
+       |  (acc, x) -> acc + x)""".stripMargin
+
+  private def assignCte(name: String, cs: String): String =
+    s"""$name AS (SELECT id, e, cluster FROM (
+       |  SELECT vv.id, vv.e, c.cluster,
+       |    row_number() OVER (PARTITION BY vv.id
+       |      ORDER BY ${dist("vv.e", "c.cv")}, c.cluster) AS rn
+       |  FROM v vv CROSS JOIN $cs c) WHERE rn = 1)""".stripMargin
+
+  private def meanCtes(a: String, prev: String, out: String): String =
+    s"""${out}m AS (SELECT cluster, list(s / n ORDER BY pos) AS cv
+       |  FROM (SELECT cluster, pos,
+       |      CAST(sum(CAST(x AS DECIMAL(28,14))) AS DOUBLE) AS s,
+       |      count(*) AS n
+       |    FROM (SELECT cluster, unnest(range(len(e))) AS pos,
+       |        unnest(e) AS x FROM $a)
+       |    GROUP BY cluster, pos)
+       |  GROUP BY cluster),
+       |$out AS (SELECT p.cluster, coalesce(m.cv, p.cv) AS cv
+       |  FROM $prev p LEFT JOIN ${out}m m USING (cluster))""".stripMargin
+
+  /** Name of the final-centroid CTE for `iters` rounds. */
+  def finalCentroids(iters: Int): String = s"c$iters"
+
+  /** CTE chain `v, c0, a1, c1, …, af` over `embeddings`: `af` holds the
+    * final assignment (id, e, cluster), `c<iters>` the final centroids.
+    */
+  def ctes(nClusters: Int, iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"${assignCte(s"a$i", s"c${i - 1}")},\n${meanCtes(s"a$i", s"c${i - 1}", s"c$i")}"
+    }
+    (Seq(
+      "v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings)",
+      s"""c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cluster, e AS cv
+         |  FROM (SELECT id, e FROM v ORDER BY id LIMIT $nClusters))""".stripMargin) ++
+      rounds :+ assignCte("af", finalCentroids(iters))).mkString(",\n")
+  }
+}

@@ -141,40 +141,13 @@ object SimilarityQueries extends QueryProvider {
     * double — so assignments are bit-identical cross-engine.
     */
   private lazy val s03OracleSql: String = {
-    def dist(v: String, c: String): String =
-      s"""list_reduce(list_prepend(0.0, list_transform(range(len($v)),
-         |  i -> ($v[i+1] - $c[i+1]) * ($v[i+1] - $c[i+1]))),
-         |  (acc, x) -> acc + x)""".stripMargin
-    def assignCte(name: String, cs: String): String =
-      s"""$name AS (SELECT id, e, cluster FROM (
-         |  SELECT vv.id, vv.e, c.cluster,
-         |    row_number() OVER (PARTITION BY vv.id
-         |      ORDER BY ${dist("vv.e", "c.cv")}, c.cluster) AS rn
-         |  FROM v vv CROSS JOIN $cs c) WHERE rn = 1)""".stripMargin
-    def meanCtes(a: String, prev: String, out: String): String =
-      s"""${out}m AS (SELECT cluster, list(s / n ORDER BY pos) AS cv
-         |  FROM (SELECT cluster, pos,
-         |      CAST(sum(CAST(x AS DECIMAL(28,14))) AS DOUBLE) AS s,
-         |      count(*) AS n
-         |    FROM (SELECT cluster, unnest(range(len(e))) AS pos,
-         |        unnest(e) AS x FROM $a)
-         |    GROUP BY cluster, pos)
-         |  GROUP BY cluster),
-         |$out AS (SELECT p.cluster, coalesce(m.cv, p.cv) AS cv
-         |  FROM $prev p LEFT JOIN ${out}m m USING (cluster))""".stripMargin
-    s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings),
-       |c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cluster, e AS cv
-       |  FROM (SELECT id, e FROM v ORDER BY id LIMIT 16)),
-       |${assignCte("a1", "c0")},
-       |${meanCtes("a1", "c0", "c1")},
-       |${assignCte("a2", "c1")},
-       |${meanCtes("a2", "c1", "c2")},
-       |${assignCte("af", "c2")},
+    val cf = LloydSql.finalCentroids(2)
+    s"""WITH ${LloydSql.ctes(16, 2)},
        |probes AS (SELECT query_id, qe, cluster FROM (
        |  SELECT q.id AS query_id, q.e AS qe, c.cluster,
        |    row_number() OVER (PARTITION BY q.id
-       |      ORDER BY ${dist("q.e", "c.cv")}, c.cluster) AS rn
-       |  FROM v q CROSS JOIN c2 c WHERE q.id < 5) WHERE rn <= 4),
+       |      ORDER BY ${LloydSql.dist("q.e", "c.cv")}, c.cluster) AS rn
+       |  FROM v q CROSS JOIN $cf c WHERE q.id < 5) WHERE rn <= 4),
        |sc AS (SELECT p.query_id, a.id AS neighbor_id,
        |    round(list_cosine_similarity(p.qe, a.e), 6) AS cosine
        |  FROM probes p JOIN af a ON a.cluster = p.cluster
