@@ -28,8 +28,10 @@ object TextQueries extends QueryProvider {
   private val stopSql: String =
     StopWords.nltkEnglishAlpha.map(w => s"'$w'").mkString("[", ",", "]")
 
-  /** DuckDB expression for the LSA-style kept-token list. */
-  private def tokSql(src: String = "text"): String =
+  /** DuckDB expression for the LSA-style kept-token list (shared with
+    * ls06's power-iteration oracle).
+    */
+  private[queries] def tokSql(src: String = "text"): String =
     s"list_filter(regexp_extract_all(lower($src),'[a-zA-Z]+'), x -> len(x)>=3 AND NOT list_contains($stopSql, x))"
 
   override val all: Seq[Q] = Seq(

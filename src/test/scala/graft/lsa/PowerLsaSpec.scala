@@ -1,0 +1,64 @@
+package graft.lsa
+
+import breeze.linalg.{svd, DenseMatrix}
+
+import graft.SparkSpec
+
+/** PowerLsa vs a dense LAPACK SVD (Breeze) on a small matrix: the
+  * fixed-iteration power method must converge to the top singular
+  * triple when the spectral gap is clear, and be bit-deterministic
+  * across runs.
+  */
+class PowerLsaSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 5×4 nonnegative matrix with a dominant direction (clear σ1/σ2 gap)
+  private val entries = Seq(
+    (0L, "a", 4.0), (0L, "b", 2.0), (0L, "c", 0.5),
+    (1L, "a", 3.5), (1L, "b", 1.5), (1L, "d", 0.2),
+    (2L, "a", 4.2), (2L, "b", 2.2), (2L, "c", 0.1),
+    (3L, "c", 1.0), (3L, "d", 0.8),
+    (4L, "a", 3.8), (4L, "b", 1.9), (4L, "d", 0.3)
+  )
+
+  private def dense: DenseMatrix[Double] = {
+    val m = DenseMatrix.zeros[Double](5, 4)
+    val tix = Map("a" -> 0, "b" -> 1, "c" -> 2, "d" -> 3)
+    entries.foreach { case (r, t, x) => m(r.toInt, tix(t)) = x }
+    m
+  }
+
+  test("matches the LAPACK top singular triple on a gapped matrix") {
+    val out = PowerLsa.topSingular(entries.toDF("id", "token", "a"), iters = 12)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val s = svd(dense)
+    val sigma = out.collect { case ("sigma", _, x) => x }.head
+    assert(math.abs(sigma - s.S(0)) < 1e-4, s"sigma $sigma vs ${s.S(0)}")
+
+    // v loading per term, against LAPACK's right singular vector
+    // (sign-fixed positive — the matrix is nonnegative)
+    val vt = s.Vt
+    val signV = if (vt(0, 0) < 0) -1.0 else 1.0
+    val vByTerm = out.collect { case ("term", t, x) => t -> x }.toMap
+    Seq("a", "b", "c", "d").zipWithIndex.foreach { case (t, j) =>
+      assert(math.abs(vByTerm(t) - signV * vt(0, j)) < 1e-4,
+        s"v[$t] ${vByTerm(t)} vs ${signV * vt(0, j)}")
+    }
+    val uMat = s.U
+    val uById = out.collect { case ("doc", d, x) => d.toLong -> x }.toMap
+    val signU = if (uMat(0, 0) < 0) -1.0 else 1.0
+    (0 until 5).foreach { i =>
+      assert(math.abs(uById(i.toLong) - signU * uMat(i, 0)) < 1e-4,
+        s"u[$i] ${uById(i.toLong)} vs ${signU * uMat(i, 0)}")
+    }
+  }
+
+  test("bit-deterministic across runs and partitioning") {
+    def run(parts: Int) =
+      PowerLsa.topSingular(entries.toDF("id", "token", "a").repartition(parts),
+        iters = 8)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    assert(run(1) == run(7))
+  }
+}
