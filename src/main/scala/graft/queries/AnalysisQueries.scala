@@ -401,6 +401,40 @@ object AnalysisQueries extends QueryProvider {
              |CAST(sum(lm.lp6) AS BIGINT) AS sum_lp6,
              |round(sum(lm.lp6) * 1.0 / count(*) / 1000000.0, 6) AS mean_logp
              |FROM bg JOIN lm USING (g) GROUP BY bg.doc_id
-             |ORDER BY bg.doc_id""".stripMargin))
+             |ORDER BY bg.doc_id""".stripMargin)),
+
+    // Fixed-window document chunking with overlap — the pretraining/RAG
+    // chunker: 200-char windows every 150 chars (50-char overlap), one
+    // chunk row per window start below the text length. Pure row-local
+    // 1→many expression (sequence + substr inside a higher-order
+    // transform, then posexplode) — a narrow Generate, no shuffle; the
+    // chunk body travels as md5 so the gate pins every character
+    // without exploding the output size.
+    Q(
+      "a09_chunks",
+      (s, dir) => {
+        import s.implicits._
+        val (win, stride) = (200, 150)
+        val n = (greatest(length($"text") - 1, lit(0)) / stride).cast("int")
+        Tables.documents(s, dir)
+          .filter($"text".isNotNull && length($"text") > 0)
+          .select($"doc_id", posexplode(transform(sequence(lit(0), n), i =>
+            $"text".substr(i * stride + 1, lit(win)))))
+          .select($"doc_id", $"pos".cast("int").as("chunk_idx"),
+            ($"pos" * stride).cast("long").as("start"),
+            length($"col").cast("long").as("chunk_len"),
+            md5($"col").as("chunk_md5"))
+          .orderBy($"doc_id", $"chunk_idx")
+      },
+      Some("""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+             |  WHERE text IS NOT NULL AND length(text) > 0),
+             |c AS (SELECT doc_id,
+             |    unnest(range(greatest(n - 1, 0) // 150 + 1)) AS chunk_idx,
+             |    text, n FROM d)
+             |SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+             |CAST(chunk_idx * 150 AS BIGINT) AS start,
+             |CAST(length(substr(text, chunk_idx * 150 + 1, 200)) AS BIGINT) AS chunk_len,
+             |md5(substr(text, chunk_idx * 150 + 1, 200)) AS chunk_md5
+             |FROM c ORDER BY doc_id, chunk_idx""".stripMargin))
   )
 }

@@ -680,6 +680,22 @@ object Relational extends QueryProvider {
              |round(sum(l_quantity), 2) AS sum_qty
              |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
              |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 250000.0
-             |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin))
+             |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- Generic column profiler (ANALYZE TABLE / ingestion audit) ----
+    // One scan, one aggregate (multi-DISTINCT plans as a single Expand +
+    // hash agg), melted to long form with a row-local stack() Generate.
+    Q(
+      "q34_profile",
+      (s, dir) => graft.operators.Profiler.profile(Tables.documents(s, dir)),
+      Some {
+        val profiled = Seq("doc_id", "lang", "n_chars", "source", "text")
+        profiled.map { c =>
+          s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+             |CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             |count(DISTINCT $c) AS n_distinct FROM documents""".stripMargin
+        }.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+          "\n) ORDER BY column_name")
+      })
   )
 }

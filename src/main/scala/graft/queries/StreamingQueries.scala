@@ -249,6 +249,85 @@ object StreamingQueries extends QueryProvider {
              |SELECT window_start, event_type, count(*) AS n,
              |round(sum(value), 2) AS sum_value
              |FROM x GROUP BY window_start, event_type
-             |ORDER BY window_start, event_type""".stripMargin))
+             |ORDER BY window_start, event_type""".stripMargin)),
+
+    // The PRODUCTION sink shape: update-mode aggregation drained through
+    // foreachBatch into an upserted parquet table across MULTIPLE
+    // micro-batches (events staged as three files, maxFilesPerTrigger=1
+    // → three genuine incremental batches; each upsert = anti-join out
+    // the updated keys, append the new values, atomic directory swap —
+    // the filesystem stand-in for a Delta/Iceberg MERGE). Value sums
+    // accumulate in DECIMAL so cross-batch arrival order cannot perturb
+    // a single bit; the final upserted table must equal the batch
+    // aggregate, which is the oracle.
+    Q(
+      "sm06_stream_upsert",
+      (s, dir) => {
+        import s.implicits._
+        val batchSchema = Tables.events(s, dir).schema
+        val rawSchema = StructType(batchSchema.map {
+          case f if f.name == "ts" => f.copy(dataType = LongType)
+          case f => f
+        })
+        val stage = Files.createTempDirectory("sm06_events")
+        val sinkRoot = Files.createTempDirectory("sm06_sink")
+        val dataDir = sinkRoot.resolve("data").toString
+        var q: org.apache.spark.sql.streaming.StreamingQuery = null
+        try {
+          // three deterministic slices → three micro-batches
+          (0 until 3).foreach { i =>
+            val tmp = sinkRoot.resolve(s"slice$i").toString
+            s.read.schema(rawSchema).parquet(s"$dir/events.parquet")
+              .filter($"event_id" % 3 === i)
+              .coalesce(1).write.mode("overwrite").parquet(tmp)
+            val part = new java.io.File(tmp).listFiles()
+              .filter(_.getName.endsWith(".parquet")).head
+            Files.copy(part.toPath, stage.resolve(f"events_$i%02d.parquet"))
+          }
+          val stream = s.readStream.schema(rawSchema)
+            .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+          val agg = stream.groupBy($"user_id")
+            .agg(count(lit(1)).as("n_events"),
+              sum($"value".cast("decimal(18,6)")).as("sum_value"))
+          q = agg.writeStream.outputMode("update")
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              val sp = batch.sparkSession
+              val cur = new java.io.File(dataDir)
+              val next =
+                if (cur.exists())
+                  sp.read.parquet(dataDir)
+                    .join(batch, Seq("user_id"), "left_anti")
+                    .unionByName(batch)
+                else batch
+              val tmpOut = s"$dataDir.next"
+              next.write.mode("overwrite").parquet(tmpOut)
+              // atomic-ish swap: the writer is the only reader between batches
+              def rmRec(f: java.io.File): Unit = {
+                if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmRec))
+                f.delete(): Unit
+              }
+              rmRec(cur)
+              Files.move(Paths.get(tmpOut), Paths.get(dataDir)): Unit
+            }
+            .start()
+          q.processAllAvailable()
+          s.read.parquet(dataDir)
+            .select($"user_id", $"n_events",
+              round($"sum_value", 2).cast("double").as("sum_value"))
+            .orderBy($"user_id")
+            .localCheckpoint()
+        } finally {
+          if (q != null) q.stop()
+          def rmRec(f: java.io.File): Unit = {
+            if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmRec))
+            f.delete(): Unit
+          }
+          rmRec(stage.toFile)
+          rmRec(sinkRoot.toFile)
+        }
+      },
+      Some("""SELECT user_id, count(*) AS n_events,
+             |CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
   )
 }
