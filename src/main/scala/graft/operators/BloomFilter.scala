@@ -79,14 +79,29 @@ object BloomFilter {
     * join — the shape of a runtime row-filter.
     */
   def mightContain(words: Array[Long], probes: DataFrame, key: Column,
-      k: Int, mBits: Int): DataFrame = {
-    val wordsLit = array(words.map(lit): _*)
-    // single-bit masks as a literal lookup (shiftleft's Scala wrapper
-    // only takes a constant shift; an indexed mask is codegen-friendly)
-    val masksLit = array((0 until 64).map(i => lit(1L << i)): _*)
-    val hit = forall(positions(key, k, mBits), p =>
-      element_at(wordsLit, (p / 64).cast("int") + 1)
-        .bitwiseAND(element_at(masksLit, pmod(p, lit(64)) + 1)) =!= 0L)
-    probes.filter(hit)
-  }
+      k: Int, mBits: Int): DataFrame =
+    if (words.length <= 1024) {
+      // ≤ 64 Kbit: embed the bitmap as plan literals — fully
+      // codegen'd, no closure, the runtime-row-filter shape
+      val wordsLit = array(words.map(lit): _*)
+      // single-bit masks as a literal lookup (shiftleft's Scala wrapper
+      // only takes a constant shift; an indexed mask is codegen-friendly)
+      val masksLit = array((0 until 64).map(i => lit(1L << i)): _*)
+      val hit = forall(positions(key, k, mBits), p =>
+        element_at(wordsLit, (p / 64).cast("int") + 1)
+          .bitwiseAND(element_at(masksLit, pmod(p, lit(64)) + 1)) =!= 0L)
+      probes.filter(hit)
+    } else {
+      // big filter (a 2^27-bit bitmap is 2M longs — as a plan literal
+      // it would blow past Janino's method limits and re-serialize per
+      // task binding): ship ONCE per executor as a broadcast, probe
+      // through a closure. Bit-identical semantics to the literal path.
+      val sc = probes.sparkSession.sparkContext
+      val bc = sc.broadcast(words)
+      val probe = udf { (pos: Seq[Int]) =>
+        val w = bc.value
+        pos.forall(p => (w(p >>> 6) & (1L << (p & 63))) != 0L)
+      }
+      probes.filter(probe(positions(key, k, mBits)))
+    }
 }

@@ -435,6 +435,41 @@ object AnalysisQueries extends QueryProvider {
              |CAST(chunk_idx * 150 AS BIGINT) AS start,
              |CAST(length(substr(text, chunk_idx * 150 + 1, 200)) AS BIGINT) AS chunk_len,
              |md5(substr(text, chunk_idx * 150 + 1, 200)) AS chunk_md5
-             |FROM c ORDER BY doc_id, chunk_idx""".stripMargin))
+             |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // Per-group winsorization (outlier clipping at exact p05/p95) — the
+    // robust-statistics step before any length- or score-based corpus
+    // filter. One sort-based percentile aggregate per language (at
+    // 100 TB: approx_percentile, same plan minus the per-group sort),
+    // broadcast of the tiny per-group bounds, then a narrow row-local
+    // clip. Spark `percentile` and DuckDB `quantile_cont` share the
+    // (n-1)·q interpolation definition (proved by sk03).
+    Q(
+      "a10_winsorize",
+      (s, dir) => {
+        import s.implicits._
+        val pct = Tables.documents(s, dir)
+          .groupBy($"lang")
+          .agg(expr("percentile(n_chars, 0.05)").as("p05"),
+            expr("percentile(n_chars, 0.95)").as("p95"))
+        Tables.documents(s, dir)
+          .join(broadcast(pct), Seq("lang"))
+          .select($"doc_id", $"lang", $"n_chars",
+            round($"p05", 4).as("p05"), round($"p95", 4).as("p95"),
+            round(least(greatest($"n_chars".cast("double"), $"p05"), $"p95"), 4)
+              .as("clipped"),
+            ($"n_chars" < $"p05" || $"n_chars" > $"p95").as("was_outlier"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH p AS (SELECT lang,
+             |  quantile_cont(n_chars, 0.05) AS p05,
+             |  quantile_cont(n_chars, 0.95) AS p95
+             |  FROM documents GROUP BY lang)
+             |SELECT doc_id, d.lang, n_chars,
+             |round(p05, 4) AS p05, round(p95, 4) AS p95,
+             |round(least(greatest(n_chars * 1.0, p05), p95), 4) AS clipped,
+             |(n_chars < p05 OR n_chars > p95) AS was_outlier
+             |FROM documents d JOIN p ON p.lang = d.lang
+             |ORDER BY doc_id""".stripMargin))
   )
 }

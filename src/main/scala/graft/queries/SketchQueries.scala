@@ -217,7 +217,47 @@ object SketchQueries extends QueryProvider {
               |pos AS (SELECT DISTINCT
               |    CAST(${FnvSql.perm("d.d", "hu")} % $BloomM::HUGEINT AS INTEGER) AS bit
               |  FROM gh CROSS JOIN (SELECT unnest(range($BloomK)) AS d) d)
-              |SELECT bit FROM pos ORDER BY bit""".stripMargin))
+              |SELECT bit FROM pos ORDER BY bit""".stripMargin)),
+
+    // Heavy hitters from sketch state: top-10 suppliers by CMS estimate
+    // (what a 100 TB run ranks by — the sketch, not a second exact
+    // pass), with the true count beside each. TakeOrderedAndProject
+    // top-k (no global window); the bounded 10-row result then gets its
+    // rank from a trivially-small window.
+    Q(
+      "sk07_cms_topk",
+      (s, dir) => {
+        import s.implicits._
+        val sk = CmsSketch.sketchTable(
+          Tables.lineitem(s, dir), $"l_suppkey", CmsDepth, CmsWidth)
+        val est = CmsSketch.estimates(
+          sk, Tables.supplier(s, dir), $"s_suppkey", CmsDepth, CmsWidth)
+        val truth = Tables.lineitem(s, dir)
+          .groupBy($"l_suppkey".as("key")).agg(count(lit(1)).as("true_cnt"))
+        val top = est.join(truth, Seq("key"), "left")
+          .select($"key", $"est", coalesce($"true_cnt", lit(0L)).as("true_cnt"))
+          .orderBy(desc("est"), $"key").limit(10)
+        top.withColumn("rnk", row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy(desc("est"), $"key"))
+          .cast("int"))
+          .select($"rnk", $"key", $"est", $"true_cnt")
+          .orderBy($"rnk")
+      },
+      Some(s"""WITH $cmsCellsSql,
+              |probes AS (SELECT s_suppkey AS key, d.d,
+              |    CAST(${FnvSql.perm("d.d", "h.hu")} % $CmsWidth::HUGEINT AS INTEGER) AS bucket
+              |  FROM (SELECT s_suppkey, ${FnvSql.ofString("(s_suppkey::VARCHAR)")} AS hu
+              |        FROM supplier) h
+              |  CROSS JOIN (SELECT unnest(range($CmsDepth)) AS d) d),
+              |est AS (SELECT p.key, min(g.cnt) AS est FROM probes p
+              |  JOIN grid g ON g.d = p.d AND g.bucket = p.bucket GROUP BY p.key),
+              |truth AS (SELECT l_suppkey AS key, count(*) AS true_cnt
+              |  FROM lineitem GROUP BY l_suppkey),
+              |top AS (SELECT e.key, e.est, coalesce(t.true_cnt, 0) AS true_cnt
+              |  FROM est e LEFT JOIN truth t ON t.key = e.key
+              |  ORDER BY e.est DESC, e.key LIMIT 10)
+              |SELECT CAST(row_number() OVER (ORDER BY est DESC, key) AS INTEGER) AS rnk,
+              |key, est, true_cnt FROM top ORDER BY rnk""".stripMargin))
   )
 
 }

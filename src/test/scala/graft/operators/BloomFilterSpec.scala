@@ -61,6 +61,22 @@ class BloomFilterSpec extends SparkSpec {
     assert(fromWords == fromRows)
   }
 
+  test("broadcast-UDF path (large m) agrees with the literal path") {
+    import spark.implicits._
+    val bigM = 1 << 17 // 2048 words → takes the broadcast branch
+    val inserted = (0 until 300).map(i => s"key_$i")
+    val bits = BloomFilter.bitsTable(keysDf(inserted), $"key", K, bigM)
+    val words = BloomFilter.bitmap(bits, bigM)
+    assert(words.length > 1024)
+    val probes = (inserted ++ (0 until 500).map(i => s"nope_$i")).toDF("key")
+    val kept = BloomFilter.mightContain(words, probes, $"key", K, bigM)
+      .as[String].collect().toSet
+    assert(inserted.toSet.subsetOf(kept))
+    // at m=131072, n=300, k=3 false positives are ~0 — everything kept
+    // beyond the inserted set would be a collision triple
+    assert((kept -- inserted.toSet).size < 5)
+  }
+
   test("rejects non-power-of-two m") {
     import spark.implicits._
     intercept[IllegalArgumentException] {
