@@ -114,42 +114,60 @@ object LsaQueries extends QueryProvider {
       "ls06_power_concept",
       (s, dir) => {
         import s.implicits._
-        val docs = Tables.documents(s, dir)
-        val n = docs.count()
-        val tok = graft.Par.fanOut(docs)
-          .select($"doc_id", TF.lsaTokens($"text", lemma = false).as("tokens"))
-        val tf = TfIdf.termFrequencies(tok, "doc_id", "tokens")
-        val idf = TfIdf.idfTable(tf, "doc_id", n)
-        val cells = tf.join(broadcast(idf.select($"token", $"idf")), "token")
-          .select($"doc_id".as("id"), $"token", round($"tf" * $"idf", 6).as("a"))
-        PowerLsa.topSingular(cells, iters = PowerIters)
+        PowerLsa.topSingular(powerCells(s, dir), iters = PowerIters)
           .orderBy($"kind", $"ident")
       },
-      Some(powerOracleSql(PowerIters)))
+      Some(powerOracleSql(PowerIters))),
+
+    // Second concept via IMPLICIT deflation — A₂ᵀA₂ = AᵀA − σ₁²v₁v₁ᵀ,
+    // so the residual never densifies: each round is the same two
+    // sparse matvecs plus a dot product and a rank-1 correction on the
+    // vocabulary-sized vector. The oracle replays BOTH concepts
+    // (concept 1's chain feeds σ₁ and v₁) — a two-factor SVD, fully
+    // hash-checked.
+    Q(
+      "ls07_power_concept2",
+      (s, dir) => {
+        import s.implicits._
+        PowerLsa.secondSingular(powerCells(s, dir), iters = PowerIters)
+          .orderBy($"kind", $"ident")
+      },
+      Some(secondOracleSql(PowerIters)))
   )
 
-  /** DuckDB replay of [[PowerLsa.topSingular]] over the same TF-IDF
-    * cells: the `iters` rounds are unrolled as CTE pairs with the exact
-    * decimal summation discipline of the engine.
-    */
-  private def powerOracleSql(iters: Int): String = {
-    // AS MATERIALIZED: without it DuckDB inlines every CTE reference,
-    // and the iteration chain re-evaluates `cells` exponentially.
-    def mv(out: String, grp: String, other: String, vin: String,
-        vcol: String, ocol: String): String =
-      s"""$out AS MATERIALIZED (SELECT $grp, CAST(sum(CAST(a * $vcol AS DECIMAL(38,18)))
-         |    AS DOUBLE) AS $ocol
-         |  FROM cells JOIN $vin USING ($other) GROUP BY $grp)""".stripMargin
+  /** The t05-style TF-IDF cell matrix both power queries factor. */
+  private def powerCells(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val n = docs.count()
+    val tok = graft.Par.fanOut(docs)
+      .select($"doc_id", TF.lsaTokens($"text", lemma = false).as("tokens"))
+    val tf = TfIdf.termFrequencies(tok, "doc_id", "tokens")
+    val idf = TfIdf.idfTable(tf, "doc_id", n)
+    tf.join(broadcast(idf.select($"token", $"idf")), "token")
+      .select($"doc_id".as("id"), $"token", round($"tf" * $"idf", 6).as("a"))
+  }
+
+  // AS MATERIALIZED throughout: without it DuckDB inlines every CTE
+  // reference and the iteration chain re-evaluates `cells` exponentially.
+  private def mvSql(out: String, grp: String, other: String, vin: String,
+      vcol: String, ocol: String): String =
+    s"""$out AS MATERIALIZED (SELECT $grp, CAST(sum(CAST(a * $vcol AS DECIMAL(38,18)))
+       |    AS DOUBLE) AS $ocol
+       |  FROM cells JOIN $vin USING ($other) GROUP BY $grp)""".stripMargin
+
+  /** Concept-1 chain `cells, nv, v0 … v<iters>` (shared by ls06/ls07). */
+  private def powerChainCtes(iters: Int): String = {
     val rounds = (1 to iters).map { i =>
       Seq(
-        mv(s"u$i", "id", "token", s"v${i - 1}", "v", "u"),
-        mv(s"w$i", "token", "id", s"u$i", "u", "w"),
+        mvSql(s"u$i", "id", "token", s"v${i - 1}", "v", "u"),
+        mvSql(s"w$i", "token", "id", s"u$i", "u", "w"),
         s"""nrm$i AS MATERIALIZED (SELECT sqrt(CAST(sum(CAST(w * w AS DECIMAL(38,18)))
            |    AS DOUBLE)) AS nrm FROM w$i)""".stripMargin,
         s"v$i AS MATERIALIZED (SELECT token, w / nrm AS v FROM w$i CROSS JOIN nrm$i)"
       ).mkString(",\n")
     }
-    s"""WITH tok AS (SELECT doc_id, unnest(${TextQueries.tokSql()}) AS token
+    s"""tok AS (SELECT doc_id, unnest(${TextQueries.tokSql()}) AS token
        |  FROM documents),
        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
        |d AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
@@ -160,17 +178,71 @@ object LsaQueries extends QueryProvider {
        |nv AS (SELECT count(DISTINCT token) AS nv FROM cells),
        |v0 AS (SELECT token, 1.0 / sqrt(nv * 1.0) AS v
        |  FROM (SELECT DISTINCT token FROM cells) CROSS JOIN nv),
-       |${rounds.mkString(",\n")},
-       |av AS MATERIALIZED (SELECT id, CAST(sum(CAST(a * v AS DECIMAL(38,18))) AS DOUBLE) AS av
-       |  FROM cells JOIN v$iters USING (token) GROUP BY id),
-       |sg AS (SELECT sqrt(CAST(sum(CAST(av * av AS DECIMAL(38,18))) AS DOUBLE))
-       |  AS sigma FROM av)
+       |${rounds.mkString(",\n")}""".stripMargin
+  }
+
+  /** Emit (kind, ident, score) for a final vector CTE `vf`. */
+  private def emitSql(vf: String, avName: String, sgName: String): String =
+    s"""$avName AS MATERIALIZED (SELECT id,
+       |  CAST(sum(CAST(a * v AS DECIMAL(38,18))) AS DOUBLE) AS av
+       |  FROM cells JOIN $vf USING (token) GROUP BY id),
+       |$sgName AS (SELECT sqrt(CAST(sum(CAST(av * av AS DECIMAL(38,18))) AS DOUBLE))
+       |  AS sigma FROM $avName)
        |SELECT kind, ident, score FROM (
-       |  SELECT 'sigma' AS kind, '' AS ident, round(sigma, 6) AS score FROM sg
+       |  SELECT 'sigma' AS kind, '' AS ident, round(sigma, 6) AS score FROM $sgName
        |  UNION ALL
-       |  SELECT 'term', token, round(v, 6) FROM v$iters
+       |  SELECT 'term', token, round(v, 6) FROM $vf
        |  UNION ALL
-       |  SELECT 'doc', id::VARCHAR, round(av / sigma, 6) FROM av CROSS JOIN sg)
+       |  SELECT 'doc', id::VARCHAR, round(av / sigma, 6)
+       |  FROM $avName CROSS JOIN $sgName)
        |ORDER BY kind, ident""".stripMargin
+
+  /** DuckDB replay of [[PowerLsa.topSingular]] over the same TF-IDF
+    * cells: the `iters` rounds are unrolled as CTE pairs with the exact
+    * decimal summation discipline of the engine.
+    */
+  private def powerOracleSql(iters: Int): String =
+    s"""WITH ${powerChainCtes(iters)},
+       |${emitSql(s"v$iters", "av", "sg")}""".stripMargin
+
+  /** DuckDB replay of [[PowerLsa.secondSingular]]: concept-1 chain,
+    * σ₁²/v₁, deflated-init q0, then `iters` deflated rounds.
+    */
+  private def secondOracleSql(iters: Int): String = {
+    val v1 = s"v$iters"
+    val rounds = (1 to iters).map { i =>
+      Seq(
+        mvSql(s"qu$i", "id", "token", s"q${i - 1}", "v", "u"),
+        mvSql(s"qw0$i", "token", "id", s"qu$i", "u", "w0"),
+        s"""qd$i AS MATERIALIZED (SELECT CAST(sum(CAST(a1.v * b.v AS DECIMAL(38,18)))
+           |    AS DOUBLE) AS dot
+           |  FROM $v1 a1 JOIN q${i - 1} b USING (token))""".stripMargin,
+        s"""qw$i AS MATERIALIZED (SELECT a1.token,
+           |    coalesce(w0, 0.0) - ((s2 * dot) * a1.v) AS w
+           |  FROM $v1 a1 LEFT JOIN qw0$i USING (token)
+           |  CROSS JOIN qd$i CROSS JOIN s2c)""".stripMargin,
+        s"""qnrm$i AS MATERIALIZED (SELECT sqrt(CAST(sum(CAST(w * w AS DECIMAL(38,18)))
+           |    AS DOUBLE)) AS nrm FROM qw$i)""".stripMargin,
+        s"q$i AS MATERIALIZED (SELECT token, w / nrm AS v FROM qw$i CROSS JOIN qnrm$i)"
+      ).mkString(",\n")
+    }
+    s"""WITH ${powerChainCtes(iters)},
+       |av1 AS MATERIALIZED (SELECT id,
+       |  CAST(sum(CAST(a * v AS DECIMAL(38,18))) AS DOUBLE) AS av
+       |  FROM cells JOIN $v1 USING (token) GROUP BY id),
+       |sg1 AS MATERIALIZED (SELECT sqrt(CAST(sum(CAST(av * av AS DECIMAL(38,18)))
+       |  AS DOUBLE)) AS sigma FROM av1),
+       |s2c AS MATERIALIZED (SELECT sigma * sigma AS s2 FROM sg1),
+       |dot0 AS MATERIALIZED (SELECT CAST(sum(CAST(v * (1.0 / sqrt(nv * 1.0))
+       |    AS DECIMAL(38,18))) AS DOUBLE) AS dot
+       |  FROM $v1 CROSS JOIN nv),
+       |q0r AS MATERIALIZED (SELECT token,
+       |    (1.0 / sqrt(nv * 1.0)) - (dot * v) AS w
+       |  FROM $v1 CROSS JOIN nv CROSS JOIN dot0),
+       |qnrm0 AS MATERIALIZED (SELECT sqrt(CAST(sum(CAST(w * w AS DECIMAL(38,18)))
+       |  AS DOUBLE)) AS nrm FROM q0r),
+       |q0 AS MATERIALIZED (SELECT token, w / nrm AS v FROM q0r CROSS JOIN qnrm0),
+       |${rounds.mkString(",\n")},
+       |${emitSql(s"q$iters", "av2", "sg2")}""".stripMargin
   }
 }

@@ -53,6 +53,25 @@ class PowerLsaSpec extends SparkSpec {
     }
   }
 
+  test("secondSingular recovers the LAPACK second triple via implicit deflation") {
+    val out = PowerLsa.secondSingular(entries.toDF("id", "token", "a"), iters = 16)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val s = svd(dense)
+    val sigma2 = out.collect { case ("sigma", _, x) => x }.head
+    assert(math.abs(sigma2 - s.S(1)) < 1e-3, s"sigma2 $sigma2 vs ${s.S(1)}")
+    // compare |v| entrywise — deflated power iteration may converge to
+    // either sign of the second vector
+    val vByTerm = out.collect { case ("term", t, x) => t -> x }.toMap
+    val vt = s.Vt
+    val dot = Seq("a", "b", "c", "d").zipWithIndex
+      .map { case (t, j) => vByTerm(t) * vt(1, j) }.sum
+    val sign = if (dot < 0) -1.0 else 1.0
+    Seq("a", "b", "c", "d").zipWithIndex.foreach { case (t, j) =>
+      assert(math.abs(vByTerm(t) - sign * vt(1, j)) < 1e-3,
+        s"v2[$t] ${vByTerm(t)} vs ${sign * vt(1, j)}")
+    }
+  }
+
   test("bit-deterministic across runs and partitioning") {
     def run(parts: Int) =
       PowerLsa.topSingular(entries.toDF("id", "token", "a").repartition(parts),
