@@ -46,4 +46,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(hashExchanges(plan) == 0,
       s"expected no hash exchange (row-local expressions only), got:\n$plan")
   }
+
+  test("q33 bloom prefilter evaluates at the fact scan, not after the join") {
+    val plan = planOf("q33_bloom_join")
+    // the probe must sit in a Filter directly over the lineitem scan —
+    // the runtime-row-filter shape — not above the BroadcastHashJoin
+    val idxJoin = plan.indexOf("BroadcastHashJoin")
+    val idxProbe = plan.indexOf("fnv1aperm")
+    assert(idxJoin >= 0 && idxProbe > idxJoin,
+      s"bloom probe should appear below (after) the join node in the tree, got:\n$plan")
+    assert(hashExchanges(plan) <= 1,
+      s"fact side must not shuffle into the join (broadcast dim), got:\n$plan")
+  }
+
+  test("a09 chunking is a narrow generate: no shuffle before the sort") {
+    val plan = planOf("a09_chunks")
+    assert(hashExchanges(plan) == 0,
+      s"expected no hash exchange (row-local 1-to-many Generate), got:\n$plan")
+  }
+
+  test("q34 profiler is one scan with a single Expand for multi-distinct") {
+    val plan = planOf("q34_profile")
+    assert("Scan parquet".r.findAllIn(plan).length == 1,
+      s"profiler must read the table once, got:\n$plan")
+    assert("Expand".r.findAllIn(plan).length == 1,
+      s"expected one Expand (multi-DISTINCT in one pass), got:\n$plan")
+  }
 }
