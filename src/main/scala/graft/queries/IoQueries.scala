@@ -95,7 +95,92 @@ object IoQueries extends QueryProvider {
         } finally deleteRecursively(new java.io.File(stage))
       },
       Some("""SELECT doc_id, length(text) AS n, lang, source
-             |FROM documents WHERE lang = 'en' ORDER BY doc_id""".stripMargin))
+             |FROM documents WHERE lang = 'en' ORDER BY doc_id""".stripMargin)),
+
+    // The REFERENCE'S OWN ingestion shape, in the gate: documents staged
+    // as one header-carrying TSV file per product (file-per-product
+    // naming, S2), read back through ReviewSource's schema'd glob scan —
+    // product_id recovered from the FILE NAME via input_file_name() —
+    // and exploded into positional sentences (P2). Text is single-lined
+    // at staging (tabs/newlines → spaces), faithful to the reference
+    // corpus; the oracle replays the same normalization and '.'-split
+    // relationally from the parquet originals.
+    Q(
+      "io05_tsv_reviews",
+      (s, dir) => {
+        import s.implicits._
+        val srcs = Seq("src0", "src1", "src2")
+        val docs = Tables.documents(s, dir).filter($"source".isin(srcs: _*))
+        val stage = Files.createTempDirectory("graft_io5").toString
+        try {
+          srcs.foreach { src =>
+            val tmp = s"$stage/_w_$src"
+            docs.filter($"source" === src)
+              .select($"doc_id".cast("string").as("review_id"),
+                lit("title").as("product_title"),
+                lit(5).as("star_rating"), lit("N").as("vine"),
+                lit("Y").as("verified_purchase"),
+                regexp_replace($"text", "[\\t\\n\\r]", " ").as("review_body"))
+              .coalesce(1).write.mode("overwrite")
+              .option("sep", "\t").option("header", "true").csv(tmp)
+            val part = new java.io.File(tmp).listFiles()
+              .filter(_.getName.endsWith(".csv")).head
+            Files.move(part.toPath,
+              java.nio.file.Paths.get(s"$stage/$src.txt"))
+          }
+          val revs = graft.io.ReviewSource.reviews(s, s"$stage/*.txt")
+          graft.io.ReviewSource.sentences(revs)
+            .groupBy($"product_id")
+            .agg(count(lit(1)).as("n_sentences"),
+              countDistinct($"review_id").as("n_reviews"))
+            .orderBy($"product_id")
+            .localCheckpoint()
+        } finally deleteRecursively(new java.io.File(stage))
+      },
+      Some("""WITH r AS (SELECT doc_id::VARCHAR AS review_id, source,
+             |    regexp_replace(text, '[\t\n\r]', ' ', 'g') AS body
+             |  FROM documents WHERE source IN ('src0', 'src1', 'src2'))
+             |SELECT source AS product_id,
+             |CAST(sum(len(string_split(body, '.'))) AS BIGINT) AS n_sentences,
+             |count(DISTINCT review_id) AS n_reviews
+             |FROM r GROUP BY source ORDER BY product_id""".stripMargin)),
+
+    // Small-file compaction — the table-maintenance operation every
+    // 100 TB lake runs continuously (a scan over K small files pays K
+    // task-schedule + open costs; compaction rewrites to size-targeted
+    // files). The gate pins BOTH the file counts (from a real FS
+    // listing, against the oracle's literals) and content equality
+    // (row count + distinct-md5 cardinality survive the rewrite).
+    Q(
+      "io06_compaction",
+      (s, dir) => {
+        import s.implicits._
+        val stage = Files.createTempDirectory("graft_io6").toString
+        def parquetFiles(p: String): Long =
+          Option(new java.io.File(p).listFiles()).map(
+            _.count(f => f.getName.endsWith(".parquet")).toLong).getOrElse(0L)
+        try {
+          val docs = Tables.documents(s, dir)
+          docs.repartition(16).write.mode("overwrite").parquet(s"$stage/small")
+          val nSmall = parquetFiles(s"$stage/small")
+          s.read.parquet(s"$stage/small")
+            .repartition(2).sortWithinPartitions($"doc_id")
+            .write.mode("overwrite").parquet(s"$stage/compact")
+          val nCompact = parquetFiles(s"$stage/compact")
+          val back = s.read.parquet(s"$stage/compact")
+          back.agg(count(lit(1)).as("n_rows"),
+              countDistinct(md5($"text")).as("n_distinct_md5"))
+            .select(lit(nSmall).as("n_input_files"),
+              lit(nCompact).as("n_compacted_files"),
+              $"n_rows", $"n_distinct_md5")
+            .localCheckpoint()
+        } finally deleteRecursively(new java.io.File(stage))
+      },
+      Some("""SELECT CAST(16 AS BIGINT) AS n_input_files,
+             |CAST(2 AS BIGINT) AS n_compacted_files,
+             |count(*) AS n_rows,
+             |count(DISTINCT md5(text)) AS n_distinct_md5
+             |FROM documents""".stripMargin))
   )
 
   private def deleteRecursively(f: java.io.File): Unit = {
