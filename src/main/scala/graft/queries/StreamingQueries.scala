@@ -328,6 +328,98 @@ object StreamingQueries extends QueryProvider {
       },
       Some("""SELECT user_id, count(*) AS n_events,
              |CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
-             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // WATERMARK LATE-DROP — the semantic that separates streaming from
+    // batch, pinned cross-engine. Three real micro-batches in mod-time
+    // order (maxFilesPerTrigger=1): A = pre-cutoff events minus a 10%
+    // "delayed" slice; B = the post-cutoff events (these advance the
+    // watermark to max(ts_A∪B) − 2 h and EVICT the closed windows at
+    // batch end); C = the delayed slice, arriving AFTER its windows
+    // were evicted — dropped by the watermark, except stragglers whose
+    // window still ends above the batch-B-operative watermark
+    // max(ts_A) − 2 h (eviction always runs after the batch's input is
+    // merged, so a late row is only lost once a PRIOR batch closed its
+    // window — the exact contract this query pins). The oracle replays
+    // the watermark arithmetic — millisecond floor (Spark tracks
+    // event-time stats in ms), per-batch eviction cut, straggler keep
+    // predicate — relationally.
+    Q(
+      "sm07_stream_late_drop",
+      (s, dir) => {
+        import s.implicits._
+        val batchSchema = Tables.events(s, dir).schema
+        val rawSchema = StructType(batchSchema.map {
+          case f if f.name == "ts" => f.copy(dataType = LongType)
+          case f => f
+        })
+        // UTC-pinned cutoff (Timestamp.valueOf would use the JVM zone)
+        val cutoffNs = java.time.LocalDateTime.of(2024, 1, 20, 0, 0)
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000000L
+        val sink = s"sm07_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val stage = Files.createTempDirectory("sm07_events")
+        val scratch = Files.createTempDirectory("sm07_scratch")
+        var q: org.apache.spark.sql.streaming.StreamingQuery = null
+        def rmRec(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmRec))
+          f.delete(): Unit
+        }
+        try {
+          val raw = s.read.schema(rawSchema).parquet(s"$dir/events.parquet")
+          val isEarly = $"ts" < cutoffNs // raw ts is nanos
+          val slices = Seq(
+            raw.filter(isEarly && $"event_id" % 10 =!= 0),
+            raw.filter(!isEarly),
+            raw.filter(isEarly && $"event_id" % 10 === 0))
+          slices.zipWithIndex.foreach { case (df, i) =>
+            val tmp = scratch.resolve(s"w$i").toString
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            val part = new java.io.File(tmp).listFiles()
+              .filter(_.getName.endsWith(".parquet")).head
+            val dst = stage.resolve(f"batch_$i%02d.parquet")
+            Files.move(part.toPath, dst)
+            // distinct mod times pin the micro-batch order
+            dst.toFile.setLastModified(1000000000000L + i * 60000L): Unit
+          }
+          val stream = s.readStream.schema(rawSchema)
+            .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+            .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+            .withWatermark("ts", "2 hours")
+            .filter($"event_type" =!= "__flush")
+          q = stream
+            .groupBy(window($"ts", "1 hour"))
+            .agg(count(lit(1)).as("n"),
+              sum($"value".cast("decimal(18,6)")).as("sv"))
+            .select($"window.start".as("window_start"), $"n",
+              round($"sv", 2).cast("double").as("sum_value"))
+            .writeStream.outputMode("append")
+            .format("memory").queryName(sink).start()
+          q.processAllAvailable()
+        } finally {
+          if (q != null) q.stop()
+          rmRec(stage.toFile)
+          rmRec(scratch.toFile)
+        }
+        s.table(sink).select($"window_start", $"n", $"sum_value")
+          .orderBy($"window_start")
+          .localCheckpoint()
+      },
+      Some("""WITH a AS (SELECT * FROM events
+             |  WHERE ts < TIMESTAMP '2024-01-20 00:00:00' AND event_id % 10 <> 0),
+             |b AS (SELECT * FROM events
+             |  WHERE NOT (ts < TIMESTAMP '2024-01-20 00:00:00' AND event_id % 10 <> 0)),
+             |w1 AS (SELECT (epoch_us(max(ts)) // 1000) * 1000 - 7200000000 AS w FROM a),
+             |w2 AS (SELECT (epoch_us(max(ts)) // 1000) * 1000 - 7200000000 AS w
+             |  FROM events),
+             |kept AS (SELECT ts, value FROM a
+             |  UNION ALL
+             |  SELECT b.ts, b.value FROM b CROSS JOIN w1
+             |  WHERE epoch_us(date_trunc('hour', b.ts) + INTERVAL 1 HOUR) > w1.w),
+             |agg AS (SELECT date_trunc('hour', ts) AS window_start, count(*) AS n,
+             |    CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+             |  FROM kept GROUP BY 1)
+             |SELECT window_start, n, sum_value FROM agg CROSS JOIN w2
+             |WHERE epoch_us(window_start + INTERVAL 1 HOUR) <= w2.w
+             |ORDER BY window_start""".stripMargin))
   )
 }
