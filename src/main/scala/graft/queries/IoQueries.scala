@@ -180,7 +180,35 @@ object IoQueries extends QueryProvider {
              |CAST(2 AS BIGINT) AS n_compacted_files,
              |count(*) AS n_rows,
              |count(DISTINCT md5(text)) AS n_distinct_md5
-             |FROM documents""".stripMargin))
+             |FROM documents""".stripMargin)),
+
+    // Schema evolution — the lake reality that columns ARRIVE over
+    // time: an old writer emits (doc_id, lang), a newer one appends
+    // (doc_id, lang, source) into the same dataset, and a
+    // mergeSchema read unifies them (old rows null-padded). At 100 TB
+    // this is why schema-on-read beats rewrite-the-corpus; per-file
+    // footer schemas are reconciled at planning time, not by a data
+    // pass.
+    Q(
+      "io07_schema_evolution",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val stage = Files.createTempDirectory("graft_io7").toString
+        try {
+          docs.filter($"doc_id" < 250).select($"doc_id", $"lang")
+            .write.mode("append").parquet(stage)
+          docs.filter($"doc_id" >= 250).select($"doc_id", $"lang", $"source")
+            .write.mode("append").parquet(stage)
+          s.read.option("mergeSchema", "true").parquet(stage)
+            .select($"doc_id", $"lang", $"source")
+            .orderBy($"doc_id")
+            .localCheckpoint()
+        } finally deleteRecursively(new java.io.File(stage))
+      },
+      Some("""SELECT doc_id, lang,
+             |CASE WHEN doc_id >= 250 THEN source END AS source
+             |FROM documents ORDER BY doc_id""".stripMargin))
   )
 
   private def deleteRecursively(f: java.io.File): Unit = {

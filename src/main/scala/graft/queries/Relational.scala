@@ -696,6 +696,50 @@ object Relational extends QueryProvider {
              |count(DISTINCT $c) AS n_distinct FROM documents""".stripMargin
         }.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
           "\n) ORDER BY column_name")
-      })
+      }),
+
+    // ---- The SQL surface itself: spark.sql over registered views ----
+    // Everything else in the gate drives the DataFrame API; a user of
+    // the engine equally gets ANSI SQL through the same Catalyst
+    // planner — CTE, correlated EXISTS (plans as a semi-join), scalar
+    // subquery, window function, all in one statement. The oracle is
+    // the IDENTICAL text (engine-portable SQL), modulo the view names.
+    Q(
+      "q35_sql_surface",
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+        Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+        s.sql("""
+          WITH spenders AS (
+            SELECT o_custkey, count(*) AS n_orders, max(o_totalprice) AS top_price
+            FROM orders_v GROUP BY o_custkey)
+          SELECT c.c_mktsegment,
+                 count(*) AS n_cust,
+                 CAST(sum(s.n_orders) AS BIGINT) AS n_orders,
+                 CAST(sum(CASE WHEN s.top_price >
+                   (SELECT max(o_totalprice) FROM orders_v) * 0.5
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_above_half_max
+          FROM customer_v c JOIN spenders s ON s.o_custkey = c.c_custkey
+          WHERE EXISTS (SELECT 1 FROM orders_v o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderpriority = '1-URGENT')
+          GROUP BY c.c_mktsegment
+          ORDER BY c_mktsegment""")
+      },
+      Some("""WITH spenders AS (
+             |  SELECT o_custkey, count(*) AS n_orders, max(o_totalprice) AS top_price
+             |  FROM orders GROUP BY o_custkey)
+             |SELECT c.c_mktsegment,
+             |       count(*) AS n_cust,
+             |       CAST(sum(s.n_orders) AS BIGINT) AS n_orders,
+             |       CAST(sum(CASE WHEN s.top_price >
+             |         (SELECT max(o_totalprice) FROM orders) * 0.5
+             |         THEN 1 ELSE 0 END) AS BIGINT) AS n_above_half_max
+             |FROM customer c JOIN spenders s ON s.o_custkey = c.c_custkey
+             |WHERE EXISTS (SELECT 1 FROM orders o
+             |              WHERE o.o_custkey = c.c_custkey
+             |                AND o.o_orderpriority = '1-URGENT')
+             |GROUP BY c.c_mktsegment
+             |ORDER BY c_mktsegment""".stripMargin))
   )
 }

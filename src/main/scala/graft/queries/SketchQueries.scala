@@ -257,7 +257,51 @@ object SketchQueries extends QueryProvider {
               |  FROM est e LEFT JOIN truth t ON t.key = e.key
               |  ORDER BY e.est DESC, e.key LIMIT 10)
               |SELECT CAST(row_number() OVER (ORDER BY est DESC, key) AS INTEGER) AS rnk,
-              |key, est, true_cnt FROM top ORDER BY rnk""".stripMargin))
+              |key, est, true_cnt FROM top ORDER BY rnk""".stripMargin)),
+
+    // Sketch MERGEABILITY — the property that makes sketches the 100 TB
+    // tool (per-partition/per-day partial sketches, shipped as constant
+    // state, max-merged into the global one): per-day HLL registers
+    // over the event user stream, merged across days, verified
+    // CELL-FOR-CELL equal to the registers built in one pass over
+    // everything. The oracle replays both constructions.
+    Q(
+      "sk08_hll_merge",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+          .select(to_date($"ts").cast("string").as("day"), $"user_id")
+        val perDay = HllSketch.registerTable(ev, "day", $"user_id", P)
+        val merged = perDay.groupBy($"reg")
+          .agg(max($"maxrho").as("maxrho_merged"))
+        val direct = HllSketch.registerTable(
+          ev.withColumn("all", lit("all")), "all", $"user_id", P)
+          .select($"reg", $"maxrho".as("maxrho_direct"))
+        merged.join(direct, Seq("reg"))
+          .select($"reg".cast("int").as("reg"), $"maxrho_merged", $"maxrho_direct")
+          .orderBy($"reg")
+      },
+      Some(s"""WITH vals AS (SELECT DISTINCT ts::DATE::VARCHAR AS day, user_id AS v
+              |  FROM events),
+              |h AS (SELECT day, v, ${FnvSql.ofString("(v::VARCHAR)")} AS hu FROM vals),
+              |$powsSql,
+              |rr AS (SELECT day, v, (hu % $M::HUGEINT) AS reg,
+              |  CAST(hu // $M::HUGEINT AS BIGINT) AS w FROM h),
+              |rho AS (SELECT r.day, r.v, r.reg,
+              |  CASE WHEN r.w = 0 THEN ${65 - P} ELSE max(p.i) + 1 END AS rho
+              |  FROM rr r LEFT JOIN pows p ON p.pv = (r.w & (-r.w))::HUGEINT
+              |  GROUP BY r.day, r.v, r.reg, r.w),
+              |obs AS (SELECT day, reg, max(rho) AS maxrho FROM rho GROUP BY day, reg),
+              |grid AS (SELECT d.day, r.reg, CAST(coalesce(o.maxrho, 0) AS INTEGER) AS maxrho
+              |  FROM (SELECT DISTINCT ts::DATE::VARCHAR AS day FROM events) d
+              |  CROSS JOIN (SELECT unnest(range($M)) AS reg) r
+              |  LEFT JOIN obs o ON o.day = d.day AND o.reg = r.reg),
+              |merged AS (SELECT reg, max(maxrho) AS maxrho_merged FROM grid GROUP BY reg),
+              |direct AS (SELECT reg, CAST(coalesce(max(rho), 0) AS INTEGER) AS maxrho_direct
+              |  FROM (SELECT unnest(range($M)) AS reg) g
+              |  LEFT JOIN rho USING (reg) GROUP BY reg)
+              |SELECT CAST(reg AS INTEGER) AS reg, maxrho_merged, maxrho_direct
+              |FROM merged JOIN direct USING (reg) ORDER BY reg""".stripMargin))
   )
 
 }
