@@ -20,21 +20,32 @@ import graft.tables.Tables
   */
 object IoQueries extends QueryProvider {
 
-  /** Stage → write(fmt) → read(fmt) → project → materialize → clean. */
+  /** Create a staging dir cleaned at JVM exit, NOT eagerly. The result
+    * DataFrame is `localCheckpoint`ed before a query returns, but Spark
+    * may still re-list source files afterwards (AQE stage retry,
+    * speculative cleanup threads) — deleting the stage in a `finally`
+    * raced those threads into spurious FileNotFoundException noise.
+    * Staged data is a few MB; deferring cleanup to exit is free.
+    */
+  private def stageDir(prefix: String): String = {
+    val d = Files.createTempDirectory(prefix).toString
+    sys.addShutdownHook(deleteRecursively(new java.io.File(d)))
+    d
+  }
+
+  /** Stage → write(fmt) → read(fmt) → project → materialize. */
   private def roundTrip(s: SparkSession, dir: String)(
       write: (DataFrame, String) => Unit,
       read: (SparkSession, String, DataFrame) => DataFrame): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
-    val stage = Files.createTempDirectory("graft_io").toString
-    try {
-      write(docs, stage)
-      read(s, stage, docs)
-        .select($"doc_id", length($"text").cast("long").as("n"),
-          $"lang", $"source")
-        .orderBy($"doc_id")
-        .localCheckpoint()
-    } finally deleteRecursively(new java.io.File(stage))
+    val stage = stageDir("graft_io")
+    write(docs, stage)
+    read(s, stage, docs)
+      .select($"doc_id", length($"text").cast("long").as("n"),
+        $"lang", $"source")
+      .orderBy($"doc_id")
+      .localCheckpoint()
   }
 
   private val oracle: String =
@@ -83,16 +94,14 @@ object IoQueries extends QueryProvider {
       (s, dir) => {
         import s.implicits._
         val docs = Tables.documents(s, dir)
-        val stage = Files.createTempDirectory("graft_io4").toString
-        try {
-          docs.write.mode("overwrite").partitionBy("lang").parquet(stage)
-          s.read.parquet(stage)
-            .filter($"lang" === "en")
-            .select($"doc_id", length($"text").cast("long").as("n"),
-              $"lang", $"source")
-            .orderBy($"doc_id")
-            .localCheckpoint()
-        } finally deleteRecursively(new java.io.File(stage))
+        val stage = stageDir("graft_io4")
+        docs.write.mode("overwrite").partitionBy("lang").parquet(stage)
+        s.read.parquet(stage)
+          .filter($"lang" === "en")
+          .select($"doc_id", length($"text").cast("long").as("n"),
+            $"lang", $"source")
+          .orderBy($"doc_id")
+          .localCheckpoint()
       },
       Some("""SELECT doc_id, length(text) AS n, lang, source
              |FROM documents WHERE lang = 'en' ORDER BY doc_id""".stripMargin)),
@@ -111,31 +120,29 @@ object IoQueries extends QueryProvider {
         import s.implicits._
         val srcs = Seq("src0", "src1", "src2")
         val docs = Tables.documents(s, dir).filter($"source".isin(srcs: _*))
-        val stage = Files.createTempDirectory("graft_io5").toString
-        try {
-          srcs.foreach { src =>
-            val tmp = s"$stage/_w_$src"
-            docs.filter($"source" === src)
-              .select($"doc_id".cast("string").as("review_id"),
-                lit("title").as("product_title"),
-                lit(5).as("star_rating"), lit("N").as("vine"),
-                lit("Y").as("verified_purchase"),
-                regexp_replace($"text", "[\\t\\n\\r]", " ").as("review_body"))
-              .coalesce(1).write.mode("overwrite")
-              .option("sep", "\t").option("header", "true").csv(tmp)
-            val part = new java.io.File(tmp).listFiles()
-              .filter(_.getName.endsWith(".csv")).head
-            Files.move(part.toPath,
-              java.nio.file.Paths.get(s"$stage/$src.txt"))
-          }
-          val revs = graft.io.ReviewSource.reviews(s, s"$stage/*.txt")
-          graft.io.ReviewSource.sentences(revs)
-            .groupBy($"product_id")
-            .agg(count(lit(1)).as("n_sentences"),
-              countDistinct($"review_id").as("n_reviews"))
-            .orderBy($"product_id")
-            .localCheckpoint()
-        } finally deleteRecursively(new java.io.File(stage))
+        val stage = stageDir("graft_io5")
+        srcs.foreach { src =>
+          val tmp = s"$stage/_w_$src"
+          docs.filter($"source" === src)
+            .select($"doc_id".cast("string").as("review_id"),
+              lit("title").as("product_title"),
+              lit(5).as("star_rating"), lit("N").as("vine"),
+              lit("Y").as("verified_purchase"),
+              regexp_replace($"text", "[\\t\\n\\r]", " ").as("review_body"))
+            .coalesce(1).write.mode("overwrite")
+            .option("sep", "\t").option("header", "true").csv(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .filter(_.getName.endsWith(".csv")).head
+          Files.move(part.toPath,
+            java.nio.file.Paths.get(s"$stage/$src.txt"))
+        }
+        val revs = graft.io.ReviewSource.reviews(s, s"$stage/*.txt")
+        graft.io.ReviewSource.sentences(revs)
+          .groupBy($"product_id")
+          .agg(count(lit(1)).as("n_sentences"),
+            countDistinct($"review_id").as("n_reviews"))
+          .orderBy($"product_id")
+          .localCheckpoint()
       },
       Some("""WITH r AS (SELECT doc_id::VARCHAR AS review_id, source,
              |    regexp_replace(text, '[\t\n\r]', ' ', 'g') AS body
@@ -155,26 +162,24 @@ object IoQueries extends QueryProvider {
       "io06_compaction",
       (s, dir) => {
         import s.implicits._
-        val stage = Files.createTempDirectory("graft_io6").toString
+        val stage = stageDir("graft_io6")
         def parquetFiles(p: String): Long =
           Option(new java.io.File(p).listFiles()).map(
             _.count(f => f.getName.endsWith(".parquet")).toLong).getOrElse(0L)
-        try {
-          val docs = Tables.documents(s, dir)
-          docs.repartition(16).write.mode("overwrite").parquet(s"$stage/small")
-          val nSmall = parquetFiles(s"$stage/small")
-          s.read.parquet(s"$stage/small")
-            .repartition(2).sortWithinPartitions($"doc_id")
-            .write.mode("overwrite").parquet(s"$stage/compact")
-          val nCompact = parquetFiles(s"$stage/compact")
-          val back = s.read.parquet(s"$stage/compact")
-          back.agg(count(lit(1)).as("n_rows"),
-              countDistinct(md5($"text")).as("n_distinct_md5"))
-            .select(lit(nSmall).as("n_input_files"),
-              lit(nCompact).as("n_compacted_files"),
-              $"n_rows", $"n_distinct_md5")
-            .localCheckpoint()
-        } finally deleteRecursively(new java.io.File(stage))
+        val docs = Tables.documents(s, dir)
+        docs.repartition(16).write.mode("overwrite").parquet(s"$stage/small")
+        val nSmall = parquetFiles(s"$stage/small")
+        s.read.parquet(s"$stage/small")
+          .repartition(2).sortWithinPartitions($"doc_id")
+          .write.mode("overwrite").parquet(s"$stage/compact")
+        val nCompact = parquetFiles(s"$stage/compact")
+        val back = s.read.parquet(s"$stage/compact")
+        back.agg(count(lit(1)).as("n_rows"),
+            countDistinct(md5($"text")).as("n_distinct_md5"))
+          .select(lit(nSmall).as("n_input_files"),
+            lit(nCompact).as("n_compacted_files"),
+            $"n_rows", $"n_distinct_md5")
+          .localCheckpoint()
       },
       Some("""SELECT CAST(16 AS BIGINT) AS n_input_files,
              |CAST(2 AS BIGINT) AS n_compacted_files,
@@ -194,17 +199,15 @@ object IoQueries extends QueryProvider {
       (s, dir) => {
         import s.implicits._
         val docs = Tables.documents(s, dir)
-        val stage = Files.createTempDirectory("graft_io7").toString
-        try {
-          docs.filter($"doc_id" < 250).select($"doc_id", $"lang")
-            .write.mode("append").parquet(stage)
-          docs.filter($"doc_id" >= 250).select($"doc_id", $"lang", $"source")
-            .write.mode("append").parquet(stage)
-          s.read.option("mergeSchema", "true").parquet(stage)
-            .select($"doc_id", $"lang", $"source")
-            .orderBy($"doc_id")
-            .localCheckpoint()
-        } finally deleteRecursively(new java.io.File(stage))
+        val stage = stageDir("graft_io7")
+        docs.filter($"doc_id" < 250).select($"doc_id", $"lang")
+          .write.mode("append").parquet(stage)
+        docs.filter($"doc_id" >= 250).select($"doc_id", $"lang", $"source")
+          .write.mode("append").parquet(stage)
+        s.read.option("mergeSchema", "true").parquet(stage)
+          .select($"doc_id", $"lang", $"source")
+          .orderBy($"doc_id")
+          .localCheckpoint()
       },
       Some("""SELECT doc_id, lang,
              |CASE WHEN doc_id >= 250 THEN source END AS source
