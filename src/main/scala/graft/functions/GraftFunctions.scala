@@ -24,6 +24,10 @@ object GraftFunctions {
       exprs => LangIdExpr(exprs(0)))
     ColumnBridge.registerFunction(spark, "nltk_stop_count",
       exprs => NltkStopCount(exprs(0)))
+    ColumnBridge.registerFunction(spark, "nfc_normalize",
+      exprs => NfcNormalize(exprs(0)))
+    ColumnBridge.registerFunction(spark, "strip_accents",
+      exprs => StripAccents(exprs(0)))
   }
 }
 
@@ -75,5 +79,17 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         classOf[NltkStopCount].getName, "nltk_stop_count"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         NltkStopCount(exprs(0))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("nfc_normalize"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[NfcNormalize].getName, "nfc_normalize"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        NfcNormalize(exprs(0))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("strip_accents"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[StripAccents].getName, "strip_accents"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        StripAccents(exprs(0))))
   }
 }

@@ -470,6 +470,46 @@ object AnalysisQueries extends QueryProvider {
              |round(least(greatest(n_chars * 1.0, p05), p95), 4) AS clipped,
              |(n_chars < p05 OR n_chars > p95) AS was_outlier
              |FROM documents d JOIN p ON p.lang = d.lang
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Unicode normalization (multilingual-corpus stage 0): the corpus
+    // text is ASCII, so the query first INJECTS decomposed combining
+    // marks (a→a+U+0301, o→o+U+0303) identically on both engines, then
+    // exercises the custom expressions end-to-end: nfc_normalize must
+    // compose the pairs (length shrinks per injected mark) and
+    // strip_accents must fold the result back to the original bytes
+    // (md5 pins it). Both are narrow row-local maps with an ASCII
+    // fast path — at 100 TB this is a zero-shuffle scan stage.
+    Q(
+      "a11_normalize",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.UnicodeNative
+        graft.Par.fanOut(Tables.documents(s, dir))
+          .filter($"doc_id" < 200)
+          .select($"doc_id", $"text",
+            regexp_replace(regexp_replace($"text", "a", "a\u0301"),
+              "o", "o\u0303").as("dec"))
+          .select($"doc_id", $"text", $"dec",
+            UnicodeNative.nfc_normalize($"dec").as("comp"))
+          .select($"doc_id",
+            length($"dec").cast("long").as("n_decomposed"),
+            length($"comp").cast("long").as("n_composed"),
+            md5(UnicodeNative.strip_accents($"comp")).as("stripped_md5"),
+            (md5(UnicodeNative.strip_accents($"comp")) === md5($"text"))
+              .as("roundtrips"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, text,
+             |  regexp_replace(regexp_replace(text, 'a', 'a' || chr(769), 'g'),
+             |    'o', 'o' || chr(771), 'g') AS dec
+             |  FROM documents WHERE doc_id < 200),
+             |c AS (SELECT doc_id, text, dec, nfc_normalize(dec) AS comp FROM d)
+             |SELECT doc_id,
+             |CAST(length(dec) AS BIGINT) AS n_decomposed,
+             |CAST(length(comp) AS BIGINT) AS n_composed,
+             |md5(strip_accents(comp)) AS stripped_md5,
+             |(md5(strip_accents(comp)) = md5(text)) AS roundtrips
+             |FROM c ORDER BY doc_id""".stripMargin))
   )
 }
