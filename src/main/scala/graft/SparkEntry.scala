@@ -20,6 +20,7 @@ object SparkEntry {
     LsaQueries,
     DedupQueries,
     SimilarityQueries,
+    EmbeddingQueries,
     AnalysisQueries,
     TemporalQueries,
     SketchQueries,
