@@ -296,7 +296,82 @@ object CurationQueries extends QueryProvider {
               |  FROM sh)
               |SELECT doc_id, shard, n_tokens, start_offset,
               |start_offset // 2048 AS window_id
-              |FROM p ORDER BY doc_id""".stripMargin))
+              |FROM p ORDER BY doc_id""".stripMargin)),
+
+    // Deterministic stratified sampling — EXACTLY k docs per language
+    // (c04's hash-rate mixture keeps a proportion; audits and eval sets
+    // need an exact count). Order within a stratum is the FNV hash of
+    // the doc id: reproducible across runs/engines, uncorrelated with
+    // ingest order. Scale shape: one shuffle on lang with the rank
+    // filter pushed down as WindowGroupLimit — each map task forwards
+    // at most k rows per stratum, so the window sees per-language
+    // top-k candidates, not the corpus.
+    Q(
+      "c07_stratified_sample",
+      (s, dir) => {
+        import s.implicits._
+        val SampleK = 25
+        val h = graft.functions.Fnv.fnv1a64($"doc_id".cast("string"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"lang").orderBy($"hkey", $"doc_id")
+        Tables.documents(s, dir)
+          .select($"doc_id", $"lang", h.as("hkey"))
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= SampleK)
+          .select($"lang", $"rn".cast("long").as("rn"), $"doc_id", $"hkey")
+          .orderBy($"lang", $"rn")
+      },
+      Some(s"""WITH h0 AS (SELECT doc_id, lang,
+              |  ${FnvSql.toSigned(FnvSql.ofString("(doc_id::VARCHAR)"))} AS hkey
+              |  FROM documents),
+              |r AS (SELECT doc_id, lang, hkey, row_number() OVER
+              |  (PARTITION BY lang ORDER BY hkey, doc_id) AS rn FROM h0)
+              |SELECT lang, CAST(rn AS BIGINT) AS rn, doc_id, hkey
+              |FROM r WHERE rn <= 25 ORDER BY lang, rn""".stripMargin)),
+
+    // Per-language quality-percentile gate — "keep each language's top
+    // half" (a fixed global threshold over-prunes low-resource
+    // languages whose quality distribution sits lower). Exact median
+    // per lang via one groupBy (same percentile definition a10 proved
+    // against quantile_cont), broadcast back as a 5-row dim — a narrow
+    // filter, not a per-row window over the whole stratum. At 100 TB
+    // the exact per-lang percentile is one (lang, quality) shuffle;
+    // the KLL/CMS-sketch route is the approximate alternative when
+    // even that pass must be avoided.
+    Q(
+      "c08_quality_cutoff",
+      (s, dir) => {
+        import s.implicits._
+        val tok = TF.tokenize($"text")
+        val scored = graft.Par.fanOut(Tables.documents(s, dir))
+          .select($"doc_id", $"lang",
+            round(TA.qualityScore($"text", tok), 6).as("quality"))
+        val cuts = scored.groupBy($"lang")
+          .agg(expr("percentile(quality, 0.5)").as("cut"))
+        scored.join(broadcast(cuts), Seq("lang"))
+          .filter($"quality" >= $"cut")
+          .select($"doc_id", $"lang", $"quality", round($"cut", 6).as("cut"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH base AS (SELECT doc_id, lang, text,
+              |  regexp_extract_all(lower(text),'[a-zA-Z]+') AS tok FROM documents),
+              |m AS (SELECT doc_id, lang,
+              |  len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 / greatest(length(text), 1) AS pr,
+              |  len(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / greatest(length(text), 1) AS dr,
+              |  len(list_filter(tok, x -> list_contains($stopSql, x))) * 1.0 / greatest(len(tok), 1) AS sr,
+              |  len(tok) AS ntok
+              |  FROM base),
+              |q AS (SELECT doc_id, lang,
+              |  round(least(ntok / 64.0, 1.0) * 0.3
+              |    + (1.0 - least(pr * 4.0, 1.0)) * 0.25
+              |    + (1.0 - least(dr * 4.0, 1.0)) * 0.2
+              |    + (1.0 - abs(sr - 0.4)) * 0.25, 6) AS quality
+              |  FROM m),
+              |c AS (SELECT lang, quantile_cont(quality, 0.5) AS cut
+              |  FROM q GROUP BY lang)
+              |SELECT doc_id, q.lang, quality, round(cut, 6) AS cut
+              |FROM q JOIN c ON c.lang = q.lang
+              |WHERE quality >= cut ORDER BY doc_id""".stripMargin))
   )
 
 }

@@ -72,4 +72,25 @@ class PlanShapeSpec extends SparkSpec {
     assert("Expand".r.findAllIn(plan).length == 1,
       s"expected one Expand (multi-DISTINCT in one pass), got:\n$plan")
   }
+
+  test("c07 stratified sample pushes the rank filter below the shuffle") {
+    val plan = planOf("c07_stratified_sample")
+    // partial WindowGroupLimit before the lang exchange caps each map
+    // task at k rows per stratum — the property that keeps the window
+    // input bounded at corpus scale
+    assert("WindowGroupLimit".r.findAllIn(plan).length == 2,
+      s"expected partial+final WindowGroupLimit, got:\n$plan")
+    assert(hashExchanges(plan) == 1,
+      s"expected one lang-partitioned exchange, got:\n$plan")
+  }
+
+  test("e02 standardize is stats-broadcast + narrow transform") {
+    val q = graft.SparkEntry.queries("e02_standardize")
+    val plan = q(spark, sf("sf0.001")).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"stat row must broadcast, got:\n$plan")
+    // the only hash exchange is the 64-group dim-stats aggregation
+    assert(hashExchanges(plan) == 1,
+      s"expected one dim-stats exchange, got:\n$plan")
+  }
 }
