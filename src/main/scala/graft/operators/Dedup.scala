@@ -149,6 +149,68 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Asymmetric shingle CONTAINMENT pairs: |A∩B| / |A| ≥ tau — the
+    * sub-document-duplication detector (boilerplate wrapping, quoted
+    * articles, page templates) that Jaccard-keyed MinHash misses: a
+    * small doc fully contained in a big one has tiny Jaccard but
+    * containment 1.0.
+    *
+    * Candidate generation is a PREFIX-FILTERED inverted-index join,
+    * not all-pairs: under the global order of the FNV shingle hashes,
+    * a probe doc A with containment ≥ tau against ANY container B
+    * shares ≥ ceil(tau·|A|) shingles with it, so by pigeonhole at
+    * least one of A's (|A| − ceil(tau·|A|) + 1) smallest hashes is
+    * shared. Joining only that prefix against the full inverted index
+    * is therefore LOSSLESS for the threshold, while shrinking the
+    * probe side by ~tau. The exact containment then verifies each
+    * candidate once (intersect_size — fused codegen, no intermediate
+    * array).
+    *
+    * Scale shape: explode (narrow) → shuffle on shingle hash →
+    * distinct candidate pairs → verify join. `maxDf` caps the document
+    * frequency of an index hash (a boilerplate trigram shared by a
+    * million docs would emit a quadratic candidate set); hashes above
+    * the cap are dropped from the INDEX side, which trades recall for
+    * a hard bound on bucket fan-out — same dial as lshCandidates'
+    * maxBucket, off by default so the gate result stays exactly equal
+    * to brute force.
+    *
+    * toks0: (id, tokens); output (a, b, containment) with a ≠ b,
+    * containment = |sh(a) ∩ sh(b)| / |sh(a)|.
+    */
+  def containmentPairs(toks0: DataFrame, shingleN: Int, tau: Double,
+      maxDf: Long = Long.MaxValue): DataFrame = {
+    val toks = graft.Par.fanOut(toks0)
+    val sh = toks.select(col("id"),
+      array_distinct(shingles(col("tokens"), shingleN)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), col("sh"),
+        sort_array(shingleHashes(col("sh"))).as("hs"))
+    val prefLen =
+      (size(col("hs")) - ceil(lit(tau) * size(col("hs"))) + 1).cast("int")
+    val probe = sh.select(col("id").as("a"),
+      explode(slice(col("hs"), lit(1), prefLen)).as("h"))
+    val index0 = sh.select(col("id").as("b"), explode(col("hs")).as("h"))
+    val index =
+      if (maxDf == Long.MaxValue) index0
+      else {
+        val rare = index0.groupBy(col("h")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf).select(col("h"))
+        index0.join(rare, "h")
+      }
+    val cand = probe.join(index, "h")
+      .filter(col("a") =!= col("b"))
+      .select(col("a"), col("b")).distinct()
+    cand
+      .join(sh.select(col("id").as("a"), col("sh").as("sh_a")), "a")
+      .join(sh.select(col("id").as("b"), col("sh").as("sh_b")), "b")
+      .withColumn("containment",
+        graft.functions.IntersectSize.intersect_size(col("sh_a"), col("sh_b"))
+          .cast("double") / size(col("sh_a")))
+      .filter(col("containment") >= tau)
+      .select(col("a"), col("b"), col("containment"))
+  }
+
   /** Near-duplicate CLUSTERS from a pair list: connected components via
     * min-label propagation — after k iterations every node carries the
     * smallest id within k hops, so components with diameter <= k are

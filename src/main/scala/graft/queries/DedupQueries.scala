@@ -412,6 +412,36 @@ object DedupQueries extends QueryProvider {
               |CAST(coalesce(d.n_dups_lower, 0) AS BIGINT) AS n_dups_lower,
               |coalesce(d.n_dups_lower, 0) = 0 AS keep
               |FROM af LEFT JOIN d ON d.id = af.id
-              |ORDER BY af.id""".stripMargin))
+              |ORDER BY af.id""".stripMargin)),
+
+    // Asymmetric containment |A∩B|/|A| ≥ 0.5 — sub-document duplication
+    // (Jaccard misses a small doc swallowed by a big one). The Spark
+    // plan is the SCALE path (prefix-filtered inverted-index candidates
+    // + exact verify — see Dedup.containmentPairs); the oracle is the
+    // all-pairs truth. They must agree exactly: the prefix filter is
+    // lossless for the threshold, so this gate proves the optimized
+    // candidate generation drops nothing.
+    Q(
+      "d13_containment",
+      (s, dir) => {
+        import s.implicits._
+        val toks = graft.Par.fanOut(
+          Tables.documents(s, dir).filter($"doc_id" < 1000))
+          .select($"doc_id".as("id"), TF.tokenize($"text").as("tokens"))
+        Dedup.containmentPairs(toks, 3, 0.5)
+          .select($"a", $"b", round($"containment", 6).as("containment"))
+          .orderBy($"a", $"b")
+      },
+      Some("""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text),'[a-zA-Z]+') AS tk FROM documents WHERE doc_id < 1000),
+             |s AS (SELECT doc_id,
+             |  list_distinct(list_transform(range(1, len(tk)-1),
+             |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+             |  FROM t WHERE len(tk) >= 3)
+             |SELECT a.doc_id AS a, b.doc_id AS b,
+             |round(len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh), 6)
+             |  AS containment
+             |FROM s a JOIN s b ON a.doc_id <> b.doc_id
+             |WHERE len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh) >= 0.5
+             |ORDER BY a, b""".stripMargin))
   )
 }
