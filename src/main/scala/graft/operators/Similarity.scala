@@ -55,6 +55,28 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Exact k-NN GRAPH with mutuality: every vector's top-k neighbor
+    * edges, flagged `mutual` when both endpoints keep each other — the
+    * structure semantic-dedup clustering and graph-based diversity
+    * sampling consume (mutual edges are the reliable ones; one-way
+    * edges often cross cluster boundaries).
+    *
+    * This exact form is for bounded slices (it rides bruteForceTopK's
+    * broadcast); at corpus scale the same graph is assembled from the
+    * IVF/LSH candidate paths — the mutuality join below is unchanged
+    * either way (one self-equi-join of the edge list on the reversed
+    * key, shuffle on (query, neighbor)).
+    */
+  def knnGraph(vecs: DataFrame, k: Int): DataFrame = {
+    val e = bruteForceTopK(vecs, vecs, k)
+    val rev = e.select(col("neighbor_id").as("query_id"),
+      col("query_id").as("neighbor_id"), lit(true).as("rev"))
+    e.join(rev, Seq("query_id", "neighbor_id"), "left")
+      .withColumn("mutual", coalesce(col("rev"), lit(false)))
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cosine"), col("mutual"))
+  }
+
   /** Deterministic random hyperplanes: nPlanes × dim, seeded. */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)

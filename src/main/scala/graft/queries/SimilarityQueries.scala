@@ -132,7 +132,35 @@ object SimilarityQueries extends QueryProvider {
              |CAST(list_sum(qv) AS BIGINT) AS qsum,
              |CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS qabssum,
              |list_max(qv) AS qmax, list_min(qv) AS qmin
-             |FROM q ORDER BY vec_id""".stripMargin))
+             |FROM q ORDER BY vec_id""".stripMargin)),
+
+    // Exact k-NN graph with mutual-edge flags over a bounded slice —
+    // the consumer structure for semantic-dedup clustering / diversity
+    // sampling. Mutuality is one self-equi-join of the edge list on
+    // the reversed key; the oracle replays graph + join relationally.
+    Q(
+      "s06_knn_graph",
+      (s, dir) => {
+        import s.implicits._
+        Similarity.knnGraph(vecs(s, dir).filter($"id" < 200), 5)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy($"query_id", $"rnk")
+      },
+      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+             |  FROM embeddings WHERE vec_id < 200),
+             |p AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             |  round(list_cosine_similarity(q.e, n.e), 6) AS cosine
+             |  FROM v q JOIN v n ON q.vec_id <> n.vec_id),
+             |r AS (SELECT *, row_number() OVER
+             |  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+             |  FROM p),
+             |k AS (SELECT query_id, rnk, neighbor_id, cosine
+             |  FROM r WHERE rnk <= 5)
+             |SELECT k.query_id, k.rnk, k.neighbor_id, k.cosine,
+             |(m.query_id IS NOT NULL) AS mutual
+             |FROM k LEFT JOIN k m
+             |  ON m.query_id = k.neighbor_id AND m.neighbor_id = k.query_id
+             |ORDER BY k.query_id, k.rnk""".stripMargin))
   )
 
   /** s03 oracle: the deterministic Lloyd IVF replayed in SQL. Distances
