@@ -510,6 +510,49 @@ object AnalysisQueries extends QueryProvider {
              |CAST(length(comp) AS BIGINT) AS n_composed,
              |md5(strip_accents(comp)) AS stripped_md5,
              |(md5(strip_accents(comp)) = md5(text)) AS roundtrips
-             |FROM c ORDER BY doc_id""".stripMargin))
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // Unigram entropy + perplexity per document — the
+    // lexical-diversity quality signal (spam/keyword-stuffed pages
+    // have low entropy; natural prose sits near log2(vocab)).
+    // Row-local: the one-pass token_counts map feeds a higher-order
+    // fold, no shuffle. Entropy accumulates p·log2(1/p) (all
+    // non-negative terms) rather than negating a sum — a single-token
+    // doc would otherwise produce -0.0, whose string form hashes
+    // differently across engines.
+    Q(
+      "a12_token_entropy",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.TextNative
+        graft.Par.fanOut(Tables.documents(s, dir))
+          .filter($"doc_id" < 300)
+          .select($"doc_id", TF.tokenize($"text").as("tk"))
+          .select($"doc_id", size($"tk").cast("long").as("n_tokens"),
+            map_values(TextNative.token_counts($"tk")).as("cs"))
+          .select($"doc_id", $"n_tokens",
+            when($"n_tokens" === 0, lit(0.0)).otherwise(
+              aggregate($"cs", lit(0.0), (acc, c) =>
+                acc + (c.cast("double") / $"n_tokens") *
+                  log(2.0, $"n_tokens" / c.cast("double")))).as("h"))
+          .select($"doc_id", $"n_tokens",
+            round($"h", 6).as("entropy"),
+            round(pow(lit(2.0), $"h"), 6).as("perplexity"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |  regexp_extract_all(lower(text),'[a-zA-Z]+') AS tk
+             |  FROM documents WHERE doc_id < 300),
+             |x AS (SELECT doc_id, unnest(tk) AS tok FROM t),
+             |c AS (SELECT doc_id, tok, count(*) AS c FROM x GROUP BY doc_id, tok),
+             |n AS (SELECT doc_id, sum(c) AS n FROM c GROUP BY doc_id),
+             |h AS (SELECT c.doc_id,
+             |  sum((c * 1.0 / n) * log2(n * 1.0 / c)) AS h
+             |  FROM c JOIN n USING (doc_id) GROUP BY c.doc_id)
+             |SELECT t.doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+             |round(coalesce(h.h, 0.0), 6) AS entropy,
+             |round(power(2.0, coalesce(h.h, 0.0)), 6) AS perplexity
+             |FROM t LEFT JOIN h ON h.doc_id = t.doc_id
+             |ORDER BY t.doc_id""".stripMargin))
   )
 }
