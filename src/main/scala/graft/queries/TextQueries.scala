@@ -299,6 +299,40 @@ object TextQueries extends QueryProvider {
              |SELECT doc_id, sent_idx, sentence,
              |CAST(len(regexp_split_to_array(trim(sentence), '\s+')) AS BIGINT) AS ws_tokens
              |FROM e WHERE length(sentence) > 0
-             |ORDER BY doc_id, sent_idx""".stripMargin))
+             |ORDER BY doc_id, sent_idx""".stripMargin)),
+
+    // Per-document keyword extraction: top-3 tokens by TF-IDF — the
+    // doc-level counterpart of LSA's corpus-level concept keywords
+    // (tagging, routing, index-time metadata). Ranked on the ROUNDED
+    // score so tie-breaks are engine-stable; plans as the
+    // WindowGroupLimit top-k shape over the tfidf join (map tasks
+    // forward ≤3 rows per doc into the window shuffle).
+    Q(
+      "t12_doc_keywords",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val n = docs.count()
+        val tok = graft.Par.fanOut(docs)
+          .select($"doc_id", TF.lsaTokens($"text", lemma = false).as("tokens"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id").orderBy(desc("tfidf"), $"token")
+        TfIdf.tfidf(tok, "doc_id", "tokens", n)
+          .withColumn("tfidf", round($"tfidf", 6))
+          .withColumn("rnk", row_number().over(w))
+          .filter($"rnk" <= 3)
+          .select($"doc_id", $"rnk".cast("long").as("rnk"), $"token", $"tfidf")
+          .orderBy($"doc_id", $"rnk")
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest(${tokSql()}) AS token FROM documents),
+              |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+              |d AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+              |x AS (SELECT tf.doc_id, tf.token,
+              |  round(tf.tf * log10((SELECT count(*) FROM documents) * 1.0 / d.df), 6) AS tfidf
+              |  FROM tf JOIN d USING (token)),
+              |r AS (SELECT *, row_number() OVER
+              |  (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rnk FROM x)
+              |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, token, tfidf
+              |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin))
   )
 }
