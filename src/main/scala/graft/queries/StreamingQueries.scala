@@ -420,6 +420,98 @@ object StreamingQueries extends QueryProvider {
              |  FROM kept GROUP BY 1)
              |SELECT window_start, n, sum_value FROM agg CROSS JOIN w2
              |WHERE epoch_us(window_start + INTERVAL 1 HOUR) <= w2.w
-             |ORDER BY window_start""".stripMargin))
+             |ORDER BY window_start""".stripMargin)),
+
+    // Ingest-time curation through the REAL streaming path: the
+    // quality-score + language-verification gate (the c01 front half)
+    // applied to a document STREAM in append mode. The operators are
+    // stateless narrow expressions, so the streaming plan is the batch
+    // plan — this gate pins that a corpus curated on arrival equals
+    // one curated in backfill (no watermark, no state store involved).
+    Q(
+      "sm08_stream_curation",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.{TextAnalysis => TA}
+        import graft.text.{TextFunctions => TF}
+        val batchSchema = Tables.documents(s, dir).schema
+        val sink = s"sm08_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val stage = Files.createTempDirectory("sm08_docs")
+        var q: org.apache.spark.sql.streaming.StreamingQuery = null
+        try {
+          Files.copy(Paths.get(s"$dir/documents.parquet"),
+            stage.resolve("documents.parquet"))
+          val stream = s.readStream.schema(batchSchema)
+            .parquet(stage.toString)
+          val tok = TF.tokenize($"text")
+          q = stream
+            .select($"doc_id", $"lang",
+              round(TA.qualityScore($"text", tok), 6).as("quality"),
+              TA.languageId($"text").as("guessed"))
+            .filter($"quality" >= 0.5 && $"guessed" === $"lang")
+            .select($"doc_id", $"lang", $"quality")
+            .writeStream.outputMode("append")
+            .format("memory").queryName(sink).start()
+          q.processAllAvailable()
+        } finally {
+          if (q != null) q.stop()
+          Files.deleteIfExists(stage.resolve("documents.parquet"))
+          Files.deleteIfExists(stage)
+        }
+        s.table(sink).orderBy($"doc_id").localCheckpoint()
+      },
+      Some {
+        import graft.operators.{TextAnalysis => TA}
+        val stopSql = graft.text.StopWords.nltkEnglishAlpha
+          .map(w => s"'$w'").mkString("[", ",", "]")
+        val lex = TA.lexicons.map { case (l, ws) =>
+          l -> ws.map(w => s"'$w'").mkString("[", ",", "]")
+        }
+        s"""WITH base AS (SELECT doc_id, lang, text,
+           |  regexp_extract_all(lower(text),'[a-zA-Z]+') AS tok,
+           |  regexp_split_to_array(lower(text), '[^a-zA-Z]+') AS tk FROM documents),
+           |m AS (SELECT *,
+           |  len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 / greatest(length(text), 1) AS pr,
+           |  len(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / greatest(length(text), 1) AS dr,
+           |  len(list_filter(tok, x -> list_contains($stopSql, x))) * 1.0 / greatest(len(tok), 1) AS sr
+           |  FROM base),
+           |q AS (SELECT doc_id, lang, text, tk,
+           |  round(least(len(tok) / 64.0, 1.0) * 0.3
+           |    + (1.0 - least(pr * 4.0, 1.0)) * 0.25
+           |    + (1.0 - least(dr * 4.0, 1.0)) * 0.2
+           |    + (1.0 - abs(sr - 0.4)) * 0.25, 6) AS quality
+           |  FROM m),
+           |g AS (SELECT *,
+           |  CASE WHEN len(regexp_replace(text, '[^\\p{Han}]', '', 'g')) > 0 THEN 'zh'
+           |    WHEN len(list_filter(tk, x -> list_contains(${lex("en")}, x))) =
+           |      greatest(len(list_filter(tk, x -> list_contains(${lex("en")}, x))),
+           |               len(list_filter(tk, x -> list_contains(${lex("fr")}, x))),
+           |               len(list_filter(tk, x -> list_contains(${lex("es")}, x))),
+           |               len(list_filter(tk, x -> list_contains(${lex("de")}, x))))
+           |      AND len(list_filter(tk, x -> list_contains(${lex("en")}, x))) > 0 THEN 'en'
+           |    WHEN len(list_filter(tk, x -> list_contains(${lex("fr")}, x))) =
+           |      greatest(len(list_filter(tk, x -> list_contains(${lex("en")}, x))),
+           |               len(list_filter(tk, x -> list_contains(${lex("fr")}, x))),
+           |               len(list_filter(tk, x -> list_contains(${lex("es")}, x))),
+           |               len(list_filter(tk, x -> list_contains(${lex("de")}, x))))
+           |      AND len(list_filter(tk, x -> list_contains(${lex("fr")}, x))) > 0 THEN 'fr'
+           |    WHEN len(list_filter(tk, x -> list_contains(${lex("es")}, x))) =
+           |      greatest(len(list_filter(tk, x -> list_contains(${lex("en")}, x))),
+           |               len(list_filter(tk, x -> list_contains(${lex("fr")}, x))),
+           |               len(list_filter(tk, x -> list_contains(${lex("es")}, x))),
+           |               len(list_filter(tk, x -> list_contains(${lex("de")}, x))))
+           |      AND len(list_filter(tk, x -> list_contains(${lex("es")}, x))) > 0 THEN 'es'
+           |    WHEN len(list_filter(tk, x -> list_contains(${lex("de")}, x))) =
+           |      greatest(len(list_filter(tk, x -> list_contains(${lex("en")}, x))),
+           |               len(list_filter(tk, x -> list_contains(${lex("fr")}, x))),
+           |               len(list_filter(tk, x -> list_contains(${lex("es")}, x))),
+           |               len(list_filter(tk, x -> list_contains(${lex("de")}, x))))
+           |      AND len(list_filter(tk, x -> list_contains(${lex("de")}, x))) > 0 THEN 'de'
+           |    ELSE 'und' END AS guessed
+           |  FROM q)
+           |SELECT doc_id, lang, quality FROM g
+           |WHERE quality >= 0.5 AND guessed = lang
+           |ORDER BY doc_id""".stripMargin
+      })
   )
 }
