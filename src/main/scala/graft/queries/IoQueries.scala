@@ -211,6 +211,36 @@ object IoQueries extends QueryProvider {
       },
       Some("""SELECT doc_id, lang,
              |CASE WHEN doc_id >= 250 THEN source END AS source
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Plain line-oriented text source (S1's rawest form — log shipping,
+    // one-record-per-line corpora): docs single-lined and staged as
+    // `id<TAB>text` lines via the real .text() writer, read back with
+    // the real .text() reader, destructured on the first tab. The
+    // oracle replays the same normalization + split from the parquet
+    // originals, pinning line-level byte fidelity (tabs inside text
+    // survive: split is on the FIRST tab only).
+    Q(
+      "io08_text_roundtrip",
+      (s, dir) => {
+        import s.implicits._
+        val stage = stageDir("graft_io8")
+        Tables.documents(s, dir)
+          .select(concat($"doc_id".cast("string"), lit("\t"),
+            regexp_replace($"text", "[\\n\\r]", " ")).as("value"))
+          .write.mode("overwrite").text(stage)
+        s.read.text(stage)
+          .select(
+            split($"value", "\t", 2).getItem(0).cast("long").as("doc_id"),
+            split($"value", "\t", 2).getItem(1).as("body"))
+          .select($"doc_id", length($"body").cast("long").as("n"),
+            md5($"body").as("body_md5"))
+          .orderBy($"doc_id")
+          .localCheckpoint()
+      },
+      Some("""SELECT doc_id,
+             |CAST(length(regexp_replace(text, '[\n\r]', ' ', 'g')) AS BIGINT) AS n,
+             |md5(regexp_replace(text, '[\n\r]', ' ', 'g')) AS body_md5
              |FROM documents ORDER BY doc_id""".stripMargin))
   )
 
