@@ -371,7 +371,52 @@ object CurationQueries extends QueryProvider {
               |  FROM q GROUP BY lang)
               |SELECT doc_id, q.lang, quality, round(cut, 6) AS cut
               |FROM q JOIN c ON c.lang = q.lang
-              |WHERE quality >= cut ORDER BY doc_id""".stripMargin))
+              |WHERE quality >= cut ORDER BY doc_id""".stripMargin)),
+
+    // Canonical-survivor selection: per exact-dup cluster keep the
+    // highest-quality copy (smallest doc_id on ties) — c01's keeper
+    // rule upgraded from "first seen" to "best". Spark side is a
+    // max_by AGGREGATE over a struct order key — partial+final hash
+    // agg, no per-cluster window sort; the oracle reaches the same
+    // survivor through a window, pinning result-equivalence of the
+    // two formulations.
+    Q(
+      "c09_canonical_survivor",
+      (s, dir) => {
+        import s.implicits._
+        val tok = TF.tokenize($"text")
+        graft.Par.fanOut(Tables.documents(s, dir))
+          .select($"doc_id",
+            round(TA.qualityScore($"text", tok), 6).as("quality"),
+            md5(Dedup.normalized($"text")).as("content_hash"))
+          .groupBy($"content_hash")
+          .agg(count(lit(1)).as("n_docs"),
+            max_by($"doc_id", struct($"quality", -$"doc_id")).as("canonical_id"),
+            max($"quality").as("quality"))
+          .orderBy($"content_hash")
+      },
+      Some(s"""WITH base AS (SELECT doc_id, text,
+              |  regexp_extract_all(lower(text),'[a-zA-Z]+') AS tok FROM documents),
+              |m AS (SELECT doc_id, text,
+              |  len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 / greatest(length(text), 1) AS pr,
+              |  len(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / greatest(length(text), 1) AS dr,
+              |  len(list_filter(tok, x -> list_contains($stopSql, x))) * 1.0 / greatest(len(tok), 1) AS sr,
+              |  len(tok) AS ntok
+              |  FROM base),
+              |q AS (SELECT doc_id,
+              |  round(least(ntok / 64.0, 1.0) * 0.3
+              |    + (1.0 - least(pr * 4.0, 1.0)) * 0.25
+              |    + (1.0 - least(dr * 4.0, 1.0)) * 0.2
+              |    + (1.0 - abs(sr - 0.4)) * 0.25, 6) AS quality,
+              |  md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash
+              |  FROM m),
+              |r AS (SELECT *, row_number() OVER (PARTITION BY content_hash
+              |  ORDER BY quality DESC, doc_id) AS rn FROM q),
+              |g AS (SELECT content_hash, count(*) AS n_docs,
+              |  max(quality) AS quality FROM q GROUP BY content_hash)
+              |SELECT g.content_hash, g.n_docs, r.doc_id AS canonical_id, g.quality
+              |FROM g JOIN r ON r.content_hash = g.content_hash AND r.rn = 1
+              |ORDER BY g.content_hash""".stripMargin))
   )
 
 }

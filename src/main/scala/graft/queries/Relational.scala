@@ -740,6 +740,41 @@ object Relational extends QueryProvider {
              |              WHERE o.o_custkey = c.c_custkey
              |                AND o.o_orderpriority = '1-URGENT')
              |GROUP BY c.c_mktsegment
-             |ORDER BY c_mktsegment""".stripMargin))
+             |ORDER BY c_mktsegment""".stripMargin)),
+
+    // GROUPING SETS — the general form cube/rollup specialize: an
+    // ARBITRARY list of grouping combinations (here the two one-dim
+    // marginals + grand total, NOT the full 2^k lattice a cube would
+    // compute) in one Expand + hash-aggregate pass over one scan.
+    // Completes the subtotal family q23 (rollup) / q30 (cube) started.
+    Q(
+      "q36_grouping_sets",
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .groupingSets(
+            Seq(Seq($"l_returnflag"), Seq($"l_linestatus"), Seq.empty),
+            $"l_returnflag", $"l_linestatus")
+          .agg(count(lit(1)).as("n"),
+            sum($"l_quantity".cast("decimal(14,2)"))
+              .cast("double").as("sum_qty"),
+            grouping($"l_returnflag").as("g_rf"),
+            grouping($"l_linestatus").as("g_ls"),
+            grouping_id().cast("int").as("gid"))
+          .select(
+            when($"g_rf" === 1, "ALL").otherwise($"l_returnflag").as("returnflag"),
+            when($"g_ls" === 1, "ALL").otherwise($"l_linestatus").as("linestatus"),
+            $"gid", $"n", $"sum_qty")
+          .orderBy($"gid", $"returnflag", $"linestatus")
+      },
+      Some("""SELECT
+             |CASE WHEN grouping(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS returnflag,
+             |CASE WHEN grouping(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS linestatus,
+             |CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INTEGER) AS gid,
+             |count(*) AS n,
+             |CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+             |ORDER BY gid, returnflag, linestatus""".stripMargin))
   )
 }
