@@ -553,6 +553,79 @@ object AnalysisQueries extends QueryProvider {
              |round(coalesce(h.h, 0.0), 6) AS entropy,
              |round(power(2.0, coalesce(h.h, 0.0)), 6) AS perplexity
              |FROM t LEFT JOIN h ON h.doc_id = t.doc_id
-             |ORDER BY t.doc_id""".stripMargin))
+             |ORDER BY t.doc_id""".stripMargin)),
+
+    // Language-ID confusion matrix — the eval artifact that tells you
+    // whether to trust the guesser per declared language (a02 gives
+    // per-doc decisions; this is the aggregate quality report). One
+    // narrow map + one small-group hash aggregation.
+    Q(
+      "a13_lang_confusion",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select($"lang".as("declared"), TA.languageId($"text").as("guessed"))
+          .groupBy($"declared", $"guessed")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"declared", $"guessed")
+      },
+      Some {
+        val lex = TA.lexicons.map { case (l, ws) =>
+          l -> ws.map(w => s"'$w'").mkString("[", ",", "]")
+        }
+        s"""WITH t AS (SELECT doc_id, lang,
+           |  regexp_split_to_array(lower(text), '[^a-zA-Z]+') AS tk, text FROM documents),
+           |v AS (SELECT doc_id, lang, text,
+           |  len(list_filter(tk, x -> list_contains(${lex("en")}, x))) AS ven,
+           |  len(list_filter(tk, x -> list_contains(${lex("fr")}, x))) AS vfr,
+           |  len(list_filter(tk, x -> list_contains(${lex("es")}, x))) AS ves,
+           |  len(list_filter(tk, x -> list_contains(${lex("de")}, x))) AS vde
+           |  FROM t),
+           |g AS (SELECT lang AS declared,
+           |  CASE WHEN len(regexp_replace(text, '[^\\p{Han}]', '', 'g')) > 0 THEN 'zh'
+           |    WHEN ven = greatest(ven, vfr, ves, vde) AND ven > 0 THEN 'en'
+           |    WHEN vfr = greatest(ven, vfr, ves, vde) AND vfr > 0 THEN 'fr'
+           |    WHEN ves = greatest(ven, vfr, ves, vde) AND ves > 0 THEN 'es'
+           |    WHEN vde = greatest(ven, vfr, ves, vde) AND vde > 0 THEN 'de'
+           |    ELSE 'und' END AS guessed
+           |  FROM v)
+           |SELECT declared, guessed, count(*) AS n FROM g
+           |GROUP BY declared, guessed ORDER BY declared, guessed""".stripMargin
+      }),
+
+    // Equi-width histogram of document length, 10 buckets over the
+    // observed [min, max] — pure INTEGER bucket arithmetic (width =
+    // (max-min)/10 + 1, bucket = (x-min)/width) so both engines share
+    // exact edge behavior; floats at bucket boundaries are where
+    // cross-engine histograms silently disagree. The min/max row
+    // broadcasts; the histogram is one small hash aggregation.
+    Q(
+      "a14_length_histogram",
+      (s, dir) => {
+        import s.implicits._
+        val mm = Tables.documents(s, dir)
+          .agg(min($"n_chars").as("mn"), max($"n_chars").as("mx"))
+        Tables.documents(s, dir)
+          .join(broadcast(mm))
+          .withColumn("width", (($"mx" - $"mn") / 10 + 1).cast("long"))
+          .withColumn("bucket", (($"n_chars" - $"mn") / $"width").cast("int"))
+          .groupBy($"bucket", $"width", $"mn")
+          .agg(count(lit(1)).as("n"))
+          .select($"bucket",
+            ($"mn" + $"bucket" * $"width").as("lo"),
+            ($"mn" + ($"bucket" + 1) * $"width" - 1).as("hi"),
+            $"n")
+          .orderBy($"bucket")
+      },
+      Some("""WITH mm AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx
+             |  FROM documents),
+             |b AS (SELECT ((mx - mn) // 10 + 1) AS width, mn FROM mm),
+             |h AS (SELECT ((n_chars - b.mn) // b.width)::INTEGER AS bucket,
+             |  b.width, b.mn FROM documents CROSS JOIN b)
+             |SELECT bucket,
+             |CAST(mn + bucket * width AS BIGINT) AS lo,
+             |CAST(mn + (bucket + 1) * width - 1 AS BIGINT) AS hi,
+             |count(*) AS n
+             |FROM h GROUP BY bucket, width, mn ORDER BY bucket""".stripMargin))
   )
 }
