@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.{Multimodal, TextAnalysis => TA}
 import graft.tables.Tables
-import graft.text.{StopWords, TextFunctions => TF}
+import graft.text.{TextFunctions => TF}
 
 /** Text-quality / language-ID / token-counting / multimodal coverage
   * (SURVEY §7.5). Quality metrics, language votes and multimodal
@@ -14,8 +14,6 @@ import graft.text.{StopWords, TextFunctions => TF}
   */
 object AnalysisQueries extends QueryProvider {
 
-  private val stopSql: String =
-    StopWords.nltkEnglishAlpha.map(w => s"'$w'").mkString("[", ",", "]")
 
   override val all: Seq[Q] = Seq(
 
@@ -40,9 +38,7 @@ object AnalysisQueries extends QueryProvider {
       Some(s"""WITH base AS (SELECT doc_id, text,
               |  regexp_extract_all(lower(text),'[a-zA-Z]+') AS tok FROM documents),
               |m AS (SELECT doc_id, text, tok,
-              |  len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 / greatest(length(text), 1) AS pr,
-              |  len(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / greatest(length(text), 1) AS dr,
-              |  len(list_filter(tok, x -> list_contains($stopSql, x))) * 1.0 / greatest(len(tok), 1) AS sr,
+              |  ${TextSql.ratioItems},
               |  CASE WHEN len(tok) = 0 THEN 0.0 ELSE
               |    list_reduce(list_transform(tok, x -> len(x) * 1.0), (a, b) -> a + b) / len(tok) END AS mwl
               |  FROM base)
@@ -53,10 +49,7 @@ object AnalysisQueries extends QueryProvider {
               |round(dr, 6) AS digit_ratio,
               |round(sr, 6) AS stopword_ratio,
               |round(mwl, 6) AS mean_word_len,
-              |round(least(len(tok) / 64.0, 1.0) * 0.3
-              |  + (1.0 - least(pr * 4.0, 1.0)) * 0.25
-              |  + (1.0 - least(dr * 4.0, 1.0)) * 0.2
-              |  + (1.0 - abs(sr - 0.4)) * 0.25, 6) AS quality
+              |${TextSql.qualityExpr("len(tok)")} AS quality
               |FROM m ORDER BY doc_id""".stripMargin),
       bench = true),
 
@@ -69,27 +62,15 @@ object AnalysisQueries extends QueryProvider {
             TA.languageId($"text").as("guessed"))
           .orderBy($"doc_id")
       },
-      Some {
-        val lex = TA.lexicons.map { case (l, ws) =>
-          l -> ws.map(w => s"'$w'").mkString("[", ",", "]")
-        }
+      Some(
         s"""WITH t AS (SELECT doc_id, lang,
            |  regexp_split_to_array(lower(text), '[^a-zA-Z]+') AS tk, text FROM documents),
            |v AS (SELECT doc_id, lang, text,
-           |  len(list_filter(tk, x -> list_contains(${lex("en")}, x))) AS ven,
-           |  len(list_filter(tk, x -> list_contains(${lex("fr")}, x))) AS vfr,
-           |  len(list_filter(tk, x -> list_contains(${lex("es")}, x))) AS ves,
-           |  len(list_filter(tk, x -> list_contains(${lex("de")}, x))) AS vde
+           |  ${TextSql.voteItems}
            |  FROM t)
            |SELECT doc_id, lang AS declared,
-           |CASE WHEN len(regexp_replace(text, '[^\\p{Han}]', '', 'g')) > 0 THEN 'zh'
-           |  WHEN ven = greatest(ven, vfr, ves, vde) AND ven > 0 THEN 'en'
-           |  WHEN vfr = greatest(ven, vfr, ves, vde) AND vfr > 0 THEN 'fr'
-           |  WHEN ves = greatest(ven, vfr, ves, vde) AND ves > 0 THEN 'es'
-           |  WHEN vde = greatest(ven, vfr, ves, vde) AND vde > 0 THEN 'de'
-           |  ELSE 'und' END AS guessed
-           |FROM v ORDER BY doc_id""".stripMargin
-      }),
+           |${TextSql.guessedCase} AS guessed
+           |FROM v ORDER BY doc_id""".stripMargin)),
 
     // The base-31 mod-2^64 rolling hash IS SQL-expressible: HUGEINT
     // arithmetic + an explicit wrap, folding per-char codepoints. (Valid
@@ -569,29 +550,17 @@ object AnalysisQueries extends QueryProvider {
           .agg(count(lit(1)).as("n"))
           .orderBy($"declared", $"guessed")
       },
-      Some {
-        val lex = TA.lexicons.map { case (l, ws) =>
-          l -> ws.map(w => s"'$w'").mkString("[", ",", "]")
-        }
+      Some(
         s"""WITH t AS (SELECT doc_id, lang,
            |  regexp_split_to_array(lower(text), '[^a-zA-Z]+') AS tk, text FROM documents),
            |v AS (SELECT doc_id, lang, text,
-           |  len(list_filter(tk, x -> list_contains(${lex("en")}, x))) AS ven,
-           |  len(list_filter(tk, x -> list_contains(${lex("fr")}, x))) AS vfr,
-           |  len(list_filter(tk, x -> list_contains(${lex("es")}, x))) AS ves,
-           |  len(list_filter(tk, x -> list_contains(${lex("de")}, x))) AS vde
+           |  ${TextSql.voteItems}
            |  FROM t),
            |g AS (SELECT lang AS declared,
-           |  CASE WHEN len(regexp_replace(text, '[^\\p{Han}]', '', 'g')) > 0 THEN 'zh'
-           |    WHEN ven = greatest(ven, vfr, ves, vde) AND ven > 0 THEN 'en'
-           |    WHEN vfr = greatest(ven, vfr, ves, vde) AND vfr > 0 THEN 'fr'
-           |    WHEN ves = greatest(ven, vfr, ves, vde) AND ves > 0 THEN 'es'
-           |    WHEN vde = greatest(ven, vfr, ves, vde) AND vde > 0 THEN 'de'
-           |    ELSE 'und' END AS guessed
+           |  ${TextSql.guessedCase} AS guessed
            |  FROM v)
            |SELECT declared, guessed, count(*) AS n FROM g
-           |GROUP BY declared, guessed ORDER BY declared, guessed""".stripMargin
-      }),
+           |GROUP BY declared, guessed ORDER BY declared, guessed""".stripMargin)),
 
     // Equi-width histogram of document length, 10 buckets over the
     // observed [min, max] — pure INTEGER bucket arithmetic (width =
@@ -607,8 +576,8 @@ object AnalysisQueries extends QueryProvider {
           .agg(min($"n_chars").as("mn"), max($"n_chars").as("mx"))
         Tables.documents(s, dir)
           .join(broadcast(mm))
-          .withColumn("width", (($"mx" - $"mn") / 10 + 1).cast("long"))
-          .withColumn("bucket", (($"n_chars" - $"mn") / $"width").cast("int"))
+          .withColumn("width", expr("(mx - mn) div 10 + 1"))
+          .withColumn("bucket", expr("(n_chars - mn) div width").cast("int"))
           .groupBy($"bucket", $"width", $"mn")
           .agg(count(lit(1)).as("n"))
           .select($"bucket",

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.{Dedup, TextAnalysis => TA}
 import graft.tables.Tables
-import graft.text.{StopWords, TextFunctions => TF}
+import graft.text.{TextFunctions => TF}
 
 /** The end-to-end training-data curation pipeline — the composition a
   * 100 TB pretraining corpus actually runs, as ONE declarative plan:
@@ -25,8 +25,6 @@ import graft.text.{StopWords, TextFunctions => TF}
   */
 object CurationQueries extends QueryProvider {
 
-  private val stopSql: String =
-    StopWords.nltkEnglishAlpha.map(w => s"'$w'").mkString("[", ",", "]")
 
   /** Rounded quality-score filter threshold (filter on the ROUNDED
     * value on both sides — oracle parity rule).
@@ -63,35 +61,19 @@ object CurationQueries extends QueryProvider {
     * one WITH chain ending in `curated`.
     */
   private val curatedSql: String = {
-    val lex = TA.lexicons.map { case (l, ws) =>
-      l -> ws.map(w => s"'$w'").mkString("[", ",", "]")
-    }
     s"""base AS (SELECT doc_id, lang, text,
        |  regexp_extract_all(lower(text),'[a-zA-Z]+') AS tok,
        |  regexp_split_to_array(lower(text), '[^a-zA-Z]+') AS tk FROM documents),
        |m AS (SELECT *,
-       |  len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 / greatest(length(text), 1) AS pr,
-       |  len(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / greatest(length(text), 1) AS dr,
-       |  len(list_filter(tok, x -> list_contains($stopSql, x))) * 1.0 / greatest(len(tok), 1) AS sr
+       |  ${TextSql.ratioItems}
        |  FROM base),
        |q AS (SELECT doc_id, lang, text,
        |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
-       |  round(least(len(tok) / 64.0, 1.0) * 0.3
-       |    + (1.0 - least(pr * 4.0, 1.0)) * 0.25
-       |    + (1.0 - least(dr * 4.0, 1.0)) * 0.2
-       |    + (1.0 - abs(sr - 0.4)) * 0.25, 6) AS quality,
-       |  len(list_filter(tk, x -> list_contains(${lex("en")}, x))) AS ven,
-       |  len(list_filter(tk, x -> list_contains(${lex("fr")}, x))) AS vfr,
-       |  len(list_filter(tk, x -> list_contains(${lex("es")}, x))) AS ves,
-       |  len(list_filter(tk, x -> list_contains(${lex("de")}, x))) AS vde
+       |  ${TextSql.qualityExpr("len(tok)")} AS quality,
+       |  ${TextSql.voteItems}
        |  FROM m),
        |g AS (SELECT *,
-       |  CASE WHEN len(regexp_replace(text, '[^\\p{Han}]', '', 'g')) > 0 THEN 'zh'
-       |    WHEN ven = greatest(ven, vfr, ves, vde) AND ven > 0 THEN 'en'
-       |    WHEN vfr = greatest(ven, vfr, ves, vde) AND vfr > 0 THEN 'fr'
-       |    WHEN ves = greatest(ven, vfr, ves, vde) AND ves > 0 THEN 'es'
-       |    WHEN vde = greatest(ven, vfr, ves, vde) AND vde > 0 THEN 'de'
-       |    ELSE 'und' END AS guessed
+       |  ${TextSql.guessedCase} AS guessed
        |  FROM q),
        |gated AS (SELECT doc_id, lang, quality, ws_tokens,
        |    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash
@@ -355,17 +337,12 @@ object CurationQueries extends QueryProvider {
       },
       Some(s"""WITH base AS (SELECT doc_id, lang, text,
               |  regexp_extract_all(lower(text),'[a-zA-Z]+') AS tok FROM documents),
-              |m AS (SELECT doc_id, lang,
-              |  len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 / greatest(length(text), 1) AS pr,
-              |  len(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / greatest(length(text), 1) AS dr,
-              |  len(list_filter(tok, x -> list_contains($stopSql, x))) * 1.0 / greatest(len(tok), 1) AS sr,
+              |m AS (SELECT doc_id, lang, text,
+              |  ${TextSql.ratioItems},
               |  len(tok) AS ntok
               |  FROM base),
               |q AS (SELECT doc_id, lang,
-              |  round(least(ntok / 64.0, 1.0) * 0.3
-              |    + (1.0 - least(pr * 4.0, 1.0)) * 0.25
-              |    + (1.0 - least(dr * 4.0, 1.0)) * 0.2
-              |    + (1.0 - abs(sr - 0.4)) * 0.25, 6) AS quality
+              |  ${TextSql.qualityExpr()} AS quality
               |  FROM m),
               |c AS (SELECT lang, quantile_cont(quality, 0.5) AS cut
               |  FROM q GROUP BY lang)
@@ -398,16 +375,11 @@ object CurationQueries extends QueryProvider {
       Some(s"""WITH base AS (SELECT doc_id, text,
               |  regexp_extract_all(lower(text),'[a-zA-Z]+') AS tok FROM documents),
               |m AS (SELECT doc_id, text,
-              |  len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 / greatest(length(text), 1) AS pr,
-              |  len(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / greatest(length(text), 1) AS dr,
-              |  len(list_filter(tok, x -> list_contains($stopSql, x))) * 1.0 / greatest(len(tok), 1) AS sr,
+              |  ${TextSql.ratioItems},
               |  len(tok) AS ntok
               |  FROM base),
               |q AS (SELECT doc_id,
-              |  round(least(ntok / 64.0, 1.0) * 0.3
-              |    + (1.0 - least(pr * 4.0, 1.0)) * 0.25
-              |    + (1.0 - least(dr * 4.0, 1.0)) * 0.2
-              |    + (1.0 - abs(sr - 0.4)) * 0.25, 6) AS quality,
+              |  ${TextSql.qualityExpr()} AS quality,
               |  md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash
               |  FROM m),
               |r AS (SELECT *, row_number() OVER (PARTITION BY content_hash

@@ -27,9 +27,21 @@ object IoQueries extends QueryProvider {
     * raced those threads into spurious FileNotFoundException noise.
     * Staged data is a few MB; deferring cleanup to exit is free.
     */
+  private val pendingCleanup =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private lazy val cleanupHook: Unit = { // ONE hook however many stages
+    sys.addShutdownHook {
+      var d = pendingCleanup.poll()
+      while (d != null) {
+        deleteRecursively(new java.io.File(d)); d = pendingCleanup.poll()
+      }
+    }: Unit
+  }
+
   private def stageDir(prefix: String): String = {
+    cleanupHook
     val d = Files.createTempDirectory(prefix).toString
-    sys.addShutdownHook(deleteRecursively(new java.io.File(d)))
+    pendingCleanup.add(d)
     d
   }
 

@@ -460,58 +460,24 @@ object StreamingQueries extends QueryProvider {
         }
         s.table(sink).orderBy($"doc_id").localCheckpoint()
       },
-      Some {
-        import graft.operators.{TextAnalysis => TA}
-        val stopSql = graft.text.StopWords.nltkEnglishAlpha
-          .map(w => s"'$w'").mkString("[", ",", "]")
-        val lex = TA.lexicons.map { case (l, ws) =>
-          l -> ws.map(w => s"'$w'").mkString("[", ",", "]")
-        }
+      Some(
         s"""WITH base AS (SELECT doc_id, lang, text,
            |  regexp_extract_all(lower(text),'[a-zA-Z]+') AS tok,
            |  regexp_split_to_array(lower(text), '[^a-zA-Z]+') AS tk FROM documents),
            |m AS (SELECT *,
-           |  len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 / greatest(length(text), 1) AS pr,
-           |  len(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / greatest(length(text), 1) AS dr,
-           |  len(list_filter(tok, x -> list_contains($stopSql, x))) * 1.0 / greatest(len(tok), 1) AS sr
+           |  ${TextSql.ratioItems}
            |  FROM base),
            |q AS (SELECT doc_id, lang, text, tk,
-           |  round(least(len(tok) / 64.0, 1.0) * 0.3
-           |    + (1.0 - least(pr * 4.0, 1.0)) * 0.25
-           |    + (1.0 - least(dr * 4.0, 1.0)) * 0.2
-           |    + (1.0 - abs(sr - 0.4)) * 0.25, 6) AS quality
+           |  ${TextSql.qualityExpr("len(tok)")} AS quality
            |  FROM m),
+           |v AS (SELECT *,
+           |  ${TextSql.voteItems}
+           |  FROM q),
            |g AS (SELECT *,
-           |  CASE WHEN len(regexp_replace(text, '[^\\p{Han}]', '', 'g')) > 0 THEN 'zh'
-           |    WHEN len(list_filter(tk, x -> list_contains(${lex("en")}, x))) =
-           |      greatest(len(list_filter(tk, x -> list_contains(${lex("en")}, x))),
-           |               len(list_filter(tk, x -> list_contains(${lex("fr")}, x))),
-           |               len(list_filter(tk, x -> list_contains(${lex("es")}, x))),
-           |               len(list_filter(tk, x -> list_contains(${lex("de")}, x))))
-           |      AND len(list_filter(tk, x -> list_contains(${lex("en")}, x))) > 0 THEN 'en'
-           |    WHEN len(list_filter(tk, x -> list_contains(${lex("fr")}, x))) =
-           |      greatest(len(list_filter(tk, x -> list_contains(${lex("en")}, x))),
-           |               len(list_filter(tk, x -> list_contains(${lex("fr")}, x))),
-           |               len(list_filter(tk, x -> list_contains(${lex("es")}, x))),
-           |               len(list_filter(tk, x -> list_contains(${lex("de")}, x))))
-           |      AND len(list_filter(tk, x -> list_contains(${lex("fr")}, x))) > 0 THEN 'fr'
-           |    WHEN len(list_filter(tk, x -> list_contains(${lex("es")}, x))) =
-           |      greatest(len(list_filter(tk, x -> list_contains(${lex("en")}, x))),
-           |               len(list_filter(tk, x -> list_contains(${lex("fr")}, x))),
-           |               len(list_filter(tk, x -> list_contains(${lex("es")}, x))),
-           |               len(list_filter(tk, x -> list_contains(${lex("de")}, x))))
-           |      AND len(list_filter(tk, x -> list_contains(${lex("es")}, x))) > 0 THEN 'es'
-           |    WHEN len(list_filter(tk, x -> list_contains(${lex("de")}, x))) =
-           |      greatest(len(list_filter(tk, x -> list_contains(${lex("en")}, x))),
-           |               len(list_filter(tk, x -> list_contains(${lex("fr")}, x))),
-           |               len(list_filter(tk, x -> list_contains(${lex("es")}, x))),
-           |               len(list_filter(tk, x -> list_contains(${lex("de")}, x))))
-           |      AND len(list_filter(tk, x -> list_contains(${lex("de")}, x))) > 0 THEN 'de'
-           |    ELSE 'und' END AS guessed
-           |  FROM q)
+           |  ${TextSql.guessedCase} AS guessed
+           |  FROM v)
            |SELECT doc_id, lang, quality FROM g
            |WHERE quality >= 0.5 AND guessed = lang
-           |ORDER BY doc_id""".stripMargin
-      })
+           |ORDER BY doc_id""".stripMargin))
   )
 }
