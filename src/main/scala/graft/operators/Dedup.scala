@@ -362,7 +362,10 @@ object Dedup {
     */
   def editDistanceNearDuplicates(keys: DataFrame, maxDist: Int): DataFrame = {
     require(maxDist >= 1, "maxDist must be >= 1")
-    val banded = keys.select(col("id"), col("key"),
+    // fanOut: the levenshtein verify is the compute-bound stage; a
+    // single-file scan would otherwise serialize every candidate pair
+    // through one task (observed at sf0.1 before the floor was added).
+    val banded = graft.Par.fanOut(keys).select(col("id"), col("key"),
       floor(length(col("key")) / maxDist).cast("long").as("band"))
     // The probe side carries two tags (its band and band+1), the build
     // side its band only, keeping the join a pure shuffled EQUI-join

@@ -223,7 +223,11 @@ object DedupQueries extends QueryProvider {
       "d08_editdist_neardup",
       (s, dir) => {
         import s.implicits._
-        val keys = Tables.documents(s, dir)
+        // Bounded slice (like d03/d13): full-text levenshtein is the
+        // quadratic TRUTH path — unsliced at sf0.1 it is ~10^13 DP
+        // cells and never finishes. The operator's production inputs
+        // are short near-dup CLUSTER keys, not whole documents.
+        val keys = Tables.documents(s, dir).filter($"doc_id" < 500)
           .select($"doc_id".as("id"), Dedup.normalized($"text").as("key"))
         Dedup.editDistanceNearDuplicates(keys, maxDist = 8)
           .select($"a", $"b", $"dist".cast("int").as("dist"))
@@ -231,7 +235,7 @@ object DedupQueries extends QueryProvider {
       },
       Some("""WITH n AS (SELECT doc_id AS id,
              |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS k
-             |  FROM documents),
+             |  FROM documents WHERE doc_id < 500),
              |cand AS (SELECT a.id AS a, b.id AS b, a.k AS ka, b.k AS kb
              |  FROM n a JOIN n b ON a.id < b.id
              |    AND length(b.k) BETWEEN length(a.k) - 8 AND length(a.k) + 8)

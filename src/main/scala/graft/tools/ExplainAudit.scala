@@ -14,7 +14,8 @@ object ExplainAudit {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q01_pricing_summary", "q02_filter_project", "q03_shipping_priority",
         "q04_brand_volume", "q05_top_orders", "q14_local_supplier_volume",
-        "t02_term_counts", "tr01_ranks", "d04_minhash_neardup", "s01_cosine_topk")
+        "t02_term_counts", "tr01_ranks", "d04_minhash_neardup", "s01_cosine_topk",
+        "c07_stratified_sample", "d13_containment", "e02_standardize")
     val spark = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
       .master("local[4]")
