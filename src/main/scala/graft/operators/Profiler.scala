@@ -35,4 +35,26 @@ object Profiler {
         col("n_nulls"), col("n_distinct"))
       .orderBy(col("column_name"))
   }
+
+  /** Equi-width histogram of an integral column: `buckets` buckets over
+    * the observed [min, max] in PURE integer arithmetic (width =
+    * (max−min) div buckets + 1, bucket = (x−min) div width) — bucket
+    * edges are exact however large the values, where float bucketing
+    * drifts at the boundaries. The min/max row broadcasts; the
+    * histogram itself is one small hash aggregation over a narrow map.
+    * Output: (bucket, lo, hi, n) with inclusive [lo, hi] ranges.
+    */
+  def intHistogram(df: DataFrame, c: String, buckets: Int): DataFrame = {
+    require(buckets >= 1, "buckets must be >= 1")
+    val mm = df.agg(min(col(c)).as("mn"), max(col(c)).as("mx"))
+    df.join(broadcast(mm))
+      .withColumn("width", expr(s"(mx - mn) div $buckets + 1"))
+      .withColumn("bucket", expr(s"(`$c` - mn) div width").cast("int"))
+      .groupBy(col("bucket"), col("width"), col("mn"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bucket"),
+        (col("mn") + col("bucket") * col("width")).as("lo"),
+        (col("mn") + (col("bucket") + 1) * col("width") - 1).as("hi"),
+        col("n"))
+  }
 }

@@ -70,6 +70,21 @@ object TextAnalysis {
     round(lenScore * 0.3 + punctOk * 0.25 + digitOk * 0.2 + stopOk * 0.25, 6)
   }
 
+  /** Unigram Shannon entropy (bits) of a token array — the
+    * lexical-diversity signal (spam/keyword-stuffing scores low).
+    * Row-local fold over the one-pass token_counts map. Accumulates
+    * p·log2(1/p) — all non-negative terms — rather than negating a
+    * sum: a single-token doc must yield +0.0, not -0.0 (whose string
+    * form hashes differently across engines). Empty input → 0.0.
+    */
+  def tokenEntropy(tokens: Column): Column = {
+    val n = size(tokens).cast("double")
+    val counts = map_values(graft.functions.TextNative.token_counts(tokens))
+    when(size(tokens) === 0, lit(0.0)).otherwise(
+      aggregate(counts, lit(0.0), (acc, c) =>
+        acc + (c.cast("double") / n) * log(2.0, n / c.cast("double"))))
+  }
+
   /** Whitespace token count (the cheap length signal). */
   def wsTokenCount(text: Column): Column = size(split(trim(text), "\\s+"))
 

@@ -505,17 +505,11 @@ object AnalysisQueries extends QueryProvider {
       "a12_token_entropy",
       (s, dir) => {
         import s.implicits._
-        import graft.functions.TextNative
         graft.Par.fanOut(Tables.documents(s, dir))
           .filter($"doc_id" < 300)
           .select($"doc_id", TF.tokenize($"text").as("tk"))
           .select($"doc_id", size($"tk").cast("long").as("n_tokens"),
-            map_values(TextNative.token_counts($"tk")).as("cs"))
-          .select($"doc_id", $"n_tokens",
-            when($"n_tokens" === 0, lit(0.0)).otherwise(
-              aggregate($"cs", lit(0.0), (acc, c) =>
-                acc + (c.cast("double") / $"n_tokens") *
-                  log(2.0, $"n_tokens" / c.cast("double")))).as("h"))
+            TA.tokenEntropy($"tk").as("h"))
           .select($"doc_id", $"n_tokens",
             round($"h", 6).as("entropy"),
             round(pow(lit(2.0), $"h"), 6).as("perplexity"))
@@ -572,18 +566,8 @@ object AnalysisQueries extends QueryProvider {
       "a14_length_histogram",
       (s, dir) => {
         import s.implicits._
-        val mm = Tables.documents(s, dir)
-          .agg(min($"n_chars").as("mn"), max($"n_chars").as("mx"))
-        Tables.documents(s, dir)
-          .join(broadcast(mm))
-          .withColumn("width", expr("(mx - mn) div 10 + 1"))
-          .withColumn("bucket", expr("(n_chars - mn) div width").cast("int"))
-          .groupBy($"bucket", $"width", $"mn")
-          .agg(count(lit(1)).as("n"))
-          .select($"bucket",
-            ($"mn" + $"bucket" * $"width").as("lo"),
-            ($"mn" + ($"bucket" + 1) * $"width" - 1).as("hi"),
-            $"n")
+        graft.operators.Profiler
+          .intHistogram(Tables.documents(s, dir), "n_chars", 10)
           .orderBy($"bucket")
       },
       Some("""WITH mm AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx
