@@ -181,6 +181,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert((out(1)._3, out(1)._4) == (2, 0))
     assert(out(2)._2 == "no pii here" && (out(2)._3, out(2)._4, out(2)._5) == (0, 0, 0))
   }
+
+  test("token entropy: uniform, skewed, single-token, empty") {
+    val df = Seq(
+      (0L, Seq("a", "b", "c", "d")),        // uniform -> 2 bits
+      (1L, Seq("a", "a", "a", "b")),        // skewed
+      (2L, Seq("a", "a", "a")),             // single type -> +0.0
+      (3L, Seq.empty[String]))              // empty -> 0.0
+      .toDF("id", "tk")
+    val got = df.select($"id", TextAnalysis.tokenEntropy($"tk").as("h"))
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(got(0L) - 2.0) < 1e-12)
+    val expSkew = 0.75 * math.log(4.0 / 3.0) / math.log(2.0) + 0.25 * 2.0
+    assert(math.abs(got(1L) - expSkew) < 1e-12)
+    assert(got(2L) == 0.0)
+    // the +0.0 pin: string form must not be "-0.0"
+    assert(got(2L).toString == "0.0")
+    assert(got(3L) == 0.0)
+  }
+
+  test("intHistogram: integer edges, constant column, full coverage") {
+    val df = (0L until 100L).map(i => Tuple1(i)).toSeq.toDF("x")
+    val h = Profiler.intHistogram(df, "x", 10)
+      .orderBy($"bucket").as[(Int, Long, Long, Long)].collect()
+    assert(h.length == 10)
+    assert(h.map(_._4).sum == 100)         // every row lands in a bucket
+    assert(h.head == ((0, 0L, 9L, 10L)))   // width (99-0)/10+1 = 10
+    assert(h.last == ((9, 90L, 99L, 10L)))
+    // constant column: one bucket, width 1
+    val c = Seq(5L, 5L, 5L).toDF("x")
+    val hc = Profiler.intHistogram(c, "x", 10)
+      .as[(Int, Long, Long, Long)].collect()
+    assert(hc.toSeq == Seq((0, 5L, 5L, 3L)))
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
