@@ -253,7 +253,45 @@ object IoQueries extends QueryProvider {
       Some("""SELECT doc_id,
              |CAST(length(regexp_replace(text, '[\n\r]', ' ', 'g')) AS BIGINT) AS n,
              |md5(regexp_replace(text, '[\n\r]', ' ', 'g')) AS body_md5
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // DYNAMIC partition pruning — io04 prunes on a literal filter at
+    // plan time; here the pruning value only exists at RUNTIME (it
+    // comes from the dim side of a join), and Spark injects a
+    // dynamicpruning subquery into the fact scan's PartitionFilters:
+    // the dim is evaluated first, then only the matching fact
+    // partitions are read. At 100 TB this is the difference between
+    // scanning one date/priority partition and scanning the lake when
+    // the filter arrives via a join rather than a WHERE literal.
+    // PlanShapeSpec pins the dynamicpruning expression in the scan.
+    Q(
+      "io09_dynamic_pruning",
+      (s, dir) => {
+        import s.implicits._
+        val stage = stageDir("graft_io9")
+        Tables.orders(s, dir)
+          .write.mode("overwrite").partitionBy("o_orderpriority")
+          .parquet(s"$stage/fact")
+        // dim staged as parquet, filtered on a NON-key column: a filter
+        // on the join key itself would be propagated onto the fact scan
+        // as a static literal (constraint propagation — no runtime
+        // pruning needed); filtering on `tag` forces the partition
+        // values to be discovered at runtime from the dim subquery.
+        Tables.orders(s, dir)
+          .select($"o_orderpriority").distinct()
+          .withColumn("tag", substring($"o_orderpriority", 1, 1))
+          .write.mode("overwrite").parquet(s"$stage/dim")
+        val fact = s.read.parquet(s"$stage/fact")
+        val dim = s.read.parquet(s"$stage/dim").filter($"tag" === "1")
+        fact.join(dim, "o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum($"o_totalprice".cast("decimal(18,2)"))
+              .cast("double").as("total"))
+          .localCheckpoint()
+      },
+      Some("""SELECT count(*) AS n,
+             |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM orders WHERE o_orderpriority LIKE '1%'""".stripMargin))
   )
 
   private def deleteRecursively(f: java.io.File): Unit = {

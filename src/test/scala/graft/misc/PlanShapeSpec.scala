@@ -1,5 +1,7 @@
 package graft.misc
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkSpec
 
 /** Physical-plan contracts for the round-4 operators: the scale story
@@ -82,6 +84,27 @@ class PlanShapeSpec extends SparkSpec {
       s"expected partial+final WindowGroupLimit, got:\n$plan")
     assert(hashExchanges(plan) == 1,
       s"expected one lang-partitioned exchange, got:\n$plan")
+  }
+
+  test("io09's fact scan is pruned by a dynamicpruning subquery") {
+    import spark.implicits._
+    val stage = java.nio.file.Files.createTempDirectory("dpp_spec").toString
+    graft.tables.Tables.orders(spark, sf("sf0.001"))
+      .write.mode("overwrite").partitionBy("o_orderpriority")
+      .parquet(s"$stage/fact")
+    graft.tables.Tables.orders(spark, sf("sf0.001"))
+      .select($"o_orderpriority").distinct()
+      .withColumn("tag", substring($"o_orderpriority", 1, 1))
+      .write.mode("overwrite").parquet(s"$stage/dim")
+    val fact = spark.read.parquet(s"$stage/fact")
+    // filter on the NON-key column: a join-key filter would be
+    // statically propagated instead of dynamically pruned
+    val dim = spark.read.parquet(s"$stage/dim").filter($"tag" === "1")
+    val plan = fact.join(dim, "o_orderpriority")
+      .groupBy().count()
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"fact scan must carry a runtime partition filter, got:\n$plan")
   }
 
   test("e02 standardize is stats-broadcast + narrow transform") {
