@@ -242,6 +242,32 @@ object Dedup {
 
   // ---- SimHash ----
 
+  /** GraphX/Pregel backend for [[labelPropagationClusters]] — identical
+    * semantics (min reachable id within k supersteps), proven equal in
+    * DedupSpec on randomized pair sets. The DataFrame loop stays the
+    * default (AQE + Tungsten); this formulation keeps the edge
+    * partitioning resident across supersteps and only re-sends a label
+    * when it can still lower a neighbor (change-activation + idempotent
+    * min), so it wins when running many rounds to full convergence on a
+    * high-diameter graph.
+    */
+  def labelPropagationClustersGraphX(pairs: DataFrame,
+      iterations: Int = 3): DataFrame = {
+    import org.apache.spark.graphx.{Edge, EdgeDirection, Graph}
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val e = pairs.select(col("a").cast("long"), col("b").cast("long"))
+      .as[(Long, Long)].rdd
+    val edges = e.flatMap { case (a, b) => Seq(Edge(a, b, ()), Edge(b, a, ())) }
+    val g = Graph.fromEdges(edges, ()).mapVertices((id, _) => id)
+    val res = g.pregel(Long.MaxValue, iterations, EdgeDirection.Either)(
+      (_, attr, msg) => math.min(attr, msg),
+      t => if (t.srcAttr < t.dstAttr) Iterator((t.dstId, t.srcAttr))
+           else Iterator.empty,
+      math.min)
+    res.vertices.map { case (id, lbl) => (id, lbl) }.toDF("id", "cluster")
+  }
+
   /** 64-bit SimHash: weighted bit votes from per-token FNV-1a hashes,
     * composed entirely from codegen'd higher-order functions (no UDF):
     * one pass hashes the tokens, then per bit position the vote sum

@@ -182,6 +182,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2)._2 == "no pii here" && (out(2)._3, out(2)._4, out(2)._5) == (0, 0, 0))
   }
 
+  test("graphx label propagation equals the dataframe loop on random graphs") {
+    val rnd = new scala.util.Random(11)
+    for (k <- Seq(1, 3)) {
+      val pairs = Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter(p => p._1 != p._2).distinct
+        .toDF("a", "b")
+      val df = Dedup.labelPropagationClusters(pairs, k)
+        .as[(Long, Long)].collect().toSet
+      val gx = Dedup.labelPropagationClustersGraphX(pairs, k)
+        .as[(Long, Long)].collect().toSet
+      assert(gx == df, s"k=$k")
+    }
+  }
+
   test("token entropy: uniform, skewed, single-token, empty") {
     val df = Seq(
       (0L, Seq("a", "b", "c", "d")),        // uniform -> 2 bits
