@@ -410,4 +410,52 @@ object Dedup {
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"), col("dist"))
   }
+
+  /** Blocked sorted-neighborhood near-dup pairs (SNM — Hernández &
+    * Stolfo's merge/purge): block on a cheap key, SORT each block by a
+    * fuller key, and compare each record only with its next
+    * `windowSize − 1` neighbors in sort order. The third classic
+    * candidate-generation family beside hashing (MinHash-LSH, d04) and
+    * indexing (prefix filter, d13): near-identical records sort
+    * adjacently, so the quadratic comparison collapses to a linear
+    * band along the sort order.
+    *
+    * Scale shape: ONE shuffle partitioned by the BLOCKING key (never a
+    * global sort — each block sorts independently, which is the
+    * documented recall tradeoff of blocked SNM: pairs straddling a
+    * block boundary are not compared), then all `windowSize − 1` leads
+    * come off that single per-block sort, are stacked row-locally
+    * (explode of a struct array — no second shuffle) and verified with
+    * the fused exact-Jaccard. Work is O(n·w) however large the corpus.
+    *
+    * toks0: (id, tokens). Blocking key = first token; sort key = first
+    * 3 tokens joined. Output (a, b, jaccard) with a < b, exact shingle
+    * Jaccard ≥ tau, ROUNDED to 6dp before thresholding (oracle-parity
+    * pin: both engines threshold the identical rounded value).
+    */
+  def sortedNeighborhoodPairs(toks0: DataFrame, shingleN: Int,
+      windowSize: Int, tau: Double): DataFrame = {
+    require(windowSize >= 2, "windowSize must pair each row with >= 1 neighbor")
+    val sh = graft.Par.fanOut(toks0).select(col("id"),
+        col("tokens").getItem(0).as("block"),
+        array_join(slice(col("tokens"), 1, 3), " ").as("skey"),
+        array_distinct(shingles(col("tokens"), shingleN)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("block")).orderBy(col("skey"), col("id"))
+    val leadCols = (1 until windowSize).flatMap(i => Seq(
+      lead(col("id"), i).over(w).as(s"b$i"),
+      lead(col("sh"), i).over(w).as(s"shb$i")))
+    val neighbors = sh
+      .select(col("id") +: col("sh") +: leadCols: _*)
+      .select(col("id").as("ida"), col("sh").as("sha"),
+        explode(array((1 until windowSize).map(i =>
+          struct(col(s"b$i").as("idb"), col(s"shb$i").as("shb"))): _*)).as("p"))
+      .filter(col("p.idb").isNotNull)
+    neighbors
+      .withColumn("jaccard", round(jaccard(col("sha"), col("p.shb")), 6))
+      .filter(col("jaccard") >= tau)
+      .select(least(col("ida"), col("p.idb")).as("a"),
+        greatest(col("ida"), col("p.idb")).as("b"), col("jaccard"))
+  }
 }

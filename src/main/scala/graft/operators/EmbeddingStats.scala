@@ -72,4 +72,27 @@ object EmbeddingStats {
 
   def arraySumSq(c: Column): Column =
     aggregate(c, lit(0.0), (acc, x) => acc + x * x)
+
+  /** Matryoshka truncation: keep the first `dims` dimensions and
+    * L2-renormalize — the MRL serving trick (use a prefix of the
+    * embedding at 1/4 the storage/FLOPs, re-unit-normalized so cosine
+    * stays a dot product). Row-local narrow map, zero shuffles; the
+    * truncated norm is a strict left fold (seed 0.0, array order) so a
+    * SQL list_reduce replays it bit-for-bit, and all-zero prefixes are
+    * guarded to norm 1e-12 rather than dividing by zero.
+    *
+    * vecs: (idCol, vecCol array<double>). Output: (id, norm: the
+    * truncated prefix's L2 norm, vec: the renormalized prefix).
+    */
+  def matryoshka(vecs: DataFrame, idCol: String, vecCol: String,
+      dims: Int): DataFrame = {
+    val prefix = slice(col(vecCol), 1, dims)
+    vecs
+      .select(col(idCol), prefix.as("pre"))
+      .withColumn("norm",
+        greatest(sqrt(aggregate(col("pre"), lit(0.0), (a, x) => a + x * x)),
+          lit(1e-12)))
+      .select(col(idCol), col("norm"),
+        transform(col("pre"), x => x / col("norm")).as("vec"))
+  }
 }

@@ -77,6 +77,49 @@ object Similarity {
         col("cosine"), col("mutual"))
   }
 
+  /** One 32-bit sign word of a double vector as a long: bit i set iff
+    * vec[off + i] > 0 (little-endian bit order). A 64-dim embedding
+    * binarizes into two words — the 32× compression behind
+    * Hamming-space ANN. Pure codegen'd arithmetic (a 32-term
+    * conditional sum), no UDF.
+    */
+  def signWord(vec: Column, off: Int): Column =
+    (0 until 32).map(i =>
+      when(element_at(vec, off + i + 1) > lit(0.0), lit(1L << i))
+        .otherwise(lit(0L))).reduce(_ + _)
+
+  /** Exact Hamming top-k over sign-binarized vectors (the binary-
+    * quantization counterpart of bruteForceTopK): vectors collapse to
+    * two 32-bit words each, so the scan side of the pairwise loop is
+    * 16 bytes/vector and the distance is two XOR+popcount ops — the
+    * brute force that IS practical at scale when vectors are packed.
+    * Integer distances make the result hash exactly portable (no float
+    * rounding anywhere). Ties broken by neighbor id.
+    *
+    * For threshold (not top-k) queries the d05 SimHash chunk-banding
+    * generates candidates instead of scanning; this path is the exact
+    * re-rank both share.
+    */
+  def hammingTopK(vecs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    def packed(df: DataFrame, idName: String) = df.select(
+      col("id").as(idName),
+      signWord(col("vec"), 0).as(s"${idName}_w0"),
+      signWord(col("vec"), 32).as(s"${idName}_w1"))
+    val q = packed(queries, "query_id")
+    val v = packed(vecs, "neighbor_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("neighbor_id"))
+    v.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("hamming",
+        (bit_count(col("query_id_w0").bitwiseXOR(col("neighbor_id_w0"))) +
+          bit_count(col("query_id_w1").bitwiseXOR(col("neighbor_id_w1"))))
+          .cast("int"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("hamming"))
+  }
+
   /** Deterministic random hyperplanes: nPlanes × dim, seeded. */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)

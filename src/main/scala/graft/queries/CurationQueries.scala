@@ -388,7 +388,79 @@ object CurationQueries extends QueryProvider {
               |  max(quality) AS quality FROM q GROUP BY content_hash)
               |SELECT g.content_hash, g.n_docs, r.doc_id AS canonical_id, g.quality
               |FROM g JOIN r ON r.content_hash = g.content_hash AND r.rn = 1
-              |ORDER BY g.content_hash""".stripMargin))
+              |ORDER BY g.content_hash""".stripMargin)),
+
+    // C4-style corpus-frequency boilerplate scrub: segments of the
+    // token stream occurring in >= 5 distinct docs are boilerplate;
+    // each doc is reassembled from its surviving segments in order.
+    // Scale shape: the boilerplate dictionary is tiny by construction
+    // and BROADCAST back — the scrub is a frequency count plus a
+    // narrow map-side join (see operators/Boilerplate). The gate
+    // hash-pins the reassembled text per doc (md5), the kept/dropped
+    // split, and the oracle rebuilds segmentation, frequency, and
+    // ordered reassembly relationally.
+    Q(
+      "c10_boilerplate_scrub",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Boilerplate
+          .scrub(graft.Par.fanOut(Tables.documents(s, dir)),
+            "doc_id", "text", segN = 3, minDocs = 5L)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH tk AS (SELECT doc_id,
+             |  regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
+             |segs AS (SELECT doc_id, list_transform(range((len(tk)+2)//3),
+             |  i -> array_to_string(tk[i*3+1 : i*3+3], ' ')) AS sg FROM tk),
+             |e AS (SELECT doc_id, unnest(range(len(sg))) AS spos,
+             |  unnest(sg) AS seg FROM segs),
+             |f AS (SELECT seg FROM (SELECT seg, count(DISTINCT doc_id) AS nd
+             |  FROM e GROUP BY seg) WHERE nd >= 5),
+             |j AS (SELECT e.doc_id, e.spos, e.seg, (f.seg IS NOT NULL) AS dropped
+             |  FROM e LEFT JOIN f ON f.seg = e.seg)
+             |SELECT doc_id,
+             |CAST(count(*) FILTER (WHERE NOT dropped) AS BIGINT) AS n_kept,
+             |CAST(count(*) FILTER (WHERE dropped) AS BIGINT) AS n_dropped,
+             |md5(coalesce(string_agg(seg, ' ' ORDER BY spos)
+             |  FILTER (WHERE NOT dropped), '')) AS scrubbed_hash
+             |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Per-source token-budget fill: each source contributes documents
+    // in deterministic FNV-hash order until its token budget is
+    // reached — the quota step that turns per-source mixture WEIGHTS
+    // into an actual bounded corpus (c04 keeps a proportion; this
+    // keeps a token count). One shuffle partitioned by source; the
+    // running sum is a per-source window, never global, and the
+    // inclusive-cum <= budget cut is a pure function of (doc_id,
+    // source) — reproducible across runs, engines and re-shards.
+    Q(
+      "c11_token_budget_fill",
+      (s, dir) => {
+        import s.implicits._
+        val Budget = 600L
+        val w = Window.partitionBy($"source").orderBy($"hkey", $"doc_id")
+        Tables.documents(s, dir)
+          .select($"doc_id", $"source",
+            TA.wsTokenCount($"text").cast("long").as("ws_tokens"),
+            graft.functions.Fnv.fnv1a64($"doc_id".cast("string")).as("hkey"))
+          .withColumn("cum", sum($"ws_tokens").over(w))
+          .filter($"cum" <= Budget)
+          .select($"doc_id", $"source", $"ws_tokens", $"cum")
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH h AS (SELECT doc_id, source,
+              |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+              |    AS ws_tokens,
+              |  ${FnvSql.toSigned(FnvSql.ofString("(doc_id::VARCHAR)"))} AS hkey
+              |  FROM documents),
+              |c AS (SELECT doc_id, source, ws_tokens,
+              |  CAST(sum(ws_tokens) OVER (PARTITION BY source
+              |    ORDER BY hkey, doc_id
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              |    AS cum
+              |  FROM h)
+              |SELECT doc_id, source, ws_tokens, cum
+              |FROM c WHERE cum <= 600 ORDER BY doc_id""".stripMargin))
   )
 
 }

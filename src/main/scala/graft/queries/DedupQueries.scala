@@ -446,6 +446,56 @@ object DedupQueries extends QueryProvider {
              |  AS containment
              |FROM s a JOIN s b ON a.doc_id <> b.doc_id
              |WHERE len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh) >= 0.5
-             |ORDER BY a, b""".stripMargin))
+             |ORDER BY a, b""".stripMargin)),
+
+    // Blocked sorted-neighborhood (merge/purge) near-dup pairs — the
+    // third candidate-generation family beside hashing (d04) and
+    // indexing (d13): block on the first token, sort each block by the
+    // 3-token prefix, compare each doc only with its next 5 neighbors
+    // in sort order. One shuffle partitioned by the BLOCKING key (no
+    // global sort), all leads off that single per-block sort, fused
+    // exact-Jaccard verify — O(n·w) work at any corpus size. The
+    // oracle replays the identical block/sort/lead windows and the
+    // rounded-Jaccard threshold.
+    Q(
+      "d14_sorted_neighborhood",
+      (s, dir) => {
+        import s.implicits._
+        val toks = Tables.documents(s, dir)
+          .select($"doc_id".as("id"), TF.tokenize($"text").as("tokens"))
+        Dedup.sortedNeighborhoodPairs(toks, 3, windowSize = 6, tau = 0.05)
+          .orderBy($"a", $"b")
+      },
+      Some(d14OracleSql))
   )
+
+  /** d14 oracle: the same blocked sorted-neighborhood windows — leads
+    * 1..5 over (block, skey-sorted) order, stacked and thresholded on
+    * the 6dp-rounded exact Jaccard.
+    */
+  private lazy val d14OracleSql: String = {
+    val leads = (1 to 5).map(i =>
+      s"lead(doc_id, $i) OVER w AS b$i, lead(sh, $i) OVER w AS shb$i")
+      .mkString(",\n  ")
+    val stacked = (1 to 5).map(i =>
+      s"SELECT doc_id AS ida, sh AS sha, b$i AS idb, shb$i AS shb FROM l WHERE b$i IS NOT NULL")
+      .mkString("\n  UNION ALL ")
+    s"""WITH t AS (SELECT doc_id,
+       |  regexp_extract_all(lower(text),'[a-zA-Z]+') AS tk FROM documents),
+       |s AS (SELECT doc_id, tk[1] AS block,
+       |  array_to_string(tk[1:3], ' ') AS skey,
+       |  list_distinct(list_transform(range(1, len(tk)-1),
+       |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+       |  FROM t WHERE len(tk) >= 3),
+       |l AS (SELECT doc_id, sh,
+       |  $leads
+       |  FROM s WINDOW w AS (PARTITION BY block ORDER BY skey, doc_id)),
+       |p AS ($stacked),
+       |j AS (SELECT least(ida, idb) AS a, greatest(ida, idb) AS b,
+       |  round(len(list_intersect(sha, shb)) * 1.0
+       |    / len(list_distinct(list_concat(sha, shb))), 6) AS jaccard
+       |  FROM p)
+       |SELECT a, b, jaccard FROM j WHERE jaccard >= 0.05
+       |ORDER BY a, b""".stripMargin
+  }
 }

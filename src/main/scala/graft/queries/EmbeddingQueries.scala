@@ -74,6 +74,34 @@ object EmbeddingQueries extends QueryProvider {
              |SELECT vec_id,
              |round(sum(z), 6) AS z_sum,
              |round(sum(z * z), 6) AS z_sumsq
-             |FROM z GROUP BY vec_id ORDER BY vec_id""".stripMargin))
+             |FROM z GROUP BY vec_id ORDER BY vec_id""".stripMargin)),
+
+    // Matryoshka truncation: keep the first 16 dims and L2-renormalize
+    // (the MRL serving trick — 1/4 the vector at 1/4 the cost, cosine
+    // stays a dot product). Row-local narrow map, zero shuffles. The
+    // truncated norm is a strict left fold the oracle replays with
+    // list_reduce (identical IEEE order), and every renormalized cell
+    // is hash-checked via the zipped unnest.
+    Q(
+      "e03_matryoshka",
+      (s, dir) => {
+        import s.implicits._
+        EmbeddingStats.matryoshka(vecs(s, dir), "vec_id", "vec", dims = 16)
+          .select($"vec_id", round($"norm", 6).as("norm16"),
+            posexplode($"vec").as(Seq("dim", "val")))
+          .select($"vec_id", $"norm16", $"dim", round($"val", 6).as("val"))
+          .orderBy($"vec_id", $"dim")
+      },
+      Some("""WITH v AS (SELECT vec_id, (embedding::DOUBLE[])[1:16] AS e
+             |  FROM embeddings),
+             |n AS (SELECT vec_id, e,
+             |  greatest(sqrt(list_reduce(list_prepend(0.0, list_transform(e,
+             |    x -> x * x)), (acc, x) -> acc + x)), 1e-12) AS nrm
+             |  FROM v),
+             |u AS (SELECT vec_id, nrm,
+             |  unnest(range(len(e))) AS dim, unnest(e) AS x FROM n)
+             |SELECT vec_id, round(nrm, 6) AS norm16,
+             |CAST(dim AS INTEGER) AS dim, round(x / nrm, 6) AS val
+             |FROM u ORDER BY vec_id, dim""".stripMargin))
   )
 }

@@ -160,8 +160,51 @@ object SimilarityQueries extends QueryProvider {
              |(m.query_id IS NOT NULL) AS mutual
              |FROM k LEFT JOIN k m
              |  ON m.query_id = k.neighbor_id AND m.neighbor_id = k.query_id
-             |ORDER BY k.query_id, k.rnk""".stripMargin))
+             |ORDER BY k.query_id, k.rnk""".stripMargin)),
+
+    // Binary-quantized ANN: sign-binarize each embedding into two
+    // 32-bit words (16 bytes/vector — the 32× compression that makes
+    // brute force practical at scale) and rank by exact Hamming
+    // distance, two XOR+popcount ops per pair. All-integer distances:
+    // no float rounding anywhere in the result. The oracle recomputes
+    // the bit packing as the same 32-term conditional sums and replays
+    // XOR/popcount — hash-for-hash.
+    Q(
+      "s07_hamming_topk",
+      (s, dir) => {
+        import s.implicits._
+        val v = vecs(s, dir)
+        Similarity.hammingTopK(v, v.filter($"id" < 5), 10)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy($"query_id", $"rnk")
+      },
+      Some(s07OracleSql))
   )
+
+  /** s07 oracle: sign words as literal power-of-two conditional sums
+    * (the identical constants the Spark expression folds in), then
+    * XOR + popcount re-ranked per query.
+    */
+  private lazy val s07OracleSql: String = {
+    def word(off: Int): String =
+      (0 until 32).map(i =>
+        s"(CASE WHEN e[${off + i + 1}] > 0.0 THEN ${1L << i} ELSE 0 END)")
+        .mkString("(", " + ", ")")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |w AS (SELECT vec_id,
+       |  CAST(${word(0)} AS BIGINT) AS w0,
+       |  CAST(${word(32)} AS BIGINT) AS w1
+       |  FROM v),
+       |p AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |  CAST(bit_count(xor(q.w0, n.w0)) + bit_count(xor(q.w1, n.w1))
+       |    AS INTEGER) AS hamming
+       |  FROM w n CROSS JOIN w q
+       |  WHERE q.vec_id < 5 AND q.vec_id <> n.vec_id),
+       |r AS (SELECT *, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rnk FROM p)
+       |SELECT query_id, rnk, neighbor_id, hamming FROM r WHERE rnk <= 10
+       |ORDER BY query_id, rnk""".stripMargin
+  }
 
   /** s03 oracle: the deterministic Lloyd IVF replayed in SQL. Distances
     * are strict left folds (`list_reduce` seeded 0.0) matching Spark's

@@ -333,6 +333,51 @@ object TextQueries extends QueryProvider {
               |r AS (SELECT *, row_number() OVER
               |  (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rnk FROM x)
               |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, token, tfidf
-              |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin))
+              |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin)),
+
+    // BM25 ranked retrieval (Lucene +1 idf form, k1=1.2 b=0.75) for a
+    // 3-term query — the scoring consumer of the t09 inverted index.
+    // Per-term contributions pivot into COLUMNS and add in fixed term
+    // order (an unordered float sum() would not be engine-stable), and
+    // the top-50 ships as TakeOrderedAndProject — no global window.
+    // The oracle replays tf/df/avgdl and the identical IEEE expression
+    // tree: same association, same ln() form, both engines promote the
+    // BIGINT tf/df/dl operands to double at the same spots.
+    Q(
+      "t13_bm25",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Bm25.score(
+          graft.Par.fanOut(Tables.documents(s, dir)), "doc_id",
+          TF.tokenize($"text"), Seq("spark", "join", "window"))
+          .orderBy(desc("score"), $"doc_id")
+          .limit(50)
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |  regexp_extract_all(lower(text), '[a-zA-Z]+') AS tok FROM documents),
+             |base AS (SELECT doc_id, CAST(len(tok) AS BIGINT) AS dl, tok FROM t),
+             |corpus AS (SELECT count(*) AS n_docs,
+             |  CAST(sum(len(tok)) AS BIGINT) AS sum_dl FROM t),
+             |tf AS (SELECT doc_id, dl, tok2 AS tok, count(*) AS tf FROM
+             |  (SELECT doc_id, dl, unnest(tok) AS tok2 FROM base)
+             |  WHERE tok2 IN ('spark', 'join', 'window')
+             |  GROUP BY doc_id, dl, tok2),
+             |dfx AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok),
+             |sc AS (SELECT tf.doc_id, tf.dl,
+             |  tf.tok,
+             |  ln((n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE) + 1.0::DOUBLE)
+             |    * (tf * (1.2::DOUBLE + 1.0::DOUBLE))
+             |    / (tf + 1.2::DOUBLE * (0.25::DOUBLE
+             |        + 0.75::DOUBLE * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))
+             |    AS contrib
+             |  FROM tf JOIN dfx USING (tok) CROSS JOIN corpus),
+             |piv AS (SELECT doc_id, dl,
+             |  round(coalesce(max(CASE WHEN tok = 'spark' THEN contrib END), 0.0), 6) AS c_spark,
+             |  round(coalesce(max(CASE WHEN tok = 'join' THEN contrib END), 0.0), 6) AS c_join,
+             |  round(coalesce(max(CASE WHEN tok = 'window' THEN contrib END), 0.0), 6) AS c_window
+             |  FROM sc GROUP BY doc_id, dl)
+             |SELECT doc_id, dl, c_spark, c_join, c_window,
+             |round(c_spark + c_join + c_window, 6) AS score
+             |FROM piv ORDER BY score DESC, doc_id LIMIT 50""".stripMargin))
   )
 }
