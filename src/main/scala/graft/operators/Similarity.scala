@@ -120,6 +120,55 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("hamming"))
   }
 
+  /** Sparse TF-IDF cosine document pairs via an inverted-index join —
+    * the lexical counterpart of the embedding near-dup paths: documents
+    * sharing no token never meet, so the pair space is generated from
+    * postings (shuffle keyed on TOKEN), not from an all-pairs scan.
+    *
+    * Scale shape: (1) `maxDfFrac` prunes stop-tokens BEFORE the
+    * self-join — a token in d of n docs contributes O(d²) candidate
+    * pairs, so the df cap bounds the quadratic term the way LSH's
+    * `maxBucket` does; (2) TF-IDF weights are quantized to integers
+    * (`round(w·quantScale)`), so dot products and squared norms are
+    * exact integer sums — order-independent under any partitioning,
+    * and bit-identical to the oracle with no float-summation drift.
+    * The only float ops are the final sqrt/divide per surviving pair.
+    *
+    * docs: (idCol, tokens). Output (a, b, cosine) with a < b and the
+    * 6dp-rounded quantized cosine ≥ tau.
+    */
+  def tfidfCosinePairs(docs: DataFrame, idCol: String, tokens: Column,
+      quantScale: Double = 1e4, maxDfFrac: Double = 0.5,
+      tau: Double = 0.3): DataFrame = {
+    val base = docs.select(col(idCol).as("id"), tokens.as("toks"))
+    val corpus = base.agg(count(lit(1)).as("n_docs"))
+    val tf = base.select(col("id"), explode(col("toks")).as("tok"))
+      .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("tok")).agg(countDistinct(col("id")).as("df"))
+    val w = tf.join(broadcast(dfT), Seq("tok"))
+      .crossJoin(broadcast(corpus))
+      .filter(col("df") <= col("n_docs") * lit(maxDfFrac))
+      .withColumn("wq",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df"))
+          * lit(quantScale)).cast("long"))
+      .filter(col("wq") > 0)
+      .select(col("id"), col("tok"), col("wq"))
+    val norms = w.groupBy(col("id")).agg(sum(col("wq") * col("wq")).as("nsq"))
+    val dot = w.select(col("tok"), col("id").as("ida"), col("wq").as("wa"))
+      .join(w.select(col("tok"), col("id").as("idb"), col("wq").as("wb")),
+        Seq("tok"))
+      .filter(col("ida") < col("idb"))
+      .groupBy(col("ida"), col("idb"))
+      .agg(sum(col("wa") * col("wb")).as("dot"))
+    dot
+      .join(norms.select(col("id").as("ida"), col("nsq").as("nsa")), Seq("ida"))
+      .join(norms.select(col("id").as("idb"), col("nsq").as("nsb")), Seq("idb"))
+      .withColumn("cosine",
+        round(col("dot") / (sqrt(col("nsa")) * sqrt(col("nsb"))), 6))
+      .filter(col("cosine") >= tau)
+      .select(col("ida").as("a"), col("idb").as("b"), col("cosine"))
+  }
+
   /** Deterministic random hyperplanes: nPlanes × dim, seeded. */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)

@@ -466,7 +466,49 @@ object DedupQueries extends QueryProvider {
         Dedup.sortedNeighborhoodPairs(toks, 3, windowSize = 6, tau = 0.05)
           .orderBy($"a", $"b")
       },
-      Some(d14OracleSql))
+      Some(d14OracleSql)),
+
+    // Sparse TF-IDF cosine pairs via the inverted index: documents
+    // sharing no token never meet — the pair space comes from a
+    // postings self-join keyed on TOKEN, with a df cap pruning
+    // stop-tokens before the join (each token's pair cost is O(df²);
+    // the cap bounds it the way LSH's maxBucket does). Weights are
+    // integer-quantized so every dot product and squared norm is an
+    // exact integer sum — order-independent under any partitioning and
+    // hash-identical to the oracle; the only float math is the final
+    // sqrt/divide per surviving pair.
+    Q(
+      "d15_tfidf_cosine",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Similarity.tfidfCosinePairs(
+          graft.Par.fanOut(Tables.documents(s, dir)), "doc_id",
+          TF.tokenize($"text"), quantScale = 1e4, maxDfFrac = 0.5, tau = 0.3)
+          .orderBy($"a", $"b")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |  regexp_extract_all(lower(text),'[a-zA-Z]+') AS tok FROM documents),
+             |corpus AS (SELECT count(*) AS n_docs FROM t),
+             |tf AS (SELECT doc_id, tok2 AS tok, count(*) AS tf FROM
+             |  (SELECT doc_id, unnest(tok) AS tok2 FROM t) GROUP BY doc_id, tok2),
+             |dfx AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok),
+             |w AS (SELECT tf.doc_id, tf.tok,
+             |  CAST(round((tf * ln(n_docs::DOUBLE / df)) * 10000.0::DOUBLE) AS BIGINT) AS wq
+             |  FROM tf JOIN dfx USING (tok) CROSS JOIN corpus
+             |  WHERE df <= n_docs * 0.5::DOUBLE),
+             |wk AS (SELECT doc_id, tok, wq FROM w WHERE wq > 0),
+             |nrm AS (SELECT doc_id, CAST(sum(wq * wq) AS BIGINT) AS nsq
+             |  FROM wk GROUP BY doc_id),
+             |d AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+             |  CAST(sum(a.wq * b.wq) AS BIGINT) AS dot
+             |  FROM wk a JOIN wk b ON a.tok = b.tok AND a.doc_id < b.doc_id
+             |  GROUP BY a.doc_id, b.doc_id),
+             |c AS (SELECT ida AS a, idb AS b,
+             |  round(dot / (sqrt(na.nsq) * sqrt(nb.nsq)), 6) AS cosine
+             |  FROM d JOIN nrm na ON na.doc_id = d.ida
+             |         JOIN nrm nb ON nb.doc_id = d.idb)
+             |SELECT a, b, cosine FROM c WHERE cosine >= 0.3
+             |ORDER BY a, b""".stripMargin))
   )
 
   /** d14 oracle: the same blocked sorted-neighborhood windows — leads

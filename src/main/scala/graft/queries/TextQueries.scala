@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.{TextAnalysis => TA}
@@ -353,31 +354,92 @@ object TextQueries extends QueryProvider {
           .orderBy(desc("score"), $"doc_id")
           .limit(50)
       },
-      Some("""WITH t AS (SELECT doc_id,
-             |  regexp_extract_all(lower(text), '[a-zA-Z]+') AS tok FROM documents),
-             |base AS (SELECT doc_id, CAST(len(tok) AS BIGINT) AS dl, tok FROM t),
-             |corpus AS (SELECT count(*) AS n_docs,
-             |  CAST(sum(len(tok)) AS BIGINT) AS sum_dl FROM t),
-             |tf AS (SELECT doc_id, dl, tok2 AS tok, count(*) AS tf FROM
-             |  (SELECT doc_id, dl, unnest(tok) AS tok2 FROM base)
-             |  WHERE tok2 IN ('spark', 'join', 'window')
-             |  GROUP BY doc_id, dl, tok2),
-             |dfx AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok),
-             |sc AS (SELECT tf.doc_id, tf.dl,
-             |  tf.tok,
-             |  ln((n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE) + 1.0::DOUBLE)
-             |    * (tf * (1.2::DOUBLE + 1.0::DOUBLE))
-             |    / (tf + 1.2::DOUBLE * (0.25::DOUBLE
-             |        + 0.75::DOUBLE * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))
-             |    AS contrib
-             |  FROM tf JOIN dfx USING (tok) CROSS JOIN corpus),
-             |piv AS (SELECT doc_id, dl,
-             |  round(coalesce(max(CASE WHEN tok = 'spark' THEN contrib END), 0.0), 6) AS c_spark,
-             |  round(coalesce(max(CASE WHEN tok = 'join' THEN contrib END), 0.0), 6) AS c_join,
-             |  round(coalesce(max(CASE WHEN tok = 'window' THEN contrib END), 0.0), 6) AS c_window
-             |  FROM sc GROUP BY doc_id, dl)
-             |SELECT doc_id, dl, c_spark, c_join, c_window,
-             |round(c_spark + c_join + c_window, 6) AS score
-             |FROM piv ORDER BY score DESC, doc_id LIMIT 50""".stripMargin))
+      Some(s"""$bm25CtesSql
+              |SELECT doc_id, dl, c_spark, c_join, c_window, score
+              |FROM bm ORDER BY score DESC, doc_id LIMIT 50""".stripMargin)),
+
+    // Reciprocal Rank Fusion of two retrievers for the same query —
+    // BM25 (t13's scorer) and raw query-term frequency. Each ranker is
+    // truncated to its top 100 FIRST via orderBy+limit
+    // (TakeOrderedAndProject — a distributed top-k, no global sort);
+    // the row_number that assigns 1-based ranks then runs over <= 100
+    // rows, so the single-partition window is bounded by construction.
+    // Ranks are taken on 6dp-ROUNDED scores with doc_id tiebreaks on
+    // both sides (playbook pin), and the fused score adds the two
+    // rounded 1/(60+rank) terms in fixed ranker order.
+    Q(
+      "t14_rrf_fusion",
+      (s, dir) => {
+        import s.implicits._
+        val docs = graft.Par.fanOut(Tables.documents(s, dir))
+        val terms = Seq("spark", "join", "window")
+        val bm = graft.operators.Bm25.score(docs, "doc_id",
+          TF.tokenize($"text"), terms)
+        val r1 = bm.select($"doc_id", $"score")
+          .orderBy(desc("score"), $"doc_id").limit(100)
+          .withColumn("rnk", row_number().over(
+            Window.orderBy(desc("score"), $"doc_id")))
+          .select($"doc_id", $"rnk")
+        val r2 = docs
+          .select($"doc_id", explode(TF.tokenize($"text")).as("tok"))
+          .filter($"tok".isin(terms: _*))
+          .groupBy($"doc_id").agg(count(lit(1)).as("tftot"))
+          .orderBy(desc("tftot"), $"doc_id").limit(100)
+          .withColumn("rnk", row_number().over(
+            Window.orderBy(desc("tftot"), $"doc_id")))
+          .select($"doc_id", $"rnk")
+        graft.operators.Rrf.fuse(Seq("bm25" -> r1, "tf" -> r2), k = 60)
+          .orderBy(desc("rrf_score"), $"doc_id").limit(30)
+      },
+      Some(s"""$bm25CtesSql,
+              |r1 AS (SELECT doc_id,
+              |  row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+              |  FROM bm QUALIFY rnk <= 100),
+              |tft AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS tftot
+              |  FROM tf GROUP BY doc_id),
+              |r2 AS (SELECT doc_id,
+              |  row_number() OVER (ORDER BY tftot DESC, doc_id) AS rnk
+              |  FROM tft QUALIFY rnk <= 100),
+              |f AS (SELECT coalesce(r1.doc_id, r2.doc_id) AS doc_id,
+              |  round(coalesce(1.0::DOUBLE / (60.0::DOUBLE + r1.rnk), 0.0), 6) AS rrf_bm25,
+              |  round(coalesce(1.0::DOUBLE / (60.0::DOUBLE + r2.rnk), 0.0), 6) AS rrf_tf
+              |  FROM r1 FULL OUTER JOIN r2 ON r1.doc_id = r2.doc_id)
+              |SELECT doc_id, rrf_bm25, rrf_tf,
+              |round(rrf_bm25 + rrf_tf, 6) AS rrf_score
+              |FROM f ORDER BY rrf_score DESC, doc_id LIMIT 30""".stripMargin))
   )
+
+  /** t13's BM25 pipeline as CTEs ending in `bm(doc_id, dl, c_spark,
+    * c_join, c_window, score)` — shared by the t13 gate query and
+    * t14's rank-fusion oracle. Every literal is pinned `::DOUBLE` and
+    * the expression tree associates exactly as [[graft.operators.Bm25]]
+    * does (the k1+1 literal is re-derived as `1.2+1.0` so both engines
+    * perform the identical addition).
+    */
+  private lazy val bm25CtesSql: String =
+    """WITH t AS (SELECT doc_id,
+      |  regexp_extract_all(lower(text), '[a-zA-Z]+') AS tok FROM documents),
+      |base AS (SELECT doc_id, CAST(len(tok) AS BIGINT) AS dl, tok FROM t),
+      |corpus AS (SELECT count(*) AS n_docs,
+      |  CAST(sum(len(tok)) AS BIGINT) AS sum_dl FROM t),
+      |tf AS (SELECT doc_id, dl, tok2 AS tok, count(*) AS tf FROM
+      |  (SELECT doc_id, dl, unnest(tok) AS tok2 FROM base)
+      |  WHERE tok2 IN ('spark', 'join', 'window')
+      |  GROUP BY doc_id, dl, tok2),
+      |dfx AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok),
+      |sc AS (SELECT tf.doc_id, tf.dl,
+      |  tf.tok,
+      |  ln((n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE) + 1.0::DOUBLE)
+      |    * (tf * (1.2::DOUBLE + 1.0::DOUBLE))
+      |    / (tf + 1.2::DOUBLE * (0.25::DOUBLE
+      |        + 0.75::DOUBLE * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))
+      |    AS contrib
+      |  FROM tf JOIN dfx USING (tok) CROSS JOIN corpus),
+      |piv AS (SELECT doc_id, dl,
+      |  round(coalesce(max(CASE WHEN tok = 'spark' THEN contrib END), 0.0), 6) AS c_spark,
+      |  round(coalesce(max(CASE WHEN tok = 'join' THEN contrib END), 0.0), 6) AS c_join,
+      |  round(coalesce(max(CASE WHEN tok = 'window' THEN contrib END), 0.0), 6) AS c_window
+      |  FROM sc GROUP BY doc_id, dl),
+      |bm AS (SELECT doc_id, dl, c_spark, c_join, c_window,
+      |  round(c_spark + c_join + c_window, 6) AS score FROM piv)""".stripMargin
 }

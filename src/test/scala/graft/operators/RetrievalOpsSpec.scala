@@ -160,4 +160,56 @@ class RetrievalOpsSpec extends SparkSpec {
     // zero prefix: norm pinned to the guard, cells stay 0 (no NaN)
     assert(out(1)._2 == 1e-12 && out(1)._3.forall(_ == 0.0))
   }
+
+  test("tfidfCosinePairs matches a hand-computed quantized cosine") {
+    import spark.implicits._
+    // "common" is in every doc (df=3 > 0.7*3) -> pruned before pairing;
+    // "apple" (df=2 <= 2.1) survives; doc 3 shares nothing surviving.
+    val docs = docsDf(
+      1L -> "common apple apple pear",
+      2L -> "common apple kiwi",
+      3L -> "common mango")
+    val out = Similarity.tfidfCosinePairs(docs, "doc_id",
+      split($"text", " "), quantScale = 1e4, maxDfFrac = 0.7, tau = 0.0)
+      .select($"a", $"b", $"cosine").as[(Long, Long, Double)].collect()
+    // surviving vocab: apple(df2) pear(df1) kiwi(df1) mango(df1)
+    def wq(tf: Long, df: Long) =
+      BigDecimal(tf * math.log(3.0 / df) * 1e4)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val (wApple1, wApple2) = (wq(2, 2), wq(1, 2))
+    val (wPear, wKiwi) = (wq(1, 1), wq(1, 1))
+    val exp = BigDecimal(
+      (wApple1 * wApple2).toDouble /
+        (math.sqrt((wApple1 * wApple1 + wPear * wPear).toDouble) *
+          math.sqrt((wApple2 * wApple2 + wKiwi * wKiwi).toDouble)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.toSeq == Seq((1L, 2L, exp))) // doc 3: no shared surviving token
+  }
+
+  test("tfidfCosinePairs: identical docs score 1.0") {
+    import spark.implicits._
+    val docs = docsDf(1L -> "alpha beta gamma", 2L -> "alpha beta gamma",
+      3L -> "x y z")
+    val out = Similarity.tfidfCosinePairs(docs, "doc_id", split($"text", " "),
+      1e4, maxDfFrac = 0.9, tau = 0.5)
+      .select($"a", $"b", $"cosine").as[(Long, Long, Double)].collect()
+    assert(out.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("Rrf.fuse pivots per-ranker contributions; missing docs get +0.0") {
+    import spark.implicits._
+    val r1 = Seq((10L, 1L), (20L, 2L)).toDF("doc_id", "rnk")
+    val r2 = Seq((20L, 1L), (30L, 2L)).toDF("doc_id", "rnk")
+    val out = Rrf.fuse(Seq("a" -> r1, "b" -> r2), k = 60)
+      .orderBy($"doc_id")
+      .select($"doc_id", $"rrf_a", $"rrf_b", $"rrf_score")
+      .as[(Long, Double, Double, Double)].collect()
+    def c(r: Long) = BigDecimal(1.0 / (60.0 + r))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.toSeq == Seq(
+      (10L, c(1), 0.0, c(1)),
+      (20L, c(2), c(1), BigDecimal(c(2) + c(1)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble),
+      (30L, 0.0, c(2), c(2))))
+  }
 }
