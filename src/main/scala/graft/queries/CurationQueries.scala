@@ -460,7 +460,40 @@ object CurationQueries extends QueryProvider {
               |    AS cum
               |  FROM h)
               |SELECT doc_id, source, ws_tokens, cum
-              |FROM c WHERE cum <= 600 ORDER BY doc_id""".stripMargin))
+              |FROM c WHERE cum <= 600 ORDER BY doc_id""".stripMargin)),
+
+    // Weighted sampling without replacement (Efraimidis–Spirakis
+    // exponential race) per source: each doc competes with key
+    // -ln(u)/w — u deterministic from the low 20 bits of
+    // FNV-1a(doc_id), w = n_chars — and the 10 smallest keys win, so
+    // longer documents are proportionally likelier to be kept. The
+    // weighted counterpart of c07's uniform stratified sample; same
+    // scale shape (one shuffle on the stratum, rank filter pushed as
+    // WindowGroupLimit). Keys are 9dp-rounded with doc_id tiebreaks on
+    // both sides; the oracle replays the same hash bits, ln, and
+    // division.
+    Q(
+      "c12_weighted_sample",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Sampling.weightedStratifiedSample(
+          Tables.documents(s, dir).select($"doc_id", $"source", $"n_chars"),
+          "doc_id", "source", $"n_chars", k = 10)
+          .select($"source", $"rn".cast("long").as("rn"), $"doc_id",
+            $"skey", $"n_chars")
+          .orderBy($"source", $"rn")
+      },
+      Some(s"""WITH h0 AS (SELECT doc_id, source, n_chars,
+              |  (${FnvSql.ofString("(doc_id::VARCHAR)")}) % 1048576 AS low20
+              |  FROM documents),
+              |k AS (SELECT doc_id, source, n_chars,
+              |  round(-ln((low20 + 1)::DOUBLE / 1048576.0::DOUBLE)
+              |    / n_chars, 9) AS skey
+              |  FROM h0),
+              |r AS (SELECT doc_id, source, n_chars, skey, row_number() OVER
+              |  (PARTITION BY source ORDER BY skey, doc_id) AS rn FROM k)
+              |SELECT source, CAST(rn AS BIGINT) AS rn, doc_id, skey, n_chars
+              |FROM r WHERE rn <= 10 ORDER BY source, rn""".stripMargin))
   )
 
 }

@@ -775,6 +775,53 @@ object Relational extends QueryProvider {
              |CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty
              |FROM lineitem
              |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-             |ORDER BY gid, returnflag, linestatus""".stripMargin))
+             |ORDER BY gid, returnflag, linestatus""".stripMargin)),
+
+    // Z-order (Morton) layout key: interleave the bits of two columns
+    // so that sorting by the ONE key keeps rows clustered in BOTH
+    // dimensions — per-file min/max stats then prune scans filtering
+    // on either column (the Delta/Iceberg OPTIMIZE ZORDER idea). The
+    // key is pure codegen'd shift/mask/add arithmetic (narrow map, no
+    // shuffle); the query groups rows into z-curve tiles and shows the
+    // locality directly: each tile's min/max range is narrow in BOTH
+    // x (partkey) and y (quantized price), which is exactly the file-
+    // level statistics a clustered write would produce. The oracle
+    // replays the 32-term interleave with the same power-of-two
+    // constants — all-integer, hash-exact.
+    Q(
+      "q37_zorder_cluster",
+      (s, dir) => {
+        import s.implicits._
+        val x = $"l_partkey".bitwiseAND(lit(65535L))
+        val y = floor($"l_extendedprice" / lit(16.0)).cast("long")
+          .bitwiseAND(lit(65535L))
+        Tables.lineitem(s, dir)
+          .select(graft.operators.Layout.zorder16(x, y).as("zval"),
+            x.as("x"), y.as("y"))
+          .groupBy(shiftright($"zval", 20).as("tile"))
+          .agg(count(lit(1)).as("n"),
+            min($"x").as("x_min"), max($"x").as("x_max"),
+            min($"y").as("y_min"), max($"y").as("y_max"))
+          .orderBy($"tile")
+      },
+      Some(q37OracleSql))
   )
+
+  /** q37 oracle: the 32-term Morton interleave with literal power-of-
+    * two constants (bit i of x at 2i, bit i of y at 2i+1), matching
+    * [[graft.operators.Layout.zorder16]] term for term.
+    */
+  private lazy val q37OracleSql: String = {
+    val terms = (0 until 16).flatMap(i => Seq(
+      s"((x >> $i) & 1) * ${1L << (2 * i)}",
+      s"((y >> $i) & 1) * ${1L << (2 * i + 1)}"))
+      .mkString(" + ")
+    s"""WITH b AS (SELECT (l_partkey & 65535) AS x,
+       |  (CAST(floor(l_extendedprice / 16.0::DOUBLE) AS BIGINT) & 65535) AS y
+       |  FROM lineitem),
+       |z AS (SELECT x, y, ($terms) AS zval FROM b)
+       |SELECT zval >> 20 AS tile, count(*) AS n,
+       |min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max
+       |FROM z GROUP BY tile ORDER BY tile""".stripMargin
+  }
 }

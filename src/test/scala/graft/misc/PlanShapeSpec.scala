@@ -86,6 +86,21 @@ class PlanShapeSpec extends SparkSpec {
       s"expected one lang-partitioned exchange, got:\n$plan")
   }
 
+  test("c12 weighted sample pushes the rank filter below the shuffle") {
+    val plan = planOf("c12_weighted_sample")
+    // same WindowGroupLimit shape as c07: each map task forwards at
+    // most k candidate rows per stratum into the source exchange
+    assert("WindowGroupLimit".r.findAllIn(plan).length == 2,
+      s"expected partial+final WindowGroupLimit, got:\n$plan")
+  }
+
+  test("q37 z-order key is computed without any extra exchange") {
+    val plan = planOf("q37_zorder_cluster")
+    // narrow map for the interleave + one tile-keyed aggregate exchange
+    assert(hashExchanges(plan) == 1,
+      s"expected only the groupBy(tile) exchange, got:\n$plan")
+  }
+
   test("io09's fact scan is pruned by a dynamicpruning subquery") {
     import spark.implicits._
     val stage = java.nio.file.Files.createTempDirectory("dpp_spec").toString
