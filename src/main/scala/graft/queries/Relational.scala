@@ -804,7 +804,60 @@ object Relational extends QueryProvider {
             min($"y").as("y_min"), max($"y").as("y_max"))
           .orderBy($"tile")
       },
-      Some(q37OracleSql))
+      Some(q37OracleSql)),
+
+    // Ordered funnel view -> click -> purchase: per user, the earliest
+    // view, the earliest click STRICTLY AFTER it, the earliest purchase
+    // after that — sequencing via min(CASE WHEN ts > t_prev), one
+    // per-user hash agg per step, no windows or per-user sorts. Users
+    // who stall keep nulls (left joins), so step conversion is a null
+    // count downstream. The frontier table after step 1 has one row
+    // per entered user — later joins are frontier-sized, not
+    // corpus-sized.
+    Q(
+      "q38_funnel",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Behavior.funnel(Tables.events(s, dir),
+          "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+             |  WHERE event_type = 'view' GROUP BY user_id),
+             |s2 AS (SELECT s1.user_id, t1,
+             |  min(CASE WHEN e.ts > t1 THEN e.ts END) AS t2
+             |  FROM s1 LEFT JOIN events e
+             |    ON e.user_id = s1.user_id AND e.event_type = 'click'
+             |  GROUP BY s1.user_id, t1),
+             |s3 AS (SELECT s2.user_id, t1, t2,
+             |  min(CASE WHEN e.ts > t2 THEN e.ts END) AS t3
+             |  FROM s2 LEFT JOIN events e
+             |    ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+             |  GROUP BY s2.user_id, t1, t2)
+             |SELECT user_id, t1, t2, t3 FROM s3 ORDER BY user_id""".stripMargin)),
+
+    // Cohort retention: cohort = day of a user's first event; cell
+    // (cohort, offset) counts members active offset days later. Two
+    // per-user hash aggregations joined on user + one (cohort, offset)
+    // count — integer/date arithmetic only, no windows, no floats.
+    Q(
+      "q39_retention",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Behavior.retention(Tables.events(s, dir),
+          "user_id", "ts", maxOffsetDays = 14)
+          .orderBy($"cohort_day", $"offset")
+      },
+      Some("""WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+             |  FROM events GROUP BY user_id),
+             |a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+             |j AS (SELECT f.user_id, cohort_day,
+             |  date_diff('day', cohort_day, day) AS "offset"
+             |  FROM f JOIN a ON a.user_id = f.user_id)
+             |SELECT cohort_day, CAST("offset" AS BIGINT) AS "offset",
+             |count(DISTINCT user_id) AS n_users
+             |FROM j WHERE "offset" <= 14
+             |GROUP BY cohort_day, "offset" ORDER BY cohort_day, "offset"""".stripMargin))
   )
 
   /** q37 oracle: the 32-term Morton interleave with literal power-of-
