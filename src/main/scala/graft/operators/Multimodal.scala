@@ -117,4 +117,36 @@ object Multimodal {
         }
       }, featureSchema)
   }
+
+  val dhashSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false),
+    StructField("dhash", LongType, nullable = false)))
+
+  /** STUB perceptual-hash kernel (dHash): bit i is set iff "pixel"
+    * i+1 > pixel i over the first 61 payload bytes — 60 bits, so the
+    * value stays positive in engines without unsigned 64-bit ints;
+    * bytes past the payload read as 0. A real kernel would resize the
+    * decoded image to a 9×8 grayscale grid and compare adjacent
+    * pixels; the comparison topology, the banding, and the bucket
+    * join downstream are identical either way — swapping in a real
+    * decoder changes only this body.
+    */
+  def dHashStub(media: DataFrame): DataFrame = {
+    media.sparkSession.createDataFrame(
+      media.rdd.mapPartitions { it =>
+        // one-time per-partition decoder init would happen HERE
+        it.map { r =>
+          val id = r.getLong(r.fieldIndex("id"))
+          val modality = r.getString(r.fieldIndex("modality"))
+          val payload = r.getAs[Array[Byte]]("payload")
+          val bytes = if (payload == null) Array.emptyByteArray else payload
+          def px(i: Int): Int = if (i < bytes.length) bytes(i) & 0xff else 0
+          var h = 0L
+          var i = 0
+          while (i < 60) { if (px(i + 1) > px(i)) h |= 1L << i; i += 1 }
+          Row(id, modality, h)
+        }
+      }, dhashSchema)
+  }
 }

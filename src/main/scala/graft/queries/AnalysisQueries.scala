@@ -225,6 +225,41 @@ object AnalysisQueries extends QueryProvider {
              |  ${FnvSql.toSigned("h")} AS frame_checksum
              |FROM hs ORDER BY id, frame_idx""".stripMargin)),
 
+    // Perceptual-hash (dHash) near-dup over the decode kernel: each
+    // media row gets a 60-bit adjacent-"pixel" gradient hash from the
+    // stub decoder, banded into 4×15-bit chunks; pairs colliding on
+    // any band are exact-Hamming-verified (XOR + popcount, both
+    // codegen'd). Pigeonhole: ≤3 differing bits can't straddle all 4
+    // bands, so banding has COMPLETE recall at the ≤3 threshold — the
+    // oracle therefore replays the semantics as an all-pairs Hamming
+    // filter (equivalent by that argument) over the byte-recovered
+    // dHash, while the Spark plan does the bucketed join that scales.
+    Q(
+      "mm04_dhash_neardup",
+      (s, dir) => {
+        import s.implicits._
+        val h = Multimodal.dHashStub(
+          Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text"))
+          .select($"id", $"dhash")
+        val bands = h.select($"id", $"dhash",
+          explode(array((0 until 4).map(j =>
+            struct(lit(j).as("bno"),
+              shiftright($"dhash", 15 * j).bitwiseAND(lit(32767L))
+                .as("bv"))): _*)).as("bd"))
+          .select($"id", $"dhash", $"bd.bno".as("bno"), $"bd.bv".as("bv"))
+        bands.select($"bno", $"bv", $"id".as("a"), $"dhash".as("ha"))
+          .join(bands.select($"bno", $"bv", $"id".as("b"), $"dhash".as("hb")),
+            Seq("bno", "bv"))
+          .filter($"a" < $"b")
+          .select($"a", $"b", $"ha", $"hb").distinct()
+          .withColumn("hamming",
+            bit_count($"ha".bitwiseXOR($"hb")).cast("int"))
+          .filter($"hamming" <= 3)
+          .select($"a", $"b", $"hamming")
+          .orderBy($"a", $"b")
+      },
+      Some(mm04OracleSql)),
+
     // Long→wide pivot with an EXPLICIT value list: one partial-agg
     // shuffle, no extra values-discovery job (an implicit pivot first
     // runs a distinct scan to learn the columns — a full extra pass at
@@ -581,4 +616,26 @@ object AnalysisQueries extends QueryProvider {
              |count(*) AS n
              |FROM h GROUP BY bucket, width, mn ORDER BY bucket""".stripMargin))
   )
+
+  /** mm04 oracle: the 60-term dHash gradient sum over the recovered
+    * payload bytes (missing bytes read 0), then an all-pairs Hamming
+    * filter — equivalent to the Spark plan's banded join because 4
+    * bands give complete recall at Hamming ≤ 3 (pigeonhole).
+    */
+  private lazy val mm04OracleSql: String = {
+    val dhTerms = (0 until 60).map(i =>
+      s"(CASE WHEN coalesce(bytes[${i + 2}], 0) > coalesce(bytes[${i + 1}], 0)" +
+        s" THEN ${1L << i} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH b AS (SELECT doc_id AS id, hex(encode(coalesce(text,''))) AS hx,
+       |  octet_length(encode(coalesce(text,''))) AS n FROM documents),
+       |by2 AS (SELECT id, list_transform(range(n), i ->
+       |    (strpos('0123456789ABCDEF', hx[2*i+1])-1)*16 +
+       |    (strpos('0123456789ABCDEF', hx[2*i+2])-1)) AS bytes FROM b),
+       |dh AS (SELECT id, CAST($dhTerms AS BIGINT) AS dhash FROM by2),
+       |p AS (SELECT a.id AS a, b.id AS b,
+       |  CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+       |  FROM dh a JOIN dh b ON a.id < b.id)
+       |SELECT a, b, hamming FROM p WHERE hamming <= 3 ORDER BY a, b""".stripMargin
+  }
 }

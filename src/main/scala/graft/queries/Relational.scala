@@ -857,7 +857,74 @@ object Relational extends QueryProvider {
              |SELECT cohort_day, CAST("offset" AS BIGINT) AS "offset",
              |count(DISTINCT user_id) AS n_users
              |FROM j WHERE "offset" <= 14
-             |GROUP BY cohort_day, "offset" ORDER BY cohort_day, "offset"""".stripMargin))
+             |GROUP BY cohort_day, "offset" ORDER BY cohort_day, "offset"""".stripMargin)),
+
+    // Per-group OLS trend over daily event counts: every moment sum
+    // (Σx, Σy, Σxy, Σx²) is an exact INTEGER aggregation — one hash
+    // agg with map-side combine, order-independent however the events
+    // are partitioned — and the only float math is the two closed-form
+    // divisions per group (6dp-rounded), so slope/intercept hash-match
+    // the oracle exactly where a float covariance accumulation would
+    // not. Degenerate groups yield nulls, not ±Inf.
+    Q(
+      "q40_daily_trend",
+      (s, dir) => {
+        import s.implicits._
+        val daily = Tables.events(s, dir)
+          .groupBy($"event_type",
+            datediff(to_date($"ts"), to_date(lit("1970-01-01"))).as("x"))
+          .agg(count(lit(1)).as("y"))
+        graft.operators.Stats.olsTrend(daily, "event_type", $"x", $"y")
+          .orderBy($"event_type")
+      },
+      Some("""WITH d AS (SELECT event_type,
+             |  date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+             |  count(*) AS y
+             |  FROM events GROUP BY 1, 2),
+             |m AS (SELECT event_type, count(*) AS n,
+             |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             |  CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(x*x) AS BIGINT) AS sxx
+             |  FROM d GROUP BY 1),
+             |t AS (SELECT event_type, n, n*sxx - sx*sx AS det,
+             |  sx, sy, sxy, sxx FROM m)
+             |SELECT event_type, n,
+             |CASE WHEN det <> 0
+             |  THEN round(CAST(n*sxy - sx*sy AS DOUBLE) / det, 6) END AS slope,
+             |CASE WHEN det <> 0
+             |  THEN round(CAST(sy*sxx - sx*sxy AS DOUBLE) / det, 6) END AS intercept
+             |FROM t ORDER BY event_type""".stripMargin)),
+
+    // Dense hourly series with gap-fill: the per-group hour range is
+    // exploded from a sequence() (a narrow generate over the TINY
+    // per-group bounds table — one row per event_type, never the
+    // corpus), then left-joined back so missing hours surface as
+    // explicit zeros. The standard shape for resampling at scale:
+    // bounds-aggregate, generate, join on (group, slot).
+    Q(
+      "q41_hourly_gapfill",
+      (s, dir) => {
+        import s.implicits._
+        val hourly = Tables.events(s, dir)
+          .groupBy($"event_type", date_trunc("hour", $"ts").as("hour"))
+          .agg(count(lit(1)).as("n"))
+        val dense = hourly.groupBy($"event_type")
+          .agg(min($"hour").as("h0"), max($"hour").as("h1"))
+          .select($"event_type",
+            explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+        dense.join(hourly, Seq("event_type", "hour"), "left")
+          .select($"event_type", $"hour", coalesce($"n", lit(0L)).as("n"))
+          .orderBy($"event_type", $"hour")
+      },
+      Some("""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+             |  count(*) AS n FROM events GROUP BY 1, 2),
+             |b AS (SELECT event_type, min(hour) AS h0, max(hour) AS h1
+             |  FROM h GROUP BY 1),
+             |dense AS (SELECT event_type,
+             |  unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM b)
+             |SELECT d.event_type, d.hour, coalesce(n, 0) AS n
+             |FROM dense d LEFT JOIN h
+             |  ON h.event_type = d.event_type AND h.hour = d.hour
+             |ORDER BY d.event_type, d.hour""".stripMargin))
   )
 
   /** q37 oracle: the 32-term Morton interleave with literal power-of-

@@ -296,6 +296,24 @@ class MultimodalSpec extends SparkSpec {
     assert(feat.length == 4 && feat.head == 4.0)
   }
 
+  test("dHash stub sets bit i iff byte i+1 > byte i, zero-padded tail") {
+    // "ab" -> bytes 97,98: bit0 = (98>97) = 1; bit1 = (0>98) = 0; rest 0
+    // "ba" -> 98,97: bit0 = 0; all others compare zeros -> 0
+    val docs = Seq((0L, "ab", "en"), (1L, "ba", "en"), (2L, "", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = Multimodal.dHashStub(Multimodal.asMedia(docs, "doc_id", "text"))
+      .select($"id", $"dhash").as[(Long, Long)].collect().toMap
+    assert(out(0L) == 1L && out(1L) == 0L && out(2L) == 0L)
+    // 60-bit budget: a long ascending run sets bits 0..59 only, so the
+    // value stays positive (no sign-bit surprises across engines)
+    val asc = (32 to 126).map(_.toChar).mkString
+    val full = Multimodal.dHashStub(Multimodal.asMedia(
+      Seq((9L, asc, "en")).toDF("doc_id", "text", "lang"),
+      "doc_id", "text"))
+      .select($"dhash").as[Long].head()
+    assert(full == (1L << 60) - 1 && full > 0)
+  }
+
   test("decode stub checksum is deterministic") {
     val docs = Seq((0L, "hello", "en")).toDF("doc_id", "text", "lang")
     def run() = Multimodal.decodeStub(Multimodal.asMedia(docs, "doc_id", "text"))
