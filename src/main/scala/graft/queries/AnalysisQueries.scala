@@ -614,7 +614,40 @@ object AnalysisQueries extends QueryProvider {
              |CAST(mn + bucket * width AS BIGINT) AS lo,
              |CAST(mn + (bucket + 1) * width - 1 AS BIGINT) AS hi,
              |count(*) AS n
-             |FROM h GROUP BY bucket, width, mn ORDER BY bucket""".stripMargin))
+             |FROM h GROUP BY bucket, width, mn ORDER BY bucket""".stripMargin)),
+
+    // Per-language Pearson correlation between document length and
+    // whitespace token count — the exact-integer-moment formulation
+    // (Stats.pearson): six integer sums in one hash agg, three IEEE
+    // float ops per group. The built-in corr() would accumulate float
+    // co-moments in partition-merge order and could not hash-match an
+    // oracle; this does, under any partitioning.
+    Q(
+      "a15_length_corr",
+      (s, dir) => {
+        import s.implicits._
+        val d = Tables.documents(s, dir)
+          .select($"lang", $"n_chars",
+            TA.wsTokenCount($"text").cast("long").as("ws_tokens"))
+        graft.operators.Stats.pearson(d, "lang", $"n_chars", $"ws_tokens")
+          .orderBy($"lang")
+      },
+      Some("""WITH d AS (SELECT lang, n_chars AS x,
+             |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS y
+             |  FROM documents),
+             |m AS (SELECT lang, count(*) AS n,
+             |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             |  CAST(sum(x*y) AS BIGINT) AS sxy,
+             |  CAST(sum(x*x) AS BIGINT) AS sxx,
+             |  CAST(sum(y*y) AS BIGINT) AS syy
+             |  FROM d GROUP BY 1),
+             |v AS (SELECT lang, n, n*sxy - sx*sy AS cov,
+             |  n*sxx - sx*sx AS vx, n*syy - sy*sy AS vy FROM m)
+             |SELECT lang, n,
+             |CASE WHEN vx > 0 AND vy > 0 THEN
+             |  round(CAST(cov AS DOUBLE) /
+             |    sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)), 6) END AS r
+             |FROM v ORDER BY lang""".stripMargin))
   )
 
   /** mm04 oracle: the 60-term dHash gradient sum over the recovered

@@ -924,7 +924,88 @@ object Relational extends QueryProvider {
              |SELECT d.event_type, d.hour, coalesce(n, 0) AS n
              |FROM dense d LEFT JOIN h
              |  ON h.event_type = d.event_type AND h.hour = d.hour
-             |ORDER BY d.event_type, d.hour""".stripMargin))
+             |ORDER BY d.event_type, d.hour""".stripMargin)),
+
+    // Robust per-group outlier detection: median and MAD (median
+    // absolute deviation) are ORDER STATISTICS — exact selection over
+    // the group's values, no floating accumulation anywhere — so they
+    // are deterministic under any partitioning (unlike mean/stddev of
+    // doubles). Two grouped sort-aggs + one broadcast-size join of the
+    // per-group stats back onto the facts; outlier = |x − med| > 3·MAD.
+    Q(
+      "q43_mad_outliers",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir).select($"event_type", $"value")
+        val med = ev.groupBy($"event_type")
+          .agg(expr("percentile(value, 0.5)").as("med"),
+            count(lit(1)).as("n"))
+        val mad = ev.join(broadcast(med), Seq("event_type"))
+          .groupBy($"event_type")
+          .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+        val stats = med.join(mad, Seq("event_type"))
+        ev.join(broadcast(stats), Seq("event_type"))
+          .groupBy($"event_type")
+          .agg(first($"n").as("n"),
+            round(first($"med"), 6).as("med"),
+            round(first($"mad"), 6).as("mad"),
+            sum(when(abs($"value" - $"med") > lit(3.0) * $"mad", 1L)
+              .otherwise(0L)).as("n_outliers"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH med AS (SELECT event_type,
+             |  quantile_cont(value, 0.5) AS med, count(*) AS n
+             |  FROM events GROUP BY 1),
+             |mad AS (SELECT e.event_type,
+             |  quantile_cont(abs(value - med), 0.5) AS mad
+             |  FROM events e JOIN med USING (event_type) GROUP BY 1)
+             |SELECT e.event_type, any_value(n) AS n,
+             |round(any_value(med), 6) AS med,
+             |round(any_value(mad), 6) AS mad,
+             |CAST(count(*) FILTER (abs(value - med) > 3.0 * mad) AS BIGINT)
+             |  AS n_outliers
+             |FROM events e JOIN med USING (event_type)
+             |  JOIN mad USING (event_type)
+             |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin)),
+
+    // Last-observation-carried-forward over the dense hourly grid:
+    // q41's gap-fill leaves empty hours null, then one window pass
+    // per group forward-fills with `last(_, ignoreNulls)` — the
+    // standard sensor/feature resampling shape. The per-hour value is
+    // max(value) (an order-independent selection), NOT a float sum,
+    // so the filled series hash-matches across engines.
+    Q(
+      "q44_hourly_locf",
+      (s, dir) => {
+        import s.implicits._
+        val hourly = Tables.events(s, dir)
+          .groupBy($"event_type", date_trunc("hour", $"ts").as("hour"))
+          .agg(max($"value").as("v"))
+        val dense = hourly.groupBy($"event_type")
+          .agg(min($"hour").as("h0"), max($"hour").as("h1"))
+          .select($"event_type",
+            explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+        val w = Window.partitionBy($"event_type").orderBy($"hour")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        dense.join(hourly, Seq("event_type", "hour"), "left")
+          .select($"event_type", $"hour",
+            round(last($"v", ignoreNulls = true).over(w), 6).as("filled"))
+          .orderBy($"event_type", $"hour")
+      },
+      Some("""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+             |  max(value) AS v FROM events GROUP BY 1, 2),
+             |b AS (SELECT event_type, min(hour) AS h0, max(hour) AS h1
+             |  FROM h GROUP BY 1),
+             |dense AS (SELECT event_type,
+             |  unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM b),
+             |g AS (SELECT d.event_type, d.hour, v
+             |  FROM dense d LEFT JOIN h
+             |    ON h.event_type = d.event_type AND h.hour = d.hour)
+             |SELECT event_type, hour,
+             |round(last_value(v IGNORE NULLS) OVER (
+             |  PARTITION BY event_type ORDER BY hour
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS filled
+             |FROM g ORDER BY event_type, hour""".stripMargin))
   )
 
   /** q37 oracle: the 32-term Morton interleave with literal power-of-

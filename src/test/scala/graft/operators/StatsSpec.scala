@@ -46,4 +46,40 @@ class StatsSpec extends SparkSpec {
       .as[(String, Option[Double], Option[Double])].collect()
     assert(out.forall(r => r._2.isEmpty && r._3.isEmpty))
   }
+
+  test("pearson is ±1 on exact linear data and 0 on an even cross") {
+    import spark.implicits._
+    val df = (Seq((1L, 3L), (2L, 5L), (3L, 7L)).map { case (x, y) =>
+      ("up", x, y)
+    } ++ Seq((1L, 9L), (2L, 6L), (3L, 3L)).map { case (x, y) =>
+      ("down", x, y)
+    } ++ // symmetric cross: cov is exactly 0
+      Seq((0L, 0L), (0L, 4L), (4L, 0L), (4L, 4L)).map { case (x, y) =>
+        ("flat", x, y)
+      }).toDF("g", "x", "y")
+    val out = Stats.pearson(df, "g", $"x", $"y")
+      .select($"g", $"r").as[(String, Double)].collect().toMap
+    assert(out("up") == 1.0 && out("down") == -1.0 && out("flat") == 0.0)
+  }
+
+  test("pearson matches the closed form and nulls zero-variance groups") {
+    import spark.implicits._
+    val xs = Seq(1L, 2L, 3L, 4L, 5L)
+    val ys = Seq(3L, 2L, 7L, 5L, 11L)
+    val df = (xs.zip(ys).map { case (x, y) => ("g", x, y) } ++
+      Seq(("const", 2L, 5L), ("const", 7L, 5L))).toDF("g", "x", "y")
+    val n = xs.length
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val sxx = xs.map(x => x * x).sum
+    val syy = ys.map(y => y * y).sum
+    val expect = (n * sxy - sx * sy).toDouble /
+      math.sqrt((n * sxx - sx * sx).toDouble * (n * syy - sy * sy).toDouble)
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = Stats.pearson(df, "g", $"x", $"y")
+      .select($"g", $"r").as[(String, Option[Double])].collect().toMap
+    assert(out("g").contains(r6(expect)))
+    assert(out("const").isEmpty) // zero y-variance -> null, not NaN
+  }
 }
