@@ -458,4 +458,55 @@ object Dedup {
       .select(least(col("ida"), col("p.idb")).as("a"),
         greatest(col("ida"), col("p.idb")).as("b"), col("jaccard"))
   }
+
+  /** Repeated-substring duplication profile (the shuffle-shaped
+    * equivalent of Lee et al.'s "Deduplicating Training Data Makes
+    * Language Models Better" suffix-array pass): every character
+    * k-gram of every document, stride 1, is hashed and counted
+    * corpus-wide; a position is DUPLICATED if its k-gram occurs ≥ 2
+    * times anywhere in the corpus (including within the same doc).
+    *
+    * Scale shape: the gram fan-out is a narrow row-local Generate
+    * (|text| rows per doc — linear in corpus bytes, like the
+    * suffix-array construction it replaces), followed by ONE
+    * corpus-wide hash aggregation on the fixed-width gram hash and one
+    * shuffled equi-join back to positions; no pairwise comparisons
+    * anywhere, so unlike d03/d08's quadratic truth paths this runs at
+    * full corpus scale. Gram identity is md5 here (replayable in the
+    * oracle); a 100 TB run would swap in xxhash64 raw-bytes keys and
+    * verify colliding groups exactly — at gate scale md5 collisions
+    * are not a factor and BOTH engines hash identically, so the
+    * comparison is exact either way.
+    *
+    * docs: (idCol, textCol). Output: one row PER DOCUMENT —
+    * (id, n_pos, n_dup, dup_ratio) with n_pos the number of k-gram
+    * positions (0 for docs shorter than k), n_dup the duplicated
+    * positions, dup_ratio rounded to 6dp — the per-doc "fraction of
+    * bytes shared with the rest of the corpus" signal a dedup policy
+    * thresholds on.
+    */
+  def repeatedSpanStats(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, "k-gram length must be >= 2")
+    // fanOut: the gram Generate multiplies each row ~|text|-fold; a
+    // one-row-group parquet scan would pin that entire fan-out (and
+    // the md5 work) onto a single task.
+    val grams = graft.Par.fanOut(docs)
+      .filter(length(col(textCol)) >= k)
+      .select(col(idCol).as("id"),
+        explode(sequence(lit(1), length(col(textCol)) - (k - 1))).as("i"),
+        col(textCol).as("t"))
+      .select(col("id"), md5(expr(s"substr(t, i, $k)")).as("gh"))
+    val counts = grams.groupBy(col("gh")).agg(count(lit(1)).as("cnt"))
+    val perDoc = grams.join(counts, "gh")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_pos"),
+        count(when(col("cnt") >= 2, 1)).as("n_dup"))
+    docs.select(col(idCol).as("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+      .withColumn("dup_ratio",
+        round(col("n_dup") / greatest(col("n_pos"), lit(1L)), 6))
+  }
 }

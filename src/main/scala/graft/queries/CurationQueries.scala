@@ -493,7 +493,50 @@ object CurationQueries extends QueryProvider {
               |r AS (SELECT doc_id, source, n_chars, skey, row_number() OVER
               |  (PARTITION BY source ORDER BY skey, doc_id) AS rn FROM k)
               |SELECT source, CAST(rn AS BIGINT) AS rn, doc_id, skey, n_chars
-              |FROM r WHERE rn <= 10 ORDER BY source, rn""".stripMargin))
+              |FROM r WHERE rn <= 10 ORDER BY source, rn""".stripMargin)),
+
+    // Curriculum buckets: exact equi-depth quality deciles per language
+    // (the ordering step of curriculum learning / difficulty-staged
+    // training). ntile(10) over (lang | quality, doc_id) is the exact
+    // truth path — the window carries only a 3-column row per doc and
+    // partitions by language, so each stratum sorts independently; at
+    // 100 TB the same report would come from approx-quantile cuts
+    // (sk03's sketch) with this as the verify slice. Quality is rounded
+    // to 6dp BEFORE the order-by with doc_id tiebreaks, so the total
+    // order (hence every bucket boundary) is engine-stable; ntile's
+    // "earlier buckets get the remainder" sizing is identical SQL
+    // semantics in Spark and DuckDB.
+    Q(
+      "c13_curriculum",
+      (s, dir) => {
+        import s.implicits._
+        val tok = TF.tokenize($"text")
+        val scored = graft.Par.fanOut(Tables.documents(s, dir))
+          .select($"doc_id", $"lang",
+            round(TA.qualityScore($"text", tok), 6).as("quality"))
+        val w = Window.partitionBy($"lang").orderBy($"quality", $"doc_id")
+        scored
+          .withColumn("bucket", ntile(10).over(w).cast("long"))
+          .groupBy($"lang", $"bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            min($"quality").as("lo"), max($"quality").as("hi"))
+          .orderBy($"lang", $"bucket")
+      },
+      Some(s"""WITH base AS (SELECT doc_id, lang, text,
+              |  regexp_extract_all(lower(text),'[a-zA-Z]+') AS tok FROM documents),
+              |m AS (SELECT doc_id, lang, text,
+              |  ${TextSql.ratioItems},
+              |  len(tok) AS ntok
+              |  FROM base),
+              |q AS (SELECT doc_id, lang,
+              |  ${TextSql.qualityExpr()} AS quality
+              |  FROM m),
+              |b AS (SELECT lang, quality, ntile(10) OVER
+              |  (PARTITION BY lang ORDER BY quality, doc_id) AS bucket FROM q)
+              |SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+              |  CAST(count(*) AS BIGINT) AS n_docs,
+              |  min(quality) AS lo, max(quality) AS hi
+              |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin))
   )
 
 }

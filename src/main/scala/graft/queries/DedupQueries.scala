@@ -508,7 +508,39 @@ object DedupQueries extends QueryProvider {
              |  FROM d JOIN nrm na ON na.doc_id = d.ida
              |         JOIN nrm nb ON nb.doc_id = d.idb)
              |SELECT a, b, cosine FROM c WHERE cosine >= 0.3
-             |ORDER BY a, b""".stripMargin))
+             |ORDER BY a, b""".stripMargin)),
+
+    // Repeated-substring duplication profile (Lee et al.'s
+    // suffix-array dedup signal, shuffle-shaped): every character
+    // 40-gram, stride 1, hashed and counted corpus-wide; per doc, the
+    // fraction of positions whose 40-gram occurs >= 2 times anywhere.
+    // Unlike the pairwise truth paths (d03/d08) this is LINEAR in
+    // corpus bytes — one Generate, one hash agg, one equi-join — so
+    // the same plan runs at 100 TB. Gram identity is md5 on both
+    // engines (see Dedup.repeatedSpanStats for the at-scale variant).
+    Q(
+      "d16_repeated_spans",
+      (s, dir) => {
+        import s.implicits._
+        Dedup.repeatedSpanStats(
+          Tables.documents(s, dir).select($"doc_id", $"text"),
+          "doc_id", "text", k = 40)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH g AS (SELECT doc_id, md5(substr(text, i, 40)) AS gh
+             |  FROM documents, unnest(range(1, length(text)-38)) AS t(i)
+             |  WHERE length(text) >= 40),
+             |c AS (SELECT gh, count(*) AS cnt FROM g GROUP BY gh),
+             |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pos,
+             |  CAST(count(*) FILTER (WHERE cnt >= 2) AS BIGINT) AS n_dup
+             |  FROM g JOIN c USING (gh) GROUP BY doc_id)
+             |SELECT documents.doc_id,
+             |  coalesce(n_pos, 0) AS n_pos, coalesce(n_dup, 0) AS n_dup,
+             |  round(coalesce(n_dup, 0) / greatest(coalesce(n_pos, 0), 1), 6)
+             |    AS dup_ratio
+             |FROM documents LEFT JOIN d USING (doc_id)
+             |ORDER BY doc_id""".stripMargin))
   )
 
   /** d14 oracle: the same blocked sorted-neighborhood windows — leads

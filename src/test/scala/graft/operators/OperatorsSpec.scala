@@ -113,6 +113,27 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(k1(4L) == 3L && k1(2L) == 1L)
   }
+
+  test("repeated-span stats count corpus-wide duplicated k-gram positions") {
+    // k=5 grams; "abcdefgh" appears in docs 20 and 21, so every one of
+    // its 4 positions is duplicated in both; doc 22 shares nothing of
+    // length 5; doc 23 is shorter than k -> zero positions; doc 24
+    // repeats a 5-gram WITHIN itself ("xyzvw...xyzvw"), which also
+    // counts (corpus-wide occurrences >= 2 includes same-doc repeats).
+    val docs = Seq(
+      (20L, "abcdefgh"), (21L, "abcdefgh"), (22L, "qqqq1234"),
+      (23L, "abc"), (24L, "xyzvw--xyzvw")
+    ).toDF("doc_id", "text")
+    val out = Dedup.repeatedSpanStats(docs, "doc_id", "text", k = 5)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(20L) == ((4L, 4L, 1.0)))
+    assert(out(21L) == ((4L, 4L, 1.0)))
+    assert(out(22L) == ((4L, 0L, 0.0)))
+    assert(out(23L) == ((0L, 0L, 0.0)))
+    // doc 24: positions 1..8; only "xyzvw" (position 1 vs 8) repeats
+    assert(out(24L)._1 == 8L && out(24L)._2 == 2L)
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {
