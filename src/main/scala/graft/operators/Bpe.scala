@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding vocabulary induction (Sennrich, Haddow & Birch,
+  * "Neural Machine Translation of Rare Words with Subword Units", ACL
+  * 2016) — the tokenizer-training step of an LLM data pipeline, run the
+  * way an industrial trainer shards it:
+  *
+  *  1. ONE corpus-scale pass reduces the corpus to its word-TYPE
+  *     frequency table (hash aggregation with map-side combine). This
+  *     is the only stage that touches corpus bytes; everything after is
+  *     O(|vocab types|), which is why BPE training parallelizes — the
+  *     merge statistics over types weighted by frequency equal the
+  *     statistics over the raw token stream.
+  *  2. Each merge step is a distributed pair-count over the (tiny,
+  *     distributed, never collected) type table + a top-1 argmax; only
+  *     the single winning pair row ever reaches the driver, exactly
+  *     like TextRank's per-iteration convergence probe.
+  *
+  * Symbols are managed as a unit-separator (U+001F) delimited string; each word starts
+  * as its characters plus a terminal end-of-word marker `$` (the paper
+  * uses `</w>`; `$` cannot collide because words are `[a-z]+`). A merge
+  * of pair (l, r) is the standard greedy left-to-right scan, expressed
+  * as a row-local `aggregate()` fold over the symbol list: a fresh
+  * merge result never re-matches as `l` within the same pass (merged =
+  * l+r is strictly longer than l), so the fold is equivalent to the
+  * reference regex-replace semantics, including back-to-back runs
+  * ([a,a,a,a] + (a,a) → [aa,aa]).
+  *
+  * Determinism: ties on pair count break by (l, r) ascending — both
+  * engines compare the same ASCII strings — so the whole merge
+  * trajectory is engine-stable and the DuckDB oracle can replay it
+  * stage for stage (see TextQueries.t15OracleSql).
+  */
+object Bpe {
+
+  val Sep = "\u001f"
+  val EndMark = "$"
+
+  /** One merge-table row: step (1-based), the winning pair, the new
+    * symbol, and the weighted pair count that won the step.
+    */
+  final case class Merge(step: Long, l: String, r: String, merged: String,
+      cnt: Long)
+
+  /** Word-type frequency table from a token-array column: the single
+    * corpus-scale aggregation of BPE training.
+    */
+  def wordFrequencies(toks: DataFrame, tokensCol: String): DataFrame =
+    toks.select(explode(col(tokensCol)).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** Run `numMerges` BPE merge steps over a (word, freq) table; returns
+    * the merge table (step, l, r, merged, cnt) ordered by step — the
+    * artifact a tokenizer ships. Stops early if every word collapses to
+    * a single symbol.
+    */
+  def merges(spark: SparkSession, wordFreq: DataFrame,
+      numMerges: Int): DataFrame = {
+    require(numMerges >= 1, "numMerges must be >= 1")
+    // chars + end marker, joined on the separator
+    var repr = wordFreq.select(col("freq").cast("long").as("freq"),
+      concat(array_join(expr("regexp_extract_all(word, '.', 0)"), Sep),
+        lit(Sep + EndMark)).as("repr"))
+      // lineage is re-truncated every step; eager so step timing is real
+      .localCheckpoint(true)
+    val out = scala.collection.mutable.ListBuffer.empty[Merge]
+    var step = 1
+    var exhausted = false
+    while (step <= numMerges && !exhausted) {
+      // fully-merged words (one symbol) contribute no pairs; filtering
+      // them also keeps sequence(1, size-1) ascending (ANSI-safe)
+      val syms = repr.withColumn("syms", split(col("repr"), Sep))
+        .filter(size(col("syms")) >= 2)
+      val best: Array[Row] = syms
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(syms)-1), " +
+            "i -> struct(element_at(syms, i) AS l, element_at(syms, i+1) AS r))"))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(desc("cnt"), col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        val merged = l + r
+        out += Merge(step.toLong, l, r, merged, cnt)
+        // greedy left-to-right merge as a row-local fold; the pair
+        // literals are [a-z$]-only so direct embedding is safe
+        val prev = repr
+        repr = repr.withColumn("repr", expr(
+          s"""aggregate(slice(split(repr, '$Sep'), 2, size(split(repr, '$Sep')) - 1),
+             |  element_at(split(repr, '$Sep'), 1),
+             |  (acc, x) -> CASE
+             |    WHEN (acc = '$l' OR endswith(acc, '$Sep$l')) AND x = '$r'
+             |    THEN concat(substring(acc, 1, length(acc) - ${l.length}), '$merged')
+             |    ELSE concat(acc, '$Sep', x) END)""".stripMargin))
+          .localCheckpoint(true)
+        prev.unpersist(false)
+        step += 1
+      }
+    }
+    import spark.implicits._
+    val last = repr
+    val res = out.toSeq.toDF("step", "l", "r", "merged", "cnt")
+    last.unpersist(false)
+    res
+  }
+}

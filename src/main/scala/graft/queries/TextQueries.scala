@@ -406,8 +406,63 @@ object TextQueries extends QueryProvider {
               |  FROM r1 FULL OUTER JOIN r2 ON r1.doc_id = r2.doc_id)
               |SELECT doc_id, rrf_bm25, rrf_tf,
               |round(rrf_bm25 + rrf_tf, 6) AS rrf_score
-              |FROM f ORDER BY rrf_score DESC, doc_id LIMIT 30""".stripMargin))
+              |FROM f ORDER BY rrf_score DESC, doc_id LIMIT 30""".stripMargin)),
+
+    // BPE vocabulary induction (Sennrich et al. 2016) — tokenizer
+    // training as a pipeline stage: ONE corpus-scale pass reduces the
+    // corpus to its word-type frequency table; the 20 merge steps then
+    // run over that tiny distributed table, one pair-count hash agg +
+    // top-1 argmax each, with only the winning pair row reaching the
+    // driver (see operators/Bpe.scala). Ties break by (l, r) ascending
+    // on both engines, so the whole merge trajectory is engine-stable;
+    // the oracle replays all 20 stages as materialized CTEs with the
+    // same greedy left-to-right fold.
+    Q(
+      "t15_bpe_merges",
+      (s, dir) => {
+        import s.implicits._
+        val toks = graft.Par.fanOut(Tables.documents(s, dir))
+          .select(TF.tokenize($"text").as("tokens"))
+        graft.operators.Bpe.merges(s,
+          graft.operators.Bpe.wordFrequencies(toks, "tokens"),
+          numMerges = 20)
+          .orderBy($"step")
+      },
+      Some(t15OracleSql)),
   )
+
+  /** t15 oracle: the 20 BPE merge stages unrolled as materialized CTEs
+    * (the tr01 unrolled-iteration pattern). Stage i derives pair counts
+    * from stage i−1's symbol table, picks the (cnt DESC, l, r) winner,
+    * and rewrites every word with the same greedy left-to-right fold
+    * the engine's `aggregate()` performs — `list_reduce` seeds from the
+    * first symbol exactly like the engine seeds from `element_at(_, 1)`.
+    */
+  private lazy val t15OracleSql: String = {
+    val n = 20
+    val sb = new StringBuilder
+    sb ++=
+      """WITH tok AS (SELECT unnest(regexp_extract_all(lower(text),'[a-zA-Z]+')) AS word FROM documents),
+        |wf AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY word),
+        |r0 AS MATERIALIZED (SELECT freq,
+        |  array_to_string(regexp_extract_all(word, '.'), chr(31)) || chr(31) || '$' AS repr FROM wf)""".stripMargin
+    for (i <- 1 to n) {
+      sb ++= s""",
+        |p$i AS (SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        |  SELECT freq, syms[i] AS l, syms[i+1] AS r FROM
+        |    (SELECT freq, string_split(repr, chr(31)) AS syms FROM r${i - 1}),
+        |    unnest(range(1, len(syms))) AS t(i)) GROUP BY l, r),
+        |b$i AS MATERIALIZED (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+        |r$i AS MATERIALIZED (SELECT freq, list_reduce(string_split(repr, chr(31)), (acc, x) ->
+        |  CASE WHEN (acc = b.l OR ends_with(acc, chr(31) || b.l)) AND x = b.r
+        |    THEN substr(acc, 1, length(acc) - length(b.l)) || b.l || b.r
+        |    ELSE acc || chr(31) || x END) AS repr FROM r${i - 1}, b$i b)""".stripMargin
+    }
+    sb ++= (1 to n)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS step, l, r, l || r AS merged, cnt FROM b$i")
+      .mkString("\n", "\nUNION ALL ", "\nORDER BY step")
+    sb.toString
+  }
 
   /** t13's BM25 pipeline as CTEs ending in `bm(doc_id, dl, c_spark,
     * c_join, c_window, score)` — shared by the t13 gate query and

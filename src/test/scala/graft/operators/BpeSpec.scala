@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // the Sennrich et al. running example: low×5, lower×2, newest×6, widest×3
+  private def wf = Seq(
+    ("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L)
+  ).toDF("word", "freq")
+
+  test("merge trajectory matches the hand-computed reference example") {
+    val m = Bpe.merges(spark, wf, 6)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    // step 1: (e,s) 6+3=9 wins the 9-tie against (s,t),(t,$) lexically
+    // step 2: (es,t) 9; step 3: (est,$) 9
+    // step 4: (l,o) 7 beats (o,w) 7 lexically; step 5: (lo,w) 7
+    // step 6: 6-tie (e,w),(n,e),(w,est$) -> (e,w) ("lower" is now
+    // [low,e,r,$] so it no longer contributes an (e,w) pair)
+    assert(m == Seq(
+      (1L, "e", "s", "es", 9L),
+      (2L, "es", "t", "est", 9L),
+      (3L, "est", "$", "est$", 9L),
+      (4L, "l", "o", "lo", 7L),
+      (5L, "lo", "w", "low", 7L),
+      (6L, "e", "w", "ew", 6L)))
+  }
+
+  test("back-to-back runs merge left-to-right without re-matching") {
+    val aaaa = Seq(("aaaa", 1L)).toDF("word", "freq")
+    // [a,a,a,a,$]: (a,a) appears 3× overlapping but merges twice -> [aa,aa,$]
+    val m = Bpe.merges(spark, aaaa, 2)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(m.head == ((1L, "a", "a", "aa", 3L)))
+    // step 2: pairs of the MERGED repr [aa,aa,$] tie at 1; ("aa","$")
+    // beats ("aa","aa") because '$' sorts before 'a'
+    assert(m(1) == ((2L, "aa", "$", "aa$", 1L)))
+  }
+
+  test("stops early when every word is one symbol") {
+    val tiny = Seq(("a", 3L)).toDF("word", "freq")
+    // [a,$] -> merge 1 gives [a$]; no pairs remain
+    val m = Bpe.merges(spark, tiny, 10)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(m == Seq((1L, "a", "$", "a$", 3L)))
+  }
+
+  test("word frequencies reduce the corpus to types") {
+    val toks = Seq(Seq("to", "be", "or"), Seq("not", "to", "be"))
+      .toDF("tokens")
+    val f = Bpe.wordFrequencies(toks, "tokens")
+      .as[(String, Long)].collect().toMap
+    assert(f == Map("to" -> 2L, "be" -> 2L, "or" -> 1L, "not" -> 1L))
+  }
+}
