@@ -58,7 +58,26 @@ object Bpe {
     * a single symbol.
     */
   def merges(spark: SparkSession, wordFreq: DataFrame,
+      numMerges: Int): DataFrame =
+    mergesAndVocab(spark, wordFreq, numMerges)._1
+
+  /** Subword-token frequency table after `numMerges` merge steps: the
+    * trained tokenizer applied back to the corpus. Because encoding is
+    * a pure function of the word TYPE, the corpus is never re-scanned —
+    * the type table's final symbol strings are exploded and re-weighted
+    * by type frequency (at 100 TB: encode each distinct word once,
+    * broadcast-join the dictionary onto documents).
+    */
+  def subwordCounts(spark: SparkSession, wordFreq: DataFrame,
       numMerges: Int): DataFrame = {
+    val (_, vocab) = mergesAndVocab(spark, wordFreq, numMerges)
+    vocab.select(col("freq"), explode(split(col("repr"), Sep)).as("token"))
+      .groupBy(col("token")).agg(sum(col("freq")).as("cnt"))
+  }
+
+  /** Merge table + the final (freq, repr) word-type table. */
+  def mergesAndVocab(spark: SparkSession, wordFreq: DataFrame,
+      numMerges: Int): (DataFrame, DataFrame) = {
     require(numMerges >= 1, "numMerges must be >= 1")
     // chars + end marker, joined on the separator
     var repr = wordFreq.select(col("freq").cast("long").as("freq"),
@@ -105,9 +124,6 @@ object Bpe {
       }
     }
     import spark.implicits._
-    val last = repr
-    val res = out.toSeq.toDF("step", "l", "r", "merged", "cnt")
-    last.unpersist(false)
-    res
+    (out.toSeq.toDF("step", "l", "r", "merged", "cnt"), repr)
   }
 }

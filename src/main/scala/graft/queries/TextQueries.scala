@@ -429,16 +429,42 @@ object TextQueries extends QueryProvider {
           .orderBy($"step")
       },
       Some(t15OracleSql)),
+
+    // The trained tokenizer applied back to the corpus: subword-token
+    // frequencies after t15's 20 merges — the token-counting step of a
+    // data budget, with a REAL subword vocabulary instead of the
+    // whitespace proxy. Encoding is a pure function of the word TYPE,
+    // so the corpus is never re-scanned: the type table's final symbol
+    // strings are exploded and re-weighted by type frequency (at scale:
+    // encode each distinct word once, broadcast-join the dictionary).
+    Q(
+      "t16_bpe_encode",
+      (s, dir) => {
+        import s.implicits._
+        val toks = graft.Par.fanOut(Tables.documents(s, dir))
+          .select(TF.tokenize($"text").as("tokens"))
+        graft.operators.Bpe.subwordCounts(s,
+          graft.operators.Bpe.wordFrequencies(toks, "tokens"),
+          numMerges = 20)
+          .orderBy(desc("cnt"), $"token").limit(50)
+      },
+      Some(s"""$bpeCtesSql
+              |SELECT token, CAST(sum(freq) AS BIGINT) AS cnt FROM
+              |  (SELECT freq, unnest(string_split(repr, chr(31))) AS token FROM r20)
+              |GROUP BY token ORDER BY cnt DESC, token LIMIT 50""".stripMargin)),
   )
 
-  /** t15 oracle: the 20 BPE merge stages unrolled as materialized CTEs
-    * (the tr01 unrolled-iteration pattern). Stage i derives pair counts
-    * from stage i−1's symbol table, picks the (cnt DESC, l, r) winner,
-    * and rewrites every word with the same greedy left-to-right fold
-    * the engine's `aggregate()` performs — `list_reduce` seeds from the
-    * first symbol exactly like the engine seeds from `element_at(_, 1)`.
+  /** The 20 BPE merge stages unrolled as materialized CTEs (the tr01
+    * unrolled-iteration pattern), ending with the winner tables b1..b20
+    * and the final word-type symbol table r20. Stage i derives pair
+    * counts from stage i−1's symbol table, picks the (cnt DESC, l, r)
+    * winner, and rewrites every word with the same greedy left-to-right
+    * fold the engine's `aggregate()` performs — `list_reduce` seeds
+    * from the first symbol exactly like the engine seeds from
+    * `element_at(_, 1)`. Shared by the t15 (merge table) and t16
+    * (subword counts) oracles.
     */
-  private lazy val t15OracleSql: String = {
+  private lazy val bpeCtesSql: String = {
     val n = 20
     val sb = new StringBuilder
     sb ++=
@@ -458,11 +484,14 @@ object TextQueries extends QueryProvider {
         |    THEN substr(acc, 1, length(acc) - length(b.l)) || b.l || b.r
         |    ELSE acc || chr(31) || x END) AS repr FROM r${i - 1}, b$i b)""".stripMargin
     }
-    sb ++= (1 to n)
-      .map(i => s"SELECT CAST($i AS BIGINT) AS step, l, r, l || r AS merged, cnt FROM b$i")
-      .mkString("\n", "\nUNION ALL ", "\nORDER BY step")
     sb.toString
   }
+
+  /** t15 oracle: the shared BPE stage chain + the merge-table union. */
+  private lazy val t15OracleSql: String =
+    bpeCtesSql + (1 to 20)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS step, l, r, l || r AS merged, cnt FROM b$i")
+      .mkString("\n", "\nUNION ALL ", "\nORDER BY step")
 
   /** t13's BM25 pipeline as CTEs ending in `bm(doc_id, dl, c_spark,
     * c_join, c_window, score)` — shared by the t13 gate query and

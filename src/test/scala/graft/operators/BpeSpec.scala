@@ -48,6 +48,17 @@ class BpeSpec extends SparkSpec {
     assert(m == Seq((1L, "a", "$", "a$", 3L)))
   }
 
+  test("subword counts re-weight the encoded types by frequency") {
+    // after the 6 merges above: low->[low,$], lower->[low,e,r,$],
+    // newest->[n,ew,est$], widest->[w,i,d,est$]
+    val c = Bpe.subwordCounts(spark, wf, 6)
+      .as[(String, Long)].collect().toMap
+    assert(c == Map(
+      "low" -> 7L, "$" -> 7L, "e" -> 2L, "r" -> 2L,
+      "n" -> 6L, "ew" -> 6L, "est$" -> 9L,
+      "w" -> 3L, "i" -> 3L, "d" -> 3L))
+  }
+
   test("word frequencies reduce the corpus to types") {
     val toks = Seq(Seq("to", "be", "or"), Seq("not", "to", "be"))
       .toDF("tokens")
