@@ -361,4 +361,42 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
+
+  /** Product quantization (Jégou, Douze & Schmid, "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011): split each vector into
+    * `m` contiguous subvectors and vector-quantize every subspace with
+    * its own (deterministic, [[lloydClusters]]) codebook. A D-dim float
+    * vector compresses to m small codes — the memory layout that lets a
+    * 100 TB embedding store fit an ANN index in RAM — at the cost of
+    * the per-subspace squared reconstruction error reported here.
+    *
+    * Scale shape: each subspace clustering is the lloydClusters plan
+    * (broadcast centroids, one narrow assign pass per iteration — the
+    * vectors never shuffle); the m code columns then join on id. m is a
+    * small constant, the joins are co-partitioned on the same key, and
+    * at scale the m clusterings would run over one shared sample.
+    *
+    * vecs: (id, vec) with |vec| = m·subDim. Output: (id, code0…code<m-1>,
+    * err) where err = sum of per-subspace reconstruction errors in
+    * subspace order (fixed IEEE association, 6dp-rounded).
+    */
+  def pqCodes(vecs: DataFrame, m: Int, subDim: Int, nClusters: Int,
+      lloydIters: Int): DataFrame = {
+    require(m >= 1 && subDim >= 1, "m and subDim must be >= 1")
+    val parts = (0 until m).map { j =>
+      val sub = vecs.select(col("id"),
+        slice(col("vec"), j * subDim + 1, subDim).as("vec"))
+      val (cents, asg) = lloydClusters(sub, nClusters, lloydIters)
+      asg.join(broadcast(cents), Seq("cluster"))
+        .select(col("id"), col("cluster").as(s"code$j"),
+          sqDist(col("vec"), col("cv")).as(s"err$j"))
+    }
+    val joined = parts.reduce(_.join(_, Seq("id")))
+    val errSum = (1 until m).foldLeft(col("err0")) {
+      (acc, j) => acc + col(s"err$j")
+    }
+    joined.select(
+      col("id") +: (0 until m).map(j => col(s"code$j")) :+
+        round(errSum, 6).as("err"): _*)
+  }
 }

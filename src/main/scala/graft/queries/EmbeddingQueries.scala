@@ -102,6 +102,57 @@ object EmbeddingQueries extends QueryProvider {
              |  unnest(range(len(e))) AS dim, unnest(e) AS x FROM n)
              |SELECT vec_id, round(nrm, 6) AS norm16,
              |CAST(dim AS INTEGER) AS dim, round(x / nrm, 6) AS val
-             |FROM u ORDER BY vec_id, dim""".stripMargin))
+             |FROM u ORDER BY vec_id, dim""".stripMargin)),
+
+    // Product quantization (Jégou et al. 2011): the 64-dim vectors
+    // split into 4×16-dim subspaces, each vector-quantized with its own
+    // deterministic-Lloyd codebook (4 centroids, 2 rounds) — a vector
+    // compresses to 4 codes. The oracle RECOMPUTES all four
+    // clusterings via LloydSql's prefixed CTE chains (nothing
+    // embedded); per-vector reconstruction error sums the four
+    // fold-identical subspace distances in subspace order and rounds
+    // to 6dp on both engines.
+    Q(
+      "e04_pq_codes",
+      (s, dir) => {
+        import s.implicits._
+        Similarity.pqCodes(
+          vecs(s, dir).select($"vec_id".as("id"), $"vec"),
+          m = 4, subDim = 16, nClusters = 4, lloydIters = 2)
+          .select($"id".as("vec_id"),
+            $"code0".cast("long").as("code0"), $"code1".cast("long").as("code1"),
+            $"code2".cast("long").as("code2"), $"code3".cast("long").as("code3"),
+            $"err")
+          .orderBy($"vec_id")
+      },
+      Some(e04OracleSql))
   )
+
+  /** e04 oracle: four prefixed Lloyd chains (one per 16-dim slice) +
+    * per-subspace reconstruction error, joined on id. The error sum
+    * associates left-to-right in subspace order, exactly as the engine
+    * builds it.
+    */
+  private lazy val e04OracleSql: String = {
+    val m = 4; val subDim = 16; val nClusters = 4; val iters = 2
+    val chains = (0 until m).map { j =>
+      val lo = j * subDim + 1; val hi = (j + 1) * subDim
+      LloydSql.ctesPrefixed(nClusters, iters, s"s${j}_",
+        s"SELECT vec_id AS id, (embedding::DOUBLE[])[$lo:$hi] AS e FROM embeddings")
+    }
+    val res = (0 until m).map { j =>
+      s"""s${j}res AS (SELECT a.id, a.cluster AS code$j,
+         |  ${LloydSql.dist("a.e", "c.cv")} AS err$j
+         |  FROM s${j}_af a JOIN s${j}_${LloydSql.finalCentroids(iters)} c USING (cluster))"""
+        .stripMargin
+    }
+    s"""WITH ${(chains ++ res).mkString(",\n")}
+       |SELECT s0res.id AS vec_id,
+       |  CAST(code0 AS BIGINT) AS code0, CAST(code1 AS BIGINT) AS code1,
+       |  CAST(code2 AS BIGINT) AS code2, CAST(code3 AS BIGINT) AS code3,
+       |  round(((err0 + err1) + err2) + err3, 6) AS err
+       |FROM s0res JOIN s1res USING (id) JOIN s2res USING (id)
+       |  JOIN s3res USING (id)
+       |ORDER BY vec_id""".stripMargin
+  }
 }

@@ -16,12 +16,12 @@ private[queries] object LloydSql {
        |  i -> ($v[i+1] - $c[i+1]) * ($v[i+1] - $c[i+1]))),
        |  (acc, x) -> acc + x)""".stripMargin
 
-  private def assignCte(name: String, cs: String): String =
+  private def assignCte(name: String, cs: String, vName: String = "v"): String =
     s"""$name AS (SELECT id, e, cluster FROM (
        |  SELECT vv.id, vv.e, c.cluster,
        |    row_number() OVER (PARTITION BY vv.id
        |      ORDER BY ${dist("vv.e", "c.cv")}, c.cluster) AS rn
-       |  FROM v vv CROSS JOIN $cs c) WHERE rn = 1)""".stripMargin
+       |  FROM $vName vv CROSS JOIN $cs c) WHERE rn = 1)""".stripMargin
 
   private def meanCtes(a: String, prev: String, out: String): String =
     s"""${out}m AS (SELECT cluster, list(s / n ORDER BY pos) AS cv
@@ -41,14 +41,28 @@ private[queries] object LloydSql {
   /** CTE chain `v, c0, a1, c1, …, af` over `embeddings`: `af` holds the
     * final assignment (id, e, cluster), `c<iters>` the final centroids.
     */
-  def ctes(nClusters: Int, iters: Int): String = {
+  def ctes(nClusters: Int, iters: Int): String =
+    ctesPrefixed(nClusters, iters, prefix = "",
+      vSql = "SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings")
+
+  /** The same chain with every CTE name prefixed and an arbitrary
+    * (id, e) source query — lets several independent clusterings (e.g.
+    * one per product-quantization subspace, e04) coexist in one WITH.
+    * Final assignment = `<prefix>af`, final centroids =
+    * `<prefix>c<iters>`.
+    */
+  def ctesPrefixed(nClusters: Int, iters: Int, prefix: String,
+      vSql: String): String = {
+    val p = prefix
     val rounds = (1 to iters).map { i =>
-      s"${assignCte(s"a$i", s"c${i - 1}")},\n${meanCtes(s"a$i", s"c${i - 1}", s"c$i")}"
+      s"${assignCte(s"${p}a$i", s"${p}c${i - 1}", s"${p}v")},\n" +
+        meanCtes(s"${p}a$i", s"${p}c${i - 1}", s"${p}c$i")
     }
     (Seq(
-      "v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings)",
-      s"""c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cluster, e AS cv
-         |  FROM (SELECT id, e FROM v ORDER BY id LIMIT $nClusters))""".stripMargin) ++
-      rounds :+ assignCte("af", finalCentroids(iters))).mkString(",\n")
+      s"${p}v AS ($vSql)",
+      s"""${p}c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cluster, e AS cv
+         |  FROM (SELECT id, e FROM ${p}v ORDER BY id LIMIT $nClusters))""".stripMargin) ++
+      rounds :+ assignCte(s"${p}af", s"$p${finalCentroids(iters)}", s"${p}v"))
+      .mkString(",\n")
   }
 }

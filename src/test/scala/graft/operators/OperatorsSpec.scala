@@ -296,6 +296,22 @@ class SimilaritySpec extends SparkSpec {
       .select($"rank", $"neighbor_id").as[(Int, Long)].collect().sortBy(_._1)
     assert(r.nonEmpty && r.head._2 == 1L)
   }
+
+  test("pq codes quantize each subspace independently") {
+    // two exact patterns per 2-dim subspace, swapped between halves:
+    // both subspace codebooks converge onto the patterns -> zero error
+    val pq = Seq(
+      (0L, Seq(0.0, 0.0, 10.0, 10.0)),
+      (1L, Seq(10.0, 10.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 0.0, 10.0, 10.0)),
+      (3L, Seq(10.0, 10.0, 0.0, 0.0))
+    ).toDF("id", "vec")
+    val out = Similarity.pqCodes(pq, m = 2, subDim = 2, nClusters = 2,
+      lloydIters = 2)
+      .as[(Long, Int, Int, Double)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (0L, 0, 0, 0.0), (1L, 1, 1, 0.0), (2L, 0, 0, 0.0), (3L, 1, 1, 0.0)))
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
