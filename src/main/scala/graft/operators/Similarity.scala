@@ -399,4 +399,49 @@ object Similarity {
       col("id") +: (0 until m).map(j => col(s"code$j")) :+
         round(errSum, 6).as("err"): _*)
   }
+
+  /** PQ asymmetric-distance top-k (the ADC search of Jégou et al.): the
+    * database is scanned as CODES ONLY — each query precomputes its
+    * per-subspace distance lookup table (m·nClusters floats) to every
+    * codebook centroid, and a database vector's approximate distance is
+    * m table lookups summed in subspace order.
+    *
+    * Scale shape: the LUT is queries × m × nClusters rows — broadcast
+    * to every executor, so the scan over the code table is a narrow
+    * map-side join per subspace (the m joins share the (id, qid) key);
+    * no full-precision vector ever moves after encoding. Distances are
+    * rounded to 6dp before ranking with neighbor-id tiebreaks, the
+    * engine-stable ordering used across the s-family.
+    *
+    * vecs/queries: (id, vec) / (qid, vec). Output: (query_id, rank,
+    * neighbor_id, adc) — self-matches included, exact ADC semantics.
+    */
+  def pqAdcTopK(vecs: DataFrame, queries: DataFrame, k: Int, m: Int,
+      subDim: Int, nClusters: Int, lloydIters: Int): DataFrame = {
+    val parts = (0 until m).map { j =>
+      val sub = vecs.select(col("id"),
+        slice(col("vec"), j * subDim + 1, subDim).as("vec"))
+      val (cents, asg) = lloydClusters(sub, nClusters, lloydIters)
+      val lut = queries.select(col("qid"),
+          slice(col("vec"), j * subDim + 1, subDim).as("qv"))
+        .crossJoin(broadcast(cents))
+        .select(col("qid"), col("cluster"),
+          sqDist(col("qv"), col("cv")).as(s"d$j"))
+      asg.select(col("id"), col("cluster"))
+        .join(broadcast(lut), Seq("cluster"))
+        .select(col("id"), col("qid"), col(s"d$j"))
+    }
+    val joined = parts.reduce(_.join(_, Seq("id", "qid")))
+    val adcSum = (1 until m).foldLeft(col("d0")) {
+      (acc, j) => acc + col(s"d$j")
+    }
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adc"), col("id"))
+    joined
+      .withColumn("adc", round(adcSum, 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("rank"),
+        col("id").as("neighbor_id"), col("adc"))
+  }
 }

@@ -135,11 +135,7 @@ object EmbeddingQueries extends QueryProvider {
     */
   private lazy val e04OracleSql: String = {
     val m = 4; val subDim = 16; val nClusters = 4; val iters = 2
-    val chains = (0 until m).map { j =>
-      val lo = j * subDim + 1; val hi = (j + 1) * subDim
-      LloydSql.ctesPrefixed(nClusters, iters, s"s${j}_",
-        s"SELECT vec_id AS id, (embedding::DOUBLE[])[$lo:$hi] AS e FROM embeddings")
-    }
+    val chains = LloydSql.pqChains(m, subDim, nClusters, iters)
     val res = (0 until m).map { j =>
       s"""s${j}res AS (SELECT a.id, a.cluster AS code$j,
          |  ${LloydSql.dist("a.e", "c.cv")} AS err$j

@@ -51,6 +51,17 @@ private[queries] object LloydSql {
     * Final assignment = `<prefix>af`, final centroids =
     * `<prefix>c<iters>`.
     */
+  /** One prefixed chain per product-quantization subspace (prefix
+    * `s<j>_`, slice `[j·subDim+1 : (j+1)·subDim]` of `embeddings`) —
+    * shared by the e04 (codes) and s08 (ADC search) oracles.
+    */
+  def pqChains(m: Int, subDim: Int, nClusters: Int, iters: Int): Seq[String] =
+    (0 until m).map { j =>
+      val lo = j * subDim + 1; val hi = (j + 1) * subDim
+      ctesPrefixed(nClusters, iters, s"s${j}_",
+        s"SELECT vec_id AS id, (embedding::DOUBLE[])[$lo:$hi] AS e FROM embeddings")
+    }
+
   def ctesPrefixed(nClusters: Int, iters: Int, prefix: String,
       vSql: String): String = {
     val p = prefix

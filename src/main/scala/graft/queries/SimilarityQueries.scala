@@ -178,8 +178,57 @@ object SimilarityQueries extends QueryProvider {
           .withColumnRenamed("rank", "rnk")
           .orderBy($"query_id", $"rnk")
       },
-      Some(s07OracleSql))
+      Some(s07OracleSql)),
+
+    // PQ asymmetric-distance search (the ADC scan of Jégou et al.,
+    // completing e04's codebooks): the database is scanned as 4 codes
+    // per vector; each query ships a broadcast 4×4 distance lookup
+    // table and a neighbor's distance is 4 lookups summed in subspace
+    // order — no full-precision vector moves after encoding. The
+    // oracle recomputes the four Lloyd chains, the LUTs, and the same
+    // left-associated sum; ranks are over the 6dp-rounded distance
+    // with neighbor-id tiebreaks.
+    Q(
+      "s08_pq_adc",
+      (s, dir) => {
+        import s.implicits._
+        val v = vecs(s, dir)
+        Similarity.pqAdcTopK(v,
+          v.filter($"id" < 5).select($"id".as("qid"), $"vec"),
+          k = 10, m = 4, subDim = 16, nClusters = 4, lloydIters = 2)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy($"query_id", $"rnk")
+      },
+      Some(s08OracleSql))
   )
+
+  /** s08 oracle: e04's four prefixed Lloyd chains + per-query subspace
+    * LUTs + the left-associated 4-term ADC sum, ranked like s01/s07.
+    */
+  private lazy val s08OracleSql: String = {
+    val iters = 2
+    val chains = LloydSql.pqChains(m = 4, subDim = 16, nClusters = 4, iters)
+    val qs = (0 until 4).map { j =>
+      val lo = j * 16 + 1; val hi = (j + 1) * 16
+      s"""qs$j AS (SELECT qid, qe[$lo:$hi] AS e FROM q),
+         |l$j AS (SELECT qs$j.qid, c.cluster,
+         |  ${LloydSql.dist(s"qs$j.e", "c.cv")} AS d$j
+         |  FROM qs$j CROSS JOIN s${j}_c$iters c),
+         |p$j AS (SELECT a.id, l.qid, l.d$j
+         |  FROM s${j}_af a JOIN l$j l ON a.cluster = l.cluster)""".stripMargin
+    }
+    s"""WITH ${chains.mkString(",\n")},
+       |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+       |  FROM embeddings WHERE vec_id < 5),
+       |${qs.mkString(",\n")},
+       |j AS (SELECT p0.id, p0.qid, round(((d0 + d1) + d2) + d3, 6) AS adc
+       |  FROM p0 JOIN p1 USING (id, qid) JOIN p2 USING (id, qid)
+       |    JOIN p3 USING (id, qid)),
+       |r AS (SELECT qid AS query_id, id AS neighbor_id, adc,
+       |  row_number() OVER (PARTITION BY qid ORDER BY adc, id) AS rnk FROM j)
+       |SELECT query_id, rnk, neighbor_id, adc FROM r WHERE rnk <= 10
+       |ORDER BY query_id, rnk""".stripMargin
+  }
 
   /** s07 oracle: sign words as literal power-of-two conditional sums
     * (the identical constants the Spark expression folds in), then

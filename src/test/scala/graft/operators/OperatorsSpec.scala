@@ -311,6 +311,16 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Int, Int, Double)].collect().sortBy(_._1).toSeq
     assert(out == Seq(
       (0L, 0, 0, 0.0), (1L, 1, 1, 0.0), (2L, 0, 0, 0.0), (3L, 1, 1, 0.0)))
+
+    // ADC against exact codebooks reproduces exact distances:
+    // id0 to itself/id2 = 0; to id1/id3 = 2*(2*10^2) = 400
+    val adc = Similarity.pqAdcTopK(pq,
+      pq.filter($"id" === 0).select($"id".as("qid"), $"vec"),
+      k = 4, m = 2, subDim = 2, nClusters = 2, lloydIters = 2)
+      .as[(Long, Int, Long, Double)].collect().sortBy(_._2).toSeq
+    assert(adc == Seq(
+      (0L, 1, 0L, 0.0), (0L, 2, 2L, 0.0),
+      (0L, 3, 1L, 400.0), (0L, 4, 3L, 400.0)))
   }
 }
 
