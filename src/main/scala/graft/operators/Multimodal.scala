@@ -149,4 +149,47 @@ object Multimodal {
         }
       }, dhashSchema)
   }
+
+  val energySchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false),
+    StructField("win", IntegerType, nullable = false),
+    StructField("n", LongType, nullable = false),
+    StructField("sumsq", LongType, nullable = false)))
+
+  /** STUB audio-energy kernel (the DSP half of voice-activity
+    * detection): the payload is windowed into `frameBytes`-byte frames
+    * (160 bytes ≈ one 10 ms frame of 8-bit 16 kHz mono) and each frame
+    * emits its INTEGER sum of squared sample values — exact under any
+    * partitioning, so the voiced/unvoiced decision downstream is a
+    * pure integer comparison (sumsq ≥ threshold·n), never a float
+    * mean. A real kernel would decode the container and window PCM
+    * samples here; the 1→many batch shape, schema, and iterator
+    * streaming are exactly what that kernel needs.
+    */
+  def audioEnergyStub(media: DataFrame, frameBytes: Int = 160): DataFrame = {
+    require(frameBytes > 0)
+    media.sparkSession.createDataFrame(
+      media.rdd.mapPartitions { it =>
+        // one-time per-partition decoder init would happen HERE
+        it.flatMap { r =>
+          val id = r.getLong(r.fieldIndex("id"))
+          val modality = r.getString(r.fieldIndex("modality"))
+          val payload = r.getAs[Array[Byte]]("payload")
+          val bytes = if (payload == null) Array.emptyByteArray else payload
+          val n = bytes.length
+          val nWins = (n + frameBytes - 1) / frameBytes
+          (0 until nWins).iterator.map { w =>
+            val lo = w * frameBytes
+            val hi = math.min(lo + frameBytes, n)
+            var ss = 0L
+            var i = lo
+            while (i < hi) {
+              val v = (bytes(i) & 0xff).toLong; ss += v * v; i += 1
+            }
+            Row(id, modality, w, (hi - lo).toLong, ss)
+          }
+        }
+      }, energySchema)
+  }
 }

@@ -260,6 +260,46 @@ object AnalysisQueries extends QueryProvider {
       },
       Some(mm04OracleSql)),
 
+    // Audio windowed energy (the DSP half of voice-activity
+    // detection): audio-modality payloads window into 160-byte frames
+    // (≈10 ms of 8-bit 16 kHz mono); each frame's INTEGER sum of
+    // squared samples makes the voiced decision a pure integer
+    // comparison (sumsq ≥ 9000·n — lowercase letters square to
+    // ~9.4k-14.9k, whitespace to ~1k, so "speech" ≈ dense text), never
+    // a float mean. The kernel is the real 1→many mapPartitions
+    // plumbing (see Multimodal.audioEnergyStub); the oracle replays
+    // the bytes via the hex trick and the same integer threshold.
+    Q(
+      "mm05_audio_energy",
+      (s, dir) => {
+        import s.implicits._
+        val wins = Multimodal.audioEnergyStub(
+          Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text"))
+          .filter($"modality" === "audio")
+        wins.groupBy($"id")
+          .agg(count(lit(1)).as("n_windows"),
+            count(when($"sumsq" >= lit(9000L) * $"n", 1)).as("n_voiced"))
+          .select($"id", $"n_windows", $"n_voiced",
+            round($"n_voiced" / $"n_windows", 6).as("voiced_ratio"))
+          .orderBy($"id")
+      },
+      Some("""WITH m AS (SELECT doc_id AS id,
+             |  hex(encode(coalesce(text,''))) AS hx,
+             |  octet_length(encode(coalesce(text,''))) AS nb
+             |  FROM documents WHERE doc_id % 3 = 1),
+             |v AS (SELECT id, i // 160 AS win,
+             |  (strpos('0123456789ABCDEF', hx[2*i+1])-1)*16 +
+             |  (strpos('0123456789ABCDEF', hx[2*i+2])-1) AS x
+             |  FROM m, unnest(range(nb)) AS t(i)),
+             |w AS (SELECT id, win, count(*) AS n,
+             |  CAST(sum(x * x) AS BIGINT) AS sumsq FROM v GROUP BY id, win)
+             |SELECT id, CAST(count(*) AS BIGINT) AS n_windows,
+             |  CAST(count(*) FILTER (WHERE sumsq >= 9000 * n) AS BIGINT)
+             |    AS n_voiced,
+             |  round(count(*) FILTER (WHERE sumsq >= 9000 * n) / count(*), 6)
+             |    AS voiced_ratio
+             |FROM w GROUP BY id ORDER BY id""".stripMargin)),
+
     // Long→wide pivot with an EXPLICIT value list: one partial-agg
     // shuffle, no extra values-discovery job (an implicit pivot first
     // runs a distinct scan to learn the columns — a full extra pass at

@@ -361,6 +361,20 @@ class MultimodalSpec extends SparkSpec {
     assert(full == (1L << 60) - 1 && full > 0)
   }
 
+  test("audio energy windows are integer-exact") {
+    val media = Multimodal.asMedia(
+      Seq((1L, "abc"), (4L, "a" * 161)).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val rows = Multimodal.audioEnergyStub(media)
+      .select($"id", $"win", $"n", $"sumsq")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    // 'a'=97, 'b'=98, 'c'=99 -> 97²+98²+99² = 28814; 161×'a' splits
+    // into a full 160-byte window and a 1-byte tail
+    assert(rows == Set(
+      (1L, 0, 3L, 28814L),
+      (4L, 0, 160L, 160L * 97 * 97), (4L, 1, 1L, 97L * 97)))
+  }
+
   test("decode stub checksum is deterministic") {
     val docs = Seq((0L, "hello", "en")).toDF("doc_id", "text", "lang")
     def run() = Multimodal.decodeStub(Multimodal.asMedia(docs, "doc_id", "text"))
