@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Multimodal, TextAnalysis => TA}
@@ -687,7 +688,73 @@ object AnalysisQueries extends QueryProvider {
              |CASE WHEN vx > 0 AND vy > 0 THEN
              |  round(CAST(cov AS DOUBLE) /
              |    sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)), 6) END AS r
-             |FROM v ORDER BY lang""".stripMargin))
+             |FROM v ORDER BY lang""".stripMargin)),
+
+    // Zipf rank-frequency fit: OLS on (ln rank, ln freq) over the
+    // top-500 vocabulary — the corpus-health diagnostic (natural text
+    // slopes ≈ −1; boilerplate or synthetic spam bends the curve).
+    // Unlike q40/a15 the regressors are REAL-valued, so the moment
+    // sums are order-dependent IEEE additions; determinism comes from
+    // (a) 9dp pre-rounding of each ln so both engines fold identical
+    // inputs, and (b) accumulating all four moments by an ORDERED fold
+    // in rank order (sort_array + aggregate here, list(… ORDER BY
+    // rnk) + list_reduce in the oracle) — never a partition-order
+    // float sum. The fold runs over ≤500 rows on the driver-side agg;
+    // the corpus-scale work is the one term-count hash agg feeding it.
+    Q(
+      "a16_zipf_fit",
+      (s, dir) => {
+        import s.implicits._
+        val tc = graft.Par.fanOut(Tables.documents(s, dir))
+          .select(explode(TF.tokenize($"text")).as("token"))
+          .groupBy($"token").agg(count(lit(1)).as("freq"))
+          .orderBy(desc("freq"), $"token").limit(500)
+        val p = tc
+          .withColumn("rnk", row_number().over(
+            Window.orderBy(desc("freq"), $"token")))
+          .select($"rnk",
+            round(log($"rnk".cast("double")), 9).as("x"),
+            round(log($"freq".cast("double")), 9).as("y"))
+          .withColumn("xx", $"x" * $"x")
+          .withColumn("xy", $"x" * $"y")
+        def fold(field: String) = expr(
+          s"aggregate(transform(arr, e -> e.$field), cast(0.0 as double), (a, b) -> a + b)")
+        p.agg(count(lit(1)).as("n"),
+            sort_array(collect_list(struct($"rnk", $"x", $"y", $"xx", $"xy")))
+              .as("arr"))
+          .select($"n", fold("x").as("sx"), fold("y").as("sy"),
+            fold("xx").as("sxx"), fold("xy").as("sxy"))
+          .withColumn("slope",
+            ($"n".cast("double") * $"sxy" - $"sx" * $"sy") /
+              ($"n".cast("double") * $"sxx" - $"sx" * $"sx"))
+          .withColumn("intercept",
+            ($"sy" - $"slope" * $"sx") / $"n".cast("double"))
+          .select($"n", round($"slope", 6).as("slope"),
+            round($"intercept", 6).as("intercept"))
+      },
+      Some(s"""WITH tok AS (SELECT unnest(regexp_extract_all(lower(text),'[a-zA-Z]+')) AS token FROM documents),
+              |tc AS (SELECT token, count(*) AS freq FROM tok GROUP BY token),
+              |r AS (SELECT token, freq, row_number() OVER
+              |  (ORDER BY freq DESC, token) AS rnk FROM tc QUALIFY rnk <= 500),
+              |p AS (SELECT rnk, round(ln(rnk::DOUBLE), 9) AS x,
+              |  round(ln(freq::DOUBLE), 9) AS y FROM r),
+              |p2 AS (SELECT rnk, x, y, x*x AS xx, x*y AS xy FROM p),
+              |l AS (SELECT count(*) AS n,
+              |  list(x ORDER BY rnk) AS xs, list(y ORDER BY rnk) AS ys,
+              |  list(xx ORDER BY rnk) AS xxs, list(xy ORDER BY rnk) AS xys
+              |  FROM p2),
+              |sums AS (SELECT n,
+              |  list_reduce(list_prepend(0.0, xs), (a, b) -> a + b) AS sx,
+              |  list_reduce(list_prepend(0.0, ys), (a, b) -> a + b) AS sy,
+              |  list_reduce(list_prepend(0.0, xxs), (a, b) -> a + b) AS sxx,
+              |  list_reduce(list_prepend(0.0, xys), (a, b) -> a + b) AS sxy
+              |  FROM l),
+              |f AS (SELECT n, sx, sy, sxx, sxy,
+              |  (n::DOUBLE * sxy - sx * sy) / (n::DOUBLE * sxx - sx * sx) AS slope
+              |  FROM sums)
+              |SELECT CAST(n AS BIGINT) AS n, round(slope, 6) AS slope,
+              |  round((sy - slope * sx) / n::DOUBLE, 6) AS intercept
+              |FROM f""".stripMargin))
   )
 
   /** mm04 oracle: the 60-term dHash gradient sum over the recovered
