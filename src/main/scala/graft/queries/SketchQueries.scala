@@ -301,7 +301,89 @@ object SketchQueries extends QueryProvider {
               |  FROM (SELECT unnest(range($M)) AS reg) g
               |  LEFT JOIN rho USING (reg) GROUP BY reg)
               |SELECT CAST(reg AS INTEGER) AS reg, maxrho_merged, maxrho_direct
-              |FROM merged JOIN direct USING (reg) ORDER BY reg""".stripMargin))
+              |FROM merged JOIN direct USING (reg) ORDER BY reg""".stripMargin)),
+
+    // HLL set-algebra: inclusion–exclusion intersection estimate
+    // |A∩B| ≈ est(A) + est(B) − est(A∪B), where the union sketch is
+    // the register-wise max (the ONLY exact set operation HLL
+    // supports; intersection has no sketch, hence the algebra). The
+    // estimate arithmetic runs on the 3dp-rounded per-set estimates in
+    // a fixed order, so both engines compute identical doubles; the
+    // exact intersection count rides along as the quality reference.
+    // At 100 TB: each side is one partial-aggregated register table
+    // (64 rows), the union a 64-row max — the audience-overlap query
+    // that never rescans either input.
+    Q(
+      "sk09_hll_intersect",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+          .filter($"event_type".isin("click", "purchase"))
+          .select($"event_type".as("etype"), $"user_id")
+        val regs = HllSketch.registerTable(ev, "etype", $"user_id", P)
+        val uni = regs.groupBy($"reg")
+          .agg(max($"maxrho").as("maxrho"))
+          .select(lit("union").as("grp"), $"reg", $"maxrho")
+        val ests = HllSketch.estimates(regs.unionByName(uni), P)
+        val wide = ests.agg(
+          max(when($"grp" === "click", $"est")).as("est_click"),
+          max(when($"grp" === "purchase", $"est")).as("est_purchase"),
+          max(when($"grp" === "union", $"est")).as("est_union"))
+          .withColumn("est_inter",
+            round($"est_click" + $"est_purchase" - $"est_union", 3))
+        val exact = ev.filter($"etype" === "click")
+          .select($"user_id").distinct()
+          .intersect(ev.filter($"etype" === "purchase")
+            .select($"user_id").distinct())
+          .agg(count(lit(1)).as("n_exact"))
+        wide.crossJoin(exact)
+      },
+      Some {
+        val scale = 64 - P + 1
+        val numer = HllSketch.alphaM2(P) * math.pow(2.0, scale)
+        val estExpr =
+          s"""round(CASE WHEN ($numer / sscaled::DOUBLE) <= ${2.5 * M}
+             |    AND zeros > 0
+             |  THEN ${M.toDouble} * ln(${M.toDouble} / zeros)
+             |  ELSE ($numer / sscaled::DOUBLE) END, 3)""".stripMargin
+        s"""WITH vals AS (SELECT DISTINCT event_type AS grp, user_id AS v
+           |  FROM events WHERE event_type IN ('click', 'purchase')),
+           |h AS (SELECT grp, v, ${FnvSql.ofString("(v::VARCHAR)")} AS hu FROM vals),
+           |$powsSql,
+           |rr AS (SELECT grp, v, (hu % $M::HUGEINT) AS reg,
+           |  CAST(hu // $M::HUGEINT AS BIGINT) AS w FROM h),
+           |rho AS (SELECT r.grp, r.v, r.reg,
+           |  CASE WHEN r.w = 0 THEN ${65 - P} ELSE max(p.i) + 1 END AS rho
+           |  FROM rr r LEFT JOIN pows p ON p.pv = (r.w & (-r.w))::HUGEINT
+           |  GROUP BY r.grp, r.v, r.reg, r.w),
+           |obs AS (SELECT grp, reg, max(rho) AS maxrho FROM rho GROUP BY grp, reg),
+           |grid AS (SELECT g.grp, r.reg, CAST(coalesce(o.maxrho, 0) AS INTEGER) AS maxrho
+           |  FROM (SELECT DISTINCT event_type AS grp FROM events
+           |        WHERE event_type IN ('click', 'purchase')) g
+           |  CROSS JOIN (SELECT unnest(range($M)) AS reg) r
+           |  LEFT JOIN obs o ON o.grp = g.grp AND o.reg = r.reg),
+           |uni AS (SELECT 'union' AS grp, reg, max(maxrho) AS maxrho
+           |  FROM grid GROUP BY reg),
+           |allregs AS (SELECT * FROM grid UNION ALL SELECT * FROM uni),
+           |agg AS (SELECT grp,
+           |  CAST(sum(CASE WHEN maxrho = 0 THEN 1 ELSE 0 END) AS INTEGER) AS zeros,
+           |  sum(((1::BIGINT << ($scale - maxrho))::HUGEINT)) AS sscaled
+           |  FROM allregs GROUP BY grp),
+           |ests AS (SELECT grp, $estExpr AS est FROM agg),
+           |wide AS (SELECT
+           |  max(CASE WHEN grp = 'click' THEN est END) AS est_click,
+           |  max(CASE WHEN grp = 'purchase' THEN est END) AS est_purchase,
+           |  max(CASE WHEN grp = 'union' THEN est END) AS est_union
+           |  FROM ests),
+           |exact AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM
+           |  (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+           |   INTERSECT
+           |   SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'))
+           |SELECT est_click, est_purchase, est_union,
+           |  round(est_click + est_purchase - est_union, 3) AS est_inter,
+           |  n_exact
+           |FROM wide CROSS JOIN exact""".stripMargin
+      })
   )
 
 }
