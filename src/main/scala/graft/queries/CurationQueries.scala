@@ -536,7 +536,53 @@ object CurationQueries extends QueryProvider {
               |SELECT lang, CAST(bucket AS BIGINT) AS bucket,
               |  CAST(count(*) AS BIGINT) AS n_docs,
               |  min(quality) AS lo, max(quality) AS hi
-              |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin))
+              |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin)),
+
+    // Split-leakage audit: near-duplicate pairs (d04's MinHash-LSH
+    // pipeline) that STRADDLE c03's train/val/test hash split — the QA
+    // query that catches eval contamination introduced by splitting
+    // BEFORE deduplicating. The split tag is recomputed as a pure
+    // function of each pair endpoint (same FNV bucket as c03) — a
+    // narrow map over the pair list, NO join back to the corpus — so
+    // the audit costs O(|pairs|) whatever the corpus size.
+    Q(
+      "c14_split_leakage",
+      (s, dir) => {
+        import s.implicits._
+        def splitOf(c: org.apache.spark.sql.Column) = {
+          val b = pmod(graft.functions.Fnv.fnv1a64(c.cast("string")),
+            lit(100L))
+          when(b < 80, "train").when(b < 90, "val").otherwise("test")
+        }
+        val toks = graft.Par.fanOut(Tables.documents(s, dir))
+          .select($"doc_id".as("id"), TF.tokenize($"text").as("tokens"))
+        Dedup.minhashNearDuplicates(toks, shingleN = 3, numHashes = 32,
+          bands = 8, threshold = 0.3)
+          .select($"a", $"b", round($"jaccard", 6).as("jaccard"),
+            splitOf($"a").as("split_a"), splitOf($"b").as("split_b"))
+          .filter($"split_a" =!= $"split_b")
+          .orderBy($"a", $"b")
+      },
+      Some {
+        def bucketOf(e: String) =
+          s"(((${FnvSql.toSigned(FnvSql.ofString(e))} % 100) + 100) % 100)"
+        s"""WITH ${DedupQueries.minhashPairCtes},
+           |f AS (SELECT a, b, round(j, 6) AS jaccard,
+           |  ${bucketOf("(a::VARCHAR)")} AS ba,
+           |  ${bucketOf("(b::VARCHAR)")} AS bb
+           |  FROM jac WHERE j >= 0.3)
+           |SELECT a, b, jaccard,
+           |  CASE WHEN ba < 80 THEN 'train' WHEN ba < 90 THEN 'val'
+           |    ELSE 'test' END AS split_a,
+           |  CASE WHEN bb < 80 THEN 'train' WHEN bb < 90 THEN 'val'
+           |    ELSE 'test' END AS split_b
+           |FROM f
+           |WHERE (CASE WHEN ba < 80 THEN 'train' WHEN ba < 90 THEN 'val'
+           |         ELSE 'test' END)
+           |   <> (CASE WHEN bb < 80 THEN 'train' WHEN bb < 90 THEN 'val'
+           |         ELSE 'test' END)
+           |ORDER BY a, b""".stripMargin
+      })
   )
 
 }

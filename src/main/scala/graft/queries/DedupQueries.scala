@@ -18,7 +18,7 @@ object DedupQueries extends QueryProvider {
   /** d04's full MinHash pipeline as CTEs ending in `jac(a, b, j)` —
     * shared by the d04 gate query and d07's clustering oracle.
     */
-  private val minhashPairCtes: String =
+  private[queries] val minhashPairCtes: String =
     s"""t AS (SELECT doc_id AS id, regexp_extract_all(lower(text),'[a-zA-Z]+') AS tk FROM documents),
        |s AS (SELECT id, list_distinct(list_transform(range(1, len(tk)-1),
        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
