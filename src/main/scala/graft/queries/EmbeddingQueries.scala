@@ -125,7 +125,25 @@ object EmbeddingQueries extends QueryProvider {
             $"err")
           .orderBy($"vec_id")
       },
-      Some(e04OracleSql))
+      Some(e04OracleSql)),
+
+    // Top principal component of the embedding corpus — PCA by the
+    // PowerLsa discipline (deterministic power recurrence, exact
+    // decimal matvec/covariance sums, Rayleigh λ): the whitening /
+    // dominant-direction diagnostic in front of ANN indexing. One
+    // corpus-scale pass builds the 64×64 centered covariance
+    // (dims²-group hash agg with map-side combine); the 5 iterations
+    // then touch only that broadcast-sized table. Fully oracle-checked
+    // — the SQL recomputes covariance and recurrence, nothing embedded.
+    Q(
+      "e05_pca_top",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Pca.topComponent(
+          vecs(s, dir).select($"vec_id".as("id"), $"vec"), iters = 5)
+          .orderBy($"dim")
+      },
+      Some(e05OracleSql(5)))
   )
 
   /** e04 oracle: four prefixed Lloyd chains (one per 16-dim slice) +
@@ -150,5 +168,46 @@ object EmbeddingQueries extends QueryProvider {
        |FROM s0res JOIN s1res USING (id) JOIN s2res USING (id)
        |  JOIN s3res USING (id)
        |ORDER BY vec_id""".stripMargin
+  }
+
+  /** e05 oracle: the centered covariance from exact decimal sums, then
+    * the unrolled power recurrence (PowerLsa's AS MATERIALIZED
+    * discipline — without it DuckDB would inline and re-evaluate the
+    * chain exponentially) and the Rayleigh quotient.
+    */
+  private def e05OracleSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""w$i AS MATERIALIZED (SELECT di AS dim,
+         |  CAST(sum(CAST(c * v.v AS DECIMAL(38,18))) AS DOUBLE) AS w
+         |  FROM cov JOIN v${i - 1} v ON v.dim = cov.dj GROUP BY di),
+         |nrm$i AS MATERIALIZED (SELECT
+         |  sqrt(CAST(sum(CAST(w * w AS DECIMAL(38,18))) AS DOUBLE)) AS nrm
+         |  FROM w$i),
+         |v$i AS MATERIALIZED (SELECT dim, w / nrm AS v FROM w$i, nrm$i)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH cells AS MATERIALIZED (SELECT id, unnest(range(len(e))) AS dim,
+       |  unnest(e) AS x FROM
+       |  (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings)),
+       |mu AS MATERIALIZED (SELECT dim,
+       |  CAST(sum(CAST(x AS DECIMAL(28,14))) AS DOUBLE) / count(*) AS mu
+       |  FROM cells GROUP BY dim),
+       |cd AS MATERIALIZED (SELECT c.id, c.dim, c.x - m.mu AS xc
+       |  FROM cells c JOIN mu m USING (dim)),
+       |cov AS MATERIALIZED (SELECT a.dim AS di, b.dim AS dj,
+       |  CAST(sum(CAST(a.xc * b.xc AS DECIMAL(38,18))) AS DOUBLE) AS c
+       |  FROM cd a JOIN cd b ON a.id = b.id GROUP BY a.dim, b.dim),
+       |dims AS (SELECT DISTINCT di AS dim FROM cov),
+       |v0 AS MATERIALIZED (SELECT dim,
+       |  1.0 / sqrt((SELECT count(*) FROM dims)::DOUBLE) AS v FROM dims),
+       |$rounds,
+       |wq AS MATERIALIZED (SELECT di AS dim,
+       |  CAST(sum(CAST(c * v.v AS DECIMAL(38,18))) AS DOUBLE) AS w
+       |  FROM cov JOIN v$iters v ON v.dim = cov.dj GROUP BY di),
+       |lam AS (SELECT CAST(sum(CAST(v.v * w.w AS DECIMAL(38,18)))
+       |  AS DOUBLE) AS lambda FROM v$iters v JOIN wq w USING (dim))
+       |SELECT CAST(dim AS INTEGER) AS dim, round(v, 6) AS loading,
+       |  round(lambda, 6) AS lambda
+       |FROM v$iters CROSS JOIN lam ORDER BY dim""".stripMargin
   }
 }

@@ -43,4 +43,17 @@ class EmbeddingStatsSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastExchange"), plan)
   }
+
+  test("pca top component recovers a planted direction exactly") {
+    // points on the line y = x: centered covariance is [[s,s],[s,s]]
+    // with s = 8.75, top eigenpair (λ=17.5, v=(1/√2,1/√2)); the uniform
+    // start IS the eigenvector, so one iteration is already exact
+    val pts = Seq(
+      (0L, Seq(1.0, 1.0)), (1L, Seq(2.0, 2.0)),
+      (2L, Seq(3.0, 3.0)), (3L, Seq(-1.0, -1.0))
+    ).toDF("id", "vec")
+    val out = Pca.topComponent(pts, iters = 3)
+      .as[(Int, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((0, 0.707107, 17.5), (1, 0.707107, 17.5)))
+  }
 }
