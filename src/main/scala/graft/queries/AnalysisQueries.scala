@@ -754,7 +754,97 @@ object AnalysisQueries extends QueryProvider {
               |  FROM sums)
               |SELECT CAST(n AS BIGINT) AS n, round(slope, 6) AS slope,
               |  round((sy - slope * sx) / n::DOUBLE, 6) AS intercept
-              |FROM f""".stripMargin))
+              |FROM f""".stripMargin)),
+
+    // Per-source distribution drift (PSI — the population stability
+    // index monitoring uses between corpus snapshots): quality scores
+    // binned by the GLOBAL exact deciles, per-source vs global bin
+    // proportions, PSI = Σ (p_s − p_g)·ln(p_s/p_g) over the 10 bins.
+    // Engine-stability pins: decile cuts 6dp-rounded before the strict
+    // `q > cut` compare (sk03 proved the (n−1)·q interpolation
+    // matches); empty bins floored at 1e-6 (the standard PSI ε); each
+    // bin's term 9dp-pre-rounded and the 10 terms summed by an ORDERED
+    // fold in bin order (the a16 discipline). Scale: one corpus pass
+    // to score+bin (the cuts are a broadcast row), counts are two
+    // hash aggs, the fold runs over sources×10 rows.
+    Q(
+      "a17_source_drift",
+      (s, dir) => {
+        import s.implicits._
+        val scored = graft.Par.fanOut(Tables.documents(s, dir))
+          .select($"source",
+            round(TA.qualityScore($"text", TF.tokenize($"text")), 6).as("q"))
+        val cuts = scored.agg(expr(
+          "transform(percentile(q, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9)), c -> round(c, 6))")
+          .as("cuts"))
+        val binned = scored.crossJoin(broadcast(cuts))
+          .select($"source",
+            (lit(1) + size(expr("filter(cuts, c -> q > c)"))).as("bin"))
+          .localCheckpoint()
+        val grid = binned.select($"source").distinct()
+          .select($"source", explode(sequence(lit(1), lit(10))).as("bin"))
+        val sb = grid.join(
+            binned.groupBy($"source", $"bin").agg(count(lit(1)).as("cnt")),
+            Seq("source", "bin"), "left")
+          .select($"source", $"bin", coalesce($"cnt", lit(0L)).as("n_sb"))
+        val gb = binned.groupBy($"bin").agg(count(lit(1)).as("n_b"))
+        val ns = binned.groupBy($"source").agg(count(lit(1)).as("n_s"))
+        val n = binned.agg(count(lit(1)).as("n"))
+        val terms = sb
+          .join(broadcast(gb), Seq("bin"), "left")
+          .join(broadcast(ns), Seq("source"))
+          .crossJoin(broadcast(n))
+          .select($"source", $"bin", $"n_s",
+            greatest($"n_sb" / $"n_s", lit(1e-6)).as("ps"),
+            greatest(coalesce($"n_b", lit(0L)) / $"n", lit(1e-6)).as("pg"))
+          .select($"source", $"bin", $"n_s",
+            round(($"ps" - $"pg") * log($"ps" / $"pg"), 9).as("term"))
+        terms.groupBy($"source")
+          .agg(max($"n_s").as("n_docs"),
+            sort_array(collect_list(struct($"bin", $"term"))).as("arr"))
+          .select($"source", $"n_docs",
+            round(expr(
+              "aggregate(transform(arr, e -> e.term), cast(0.0 as double), (a, b) -> a + b)"),
+              6).as("psi"))
+          .orderBy($"source")
+      },
+      Some(s"""WITH base AS (SELECT doc_id, source, text,
+              |  regexp_extract_all(lower(text),'[a-zA-Z]+') AS tok FROM documents),
+              |m AS (SELECT doc_id, source, text,
+              |  ${TextSql.ratioItems},
+              |  len(tok) AS ntok
+              |  FROM base),
+              |qd AS (SELECT source, ${TextSql.qualityExpr()} AS q FROM m),
+              |c AS (SELECT list_transform(
+              |  quantile_cont(q, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+              |  x -> round(x, 6)) AS cuts FROM qd),
+              |b AS (SELECT source,
+              |  1 + len(list_filter(cuts, x -> q > x)) AS bin FROM qd, c),
+              |ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+              |  FROM b GROUP BY source),
+              |grid AS (SELECT source, i AS bin FROM ns,
+              |  unnest(range(1, 11)) AS t(i)),
+              |sb AS (SELECT g.source, g.bin,
+              |  CAST(count(bb.source) AS BIGINT) AS n_sb
+              |  FROM grid g LEFT JOIN b bb
+              |    ON bb.source = g.source AND bb.bin = g.bin
+              |  GROUP BY g.source, g.bin),
+              |gb AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_b
+              |  FROM b GROUP BY bin),
+              |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b),
+              |terms AS (SELECT s.source, s.bin, ns.n_s,
+              |  round((greatest(s.n_sb / ns.n_s, 1e-6)
+              |       - greatest(coalesce(gb.n_b, 0) / tot.n, 1e-6))
+              |    * ln(greatest(s.n_sb / ns.n_s, 1e-6)
+              |       / greatest(coalesce(gb.n_b, 0) / tot.n, 1e-6)), 9) AS term
+              |  FROM sb s LEFT JOIN gb USING (bin)
+              |    JOIN ns ON ns.source = s.source CROSS JOIN tot),
+              |l AS (SELECT source, max(n_s) AS n_docs,
+              |  list(term ORDER BY bin) AS ts FROM terms GROUP BY source)
+              |SELECT source, n_docs,
+              |  round(list_reduce(list_prepend(0.0, ts), (a, b) -> a + b), 6)
+              |    AS psi
+              |FROM l ORDER BY source""".stripMargin))
   )
 
   /** mm04 oracle: the 60-term dHash gradient sum over the recovered
