@@ -199,8 +199,65 @@ object SimilarityQueries extends QueryProvider {
           .withColumnRenamed("rank", "rnk")
           .orderBy($"query_id", $"rnk")
       },
-      Some(s08OracleSql))
+      Some(s08OracleSql)),
+
+    // HITS hubs/authorities over the exact kNN graph (s06's edges):
+    // which embeddings are pointed AT by many good hubs (authorities ≈
+    // density centers) vs point TO many good authorities. Three
+    // mutual-reinforcement rounds, every scatter an exact-decimal sum
+    // and every norm √(exact Σs²), so the oracle replays the whole
+    // trajectory — knn edges, 6 scatters, 6 norms — bit-for-bit.
+    Q(
+      "s09_hits",
+      (s, dir) => {
+        import s.implicits._
+        val edges = Similarity.knnGraph(vecs(s, dir).filter($"id" < 200), 5)
+          .select($"query_id".as("src"), $"neighbor_id".as("dst"))
+        graft.operators.Hits.hits(edges, iters = 3)
+          .orderBy($"id")
+      },
+      Some(s09OracleSql(3)))
   )
+
+  /** s09 oracle: s06's knn-edge chain + the unrolled HITS recurrence
+    * (per round: authority scatter/fill/norm, then hub
+    * scatter/fill/norm — all MATERIALIZED, PowerLsa discipline).
+    */
+  private def s09OracleSql(iters: Int): String = {
+    def stage(out: String, in: String, key: String, grp: String): String =
+      s"""${out}raw AS MATERIALIZED (SELECT e.$grp AS id,
+         |  CAST(sum(CAST(x.v AS DECIMAL(38,18))) AS DOUBLE) AS s
+         |  FROM e JOIN $in x ON x.id = e.$key GROUP BY e.$grp),
+         |${out}f AS MATERIALIZED (SELECT verts.id,
+         |  coalesce(r.s, 0.0) AS s FROM verts LEFT JOIN ${out}raw r USING (id)),
+         |${out}n AS MATERIALIZED (SELECT
+         |  sqrt(CAST(sum(CAST(s * s AS DECIMAL(38,18))) AS DOUBLE)) AS nrm
+         |  FROM ${out}f),
+         |$out AS MATERIALIZED (SELECT id, s / nrm AS v
+         |  FROM ${out}f, ${out}n)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      stage(s"a$i", s"h${i - 1}", "src", "dst") + ",\n" +
+        stage(s"h$i", s"a$i", "dst", "src")
+    }.mkString(",\n")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+       |  FROM embeddings WHERE vec_id < 200),
+       |p AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |  round(list_cosine_similarity(q.e, n.e), 6) AS cosine
+       |  FROM v q JOIN v n ON q.vec_id <> n.vec_id),
+       |r AS (SELECT *, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+       |  FROM p),
+       |e AS MATERIALIZED (SELECT query_id AS src, neighbor_id AS dst
+       |  FROM r WHERE rnk <= 5),
+       |verts AS MATERIALIZED (SELECT DISTINCT id FROM
+       |  (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)),
+       |h0 AS MATERIALIZED (SELECT id,
+       |  1.0 / sqrt((SELECT count(*) FROM verts)::DOUBLE) AS v FROM verts),
+       |$rounds
+       |SELECT h$iters.id, round(h$iters.v, 6) AS hub,
+       |  round(a$iters.v, 6) AS authority
+       |FROM h$iters JOIN a$iters USING (id) ORDER BY id""".stripMargin
+  }
 
   /** s08 oracle: e04's four prefixed Lloyd chains + per-query subspace
     * LUTs + the left-associated 4-term ADC sum, ranked like s01/s07.

@@ -322,6 +322,16 @@ class SimilaritySpec extends SparkSpec {
       (0L, 1, 0L, 0.0), (0L, 2, 2L, 0.0),
       (0L, 3, 1L, 400.0), (0L, 4, 3L, 400.0)))
   }
+
+  test("hits concentrates authority on the pointed-at vertex") {
+    // star 1→3, 2→3: authority = (0,0,1), hubs = (1/√2, 1/√2, 0),
+    // stable from round 1 on
+    val edges = Seq((1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val out = Hits.hits(edges, iters = 3)
+      .as[(Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 0.707107, 0.0), (2L, 0.707107, 0.0), (3L, 0.0, 1.0)))
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
