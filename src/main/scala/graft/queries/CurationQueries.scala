@@ -582,7 +582,67 @@ object CurationQueries extends QueryProvider {
            |   <> (CASE WHEN bb < 80 THEN 'train' WHEN bb < 90 THEN 'val'
            |         ELSE 'test' END)
            |ORDER BY a, b""".stripMargin
-      })
+      }),
+
+    // Corpus datasheet — the per-(source, lang) manifest a dataset
+    // card ships: documents, tokens, corpus token share, exact-dup
+    // documents (corpus-wide normalized-hash count ≥ 2), mean quality.
+    // One scan derives every per-doc fact; the report is two hash aggs
+    // (per-group + the dup-hash count) joined to a broadcast totals
+    // row. Mean quality accumulates as DECIMAL (Lloyd discipline) so
+    // partition order is unobservable; shares divide longs.
+    Q(
+      "c15_datasheet",
+      (s, dir) => {
+        import s.implicits._
+        val tok = TF.tokenize($"text")
+        val perDoc = graft.Par.fanOut(Tables.documents(s, dir))
+          .select($"source", $"lang",
+            size(tok).cast("long").as("ntok"),
+            round(TA.qualityScore($"text", tok), 6).as("quality"),
+            md5(Dedup.normalized($"text")).as("h"))
+          .localCheckpoint()
+        val dupHashes = perDoc.groupBy($"h")
+          .agg(count(lit(1)).as("cnt"))
+        val flagged = perDoc.join(broadcast(dupHashes), Seq("h"))
+        val grp = flagged.groupBy($"source", $"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"ntok").as("n_tokens"),
+            count(when($"cnt" >= 2, 1)).as("n_dup_docs"),
+            (sum($"quality".cast("decimal(28,14)")).cast("double") /
+              count(lit(1))).as("mean_q"))
+        val tot = flagged.agg(sum($"ntok").as("tot_tokens"))
+        grp.crossJoin(broadcast(tot))
+          .select($"source", $"lang", $"n_docs", $"n_tokens", $"n_dup_docs",
+            round($"n_tokens" / $"tot_tokens", 6).as("token_share"),
+            round($"mean_q", 6).as("mean_quality"))
+          .orderBy($"source", $"lang")
+      },
+      Some(s"""WITH base AS (SELECT doc_id, source, lang, text,
+              |  regexp_extract_all(lower(text),'[a-zA-Z]+') AS tok FROM documents),
+              |m AS (SELECT doc_id, source, lang, text,
+              |  ${TextSql.ratioItems},
+              |  len(tok) AS ntok
+              |  FROM base),
+              |pd AS (SELECT doc_id, source, lang,
+              |  CAST(ntok AS BIGINT) AS ntok,
+              |  ${TextSql.qualityExpr()} AS quality,
+              |  md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h
+              |  FROM m),
+              |dh AS (SELECT h, count(*) AS cnt FROM pd GROUP BY h),
+              |f AS (SELECT pd.*, dh.cnt FROM pd JOIN dh USING (h)),
+              |g AS (SELECT source, lang,
+              |  CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+              |  CAST(count(*) FILTER (WHERE cnt >= 2) AS BIGINT) AS n_dup_docs,
+              |  CAST(sum(CAST(quality AS DECIMAL(28,14))) AS DOUBLE)
+              |    / count(*) AS mean_q
+              |  FROM f GROUP BY source, lang),
+              |tot AS (SELECT CAST(sum(ntok) AS BIGINT) AS tot_tokens FROM pd)
+              |SELECT source, lang, n_docs, n_tokens, n_dup_docs,
+              |  round(n_tokens / tot_tokens, 6) AS token_share,
+              |  round(mean_q, 6) AS mean_quality
+              |FROM g CROSS JOIN tot ORDER BY source, lang""".stripMargin))
   )
 
 }
