@@ -131,4 +131,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(hashExchanges(plan) == 1,
       s"expected one dim-stats exchange, got:\n$plan")
   }
+
+  test("d16 repeated-spans never goes pairwise: no joins except equi") {
+    val plan = planOf("d16_repeated_spans")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"gram counting must stay linear (hash agg + equi-join), got:\n$plan")
+    assert(plan.contains("Generate explode"),
+      s"gram fan-out must be a row-local Generate, got:\n$plan")
+  }
+
+  test("s08 PQ-ADC scans codes with broadcast LUTs only") {
+    val plan = planOf("s08_pq_adc")
+    // every LUT reaches the code table via broadcast — the code scan
+    // itself must never hash-shuffle against the queries
+    assert(plan.contains("BroadcastHashJoin"),
+      s"LUT joins must broadcast, got:\n$plan")
+  }
+
+  test("t16 BPE encode aggregates types, never re-scanning the corpus") {
+    val q = graft.SparkEntry.queries("t16_bpe_encode")
+    val plan = q(spark, sf("sf0.001")).queryExecution.executedPlan.toString
+    // after training, encode works off the checkpointed TYPE table: the
+    // plan must not contain a parquet scan of documents
+    assert(!plan.contains("Scan parquet"),
+      s"encode must reuse the word-type table, got:\n$plan")
+  }
 }
