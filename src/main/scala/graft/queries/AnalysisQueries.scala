@@ -844,7 +844,51 @@ object AnalysisQueries extends QueryProvider {
               |SELECT source, n_docs,
               |  round(list_reduce(list_prepend(0.0, ts), (a, b) -> a + b), 6)
               |    AS psi
-              |FROM l ORDER BY source""".stripMargin))
+              |FROM l ORDER BY source""".stripMargin)),
+
+    // Flesch reading ease — the classic readability gate: every input
+    // is an INTEGER count (words from the shared tokenizer, sentences
+    // as [.!?]+ runs, syllables as [aeiouy]+ vowel groups summed by a
+    // row-local integer fold), so the only float math is the fixed
+    // 206.835 − 1.015·(w/s) − 84.6·(sy/w) formula, evaluated in the
+    // identical association on both engines. Pure narrow map — a
+    // corpus filter is `WHERE flesch BETWEEN …` on the scan.
+    Q(
+      "a18_readability",
+      (s, dir) => {
+        import s.implicits._
+        graft.Par.fanOut(Tables.documents(s, dir))
+          .select($"doc_id",
+            TF.tokenize($"text").as("tokens"),
+            greatest(size(expr("regexp_extract_all(text, '[.!?]+', 0)")),
+              lit(1)).cast("long").as("n_sentences"))
+          .select($"doc_id", $"n_sentences",
+            size($"tokens").cast("long").as("n_words"),
+            expr("aggregate(transform(tokens, " +
+              "t -> size(regexp_extract_all(t, '[aeiouy]+', 0))), " +
+              "0, (a, b) -> a + b)").cast("long").as("n_syllables"))
+          .select($"doc_id", $"n_words", $"n_sentences", $"n_syllables",
+            round(lit(206.835)
+              - lit(1.015) * ($"n_words" / $"n_sentences")
+              - lit(84.6) * ($"n_syllables" / greatest($"n_words", lit(1L))),
+              6).as("flesch"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |  regexp_extract_all(lower(text),'[a-zA-Z]+') AS tok,
+             |  greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS ns
+             |  FROM documents),
+             |c AS (SELECT doc_id,
+             |  CAST(len(tok) AS BIGINT) AS n_words,
+             |  CAST(ns AS BIGINT) AS n_sentences,
+             |  CAST(list_reduce(list_prepend(0,
+             |    list_transform(tok, x -> len(regexp_extract_all(x, '[aeiouy]+')))),
+             |    (a, b) -> a + b) AS BIGINT) AS n_syllables
+             |  FROM t)
+             |SELECT doc_id, n_words, n_sentences, n_syllables,
+             |  round(206.835 - 1.015 * (n_words / n_sentences)
+             |    - 84.6 * (n_syllables / greatest(n_words, 1)), 6) AS flesch
+             |FROM c ORDER BY doc_id""".stripMargin))
   )
 
   /** mm04 oracle: the 60-term dHash gradient sum over the recovered
