@@ -642,7 +642,44 @@ object CurationQueries extends QueryProvider {
               |SELECT source, lang, n_docs, n_tokens, n_dup_docs,
               |  round(n_tokens / tot_tokens, 6) AS token_share,
               |  round(mean_q, 6) AS mean_quality
-              |FROM g CROSS JOIN tot ORDER BY source, lang""".stripMargin))
+              |FROM g CROSS JOIN tot ORDER BY source, lang""".stripMargin)),
+
+    // Incremental ingest dedup — the "new batch against the standing
+    // corpus" gate an append-only pipeline runs on every delivery
+    // (docs with doc_id % 10 == 9 stand in for the incoming batch):
+    // exact content hash, LEFT SEMI against the corpus hash set for
+    // dup_of_corpus, a per-hash first-wins window WITHIN the batch for
+    // dup_within_batch. At 100 TB the corpus side is the standing hash
+    // index (bucketed on h, so the probe co-partitions and never
+    // rescans text); the batch window is batch-sized.
+    Q(
+      "c16_incremental_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val h = Tables.documents(s, dir)
+          .select($"doc_id", md5(Dedup.normalized($"text")).as("h"))
+        val corpus = h.filter($"doc_id" % 10 =!= 9)
+          .select($"h").distinct().withColumn("dc", lit(true))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"h").orderBy($"doc_id")
+        h.filter($"doc_id" % 10 === 9)
+          .withColumn("rn", row_number().over(w))
+          .join(corpus, Seq("h"), "left")
+          .select($"doc_id",
+            coalesce($"dc", lit(false)).as("dup_of_corpus"),
+            ($"rn" > 1).as("dup_within_batch"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH h AS (SELECT doc_id,
+             |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h
+             |  FROM documents),
+             |c AS (SELECT DISTINCT h FROM h WHERE doc_id % 10 <> 9),
+             |b AS (SELECT doc_id, h,
+             |  row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+             |  FROM h WHERE doc_id % 10 = 9)
+             |SELECT b.doc_id, (c.h IS NOT NULL) AS dup_of_corpus,
+             |  rn > 1 AS dup_within_batch
+             |FROM b LEFT JOIN c USING (h) ORDER BY doc_id""".stripMargin))
   )
 
 }

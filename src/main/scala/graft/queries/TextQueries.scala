@@ -452,6 +452,37 @@ object TextQueries extends QueryProvider {
               |SELECT token, CAST(sum(freq) AS BIGINT) AS cnt FROM
               |  (SELECT freq, unnest(string_split(repr, chr(31))) AS token FROM r20)
               |GROUP BY token ORDER BY cnt DESC, token LIMIT 50""".stripMargin)),
+
+    // Keyword-in-context concordance (the corpus-linguistics KWIC
+    // view): every occurrence of the query term with its ±2-token
+    // window. A row-local Generate + array slices — narrow at any
+    // corpus size; the t09 inverted index is the indexed variant when
+    // the term set is open-ended.
+    Q(
+      "t17_kwic",
+      (s, dir) => {
+        import s.implicits._
+        graft.Par.fanOut(Tables.documents(s, dir))
+          .select($"doc_id", TF.tokenize($"text").as("tokens"))
+          .select($"doc_id", $"tokens",
+            posexplode($"tokens").as(Seq("p", "token")))
+          .filter($"token" === "spark")
+          .select($"doc_id", ($"p" + 1).cast("long").as("pos"),
+            expr("array_join(slice(tokens, greatest(p - 1, 1), " +
+              "(p + 1) - greatest(p - 1, 1)), ' ')").as("left_ctx"),
+            expr("array_join(slice(tokens, p + 2, 2), ' ')").as("right_ctx"))
+          .orderBy($"doc_id", $"pos")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |  regexp_extract_all(lower(text),'[a-zA-Z]+') AS tok FROM documents),
+             |occ AS (SELECT doc_id, tok, i FROM t,
+             |  unnest(range(len(tok))) AS r(i) WHERE tok[i + 1] = 'spark')
+             |SELECT doc_id, CAST(i + 1 AS BIGINT) AS pos,
+             |  coalesce(array_to_string(tok[greatest(i - 1, 1) : i], ' '), '')
+             |    AS left_ctx,
+             |  coalesce(array_to_string(tok[i + 2 : i + 3], ' '), '')
+             |    AS right_ctx
+             |FROM occ ORDER BY doc_id, pos""".stripMargin)),
   )
 
   /** The 20 BPE merge stages unrolled as materialized CTEs (the tr01
