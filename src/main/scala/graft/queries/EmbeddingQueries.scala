@@ -143,7 +143,24 @@ object EmbeddingQueries extends QueryProvider {
           vecs(s, dir).select($"vec_id".as("id"), $"vec"), iters = 5)
           .orderBy($"dim")
       },
-      Some(e05OracleSql(5)))
+      Some(e05OracleSql(5))),
+
+    // e05's component put to work: every embedding projected onto the
+    // top principal direction (the 1-d whitening feature) plus the
+    // component's variance share λ/tr(C). The centered cells join the
+    // BROADCAST 64-row direction and reduce per id as exact decimals —
+    // one narrow join + one hash agg over the corpus, with the trace a
+    // single decimal sum.
+    Q(
+      "e06_pca_project",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Pca.projectTop(
+          vecs(s, dir).select($"vec_id".as("id"), $"vec"), iters = 5)
+          .select($"id".as("vec_id"), $"proj", $"var_share")
+          .orderBy($"vec_id")
+      },
+      Some(e06OracleSql(5)))
   )
 
   /** e04 oracle: four prefixed Lloyd chains (one per 16-dim slice) +
@@ -175,7 +192,31 @@ object EmbeddingQueries extends QueryProvider {
     * discipline — without it DuckDB would inline and re-evaluate the
     * chain exponentially) and the Rayleigh quotient.
     */
-  private def e05OracleSql(iters: Int): String = {
+  private def e05OracleSql(iters: Int): String =
+    s"""${pcaChainSql(iters)}
+       |SELECT CAST(dim AS INTEGER) AS dim, round(v, 6) AS loading,
+       |  round(lambda, 6) AS lambda
+       |FROM v$iters CROSS JOIN lam ORDER BY dim""".stripMargin
+
+  /** e06 oracle: the same chain + the broadcast-direction projection,
+    * exact-decimal per-id reduce, and λ/tr(C) share (both 6dp-rounded
+    * inputs, exactly as the engine computes them).
+    */
+  private def e06OracleSql(iters: Int): String =
+    s"""${pcaChainSql(iters)},
+       |ld AS (SELECT dim, round(v, 6) AS loading FROM v$iters),
+       |lamr AS (SELECT round(lambda, 6) AS lam FROM lam),
+       |pr AS (SELECT cd.id,
+       |  CAST(sum(CAST(cd.xc * ld.loading AS DECIMAL(38,18))) AS DOUBLE)
+       |    AS proj
+       |  FROM cd JOIN ld USING (dim) GROUP BY cd.id),
+       |tr AS (SELECT CAST(sum(CAST(xc * xc AS DECIMAL(38,18))) AS DOUBLE)
+       |  AS trn FROM cd),
+       |sh AS (SELECT round(lam / trn, 6) AS var_share FROM lamr, tr)
+       |SELECT id AS vec_id, round(proj, 6) AS proj, var_share
+       |FROM pr CROSS JOIN sh ORDER BY vec_id""".stripMargin
+
+  private def pcaChainSql(iters: Int): String = {
     val rounds = (1 to iters).map { i =>
       s"""w$i AS MATERIALIZED (SELECT di AS dim,
          |  CAST(sum(CAST(c * v.v AS DECIMAL(38,18))) AS DOUBLE) AS w
@@ -205,9 +246,7 @@ object EmbeddingQueries extends QueryProvider {
        |  CAST(sum(CAST(c * v.v AS DECIMAL(38,18))) AS DOUBLE) AS w
        |  FROM cov JOIN v$iters v ON v.dim = cov.dj GROUP BY di),
        |lam AS (SELECT CAST(sum(CAST(v.v * w.w AS DECIMAL(38,18)))
-       |  AS DOUBLE) AS lambda FROM v$iters v JOIN wq w USING (dim))
-       |SELECT CAST(dim AS INTEGER) AS dim, round(v, 6) AS loading,
-       |  round(lambda, 6) AS lambda
-       |FROM v$iters CROSS JOIN lam ORDER BY dim""".stripMargin
+       |  AS DOUBLE) AS lambda FROM v$iters v JOIN wq w USING (dim))"""
+      .stripMargin
   }
 }
