@@ -116,6 +116,54 @@ object TemporalQueries extends QueryProvider {
              |ORDER BY user_id, sid""".stripMargin),
       bench = true),
 
+    // Clickstream path mining: the most common 3-step event-type paths
+    // WITHIN q24's sessions. Both leads come off the ONE
+    // (user, session)-partitioned sort (the q31/d14 shared-window
+    // discipline — leads cannot cross a session because the session id
+    // is in the partition key), then a global count + top-20. At scale
+    // the heavy stage is the same single sessionize shuffle q24 pays;
+    // the trigram count is corpus-wide but combines map-side.
+    Q(
+      "q45_session_paths",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+        val gapUs = 30L * 60 * 1000000
+        val sess = Tables.events(s, dir)
+          .select($"user_id", $"event_id", $"event_type",
+            unix_micros($"ts").as("ts_us"))
+          .withColumn("brk",
+            when(lag($"ts_us", 1).over(w).isNull ||
+              $"ts_us" - lag($"ts_us", 1).over(w) > gapUs, 1).otherwise(0))
+          .withColumn("sid", sum($"brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val ws = Window.partitionBy($"user_id", $"sid")
+          .orderBy($"ts_us", $"event_id")
+        sess
+          .withColumn("e2", lead($"event_type", 1).over(ws))
+          .withColumn("e3", lead($"event_type", 2).over(ws))
+          .filter($"e2".isNotNull && $"e3".isNotNull)
+          .select(concat_ws(">", $"event_type", $"e2", $"e3").as("path"))
+          .groupBy($"path").agg(count(lit(1)).as("cnt"))
+          .orderBy(desc("cnt"), $"path").limit(20)
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type,
+             |  epoch_us(ts) AS ts_us FROM events),
+             |s AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+             |    OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+             |g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+             |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM s),
+             |t AS (SELECT event_type,
+             |    lead(event_type, 1) OVER ws AS e2,
+             |    lead(event_type, 2) OVER ws AS e3
+             |  FROM g WINDOW ws AS (PARTITION BY user_id, sid
+             |    ORDER BY ts_us, event_id)),
+             |p AS (SELECT event_type || '>' || e2 || '>' || e3 AS path FROM t
+             |  WHERE e2 IS NOT NULL AND e3 IS NOT NULL)
+             |SELECT path, CAST(count(*) AS BIGINT) AS cnt FROM p
+             |GROUP BY path ORDER BY cnt DESC, path LIMIT 20""".stripMargin)),
+
     // Forward as-of: each click's NEXT purchase by the same user (the
     // attribution/conversion-lag direction). Same union-window plan as
     // q21 mirrored; the oracle is the independent pair-explosion top-1.
