@@ -888,7 +888,51 @@ object AnalysisQueries extends QueryProvider {
              |SELECT doc_id, n_words, n_sentences, n_syllables,
              |  round(206.835 - 1.015 * (n_words / n_sentences)
              |    - 84.6 * (n_syllables / greatest(n_words, 1)), 6) AS flesch
-             |FROM c ORDER BY doc_id""".stripMargin))
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // Source-to-source vocabulary overlap matrix — which corpus slices
+    // say the same things (the redundancy signal mixture design reads
+    // before weighting sources). Pairwise Jaccard of the distinct
+    // vocabularies, computed through a TOKEN-KEYED self-join of the
+    // (source, token) set — sources sharing no token never meet, and
+    // with S sources each token fans out to at most S(S−1)/2 pairs —
+    // never a cross join of vocabularies. Union sizes via
+    // inclusion–exclusion from the per-source counts.
+    Q(
+      "a19_source_overlap",
+      (s, dir) => {
+        import s.implicits._
+        val dt = graft.Par.fanOut(Tables.documents(s, dir))
+          .select($"source", explode(TF.tokenize($"text")).as("token"))
+          .distinct()
+        val sizes = dt.groupBy($"source").agg(count(lit(1)).as("v"))
+        val inter = dt.select($"source".as("s1"), $"token")
+          .join(dt.select($"source".as("s2"), $"token"), Seq("token"))
+          .filter($"s1" < $"s2")
+          .groupBy($"s1", $"s2").agg(count(lit(1)).as("inter"))
+        inter
+          .join(broadcast(sizes.select($"source".as("s1"), $"v".as("v1"))),
+            Seq("s1"))
+          .join(broadcast(sizes.select($"source".as("s2"), $"v".as("v2"))),
+            Seq("s2"))
+          .select($"s1", $"s2", $"v1", $"v2", $"inter",
+            round($"inter" / ($"v1" + $"v2" - $"inter"), 6).as("jaccard"))
+          .orderBy($"s1", $"s2")
+      },
+      Some("""WITH dt AS (SELECT DISTINCT source, unnest(
+             |    regexp_extract_all(lower(text),'[a-zA-Z]+')) AS token
+             |  FROM documents),
+             |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS v
+             |  FROM dt GROUP BY source),
+             |i AS (SELECT a.source AS s1, b.source AS s2,
+             |  CAST(count(*) AS BIGINT) AS inter
+             |  FROM dt a JOIN dt b ON a.token = b.token AND a.source < b.source
+             |  GROUP BY a.source, b.source)
+             |SELECT s1, s2, za.v AS v1, zb.v AS v2, inter,
+             |  round(inter / (za.v + zb.v - inter), 6) AS jaccard
+             |FROM i JOIN sz za ON za.source = i.s1
+             |  JOIN sz zb ON zb.source = i.s2
+             |ORDER BY s1, s2""".stripMargin))
   )
 
   /** mm04 oracle: the 60-term dHash gradient sum over the recovered
