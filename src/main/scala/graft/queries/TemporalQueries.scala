@@ -164,6 +164,35 @@ object TemporalQueries extends QueryProvider {
              |SELECT path, CAST(count(*) AS BIGINT) AS cnt FROM p
              |GROUP BY path ORDER BY cnt DESC, path LIMIT 20""".stripMargin)),
 
+    // Incremental aggregate maintenance: the hourly rollup computed as
+    // BASE PARTIALS + DELTA PARTIALS merged (the nightly-table +
+    // late-batch pattern), gated against an oracle that aggregates
+    // DIRECTLY — the hash match IS the proof that the merge of partial
+    // states equals the one-shot aggregate (counts/sums are mergeable;
+    // 2dp rounding absorbs the one extra float association the merge
+    // introduces). At scale the base partials are the stored agg table
+    // — the delta pass touches only the new batch.
+    Q(
+      "q46_incremental_agg",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+          .select(date_trunc("hour", $"ts").as("hour"), $"event_type",
+            $"value", $"event_id")
+        def partial(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy($"hour", $"event_type")
+            .agg(count(lit(1)).as("n"), sum($"value").as("sv"))
+        partial(ev.filter($"event_id" % 10 =!= 9))
+          .unionByName(partial(ev.filter($"event_id" % 10 === 9)))
+          .groupBy($"hour", $"event_type")
+          .agg(sum($"n").as("n"), round(sum($"sv"), 2).as("sum_value"))
+          .orderBy($"hour", $"event_type")
+      },
+      Some("""SELECT date_trunc('hour', ts) AS hour, event_type,
+             |count(*) AS n, round(sum(value), 2) AS sum_value
+             |FROM events GROUP BY 1, 2
+             |ORDER BY hour, event_type""".stripMargin)),
+
     // Forward as-of: each click's NEXT purchase by the same user (the
     // attribution/conversion-lag direction). Same union-window plan as
     // q21 mirrored; the oracle is the independent pair-explosion top-1.
