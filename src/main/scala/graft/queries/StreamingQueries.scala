@@ -478,6 +478,65 @@ object StreamingQueries extends QueryProvider {
            |  FROM v)
            |SELECT doc_id, lang, quality FROM g
            |WHERE quality >= 0.5 AND guessed = lang
-           |ORDER BY doc_id""".stripMargin))
+           |ORDER BY doc_id""".stripMargin)),
+
+    // Stream-STATIC enrichment — the most common production streaming
+    // join: each arriving event looks up a slowly-changing dimension
+    // (per-user value tier, precomputed in batch) via a BROADCAST join
+    // — stateless on the stream side, so no watermark and no join
+    // state; the dim refreshes per micro-batch at no extra shuffle.
+    // Oracle replays the dim derivation + the enriched rollup in one
+    // batch plan (the backfill contract again).
+    Q(
+      "sm09_stream_enrich",
+      (s, dir) => {
+        import s.implicits._
+        val batchSchema = Tables.events(s, dir).schema
+        val rawSchema = StructType(batchSchema.map {
+          case f if f.name == "ts" => f.copy(dataType = LongType)
+          case f => f
+        })
+        // static dim from the batch table: user -> value tier by the
+        // global median of per-user totals (exact percentile)
+        val totals = Tables.events(s, dir)
+          .groupBy($"user_id").agg(round(sum($"value"), 6).as("tot"))
+        val med = totals.agg(round(expr("percentile(tot, 0.5)"), 6).as("m"))
+        val dim = totals.crossJoin(broadcast(med))
+          .select($"user_id",
+            when($"tot" >= $"m", "high").otherwise("low").as("tier"))
+        val sink = s"sm09_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val stage = Files.createTempDirectory("sm09_events")
+        var q: org.apache.spark.sql.streaming.StreamingQuery = null
+        try {
+          Files.copy(Paths.get(s"$dir/events.parquet"),
+            stage.resolve("events.parquet"))
+          val stream = s.readStream.schema(rawSchema).parquet(stage.toString)
+            .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          q = stream.join(broadcast(dim), Seq("user_id"))
+            .groupBy($"tier", $"event_type")
+            .agg(count(lit(1)).as("n"), sum($"value").as("sv"))
+            .writeStream.outputMode("complete")
+            .format("memory").queryName(sink).start()
+          q.processAllAvailable()
+        } finally {
+          if (q != null) q.stop()
+          Files.deleteIfExists(stage.resolve("events.parquet"))
+          Files.deleteIfExists(stage)
+        }
+        s.table(sink)
+          .select($"tier", $"event_type", $"n",
+            round($"sv", 2).as("sum_value"))
+          .orderBy($"tier", $"event_type")
+      },
+      Some("""WITH t AS (SELECT user_id, round(sum(value), 6) AS tot
+             |  FROM events GROUP BY user_id),
+             |m AS (SELECT round(quantile_cont(tot, 0.5), 6) AS m FROM t),
+             |d AS (SELECT user_id,
+             |  CASE WHEN tot >= m THEN 'high' ELSE 'low' END AS tier
+             |  FROM t, m)
+             |SELECT tier, event_type, count(*) AS n,
+             |  round(sum(value), 2) AS sum_value
+             |FROM events JOIN d USING (user_id)
+             |GROUP BY tier, event_type ORDER BY tier, event_type""".stripMargin))
   )
 }
