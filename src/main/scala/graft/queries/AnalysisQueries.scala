@@ -932,7 +932,51 @@ object AnalysisQueries extends QueryProvider {
              |  round(inter / (za.v + zb.v - inter), 6) AS jaccard
              |FROM i JOIN sz za ON za.source = i.s1
              |  JOIN sz zb ON zb.source = i.s2
-             |ORDER BY s1, s2""".stripMargin))
+             |ORDER BY s1, s2""".stripMargin)),
+
+    // Term burstiness — the Fano factor (variance-to-mean of per-doc
+    // counts, zeros included) for the top-100 corpus terms: bursty
+    // topical words disperse far above 1, function words sit near it —
+    // the dispersion signal behind stopword induction and keyword
+    // weighting (Church & Gale's burstiness). All moments are INTEGER
+    // sums over the per-doc TF table (n = the corpus doc count, so
+    // absent docs contribute exact zeros without materializing them);
+    // the Fano division is the only float, identical association both
+    // engines.
+    Q(
+      "a20_burstiness",
+      (s, dir) => {
+        import s.implicits._
+        val docs = graft.Par.fanOut(Tables.documents(s, dir))
+        val nDocs = Tables.documents(s, dir).count()
+        val tf = docs
+          .select($"doc_id", explode(TF.tokenize($"text")).as("token"))
+          .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+        tf.groupBy($"token")
+          .agg(sum($"tf").as("st"), sum($"tf" * $"tf").as("st2"),
+            count(lit(1)).as("df"))
+          .orderBy(desc("st"), $"token").limit(100)
+          .select($"token", $"st".as("total_tf"), $"df",
+            round(
+              ((($"st2" / lit(nDocs)) -
+                ($"st" / lit(nDocs)) * ($"st" / lit(nDocs)))) /
+                ($"st" / lit(nDocs)), 6).as("fano"))
+          .orderBy(desc("total_tf"), $"token")
+      },
+      Some("""WITH n AS (SELECT count(*) AS nd FROM documents),
+             |tf AS (SELECT doc_id, token, count(*) AS tf FROM
+             |  (SELECT doc_id, unnest(regexp_extract_all(lower(text),'[a-zA-Z]+')) AS token
+             |   FROM documents) GROUP BY doc_id, token),
+             |m AS (SELECT token, CAST(sum(tf) AS BIGINT) AS st,
+             |  CAST(sum(tf * tf) AS BIGINT) AS st2,
+             |  CAST(count(*) AS BIGINT) AS df
+             |  FROM tf GROUP BY token),
+             |t AS (SELECT token, st, st2, df FROM m
+             |  ORDER BY st DESC, token LIMIT 100)
+             |SELECT token, st AS total_tf, df,
+             |  round(((st2 / nd) - (st / nd) * (st / nd)) / (st / nd), 6)
+             |    AS fano
+             |FROM t, n ORDER BY total_tf DESC, token""".stripMargin))
   )
 
   /** mm04 oracle: the 60-term dHash gradient sum over the recovered
