@@ -193,6 +193,38 @@ object TemporalQueries extends QueryProvider {
              |FROM events GROUP BY 1, 2
              |ORDER BY hour, event_type""".stripMargin)),
 
+    // Rolling 7-day active users (WAU per day) in the SCALABLE
+    // formulation: instead of a per-day distinct-count window (whose
+    // state is the full user set per frame), each (user, active-day)
+    // pair fans out to the ≤7 report days it supports — a constant-7
+    // Generate — and the report is one distinct-count hash agg per
+    // day. Report days are the days that actually have events.
+    Q(
+      "q47_rolling_wau",
+      (s, dir) => {
+        import s.implicits._
+        val ud = Tables.events(s, dir)
+          .select($"user_id", to_date($"ts").as("day")).distinct()
+        val expanded = ud
+          .select($"user_id", explode(sequence(lit(0), lit(6))).as("i"),
+            $"day")
+          .select($"user_id", expr("date_add(day, i)").as("rday"))
+        val reportDays = ud.select($"day".as("rday")).distinct()
+        expanded.join(reportDays, Seq("rday"))
+          .groupBy($"rday")
+          .agg(countDistinct($"user_id").as("wau"))
+          .select($"rday".cast("string").as("day"), $"wau")
+          .orderBy($"day")
+      },
+      Some("""WITH ud AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+             |ex AS (SELECT user_id, day + CAST(i AS INTEGER) AS rday
+             |  FROM ud, unnest(range(7)) AS t(i)),
+             |rd AS (SELECT DISTINCT day AS rday FROM ud)
+             |SELECT rday::VARCHAR AS day,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+             |FROM ex JOIN rd USING (rday)
+             |GROUP BY rday ORDER BY day""".stripMargin)),
+
     // Forward as-of: each click's NEXT purchase by the same user (the
     // attribution/conversion-lag direction). Same union-window plan as
     // q21 mirrored; the oracle is the independent pair-explosion top-1.
