@@ -679,7 +679,39 @@ object CurationQueries extends QueryProvider {
              |  FROM h WHERE doc_id % 10 = 9)
              |SELECT b.doc_id, (c.h IS NOT NULL) AS dup_of_corpus,
              |  rn > 1 AS dup_within_batch
-             |FROM b LEFT JOIN c USING (h) ORDER BY doc_id""".stripMargin))
+             |FROM b LEFT JOIN c USING (h) ORDER BY doc_id""".stripMargin)),
+
+    // Round-robin source interleaving — the fair-mixture ordering a
+    // curriculum feeds the trainer: documents ranked within their
+    // source by the c07 FNV order, then consumed in (round, source)
+    // order so every prefix of the stream is balanced across sources.
+    // One shuffle keyed on source for the within-source rank (the
+    // WindowGroupLimit pushdown bounds it to the prefix need), then
+    // the global prefix is a top-k, not a global sort.
+    Q(
+      "c17_interleave",
+      (s, dir) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"source")
+          .orderBy($"hkey", $"doc_id")
+        Tables.documents(s, dir)
+          .select($"doc_id", $"source",
+            pmod(graft.functions.Fnv.fnv1a64($"doc_id".cast("string")),
+              lit(1048576L)).as("hkey"))
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 10)
+          .select($"rn".cast("long").as("round"), $"source", $"doc_id")
+          .orderBy($"round", $"source")
+      },
+      Some(s"""WITH h AS (SELECT doc_id, source,
+              |  ((${FnvSql.toSigned(FnvSql.ofString("(doc_id::VARCHAR)"))}
+              |    % 1048576) + 1048576) % 1048576 AS hkey
+              |  FROM documents),
+              |r AS (SELECT doc_id, source, row_number() OVER
+              |  (PARTITION BY source ORDER BY hkey, doc_id) AS rn FROM h)
+              |SELECT CAST(rn AS BIGINT) AS round, source, doc_id
+              |FROM r WHERE rn <= 10 ORDER BY round, source""".stripMargin))
   )
 
 }
