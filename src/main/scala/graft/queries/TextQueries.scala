@@ -483,6 +483,60 @@ object TextQueries extends QueryProvider {
              |  coalesce(array_to_string(tok[i + 2 : i + 3], ' '), '')
              |    AS right_ctx
              |FROM occ ORDER BY doc_id, pos""".stripMargin)),
+
+    // Collocation extraction — pointwise mutual information over the
+    // t08 bigrams: PMI = ln(c(xy)·N / (c(x)·c(y))), every count an
+    // integer hash agg, one ln per surviving bigram (≥5 occurrences),
+    // ranked by the 6dp-ROUNDED score with bigram tiebreaks (the
+    // engine-stable ordering rule). Two token-keyed joins attach the
+    // unigram counts — at 100 TB the unigram table shuffles once and
+    // co-partitions with both probes.
+    Q(
+      "t18_collocations",
+      (s, dir) => {
+        import s.implicits._
+        val toks = graft.Par.fanOut(Tables.documents(s, dir))
+          .select($"doc_id", TF.tokenize($"text").as("t"))
+        val uni = toks.select(explode($"t").as("token"))
+          .groupBy($"token").agg(count(lit(1)).as("cu"))
+        val n = uni.agg(sum($"cu").as("n"))
+        val bg = toks
+          .select(explode(zip_with(
+            slice($"t", lit(1), greatest(size($"t") - 1, lit(0))),
+            slice($"t", lit(2), greatest(size($"t") - 1, lit(0))),
+            (a, b) => concat_ws(" ", a, b))).as("bigram"))
+          .groupBy($"bigram").agg(count(lit(1)).as("cnt"))
+          .filter($"cnt" >= 5)
+          .select($"bigram", $"cnt",
+            split($"bigram", " ").getItem(0).as("x"),
+            split($"bigram", " ").getItem(1).as("y"))
+        bg.join(uni.select($"token".as("x"), $"cu".as("cx")), Seq("x"))
+          .join(uni.select($"token".as("y"), $"cu".as("cy")), Seq("y"))
+          .crossJoin(broadcast(n))
+          .select($"bigram", $"cnt", $"cx", $"cy",
+            round(log(($"cnt" * lit(1.0) * $"n") /
+              ($"cx" * lit(1.0) * $"cy")), 6).as("pmi"))
+          .orderBy(desc("pmi"), $"bigram").limit(50)
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+             |  regexp_extract_all(lower(text),'[a-zA-Z]+') AS t FROM documents),
+             |uni AS (SELECT u AS token, CAST(count(*) AS BIGINT) AS cu FROM
+             |  (SELECT unnest(t) AS u FROM tok) GROUP BY u),
+             |n AS (SELECT CAST(sum(cu) AS BIGINT) AS n FROM uni),
+             |bg AS (SELECT bigram, CAST(count(*) AS BIGINT) AS cnt FROM
+             |  (SELECT unnest(list_transform(range(greatest(len(t)-1, 0)),
+             |     i -> t[i+1] || ' ' || t[i+2])) AS bigram FROM tok)
+             |  GROUP BY bigram HAVING count(*) >= 5),
+             |sp AS (SELECT bigram, cnt,
+             |  string_split(bigram, ' ')[1] AS x,
+             |  string_split(bigram, ' ')[2] AS y FROM bg),
+             |j AS (SELECT bigram, cnt, ux.cu AS cx, uy.cu AS cy
+             |  FROM sp JOIN uni ux ON ux.token = sp.x
+             |    JOIN uni uy ON uy.token = sp.y)
+             |SELECT bigram, cnt, cx, cy,
+             |  round(ln((cnt * 1.0 * n) / (cx * 1.0 * cy)), 6) AS pmi
+             |FROM j CROSS JOIN n
+             |ORDER BY pmi DESC, bigram LIMIT 50""".stripMargin)),
   )
 
   /** The 20 BPE merge stages unrolled as materialized CTEs (the tr01
