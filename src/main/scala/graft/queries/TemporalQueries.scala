@@ -225,6 +225,65 @@ object TemporalQueries extends QueryProvider {
              |FROM ex JOIN rd USING (rday)
              |GROUP BY rday ORDER BY day""".stripMargin)),
 
+    // Referential-integrity audit — the schema-contract check a
+    // warehouse runs after every load: per foreign-key relationship,
+    // total child rows and ORPHANS (children whose key misses the
+    // parent). Each relationship is one LEFT ANTI join against the
+    // parent's (distinct, broadcastable) key column — never a full
+    // parent scan per child row — and the seven audits union into one
+    // report. The gate proves all counts, orphans included (zero on
+    // this generator, which is itself the assertion).
+    Q(
+      "q48_fk_audit",
+      (s, dir) => {
+        import s.implicits._
+        def audit(name: String, child: org.apache.spark.sql.DataFrame,
+            ck: String, parent: org.apache.spark.sql.DataFrame,
+            pk: String) = {
+          val total = child.agg(count(lit(1)).as("n_rows"))
+          val orphans = child.select(col(ck))
+            .join(broadcast(parent.select(col(pk).as(ck)).distinct()),
+              Seq(ck), "left_anti")
+            .agg(count(lit(1)).as("n_orphans"))
+          total.crossJoin(orphans).select(lit(name).as("fk"),
+            col("n_rows"), col("n_orphans"))
+        }
+        val audits = Seq(
+          audit("customer.nation", Tables.customer(s, dir), "c_nationkey",
+            Tables.nation(s, dir), "n_nationkey"),
+          audit("lineitem.orders", Tables.lineitem(s, dir), "l_orderkey",
+            Tables.orders(s, dir), "o_orderkey"),
+          audit("lineitem.part", Tables.lineitem(s, dir), "l_partkey",
+            Tables.part(s, dir), "p_partkey"),
+          audit("lineitem.supplier", Tables.lineitem(s, dir), "l_suppkey",
+            Tables.supplier(s, dir), "s_suppkey"),
+          audit("nation.region", Tables.nation(s, dir), "n_regionkey",
+            Tables.region(s, dir), "r_regionkey"),
+          audit("orders.customer", Tables.orders(s, dir), "o_custkey",
+            Tables.customer(s, dir), "c_custkey"),
+          audit("supplier.nation", Tables.supplier(s, dir), "s_nationkey",
+            Tables.nation(s, dir), "n_nationkey"))
+        audits.reduce(_.unionByName(_)).orderBy($"fk")
+      },
+      Some {
+        def one(name: String, child: String, ck: String, parent: String,
+            pk: String) =
+          s"""SELECT '$name' AS fk,
+             |  CAST((SELECT count(*) FROM $child) AS BIGINT) AS n_rows,
+             |  CAST((SELECT count(*) FROM $child WHERE $ck NOT IN
+             |    (SELECT $pk FROM $parent)) AS BIGINT) AS n_orphans"""
+            .stripMargin
+        Seq(
+          one("customer.nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+          one("lineitem.orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+          one("lineitem.part", "lineitem", "l_partkey", "part", "p_partkey"),
+          one("lineitem.supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+          one("nation.region", "nation", "n_regionkey", "region", "r_regionkey"),
+          one("orders.customer", "orders", "o_custkey", "customer", "c_custkey"),
+          one("supplier.nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+          .mkString("", "\nUNION ALL ", "\nORDER BY fk")
+      }),
+
     // Forward as-of: each click's NEXT purchase by the same user (the
     // attribution/conversion-lag direction). Same union-window plan as
     // q21 mirrored; the oracle is the independent pair-explosion top-1.
