@@ -195,36 +195,42 @@ object AnalysisQueries extends QueryProvider {
           Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text"))
           .orderBy($"id", $"frame_idx")
       },
-      Some(s"""WITH b AS (
-             |  SELECT doc_id AS id,
-             |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-             |      ELSE 'video' END AS modality,
-             |    hex(encode(coalesce(text,''))) AS hx,
-             |    octet_length(encode(coalesce(text,''))) AS n
-             |  FROM documents),
-             |by2 AS (
-             |  SELECT id, modality, n,
-             |    list_transform(range(n), i ->
-             |      ((strpos('0123456789ABCDEF', hx[2*i+1])-1)*16 +
-             |       (strpos('0123456789ABCDEF', hx[2*i+2])-1))::HUGEINT) AS bytes
-             |  FROM b),
-             |fr AS (
-             |  SELECT id, modality, bytes, n,
-             |    unnest(range(0, (n + 255) // 256, 4)) AS frame_idx
-             |  FROM by2),
-             |sl AS (
-             |  SELECT id, modality, frame_idx,
-             |    bytes[(frame_idx*256+1):least((frame_idx+1)*256, n)] AS fb
-             |  FROM fr),
-             |hs AS (
-             |  SELECT id, modality, frame_idx, len(fb) AS frame_bytes,
-             |    list_reduce(list_prepend(14695981039346656037::HUGEINT, fb),
-             |      ${FnvSql.fold}) AS h
-             |  FROM sl)
+      Some(s"""WITH $frameHashCtes
              |SELECT id, modality, CAST(frame_idx AS INTEGER) AS frame_idx,
              |  CAST(frame_bytes AS BIGINT) AS frame_bytes,
              |  ${FnvSql.toSigned("h")} AS frame_checksum
              |FROM hs ORDER BY id, frame_idx""".stripMargin)),
+
+    // Cross-media shared-frame detection: exact frame-level dedup over
+    // the mm03 sample stream — frames whose checksum recurs in ≥ 2
+    // distinct media (embedded clips, intros, borrowed footage). ONE
+    // hash agg over the frame table keyed on the 8-byte checksum; no
+    // pairwise comparison at any scale (the d16 argument at frame
+    // granularity). Oracle reuses mm03's byte-exact FNV frame chain.
+    Q(
+      "mm06_shared_frames",
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.frameSampleStub(
+          Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text"))
+          .groupBy($"frame_checksum")
+          .agg(count(lit(1)).as("n_frames"),
+            countDistinct($"id").as("n_media"))
+          .filter($"n_media" >= 2)
+          .orderBy($"frame_checksum")
+      },
+      Some(s"""WITH $frameHashCtes,
+             |sg AS (SELECT ${FnvSql.toSigned("h")} AS frame_checksum
+             |  FROM hs),
+             |g AS (SELECT frame_checksum,
+             |  CAST(count(*) AS BIGINT) AS n_frames FROM sg
+             |  GROUP BY frame_checksum),
+             |m AS (SELECT ${FnvSql.toSigned("h")} AS frame_checksum,
+             |  CAST(count(DISTINCT id) AS BIGINT) AS n_media
+             |  FROM hs GROUP BY 1)
+             |SELECT frame_checksum, n_frames, n_media
+             |FROM g JOIN m USING (frame_checksum)
+             |WHERE n_media >= 2 ORDER BY frame_checksum""".stripMargin)),
 
     // Perceptual-hash (dHash) near-dup over the decode kernel: each
     // media row gets a 60-bit adjacent-"pixel" gradient hash from the
@@ -978,6 +984,38 @@ object AnalysisQueries extends QueryProvider {
              |    AS fano
              |FROM t, n ORDER BY total_tf DESC, token""".stripMargin))
   )
+
+  /** mm03's byte-exact frame chain (`b, by2, fr, sl, hs` — hs holds
+    * (id, modality, frame_idx, frame_bytes, unsigned FNV h)), shared
+    * with mm06's shared-frame grouping.
+    */
+  private lazy val frameHashCtes: String =
+    s"""b AS (
+       |  SELECT doc_id AS id,
+       |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+       |      ELSE 'video' END AS modality,
+       |    hex(encode(coalesce(text,''))) AS hx,
+       |    octet_length(encode(coalesce(text,''))) AS n
+       |  FROM documents),
+       |by2 AS (
+       |  SELECT id, modality, n,
+       |    list_transform(range(n), i ->
+       |      ((strpos('0123456789ABCDEF', hx[2*i+1])-1)*16 +
+       |       (strpos('0123456789ABCDEF', hx[2*i+2])-1))::HUGEINT) AS bytes
+       |  FROM b),
+       |fr AS (
+       |  SELECT id, modality, bytes, n,
+       |    unnest(range(0, (n + 255) // 256, 4)) AS frame_idx
+       |  FROM by2),
+       |sl AS (
+       |  SELECT id, modality, frame_idx,
+       |    bytes[(frame_idx*256+1):least((frame_idx+1)*256, n)] AS fb
+       |  FROM fr),
+       |hs AS (
+       |  SELECT id, modality, frame_idx, len(fb) AS frame_bytes,
+       |    list_reduce(list_prepend(14695981039346656037::HUGEINT, fb),
+       |      ${FnvSql.fold}) AS h
+       |  FROM sl)""".stripMargin
 
   /** mm04 oracle: the 60-term dHash gradient sum over the recovered
     * payload bytes (missing bytes read 0), then an all-pairs Hamming
