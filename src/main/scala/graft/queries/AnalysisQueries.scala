@@ -982,7 +982,87 @@ object AnalysisQueries extends QueryProvider {
              |SELECT token, st AS total_tf, df,
              |  round(((st2 / nd) - (st / nd) * (st / nd)) / (st / nd), 6)
              |    AS fano
-             |FROM t, n ORDER BY total_tf DESC, token""".stripMargin))
+             |FROM t, n ORDER BY total_tf DESC, token""".stripMargin)),
+
+    // Heaps' law fit — vocabulary growth V(N) = k·N^β along the
+    // doc_id-ordered corpus stream, the companion diagnostic to a16's
+    // Zipf slope (β ≈ 0.5 for natural text; near-duplicate-heavy or
+    // templated corpora flatten it). Per-doc NEW-vocabulary counts come
+    // from one token→min(doc_id) hash agg (never a running distinct);
+    // the two cumulative sums are integer window sums; the OLS on
+    // (ln N, ln V) then follows the a16 discipline exactly — 9dp
+    // pre-rounded logs, moments by an ORDERED fold over the checkpoint
+    // list. At 100 TB the checkpoints would be a sampled subset of the
+    // stream; the gate fits every doc.
+    Q(
+      "a21_heaps_fit",
+      (s, dir) => {
+        import s.implicits._
+        val tok = graft.Par.fanOut(Tables.documents(s, dir))
+          .select($"doc_id", explode(TF.tokenize($"text")).as("token"))
+        val perDoc = tok.groupBy($"doc_id").agg(count(lit(1)).as("ntok"))
+        val firsts = tok.groupBy($"token").agg(min($"doc_id").as("d0"))
+          .groupBy($"d0").agg(count(lit(1)).as("vnew"))
+        val w = Window.orderBy($"doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val pts = perDoc
+          .join(firsts.withColumnRenamed("d0", "doc_id"), Seq("doc_id"), "left")
+          .select($"doc_id", $"ntok", coalesce($"vnew", lit(0L)).as("vnew"))
+          .withColumn("cum_n", sum($"ntok").over(w))
+          .withColumn("cum_v", sum($"vnew").over(w))
+          .filter($"cum_n" > 0 && $"cum_v" > 0)
+          .select($"doc_id",
+            round(log($"cum_n".cast("double")), 9).as("x"),
+            round(log($"cum_v".cast("double")), 9).as("y"))
+          .withColumn("xx", $"x" * $"x")
+          .withColumn("xy", $"x" * $"y")
+        def fold(field: String) = expr(
+          s"aggregate(transform(arr, e -> e.$field), cast(0.0 as double), (a, b) -> a + b)")
+        pts.agg(count(lit(1)).as("n"),
+            sort_array(collect_list(struct($"doc_id", $"x", $"y", $"xx", $"xy")))
+              .as("arr"))
+          .select($"n", fold("x").as("sx"), fold("y").as("sy"),
+            fold("xx").as("sxx"), fold("xy").as("sxy"))
+          .withColumn("beta",
+            ($"n".cast("double") * $"sxy" - $"sx" * $"sy") /
+              ($"n".cast("double") * $"sxx" - $"sx" * $"sx"))
+          .withColumn("lnk", ($"sy" - $"beta" * $"sx") / $"n".cast("double"))
+          .select($"n", round($"beta", 6).as("beta"),
+            round($"lnk", 6).as("ln_k"))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id,
+              |  unnest(regexp_extract_all(lower(text),'[a-zA-Z]+')) AS token
+              |  FROM documents),
+              |pd AS (SELECT doc_id, count(*) AS ntok FROM tok GROUP BY doc_id),
+              |fs AS (SELECT d0 AS doc_id, count(*) AS vnew FROM
+              |  (SELECT token, min(doc_id) AS d0 FROM tok GROUP BY token)
+              |  GROUP BY d0),
+              |cm AS (SELECT pd.doc_id,
+              |  sum(pd.ntok) OVER (ORDER BY pd.doc_id
+              |    ROWS UNBOUNDED PRECEDING) AS cum_n,
+              |  sum(coalesce(fs.vnew, 0)) OVER (ORDER BY pd.doc_id
+              |    ROWS UNBOUNDED PRECEDING) AS cum_v
+              |  FROM pd LEFT JOIN fs USING (doc_id)),
+              |p AS (SELECT doc_id, round(ln(cum_n::DOUBLE), 9) AS x,
+              |  round(ln(cum_v::DOUBLE), 9) AS y
+              |  FROM cm WHERE cum_n > 0 AND cum_v > 0),
+              |p2 AS (SELECT doc_id, x, y, x*x AS xx, x*y AS xy FROM p),
+              |l AS (SELECT count(*) AS n,
+              |  list(x ORDER BY doc_id) AS xs, list(y ORDER BY doc_id) AS ys,
+              |  list(xx ORDER BY doc_id) AS xxs, list(xy ORDER BY doc_id) AS xys
+              |  FROM p2),
+              |sums AS (SELECT n,
+              |  list_reduce(list_prepend(0.0, xs), (a, b) -> a + b) AS sx,
+              |  list_reduce(list_prepend(0.0, ys), (a, b) -> a + b) AS sy,
+              |  list_reduce(list_prepend(0.0, xxs), (a, b) -> a + b) AS sxx,
+              |  list_reduce(list_prepend(0.0, xys), (a, b) -> a + b) AS sxy
+              |  FROM l),
+              |f AS (SELECT n, sx, sy, sxx, sxy,
+              |  (n::DOUBLE * sxy - sx * sy) / (n::DOUBLE * sxx - sx * sx) AS beta
+              |  FROM sums)
+              |SELECT CAST(n AS BIGINT) AS n, round(beta, 6) AS beta,
+              |  round((sy - beta * sx) / n::DOUBLE, 6) AS ln_k
+              |FROM f""".stripMargin))
   )
 
   /** mm03's byte-exact frame chain (`b, by2, fr, sl, hs` — hs holds
