@@ -284,6 +284,37 @@ object TemporalQueries extends QueryProvider {
           .mkString("", "\nUNION ALL ", "\nORDER BY fk")
       }),
 
+    // The TPC-H Q2 shape (min-cost supplier per part) DECORRELATED:
+    // what the textbook writes as a correlated `WHERE cost = (SELECT
+    // min(cost) … WHERE partkey = outer.partkey)` runs here as ONE
+    // struct-min hash aggregation — no per-row subquery, no second
+    // scan, ties pinned by the (price, suppkey) struct order. The
+    // oracle reaches the same rows through a window rank, proving the
+    // aggregate and window formulations equal.
+    Q(
+      "q49_min_cost_supplier",
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .select($"l_partkey", $"l_suppkey",
+            round($"l_extendedprice", 2).as("price"))
+          .groupBy($"l_partkey")
+          .agg(min(struct($"price", $"l_suppkey")).as("best"),
+            count(lit(1)).as("n_offers"))
+          .select($"l_partkey", $"best.price".as("min_price"),
+            $"best.l_suppkey".as("l_suppkey"), $"n_offers")
+          .orderBy($"l_partkey")
+      },
+      Some("""WITH o AS (SELECT l_partkey, l_suppkey,
+             |  round(l_extendedprice, 2) AS price,
+             |  count(*) OVER (PARTITION BY l_partkey) AS n_offers,
+             |  row_number() OVER (PARTITION BY l_partkey
+             |    ORDER BY round(l_extendedprice, 2), l_suppkey) AS rn
+             |  FROM lineitem)
+             |SELECT l_partkey, price AS min_price, l_suppkey,
+             |  CAST(n_offers AS BIGINT) AS n_offers
+             |FROM o WHERE rn = 1 ORDER BY l_partkey""".stripMargin)),
+
     // Forward as-of: each click's NEXT purchase by the same user (the
     // attribution/conversion-lag direction). Same union-window plan as
     // q21 mirrored; the oracle is the independent pair-explosion top-1.
