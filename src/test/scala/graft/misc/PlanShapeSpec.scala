@@ -149,6 +149,12 @@ class PlanShapeSpec extends SparkSpec {
       s"LUT joins must broadcast, got:\n$plan")
   }
 
+  test("c17 interleave pushes the per-source rank as WindowGroupLimit") {
+    val plan = planOf("c17_interleave")
+    assert(plan.contains("WindowGroupLimit"),
+      s"rn <= 10 must push into the shuffle (map tasks forward <= 10/source), got:\n$plan")
+  }
+
   test("t16 BPE encode aggregates types, never re-scanning the corpus") {
     val q = graft.SparkEntry.queries("t16_bpe_encode")
     val plan = q(spark, sf("sf0.001")).queryExecution.executedPlan.toString
