@@ -1062,7 +1062,45 @@ object AnalysisQueries extends QueryProvider {
               |  FROM sums)
               |SELECT CAST(n AS BIGINT) AS n, round(beta, 6) AS beta,
               |  round((sy - beta * sx) / n::DOUBLE, 6) AS ln_k
-              |FROM f""".stripMargin))
+              |FROM f""".stripMargin)),
+
+    // Per-document novelty: the fraction of a doc's distinct 8-gram
+    // shingles that occur in NO other document — the memorization /
+    // boilerplate-risk score a training-data audit reports per doc.
+    // One shingle→distinct-doc-count aggregation plus a join back:
+    // linear in corpus size, no pairwise stage, and the shingle
+    // explosion is a narrow per-row map (same scale shape as d01).
+    Q(
+      "a22_novelty",
+      (s, dir) => {
+        import s.implicits._
+        val toks = Tables.documents(s, dir)
+          .select($"doc_id", TF.tokenize($"text").as("t"))
+          .where(size($"t") >= 8)
+        val sh = toks.select($"doc_id", explode(array_distinct(
+            transform(sequence(lit(0), size($"t") - 8),
+              i => concat_ws(" ", slice($"t", i + 1, lit(8)))))).as("sh"))
+        val df = sh.groupBy($"sh").agg(countDistinct($"doc_id").as("nd"))
+        sh.join(df, "sh")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when($"nd" === 1, 1L).otherwise(0L)).as("n_unique"))
+          .select($"doc_id", $"n_shingles", $"n_unique",
+            round($"n_unique" * 1.0 / $"n_shingles", 6).as("novelty"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+             |  regexp_extract_all(lower(text),'[a-zA-Z]+') AS t FROM documents),
+             |sh0 AS (SELECT doc_id, list_distinct(list_transform(range(len(t)-7),
+             |    i -> array_to_string(t[i+1:i+8], ' '))) AS shs
+             |  FROM tok WHERE len(t) >= 8),
+             |sh AS (SELECT doc_id, unnest(shs) AS sh FROM sh0),
+             |df AS (SELECT sh, count(DISTINCT doc_id) AS nd FROM sh GROUP BY sh)
+             |SELECT sh.doc_id, count(*) AS n_shingles,
+             |  CAST(sum(CASE WHEN df.nd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+             |  round(sum(CASE WHEN df.nd = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             |    AS novelty
+             |FROM sh JOIN df USING (sh) GROUP BY sh.doc_id ORDER BY doc_id""".stripMargin))
   )
 
   /** mm03's byte-exact frame chain (`b, by2, fr, sl, hs` — hs holds

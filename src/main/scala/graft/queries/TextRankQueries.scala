@@ -21,11 +21,22 @@ object TextRankQueries extends QueryProvider {
   /** Out-normalization + rank init + unrolled iterations + final
     * projection; an `e(src, dst, w)` CTE must already be defined.
     */
-  private def propagateSql(iterations: Int, topK: Option[Int]): String = {
+  /** Out-normalization + rank init + unrolled damped iterations, as
+    * chained CTEs ending in `r$iterations`; the caller appends its own
+    * final SELECT. An `e(src, dst, w)` CTE must already be defined.
+    */
+  private def propagateCtes(iterations: Int): String = {
     val iters = (1 to iterations).map { i =>
       s"""r$i AS (SELECT en.dst AS id, 0.15 + 0.85 * sum(r${i - 1}.rnk * en.wn) AS rnk
          |FROM en JOIN r${i - 1} ON en.src = r${i - 1}.id GROUP BY en.dst)""".stripMargin
     }.mkString(",\n")
+    s"""o AS (SELECT src, sum(w) AS ow FROM e GROUP BY src),
+       |en AS (SELECT e.src, e.dst, e.w / o.ow AS wn FROM e JOIN o ON e.src = o.src),
+       |r0 AS (SELECT DISTINCT src AS id, 0.15 AS rnk FROM e),
+       |$iters""".stripMargin
+  }
+
+  private def propagateSql(iterations: Int, topK: Option[Int]): String = {
     val tail = topK match {
       case Some(k) =>
         s"""SELECT r.id, round(r.rnk,6) AS rnk, d.text FROM r$iterations r
@@ -34,10 +45,7 @@ object TextRankQueries extends QueryProvider {
       case None =>
         s"SELECT id, round(rnk,6) AS rnk FROM r$iterations ORDER BY rnk DESC, id"
     }
-    s"""o AS (SELECT src, sum(w) AS ow FROM e GROUP BY src),
-       |en AS (SELECT e.src, e.dst, e.w / o.ow AS wn FROM e JOIN o ON e.src = o.src),
-       |r0 AS (SELECT DISTINCT src AS id, 0.15 AS rnk FROM e),
-       |$iters
+    s"""${propagateCtes(iterations)}
        |$tail""".stripMargin
   }
 
@@ -233,6 +241,58 @@ object TextRankQueries extends QueryProvider {
            |$iters
            |SELECT grp, id, round(rnk,6) AS rnk FROM r5
            |ORDER BY grp, rnk DESC, id""".stripMargin
-      })
+      }),
+
+    // Word-level TextRank (Mihalcea & Tarau's keyword-extraction mode,
+    // the sibling of the reference's sentence summarizer): vertices are
+    // the filtered corpus vocabulary, edges connect words co-occurring
+    // within a window of 2 in the token stream, weighted by corpus
+    // co-occurrence count. The graph is vocabulary-sized (not corpus-
+    // sized), so ranks() stays on its treeAggregate small-model path at
+    // any corpus scale; pair generation is a narrow per-row map (two
+    // shifted zips, no join). Full unrolled oracle via propagateCtes.
+    Q(
+      "tr07_keywords",
+      (s, dir) => {
+        import s.implicits._
+        val toks = Tables.documents(s, dir)
+          .select(graft.text.TextFunctions.textrankTokens($"text", lemma = false).as("t"))
+          .where(size($"t") > 1)
+        def pairsAt(k: Int) = zip_with(
+          slice($"t", lit(1), size($"t") - k),
+          slice($"t", lit(k + 1), size($"t") - k),
+          (a, b) => struct(least(a, b).as("s"), greatest(a, b).as("d")))
+        val pairs = toks
+          .select(explode(concat(pairsAt(1), pairsAt(2))).as("p"))
+          .where($"p.s" =!= $"p.d")
+        val und = pairs.groupBy($"p.s".as("src"), $"p.d".as("dst"))
+          .agg(count(lit(1)).cast("double").as("weight"))
+        val edges = und.select(explode(array(
+            struct($"src", $"dst", $"weight"),
+            struct($"dst".as("src"), $"src".as("dst"), $"weight"))).as("e"))
+          .select($"e.src", $"e.dst", $"e.weight")
+        TextRank.ranks(edges)
+          .select($"id", round($"rnk", 6).as("rnk"))
+          .orderBy(desc("rnk"), $"id")
+          .limit(100)
+      },
+      Some(
+        s"""WITH tok AS (
+           |SELECT list_filter(regexp_extract_all(lower(text),'[a-zA-Z]+'),
+           |  x -> len(x) >= 4 AND NOT list_contains($stopSql, x)) AS t
+           |FROM documents),
+           |p1 AS (SELECT unnest(list_transform(range(len(t)-1),
+           |    i -> [t[i+1], t[i+2]])) AS p FROM tok WHERE len(t) > 1),
+           |p2 AS (SELECT unnest(list_transform(range(len(t)-2),
+           |    i -> [t[i+1], t[i+3]])) AS p FROM tok WHERE len(t) > 2),
+           |pp AS (SELECT least(p[1], p[2]) AS s, greatest(p[1], p[2]) AS d
+           |  FROM (SELECT p FROM p1 UNION ALL SELECT p FROM p2) u
+           |  WHERE p[1] <> p[2]),
+           |c AS (SELECT s, d, count(*) AS c FROM pp GROUP BY s, d),
+           |e AS (SELECT s AS src, d AS dst, c * 1.0 AS w FROM c
+           |  UNION ALL SELECT d AS src, s AS dst, c * 1.0 AS w FROM c),
+           |${propagateCtes(5)}
+           |SELECT id, round(rnk,6) AS rnk FROM r5
+           |ORDER BY round(rnk,6) DESC, id LIMIT 100""".stripMargin))
   )
 }
