@@ -232,6 +232,64 @@ object AnalysisQueries extends QueryProvider {
              |FROM g JOIN m USING (frame_checksum)
              |WHERE n_media >= 2 ORDER BY frame_checksum""".stripMargin)),
 
+    // Shot-boundary (scene-cut) detection over the mm03 frame-sample
+    // stream: a cut is a consecutive frame pair (by frame_idx within a
+    // medium) whose content checksums differ. One id-partitioned lag
+    // window — the partition key is the medium, so the window never
+    // degenerates to a single task at corpus scale — then a per-medium
+    // rollup: frame count, cut count, cut rate, longest static run.
+    Q(
+      "mm07_scene_cuts",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"id").orderBy($"frame_idx")
+        val fr = Multimodal.frameSampleStub(
+          Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text"),
+          frameBytes = 64, stride = 1)
+          .select($"id", $"frame_idx", $"frame_checksum")
+          .withColumn("cut",
+            when(lag($"frame_checksum", 1).over(w).isNull, 0)
+              .when(lag($"frame_checksum", 1).over(w) =!= $"frame_checksum", 1)
+              .otherwise(0))
+        // run id = number of cuts at or before the frame → static runs
+        val runs = fr.withColumn("run_id", sum($"cut").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy($"id", $"run_id").agg(count(lit(1)).as("run_len"))
+          .groupBy($"id").agg(max($"run_len").as("max_run"))
+        fr.groupBy($"id")
+          .agg(count(lit(1)).as("n_frames"),
+            sum($"cut").cast("long").as("n_cuts"))
+          .join(runs, Seq("id"))
+          .select($"id", $"n_frames", $"n_cuts",
+            round($"n_cuts" * 1.0 / ($"n_frames" - 1), 6).as("cut_rate"),
+            $"max_run")
+          .filter($"n_frames" > 1)
+          .orderBy($"id")
+      },
+      Some(s"""WITH ${frameHashCtesFor(64, 1)},
+             |f AS (SELECT id, frame_idx, ${FnvSql.toSigned("h")} AS fc
+             |  FROM hs),
+             |c AS (SELECT id, frame_idx, fc,
+             |  CASE WHEN lag(fc) OVER (PARTITION BY id ORDER BY frame_idx)
+             |       IS NULL THEN 0
+             |       WHEN lag(fc) OVER (PARTITION BY id ORDER BY frame_idx)
+             |       <> fc THEN 1 ELSE 0 END AS cut
+             |  FROM f),
+             |r AS (SELECT id, frame_idx, cut,
+             |  sum(cut) OVER (PARTITION BY id ORDER BY frame_idx
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+             |  FROM c),
+             |rl AS (SELECT id, run_id, count(*) AS run_len
+             |  FROM r GROUP BY id, run_id),
+             |mr AS (SELECT id, CAST(max(run_len) AS BIGINT) AS max_run
+             |  FROM rl GROUP BY id),
+             |ag AS (SELECT id, count(*) AS n_frames,
+             |  CAST(sum(cut) AS BIGINT) AS n_cuts FROM c GROUP BY id)
+             |SELECT ag.id, n_frames, n_cuts,
+             |  round(n_cuts * 1.0 / (n_frames - 1), 6) AS cut_rate, max_run
+             |FROM ag JOIN mr ON ag.id = mr.id
+             |WHERE n_frames > 1 ORDER BY ag.id""".stripMargin)),
+
     // Perceptual-hash (dHash) near-dup over the decode kernel: each
     // media row gets a 60-bit adjacent-"pixel" gradient hash from the
     // stub decoder, banded into 4×15-bit chunks; pairs colliding on
@@ -1107,7 +1165,12 @@ object AnalysisQueries extends QueryProvider {
     * (id, modality, frame_idx, frame_bytes, unsigned FNV h)), shared
     * with mm06's shared-frame grouping.
     */
-  private lazy val frameHashCtes: String =
+  private lazy val frameHashCtes: String = frameHashCtesFor(256, 4)
+
+  /** Parametrized frame chain (mm07 uses 64-byte frames, stride 1, so
+    * the fixture's short payloads still yield multi-frame media).
+    */
+  private def frameHashCtesFor(frameBytes: Int, stride: Int): String =
     s"""b AS (
        |  SELECT doc_id AS id,
        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
@@ -1123,11 +1186,13 @@ object AnalysisQueries extends QueryProvider {
        |  FROM b),
        |fr AS (
        |  SELECT id, modality, bytes, n,
-       |    unnest(range(0, (n + 255) // 256, 4)) AS frame_idx
+       |    unnest(range(0, (n + ${frameBytes - 1}) // $frameBytes, $stride))
+       |      AS frame_idx
        |  FROM by2),
        |sl AS (
        |  SELECT id, modality, frame_idx,
-       |    bytes[(frame_idx*256+1):least((frame_idx+1)*256, n)] AS fb
+       |    bytes[(frame_idx*$frameBytes+1):least((frame_idx+1)*$frameBytes, n)]
+       |      AS fb
        |  FROM fr),
        |hs AS (
        |  SELECT id, modality, frame_idx, len(fb) AS frame_bytes,

@@ -439,6 +439,35 @@ object TemporalQueries extends QueryProvider {
              |  tp - tv AS lag_us FROM u)
              |SELECT stage, count(*) AS n_users,
              |CAST(coalesce(sum(lag_us), 0) AS BIGINT) AS total_lag_us
-             |FROM st GROUP BY stage ORDER BY stage""".stripMargin))
+             |FROM st GROUP BY stage ORDER BY stage""".stripMargin)),
+
+    // Per-user exponential moving average of event values, α = 1/2
+    // (zero-seeded: s ← (s + x)/2 over the time-ordered stream). The
+    // halving form is chosen deliberately: each step is one IEEE add and
+    // one exact power-of-two scale, so Spark's fold and the oracle's
+    // list_reduce are bit-identical — a smoothing operator whose
+    // cross-engine parity needs no tolerance. One hash agg (collect per
+    // user) + a narrow per-row fold; user cardinality bounds the state.
+    Q(
+      "q50_ema",
+      (s, dir) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sort_array(collect_list(struct($"ts", $"event_id", $"value")))
+              .as("xs"))
+          .select($"user_id", $"n_events",
+            round(aggregate(transform($"xs", e => e("value")), lit(0.0),
+              (s0, x) => (s0 + x) / lit(2.0)), 6).as("ema"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH l AS (SELECT user_id, count(*) AS n_events,
+             |  list(value ORDER BY ts, event_id) AS xs
+             |  FROM events GROUP BY user_id)
+             |SELECT user_id, n_events,
+             |  round(list_reduce(list_prepend(0.0, xs),
+             |    (s, x) -> (s + x) / 2), 6) AS ema
+             |FROM l ORDER BY user_id""".stripMargin))
   )
 }
