@@ -77,6 +77,50 @@ object Similarity {
         col("cosine"), col("mutual"))
   }
 
+  /** Maximal-marginal-relevance greedy re-rank (Carbonell & Goldstein
+    * 1998): starting from relevance-scored candidates, repeatedly pick
+    * argmax of `λ·rel − (1−λ)·max_sim_to_already_selected` — the
+    * diversity-aware top-k a training-data sampler uses to avoid
+    * filling a quota with near-duplicates of the best hit.
+    *
+    * cands: (id: long, vec: array<double>, rel: double), rel already
+    * 6dp-rounded. Returns (rank, id, rel, score), rank 1..k.
+    *
+    * Scale shape: each of the k rounds is ONE distributed pass over the
+    * remaining candidates. Only the single selected row is collected
+    * per round and re-broadcast as a literal into the next round's
+    * max-similarity update, so the candidate set can be arbitrarily
+    * large while driver state stays O(k·dim). The per-round argmax is a
+    * TakeOrderedAndProject (no global sort); ties break by id on the
+    * 6dp-rounded score.
+    */
+  def mmrSelect(cands: DataFrame, k: Int, lambda: Double): DataFrame = {
+    val spark = cands.sparkSession
+    var rem = cands.select(col("id"), col("vec"), col("rel"),
+      lit(0.0).as("ms"))
+    val picks = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double)]
+    var i = 1
+    var done = false
+    while (i <= k && !done) {
+      val scored = rem.withColumn("score",
+        round(lit(lambda) * col("rel") - lit(1 - lambda) * col("ms"), 6))
+      val pick = scored.orderBy(desc("score"), col("id")).limit(1).collect()
+      if (pick.isEmpty) done = true
+      else {
+        val row = pick(0)
+        val pid = row.getLong(0)
+        val pvec = row.getSeq[Double](1)
+        picks += ((i, pid, row.getDouble(2), row.getDouble(4)))
+        rem = rem.filter(col("id") =!= pid)
+          .withColumn("ms", greatest(col("ms"),
+            round(cosine(col("vec"), typedlit(pvec)), 6)))
+        i += 1
+      }
+    }
+    spark.createDataFrame(picks.toSeq)
+      .toDF("rank", "id", "rel", "score")
+  }
+
   /** One 32-bit sign word of a double vector as a long: bit i set iff
     * vec[off + i] > 0 (little-endian bit order). A 64-dim embedding
     * binarizes into two words — the 32× compression behind

@@ -711,7 +711,71 @@ object CurationQueries extends QueryProvider {
               |r AS (SELECT doc_id, source, row_number() OVER
               |  (PARTITION BY source ORDER BY hkey, doc_id) AS rn FROM h)
               |SELECT CAST(rn AS BIGINT) AS round, source, doc_id
-              |FROM r WHERE rn <= 10 ORDER BY round, source""".stripMargin))
+              |FROM r WHERE rn <= 10 ORDER BY round, source""".stripMargin)),
+
+    // Per-source quantile calibration (quantile normalization): a doc's
+    // quality score is replaced by the global score at the same within-
+    // source quantile, removing per-source scorer bias before a single
+    // corpus-wide quality cutoff is applied. calibrated(d) = min global
+    // score g with G(g) ≥ F_src(q_d), where both CDFs are evaluated on
+    // DISTINCT score values (the windows run over score-cardinality
+    // rows, not corpus rows — at 6dp quality has ≤1e6 distinct values,
+    // so no corpus-scale single-partition sort exists anywhere). The
+    // quantile match compares cle/ns ≤ gle/ng by integer cross-
+    // multiplication — exact, no float epsilon in the semantics.
+    Q(
+      "c18_quantile_calibrate",
+      (s, dir) => {
+        import s.implicits._
+        val tok = TF.tokenize($"text")
+        val sc = graft.Par.fanOut(Tables.documents(s, dir))
+          .select($"doc_id", $"source",
+            round(TA.qualityScore($"text", tok), 6).as("q"))
+        val srcCnt = sc.groupBy($"source", $"q").agg(count(lit(1)).as("c"))
+        val wSrc = Window.partitionBy($"source").orderBy($"q")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val srcTot = sc.groupBy($"source").agg(count(lit(1)).as("ns"))
+        val srcCum = srcCnt
+          .withColumn("cle", sum($"c").over(wSrc))
+          .join(broadcast(srcTot), Seq("source"))
+        val gTot = sc.agg(count(lit(1)).as("ng"))
+        val wG = Window.orderBy($"qg") // distinct global scores only
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val gCum = sc.groupBy($"q".as("qg")).agg(count(lit(1)).as("gc"))
+          .withColumn("gle", sum($"gc").over(wG))
+          .crossJoin(broadcast(gTot))
+        val cal = srcCum.join(broadcast(gCum),
+            $"gle" * $"ns" >= $"cle" * $"ng")
+          .groupBy($"source", $"q")
+          .agg(min($"qg").as("calibrated"))
+        sc.join(cal, Seq("source", "q"))
+          .select($"doc_id", $"source", $"q".as("quality"), $"calibrated")
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH base AS (SELECT doc_id, source, text,
+              |  regexp_extract_all(lower(text),'[a-zA-Z]+') AS tok FROM documents),
+              |m AS (SELECT *,
+              |  ${TextSql.ratioItems}
+              |  FROM base),
+              |sc AS (SELECT doc_id, source,
+              |  ${TextSql.qualityExpr("len(tok)")} AS q FROM m),
+              |scnt AS (SELECT source, q, count(*) AS c FROM sc GROUP BY source, q),
+              |stot AS (SELECT source, count(*) AS ns FROM sc GROUP BY source),
+              |scum AS (SELECT scnt.source, q, sum(c) OVER (PARTITION BY scnt.source
+              |    ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |    AS cle, ns
+              |  FROM scnt JOIN stot ON scnt.source = stot.source),
+              |gtot AS (SELECT count(*) AS ng FROM sc),
+              |gcum AS (SELECT q AS qg, sum(gc) OVER (ORDER BY qg
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gle
+              |  FROM (SELECT q, count(*) AS gc FROM sc GROUP BY q)),
+              |cal AS (SELECT s.source, s.q, min(g.qg) AS calibrated
+              |  FROM scum s CROSS JOIN gtot JOIN gcum g
+              |    ON g.gle * s.ns >= s.cle * gtot.ng
+              |  GROUP BY s.source, s.q)
+              |SELECT sc.doc_id, sc.source, sc.q AS quality, cal.calibrated
+              |FROM sc JOIN cal ON sc.source = cal.source AND sc.q = cal.q
+              |ORDER BY sc.doc_id""".stripMargin))
   )
 
 }

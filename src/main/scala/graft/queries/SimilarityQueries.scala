@@ -216,8 +216,59 @@ object SimilarityQueries extends QueryProvider {
         graft.operators.Hits.hits(edges, iters = 3)
           .orderBy($"id")
       },
-      Some(s09OracleSql(3)))
+      Some(s09OracleSql(3))),
+
+    // MMR diverse top-5 from the 20 most query-relevant vectors: the
+    // greedy λ·rel − (1−λ)·max-sim selection is unrolled into 5 pairs
+    // of (argmax, similarity-update) MATERIALIZED CTEs, so the oracle
+    // replays every pick and every max-sim state of the Spark loop.
+    Q(
+      "s10_mmr",
+      (s, dir) => {
+        import s.implicits._
+        val v = vecs(s, dir)
+        val qv = v.filter($"id" === 0)
+          .select($"vec".as("qvec"), Similarity.norm($"vec").as("qn"))
+        val rel = v.filter($"id" =!= 0)
+          .crossJoin(broadcast(qv))
+          .select($"id", $"vec",
+            round(Similarity.dot($"vec", $"qvec")
+              / (Similarity.norm($"vec") * $"qn"), 6).as("rel"))
+          .orderBy(desc("rel"), $"id").limit(20)
+        Similarity.mmrSelect(rel, 5, 0.5)
+          .select($"rank".cast("long").as("rnk"), $"id".as("neighbor_id"),
+            $"rel", $"score")
+          .orderBy($"rnk")
+      },
+      Some(s10OracleSql(5, 20, 0.5)))
   )
+
+  /** Unrolled MMR oracle: candidate pool r0 (top-`pool` by relevance),
+    * then per stage i an argmax CTE s_i (6dp score, id tiebreak) and a
+    * survivor CTE r_i carrying the updated running max-similarity.
+    */
+  private def s10OracleSql(k: Int, pool: Int, lambda: Double): String = {
+    val stages = (1 to k).map { i =>
+      s"""s$i AS MATERIALIZED (SELECT id, e, rel,
+         |  round($lambda*rel - ${1 - lambda}*ms, 6) AS score
+         |  FROM r${i - 1} ORDER BY score DESC, id LIMIT 1),
+         |r$i AS MATERIALIZED (SELECT r.id, r.e, r.rel,
+         |  greatest(r.ms, round(list_cosine_similarity(r.e, s.e), 6)) AS ms
+         |  FROM r${i - 1} r CROSS JOIN s$i s WHERE r.id <> s.id)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to k).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS rnk, id AS neighbor_id, rel, score FROM s$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |qv AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+       |relall AS (SELECT v.vec_id AS id, v.e,
+       |  round(list_cosine_similarity(qe, v.e), 6) AS rel
+       |  FROM v CROSS JOIN qv WHERE v.vec_id <> 0),
+       |r0 AS MATERIALIZED (SELECT id, e, rel, 0.0 AS ms
+       |  FROM relall ORDER BY rel DESC, id LIMIT $pool),
+       |$stages
+       |SELECT * FROM ($out) ORDER BY rnk""".stripMargin
+  }
 
   /** s09 oracle: s06's knn-edge chain + the unrolled HITS recurrence
     * (per round: authority scatter/fill/norm, then hub
