@@ -540,7 +540,55 @@ object DedupQueries extends QueryProvider {
              |  round(coalesce(n_dup, 0) / greatest(coalesce(n_pos, 0), 1), 6)
              |    AS dup_ratio
              |FROM documents LEFT JOIN d USING (doc_id)
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Dedup yield curve: how many pairs fire and how many docs a
+    // pairwise keep-min-id rule would drop at each Jaccard threshold —
+    // the sweep an operator runs BEFORE committing a corpus-wide dedup
+    // threshold. One pair table (the d03 bounded slice), one broadcast
+    // of a 7-row grid; removed(t) = distinct max-ids among pairs ≥ t.
+    Q(
+      "d17_threshold_yield",
+      (s, dir) => {
+        import s.implicits._
+        val slice = Tables.documents(s, dir).filter($"doc_id" < 1000)
+        val toks = graft.Par.fanOut(slice)
+          .select($"doc_id".as("id"), TF.tokenize($"text").as("tokens"))
+        val pairs = Dedup.bruteForceJaccardPairs(toks, 3, 0.05)
+          .select($"a", $"b", round($"jaccard", 6).as("j"))
+        val grid = s.createDataFrame(
+            Seq(0.05, 0.1, 0.2, 0.3, 0.5, 0.7, 0.9).map(Tuple1(_)))
+          .toDF("threshold")
+        val tot = slice.agg(count(lit(1)).as("n_docs"))
+        broadcast(grid).join(pairs, pairs("j") >= grid("threshold"), "left")
+          .groupBy($"threshold")
+          .agg(count($"a").as("n_pairs"),
+            countDistinct($"b").as("n_removed"))
+          .crossJoin(broadcast(tot))
+          .select($"threshold", $"n_pairs", $"n_removed",
+            ($"n_docs" - $"n_removed").as("n_survivors"))
+          .orderBy($"threshold")
+      },
+      Some("""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text),'[a-zA-Z]+') AS tk
+             |  FROM documents WHERE doc_id < 1000),
+             |s AS (SELECT doc_id,
+             |  list_distinct(list_transform(range(1, len(tk)-1),
+             |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+             |  FROM t WHERE len(tk) >= 3),
+             |p AS (SELECT a.doc_id AS a, b.doc_id AS b,
+             |  round(len(list_intersect(a.sh, b.sh)) * 1.0
+             |    / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS j
+             |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+             |  WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+             |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.05),
+             |g AS (SELECT unnest([0.05,0.1,0.2,0.3,0.5,0.7,0.9]::DOUBLE[])
+             |  AS threshold),
+             |tot AS (SELECT count(*) AS n_docs FROM documents WHERE doc_id < 1000)
+             |SELECT g.threshold, count(p.a) AS n_pairs,
+             |  CAST(count(DISTINCT p.b) AS BIGINT) AS n_removed,
+             |  CAST(tot.n_docs - count(DISTINCT p.b) AS BIGINT) AS n_survivors
+             |FROM g LEFT JOIN p ON p.j >= g.threshold CROSS JOIN tot
+             |GROUP BY g.threshold, tot.n_docs ORDER BY threshold""".stripMargin))
   )
 
   /** d14 oracle: the same blocked sorted-neighborhood windows — leads

@@ -537,6 +537,53 @@ object StreamingQueries extends QueryProvider {
              |SELECT tier, event_type, count(*) AS n,
              |  round(sum(value), 2) AS sum_value
              |FROM events JOIN d USING (user_id)
-             |GROUP BY tier, event_type ORDER BY tier, event_type""".stripMargin))
+             |GROUP BY tier, event_type ORDER BY tier, event_type""".stripMargin)),
+
+    // Streaming heavy-hitters: the hourly windowed counts maintained by
+    // the REAL streaming engine, ranked to per-window top-3 event types
+    // downstream of the sink (rank-over-complete-output is the standard
+    // topology — the stream maintains the additive state, the consumer
+    // ranks the tiny aggregated table). Oracle is the batch equivalent.
+    Q(
+      "sm10_stream_topk",
+      (s, dir) => {
+        import s.implicits._
+        val batchSchema = Tables.events(s, dir).schema
+        val rawSchema = StructType(batchSchema.map {
+          case f if f.name == "ts" => f.copy(dataType = LongType)
+          case f => f
+        })
+        val sink = s"sm10_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val stage = Files.createTempDirectory("sm10_events")
+        var q: org.apache.spark.sql.streaming.StreamingQuery = null
+        try {
+          Files.copy(Paths.get(s"$dir/events.parquet"),
+            stage.resolve("events.parquet"))
+          val stream = s.readStream.schema(rawSchema).parquet(stage.toString)
+            .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          q = EventStreams.windowedCounts(stream, "1 hour")
+            .writeStream.outputMode("complete")
+            .format("memory").queryName(sink).start()
+          q.processAllAvailable()
+        } finally {
+          if (q != null) q.stop()
+          Files.deleteIfExists(stage.resolve("events.parquet"))
+          Files.deleteIfExists(stage)
+        }
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"window_start").orderBy(desc("n"), $"event_type")
+        s.table(sink)
+          .withColumn("rnk", row_number().over(w))
+          .filter($"rnk" <= 3)
+          .select($"window_start", $"rnk".cast("long").as("rnk"),
+            $"event_type", $"n")
+          .orderBy($"window_start", $"rnk")
+      },
+      Some("""WITH c AS (SELECT date_trunc('hour', ts) AS window_start,
+             |  event_type, count(*) AS n FROM events GROUP BY 1, 2),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY window_start
+             |  ORDER BY n DESC, event_type) AS rnk FROM c)
+             |SELECT window_start, CAST(rnk AS BIGINT) AS rnk, event_type, n
+             |FROM r WHERE rnk <= 3 ORDER BY window_start, rnk""".stripMargin))
   )
 }
