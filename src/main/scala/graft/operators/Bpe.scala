@@ -75,12 +75,26 @@ object Bpe {
       .groupBy(col("token")).agg(sum(col("freq")).as("cnt"))
   }
 
+  /** The trained tokenizer as an encode dictionary: (word, n_sub) —
+    * how many subword symbols (end-marker symbol included) each word
+    * TYPE encodes to after `numMerges` steps. Fertility audits join
+    * this once-per-type table back onto the corpus (broadcast at any
+    * corpus scale: the dictionary is vocabulary-sized).
+    */
+  def subwordDict(spark: SparkSession, wordFreq: DataFrame,
+      numMerges: Int): DataFrame = {
+    val (_, vocab) = mergesAndVocab(spark, wordFreq, numMerges)
+    vocab.select(col("word"), size(split(col("repr"), Sep)).as("n_sub"))
+  }
+
   /** Merge table + the final (freq, repr) word-type table. */
   def mergesAndVocab(spark: SparkSession, wordFreq: DataFrame,
       numMerges: Int): (DataFrame, DataFrame) = {
     require(numMerges >= 1, "numMerges must be >= 1")
-    // chars + end marker, joined on the separator
-    var repr = wordFreq.select(col("freq").cast("long").as("freq"),
+    // chars + end marker, joined on the separator; the word TYPE rides
+    // along untouched so the final table doubles as an encode dictionary
+    var repr = wordFreq.select(col("word"),
+      col("freq").cast("long").as("freq"),
       concat(array_join(expr("regexp_extract_all(word, '.', 0)"), Sep),
         lit(Sep + EndMark)).as("repr"))
       // lineage is re-truncated every step; eager so step timing is real

@@ -555,7 +555,7 @@ object TextQueries extends QueryProvider {
     sb ++=
       """WITH tok AS (SELECT unnest(regexp_extract_all(lower(text),'[a-zA-Z]+')) AS word FROM documents),
         |wf AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY word),
-        |r0 AS MATERIALIZED (SELECT freq,
+        |r0 AS MATERIALIZED (SELECT word, freq,
         |  array_to_string(regexp_extract_all(word, '.'), chr(31)) || chr(31) || '$' AS repr FROM wf)""".stripMargin
     for (i <- 1 to n) {
       sb ++= s""",
@@ -564,7 +564,7 @@ object TextQueries extends QueryProvider {
         |    (SELECT freq, string_split(repr, chr(31)) AS syms FROM r${i - 1}),
         |    unnest(range(1, len(syms))) AS t(i)) GROUP BY l, r),
         |b$i AS MATERIALIZED (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
-        |r$i AS MATERIALIZED (SELECT freq, list_reduce(string_split(repr, chr(31)), (acc, x) ->
+        |r$i AS MATERIALIZED (SELECT word, freq, list_reduce(string_split(repr, chr(31)), (acc, x) ->
         |  CASE WHEN (acc = b.l OR ends_with(acc, chr(31) || b.l)) AND x = b.r
         |    THEN substr(acc, 1, length(acc) - length(b.l)) || b.l || b.r
         |    ELSE acc || chr(31) || x END) AS repr FROM r${i - 1}, b$i b)""".stripMargin
