@@ -3,7 +3,7 @@ package graft.queries
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructType}
+
 
 import graft.streaming.EventStreams
 import graft.tables.Tables
@@ -21,11 +21,7 @@ object StreamingQueries extends QueryProvider {
       "sm01_stream_hourly",
       (s, dir) => {
         import s.implicits._
-        val batchSchema = Tables.events(s, dir).schema
-        val rawSchema = StructType(batchSchema.map {
-          case f if f.name == "ts" => f.copy(dataType = LongType)
-          case f => f
-        })
+        val fileSchema = Tables.eventsFileSchema(s, dir)
         // Unique sink name + staging dir per invocation: two concurrent
         // (or back-to-back) runs in one session must not collide.
         val sink = s"sm01_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
@@ -34,8 +30,8 @@ object StreamingQueries extends QueryProvider {
         try {
           Files.copy(Paths.get(s"$dir/events.parquet"),
             stage.resolve("events.parquet"))
-          val stream = s.readStream.schema(rawSchema).parquet(stage.toString)
-            .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          val stream = Tables.normalizeEventTs(
+            s.readStream.schema(fileSchema).parquet(stage.toString))
           q = EventStreams.windowedCounts(stream, "1 hour")
             .writeStream.outputMode("complete")
             .format("memory").queryName(sink).start()
@@ -66,19 +62,15 @@ object StreamingQueries extends QueryProvider {
       (s, dir) => {
         import s.implicits._
         val gapMs = 3600L * 1000 // 1 hour
-        val batchSchema = Tables.events(s, dir).schema
-        val rawSchema = StructType(batchSchema.map {
-          case f if f.name == "ts" => f.copy(dataType = LongType)
-          case f => f
-        })
+        val fileSchema = Tables.eventsFileSchema(s, dir)
         val sink = s"sm02_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
         val stage = Files.createTempDirectory("sm02_events")
         var q: org.apache.spark.sql.streaming.StreamingQuery = null
         try {
           Files.copy(Paths.get(s"$dir/events.parquet"),
             stage.resolve("events.parquet"))
-          val stream = s.readStream.schema(rawSchema).parquet(stage.toString)
-            .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          val stream = Tables.normalizeEventTs(
+            s.readStream.schema(fileSchema).parquet(stage.toString))
             .as[EventStreams.Event]
           q = EventStreams.sessionize(stream, gapMs, emitOpen = true)
             .writeStream.outputMode("append")
@@ -159,19 +151,15 @@ object StreamingQueries extends QueryProvider {
       "sm04_stream_join",
       (s, dir) => {
         import s.implicits._
-        val batchSchema = Tables.events(s, dir).schema
-        val rawSchema = StructType(batchSchema.map {
-          case f if f.name == "ts" => f.copy(dataType = LongType)
-          case f => f
-        })
+        val fileSchema = Tables.eventsFileSchema(s, dir)
         val sink = s"sm04_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
         val stage = Files.createTempDirectory("sm04_events")
         var q: org.apache.spark.sql.streaming.StreamingQuery = null
         try {
           Files.copy(Paths.get(s"$dir/events.parquet"),
             stage.resolve("events.parquet"))
-          val stream = s.readStream.schema(rawSchema).parquet(stage.toString)
-            .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          val stream = Tables.normalizeEventTs(
+            s.readStream.schema(fileSchema).parquet(stage.toString))
           val clicks = stream.filter($"event_type" === "click")
             .select($"event_id".as("click_id"), $"user_id".as("cu"),
               $"ts".as("cts"))
@@ -214,19 +202,15 @@ object StreamingQueries extends QueryProvider {
       "sm05_stream_sliding",
       (s, dir) => {
         import s.implicits._
-        val batchSchema = Tables.events(s, dir).schema
-        val rawSchema = StructType(batchSchema.map {
-          case f if f.name == "ts" => f.copy(dataType = LongType)
-          case f => f
-        })
+        val fileSchema = Tables.eventsFileSchema(s, dir)
         val sink = s"sm05_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
         val stage = Files.createTempDirectory("sm05_events")
         var q: org.apache.spark.sql.streaming.StreamingQuery = null
         try {
           Files.copy(Paths.get(s"$dir/events.parquet"),
             stage.resolve("events.parquet"))
-          val stream = s.readStream.schema(rawSchema).parquet(stage.toString)
-            .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          val stream = Tables.normalizeEventTs(
+            s.readStream.schema(fileSchema).parquet(stage.toString))
           q = EventStreams.slidingCounts(stream, "1 hour", "15 minutes")
             .writeStream.outputMode("complete")
             .format("memory").queryName(sink).start()
@@ -264,11 +248,7 @@ object StreamingQueries extends QueryProvider {
       "sm06_stream_upsert",
       (s, dir) => {
         import s.implicits._
-        val batchSchema = Tables.events(s, dir).schema
-        val rawSchema = StructType(batchSchema.map {
-          case f if f.name == "ts" => f.copy(dataType = LongType)
-          case f => f
-        })
+        val fileSchema = Tables.eventsFileSchema(s, dir)
         val stage = Files.createTempDirectory("sm06_events")
         val sinkRoot = Files.createTempDirectory("sm06_sink")
         val dataDir = sinkRoot.resolve("data").toString
@@ -277,14 +257,14 @@ object StreamingQueries extends QueryProvider {
           // three deterministic slices → three micro-batches
           (0 until 3).foreach { i =>
             val tmp = sinkRoot.resolve(s"slice$i").toString
-            s.read.schema(rawSchema).parquet(s"$dir/events.parquet")
+            s.read.schema(fileSchema).parquet(s"$dir/events.parquet")
               .filter($"event_id" % 3 === i)
               .coalesce(1).write.mode("overwrite").parquet(tmp)
             val part = new java.io.File(tmp).listFiles()
               .filter(_.getName.endsWith(".parquet")).head
             Files.copy(part.toPath, stage.resolve(f"events_$i%02d.parquet"))
           }
-          val stream = s.readStream.schema(rawSchema)
+          val stream = s.readStream.schema(fileSchema)
             .option("maxFilesPerTrigger", "1").parquet(stage.toString)
           val agg = stream.groupBy($"user_id")
             .agg(count(lit(1)).as("n_events"),
@@ -348,14 +328,14 @@ object StreamingQueries extends QueryProvider {
       "sm07_stream_late_drop",
       (s, dir) => {
         import s.implicits._
-        val batchSchema = Tables.events(s, dir).schema
-        val rawSchema = StructType(batchSchema.map {
-          case f if f.name == "ts" => f.copy(dataType = LongType)
-          case f => f
-        })
-        // UTC-pinned cutoff (Timestamp.valueOf would use the JVM zone)
-        val cutoffNs = java.time.LocalDateTime.of(2024, 1, 20, 0, 0)
-          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000000L
+        // Slice on the NORMALIZED (TimestampType, UTC session) events so
+        // the staged batches carry an annotated-µs ts the stream reads
+        // back without any unit conversion.
+        val events = Tables.events(s, dir)
+        val normSchema = events.schema
+        // wall-clock cutoff; session zone is pinned UTC so this matches
+        // the oracle's naive TIMESTAMP '2024-01-20 00:00:00'
+        val cutoff = to_timestamp(lit("2024-01-20 00:00:00"))
         val sink = s"sm07_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
         val stage = Files.createTempDirectory("sm07_events")
         val scratch = Files.createTempDirectory("sm07_scratch")
@@ -365,12 +345,11 @@ object StreamingQueries extends QueryProvider {
           f.delete(): Unit
         }
         try {
-          val raw = s.read.schema(rawSchema).parquet(s"$dir/events.parquet")
-          val isEarly = $"ts" < cutoffNs // raw ts is nanos
+          val isEarly = $"ts" < cutoff
           val slices = Seq(
-            raw.filter(isEarly && $"event_id" % 10 =!= 0),
-            raw.filter(!isEarly),
-            raw.filter(isEarly && $"event_id" % 10 === 0))
+            events.filter(isEarly && $"event_id" % 10 =!= 0),
+            events.filter(!isEarly),
+            events.filter(isEarly && $"event_id" % 10 === 0))
           slices.zipWithIndex.foreach { case (df, i) =>
             val tmp = scratch.resolve(s"w$i").toString
             df.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -381,9 +360,8 @@ object StreamingQueries extends QueryProvider {
             // distinct mod times pin the micro-batch order
             dst.toFile.setLastModified(1000000000000L + i * 60000L): Unit
           }
-          val stream = s.readStream.schema(rawSchema)
+          val stream = s.readStream.schema(normSchema)
             .option("maxFilesPerTrigger", "1").parquet(stage.toString)
-            .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
             .withWatermark("ts", "2 hours")
             .filter($"event_type" =!= "__flush")
           q = stream
@@ -491,11 +469,7 @@ object StreamingQueries extends QueryProvider {
       "sm09_stream_enrich",
       (s, dir) => {
         import s.implicits._
-        val batchSchema = Tables.events(s, dir).schema
-        val rawSchema = StructType(batchSchema.map {
-          case f if f.name == "ts" => f.copy(dataType = LongType)
-          case f => f
-        })
+        val fileSchema = Tables.eventsFileSchema(s, dir)
         // static dim from the batch table: user -> value tier by the
         // global median of per-user totals (exact percentile)
         val totals = Tables.events(s, dir)
@@ -510,8 +484,8 @@ object StreamingQueries extends QueryProvider {
         try {
           Files.copy(Paths.get(s"$dir/events.parquet"),
             stage.resolve("events.parquet"))
-          val stream = s.readStream.schema(rawSchema).parquet(stage.toString)
-            .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          val stream = Tables.normalizeEventTs(
+            s.readStream.schema(fileSchema).parquet(stage.toString))
           q = stream.join(broadcast(dim), Seq("user_id"))
             .groupBy($"tier", $"event_type")
             .agg(count(lit(1)).as("n"), sum($"value").as("sv"))
@@ -548,19 +522,15 @@ object StreamingQueries extends QueryProvider {
       "sm10_stream_topk",
       (s, dir) => {
         import s.implicits._
-        val batchSchema = Tables.events(s, dir).schema
-        val rawSchema = StructType(batchSchema.map {
-          case f if f.name == "ts" => f.copy(dataType = LongType)
-          case f => f
-        })
+        val fileSchema = Tables.eventsFileSchema(s, dir)
         val sink = s"sm10_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
         val stage = Files.createTempDirectory("sm10_events")
         var q: org.apache.spark.sql.streaming.StreamingQuery = null
         try {
           Files.copy(Paths.get(s"$dir/events.parquet"),
             stage.resolve("events.parquet"))
-          val stream = s.readStream.schema(rawSchema).parquet(stage.toString)
-            .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          val stream = Tables.normalizeEventTs(
+            s.readStream.schema(fileSchema).parquet(stage.toString))
           q = EventStreams.windowedCounts(stream, "1 hour")
             .writeStream.outputMode("complete")
             .format("memory").queryName(sink).start()

@@ -1,6 +1,6 @@
 package graft.tables
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{types, DataFrame, SparkSession}
 
 /** Loaders for the harness parquet tables (TESTDATA.md / FIXTURES.md §B).
   *
@@ -23,23 +23,45 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which Spark's
-    * vectorized parquet reader rejects. Read nanos as long and truncate to
-    * microseconds — the same truncation DuckDB applies when it coerces the
-    * column to its microsecond TIMESTAMP, so oracle comparisons line up.
+  /** Harness generations differ in how events.parquet stores `ts`:
+    * annotated INT64 TIMESTAMP(MICROS) (reads natively as TimestampType)
+    * vs raw INT64 nanoseconds — including TIMESTAMP(NANOS), which Spark's
+    * parquet reader rejects at schema inference. [[eventsFileSchema]]
+    * probes the file once and [[normalizeEventTs]] converts a raw-nanos
+    * long to microseconds (the truncation DuckDB applies when coercing to
+    * its microsecond TIMESTAMP, so oracle comparisons line up either way).
     */
-  /** Explicit schema with ts:long sidesteps the TIMESTAMP(NANOS) mapping
-    * without touching any session conf (no hidden global state).
-    */
-  def events(s: SparkSession, d: String): DataFrame = {
+  def eventsFileSchema(s: SparkSession, d: String): types.StructType = {
     import org.apache.spark.sql.types._
-    val raw = StructType(Seq(
+    val rawNs = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    s.read.schema(raw).parquet(s"$d/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    // TIMESTAMP(NANOS) makes inference itself throw -> raw-long fallback
+    scala.util.Try(s.read.parquet(s"$d/events.parquet").schema).getOrElse(rawNs)
   }
+
+  /** Normalize an events read (batch or stream) to a TimestampType `ts`:
+    * identity when the file is timestamp-annotated, nanos->micros when
+    * the schema came out of the raw-long fallback.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case types.LongType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case types.TimestampNTZType =>
+        // isAdjustedToUTC=false may infer as NTZ; downstream operators
+        // (unix_micros, windows) expect TimestampType. The session zone is
+        // pinned to UTC, so the cast preserves the stored wall-clock.
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(types.TimestampType))
+      case _ => df
+    }
+
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEventTs(
+      s.read.schema(eventsFileSchema(s, d)).parquet(s"$d/events.parquet"))
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }
