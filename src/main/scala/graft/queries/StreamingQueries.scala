@@ -44,11 +44,14 @@ object StreamingQueries extends QueryProvider {
         }
         s.table(sink)
           .select($"window_start", $"event_type", $"n",
-            round($"sum_value", 2).as("sum_value"))
+            round($"sum_value", 2).cast("double").as("sum_value"))
           .orderBy($"window_start", $"event_type")
       },
+      // decimal accumulation mirrored oracle-side (sm06 pattern): both
+      // engines round the EXACT sum, so near-tie groups can't diverge
       Some("""SELECT date_trunc('hour', ts) AS window_start, event_type,
-             |count(*) AS n, round(sum(value),2) AS sum_value
+             |count(*) AS n,
+             |CAST(round(sum(CAST(value AS DECIMAL(18,6))),2) AS DOUBLE) AS sum_value
              |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)),
 
     // Gap-based sessionization through the REAL streaming path:
@@ -222,7 +225,7 @@ object StreamingQueries extends QueryProvider {
         }
         s.table(sink)
           .select($"window_start", $"event_type", $"n",
-            round($"sum_value", 2).as("sum_value"))
+            round($"sum_value", 2).cast("double").as("sum_value"))
           .orderBy($"window_start", $"event_type")
       },
       Some("""WITH e AS (SELECT event_type, value,
@@ -231,7 +234,7 @@ object StreamingQueries extends QueryProvider {
              |  t0 - unnest(range(4)) * INTERVAL '15 minutes' AS window_start
              |  FROM e)
              |SELECT window_start, event_type, count(*) AS n,
-             |round(sum(value), 2) AS sum_value
+             |CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
              |FROM x GROUP BY window_start, event_type
              |ORDER BY window_start, event_type""".stripMargin)),
 

@@ -31,14 +31,34 @@ object Tables {
     * long to microseconds (the truncation DuckDB applies when coercing to
     * its microsecond TIMESTAMP, so oracle comparisons line up either way).
     */
-  def eventsFileSchema(s: SparkSession, d: String): types.StructType = {
+  private val eventsSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, types.StructType]()
+
+  def eventsFileSchema(s: SparkSession, d: String): types.StructType =
+    // one probe per (session, dir): queries that call eventsFileSchema AND
+    // Tables.events (sm07/sm09) no longer launch redundant inference jobs
+    eventsSchemaCache.computeIfAbsent(s"${System.identityHashCode(s)}:$d",
+      _ => probeEventsSchema(s, d))
+
+  private def probeEventsSchema(s: SparkSession, d: String): types.StructType = {
     import org.apache.spark.sql.types._
+    val path = s"$d/events.parquet"
+    // missing file must surface here, not as a misleading downstream error
+    // after silently taking the raw-nanos fallback
+    if (!new java.io.File(path).exists())
+      throw new java.io.FileNotFoundException(s"events table not found: $path")
     val rawNs = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    // TIMESTAMP(NANOS) makes inference itself throw -> raw-long fallback
-    scala.util.Try(s.read.parquet(s"$d/events.parquet").schema).getOrElse(rawNs)
+    try s.read.parquet(path).schema
+    catch {
+      // TIMESTAMP(NANOS) makes inference itself throw ("Illegal Parquet
+      // type ...") -> raw-long fallback. Anything else (corrupt footer,
+      // permission, IO) rethrows.
+      case e: Exception if Option(e.getMessage).exists(m =>
+          m.contains("Parquet") || m.contains("parquet")) => rawNs
+    }
   }
 
   /** Normalize an events read (batch or stream) to a TimestampType `ts`:

@@ -24,10 +24,15 @@ class StreamingSpec extends SparkSpec {
       .format("memory").queryName("wincounts").start()
     q.processAllAvailable()
     q.stop()
+    // sum_value accumulates in decimal(18,6): compare both sides after
+    // the same round-and-cast the gate queries apply
     val streamed = spark.table("wincounts")
-      .select($"window_start", $"event_type", $"n", $"sum_value")
+      .select($"window_start", $"event_type", $"n",
+        round($"sum_value", 2).cast("double").as("sum_value"))
       .as[(Timestamp, String, Long, Double)].collect().toSet
     val batch = EventStreams.windowedCounts(events.toDF())
+      .select($"window_start", $"event_type", $"n",
+        round($"sum_value", 2).cast("double").as("sum_value"))
       .as[(Timestamp, String, Long, Double)].collect().toSet
     assert(streamed == batch)
     assert(streamed.nonEmpty)
@@ -69,20 +74,16 @@ class StreamingSpec extends SparkSpec {
 
   test("file-source streaming from the harness events parquet") {
     val batch = Tables.events(spark, sf("sf0.001"))
-    // the raw file stores ts as INT64 nanos (see Tables.events): stream it
-    // as long and apply the same µs truncation
-    val rawSchema = org.apache.spark.sql.types.StructType(batch.schema.map {
-      case f if f.name == "ts" => f.copy(dataType = org.apache.spark.sql.types.LongType)
-      case f => f
-    })
+    // same probe + normalization contract as the production queries:
+    // handles both annotated-µs and raw-nanos harness generations
+    val fileSchema = Tables.eventsFileSchema(spark, sf("sf0.001"))
     // FileStreamSource wants a directory: stage the file into one
     val dir = java.nio.file.Files.createTempDirectory("events_stream")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"${sf("sf0.001")}/events.parquet"),
       dir.resolve("events.parquet"))
-    val stream = spark.readStream.schema(rawSchema)
-      .parquet(dir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = Tables.normalizeEventTs(
+      spark.readStream.schema(fileSchema).parquet(dir.toString))
     val q = EventStreams.windowedCounts(stream)
       .writeStream.outputMode("complete")
       .format("memory").queryName("filewin").start()
