@@ -92,6 +92,161 @@ object PowerLsa {
     out
   }
 
+  /** k LSA concepts (the ls01 surface: per concept σ, top keywords, top
+    * doc ids) via sequential implicit deflation — the fully
+    * oracle-replayable form of `Lsa.concepts`' k=5 ARPACK semantics
+    * (reference BigdataProjectCode.py:138). Routes on matrix size like
+    * `TextRank.ranks`: a sub-driver-budget matrix (bounded by the nnz /
+    * row-count probes) runs the [[PowerCore]] compact recurrence off one
+    * bounded collect; anything larger runs [[kConceptsDF]]'s shuffled
+    * join+agg matvecs — both walk the IDENTICAL exact-decimal recurrence,
+    * so the routes are bit-equal (pinned in PowerLsaSpec).
+    *
+    * cells: (id long, token string, a double). Output: (concept int,
+    * singular_value round-4, keywords "t1 t2 …", doc_ids "d1 d2 …").
+    */
+  def kConcepts(cells: DataFrame, k: Int, iters: Int,
+      nKeywords: Int = 3, nDocs: Int = 3,
+      maxLocalNnz: Long = 2000000L, maxLocalIds: Long = 500000L): DataFrame = {
+    val c = cells.select(col("id"), col("token"), col("a")).persist()
+    val probe = c.agg(count(lit(1)), count_distinct(col("id"))).head()
+    val (nnz, nIds) = (probe.getLong(0), probe.getLong(1))
+    val out =
+      if (nnz <= maxLocalNnz && nIds <= maxLocalIds)
+        kConceptsLocal(c, k, iters, nKeywords, nDocs)
+      else kConceptsDF(c, k, iters, nKeywords, nDocs)
+    c.unpersist()
+    out
+  }
+
+  final case class ConceptRow(concept: Int, singular_value: Double,
+      keywords: String, doc_ids: String)
+
+  /** Compact route: one bounded collect, then the [[PowerCore]]
+    * recurrence on primitive arrays (index order = ascending key order,
+    * so tie-breaks match the SQL oracle's ORDER BY).
+    */
+  def kConceptsLocal(cells: DataFrame, k: Int, iters: Int,
+      nKeywords: Int, nDocs: Int): DataFrame = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val rows = cells.select(col("id").cast("long"), col("token"),
+      col("a").cast("double")).as[(Long, String, Double)].collect()
+    val toks = rows.map(_._2).distinct.sorted
+    val ids = rows.map(_._1).distinct.sorted
+    val tokIdx = toks.zipWithIndex.toMap
+    val idIdx = ids.zipWithIndex.toMap
+    val factors = PowerCore.factorize(ids.length, toks.length,
+      rows.map(r => idIdx(r._1)), rows.map(r => tokIdx(r._2)),
+      rows.map(_._3), k, iters)
+    val out = factors.zipWithIndex.map { case (f, j) =>
+      // sign convention: max-|loading| term positive (Q9/H2), ties to
+      // the lexicographically first token — ORDER BY abs(v) DESC, token
+      val tStar = toks.indices.minBy(t => (-math.abs(f.v(t)), toks(t)))
+      val fl = if (f.v(tStar) < 0) -1.0 else 1.0
+      val kw = toks.indices.map(t => (fl * f.v(t), toks(t)))
+        .sortBy { case (sv, t) => (-sv, t) }.take(nKeywords)
+        .map(_._2).mkString(" ")
+      val dc = ids.indices.map(d => (fl * (f.av(d) / f.sigma), ids(d)))
+        .sortBy { case (su, d) => (-su, d) }.take(nDocs)
+        .map(_._2).mkString(" ")
+      ConceptRow(j, round4(f.sigma), kw, dc)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(out.toSeq, 1))
+  }
+
+  private def round4(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
+
+  /** Distributed route: the [[secondSingular]] machinery generalized to
+    * k concepts — per round two shuffled matvecs plus one grouped dot /
+    * rank-1 correction against the UNION of prior vectors; v stays
+    * vocabulary-sized, lineage cut per round. The 100 TB path.
+    */
+  def kConceptsDF(cells: DataFrame, k: Int, iters: Int,
+      nKeywords: Int, nDocs: Int): DataFrame = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val c = cells.select(col("id"), col("token"), col("a")).persist()
+    val nv = c.select(col("token")).distinct().count()
+    val c0 = 1.0 / math.sqrt(nv.toDouble)
+    // (v_j DataFrame(token, v), sigma_j, av_j DataFrame(id, av))
+    val done = scala.collection.mutable.ArrayBuffer
+      .empty[(DataFrame, Double, DataFrame)]
+    var j = 0
+    while (j < k) {
+      val vprev =
+        if (done.isEmpty) null
+        else done.zipWithIndex.map { case ((vi, sg, _), i) =>
+          vi.select(lit(i).as("i"), lit(sg * sg).as("s2"),
+            col("token"), col("v"))
+        }.reduce(_ unionAll _).localCheckpoint()
+      var q: DataFrame =
+        if (done.isEmpty)
+          c.select(col("token")).distinct()
+            .withColumn("v", lit(c0)).localCheckpoint()
+        else {
+          val dots0 = vprev.groupBy(col("i"))
+            .agg(sum((col("v") * lit(c0)).cast(Dec)).cast("double").as("dot"))
+          val corr0 = vprev.join(dots0.select(col("i"), col("dot")), "i")
+            .groupBy(col("token"))
+            .agg(sum((col("dot") * col("v")).cast(Dec)).cast("double").as("corr"))
+          val w0r = corr0.select(col("token"), (lit(c0) - col("corr")).as("w"))
+          normalized(w0r).localCheckpoint()
+        }
+      (1 to iters).foreach { _ =>
+        val u = matvecV(c, q, "u")
+        val w0 = c.join(u, Seq("id"))
+          .groupBy(col("token"))
+          .agg(sum((col("a") * col("u")).cast(Dec)).cast("double").as("w0"))
+        val w =
+          if (done.isEmpty) w0.select(col("token"), col("w0").as("w"))
+          else {
+            val dots = vprev.join(q.select(col("token"), col("v").as("qv")), "token")
+              .groupBy(col("i"), col("s2"))
+              .agg(sum((col("v") * col("qv")).cast(Dec)).cast("double").as("dot"))
+            val corr = vprev.join(dots.select(col("i"), col("dot")), "i")
+              .groupBy(col("token"))
+              .agg(sum(((col("s2") * col("dot")) * col("v")).cast(Dec))
+                .cast("double").as("corr"))
+            w0.join(corr, Seq("token"))
+              .select(col("token"), (col("w0") - col("corr")).as("w"))
+          }
+        q = normalized(w).localCheckpoint()
+      }
+      val av = matvecV(c, q, "av").localCheckpoint()
+      val sigma = av.agg(
+        sqrt(sum((col("av") * col("av")).cast(Dec)).cast("double")))
+        .head().getDouble(0)
+      done += ((q, sigma, av))
+      j += 1
+    }
+    val out = done.zipWithIndex.map { case ((vj, sigma, av), i) =>
+      val flRow = vj.orderBy(abs(col("v")).desc, col("token")).limit(1)
+        .select(col("v")).head()
+      val fl = if (flRow.getDouble(0) < 0) -1.0 else 1.0
+      val kw = vj.select(col("token"), (lit(fl) * col("v")).as("sv"))
+        .orderBy(desc("sv"), col("token")).limit(nKeywords)
+        .select(col("token")).as[String].collect().mkString(" ")
+      val dc = av.select(col("id"),
+          (lit(fl) * (col("av") / lit(sigma))).as("su"))
+        .orderBy(desc("su"), col("id")).limit(nDocs)
+        .select(col("id").cast("long")).as[Long].collect().mkString(" ")
+      ConceptRow(i, round4(sigma), kw, dc)
+    }
+    c.unpersist()
+    spark.createDataFrame(spark.sparkContext.parallelize(out.toSeq, 1))
+  }
+
+  /** w → w/‖w‖ with the exact-decimal norm, column renamed to v. */
+  private def normalized(w: DataFrame): DataFrame = {
+    val nrm = w.agg(
+      sqrt(sum((col("w") * col("w")).cast(Dec)).cast("double")).as("nrm"))
+    w.crossJoin(broadcast(nrm))
+      .select(col("token"), (col("w") / col("nrm")).as("v"))
+  }
+
   /** SECOND singular triple via IMPLICIT deflation: never materialize
     * the dense residual A − σ₁u₁v₁ᵀ (impossible at scale); instead use
     * A₂ᵀA₂ = AᵀA − σ₁²v₁v₁ᵀ, so each round is the same two sparse

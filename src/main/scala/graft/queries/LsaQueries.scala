@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.baseline.OzsoyLsaSummarizer
+import graft.baseline.OzsoyPowerSummarizer
 import graft.lsa.{Lsa, PowerLsa}
 import graft.tables.Tables
 import graft.text.{TextFunctions => TF}
@@ -20,14 +20,73 @@ object LsaQueries extends QueryProvider {
     */
   private val PowerIters = 8
 
+  /** ls01 gate shape: k concepts, top-3 keywords / docs each.
+    * (All gate parameters sit BEFORE `all` — the oracle strings are
+    * built eagerly at object init.)
+    */
+  private val K = 5
+  private val NKw = 3
+  private val NDoc = 3
+
+  /** Deflation depth for the Ozsoy power queries (see
+    * OzsoyPowerSummarizer: the 0.75 σ-threshold keeps the surviving set
+    * well inside 5 concepts — OzsoyPowerSpec asserts it on gate data).
+    */
+  private val OzsoyTopics = 5
+
   override val all: Seq[Q] = Seq(
 
+    // The reference's k=5 LSA concept table (BigdataProjectCode.py:138)
+    // as a fully DuckDB-replayed query: the TF-IDF matrix (lemma'd LSA
+    // token pipeline, quirk Q3 idf) factored by the PowerCore implicit-
+    // deflation recurrence — the k-concept generalization of ls06/ls07.
+    // The production ARPACK solver stays a first-class path as
+    // ls08_concepts_arpack (below), which cross-gates against LAPACK
+    // in-query; PowerLsaSpec ties the two families together.
     Q(
       "ls01_concepts",
       (s, dir) => {
         import s.implicits._
-        Lsa.concepts(Tables.documents(s, dir), "doc_id", "text")
-          .select($"concept",
+        PowerLsa.kConcepts(powerCells(s, dir, lemma = true), K, PowerIters,
+            NKw, NDoc)
+          .orderBy($"concept")
+      },
+      Some(ls01OracleSql)),
+
+    // The production-solver sibling: distributed ARPACK SVD
+    // (IndexedRowMatrix.computeSVD — the path a 100 TB corpus calls),
+    // gated IN-QUERY cell-for-cell against the driver-local LAPACK
+    // mirror (LocalLsa) whenever the corpus is small enough to collect:
+    // σ within 1e-3 relative and identical keyword/doc selections, or
+    // the query throws and the gate records a failure. Rows-only at the
+    // DuckDB layer by nature of the solver; the k=5 semantics themselves
+    // are hash-verified via ls01's power twin.
+    Q(
+      "ls08_concepts_arpack",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val out = Lsa.concepts(docs, "doc_id", "text")
+        val nDocs = docs.count()
+        if (nDocs <= 10000L) { // bounded verification collect
+          val local = graft.lsa.LocalLsa.concepts(
+            docs.select($"doc_id".cast("long"), $"text")
+              .as[(Long, String)].collect().toSeq.sortBy(_._1))
+          val dist = out.orderBy($"concept").collect()
+          require(dist.length == local.length,
+            s"ARPACK returned ${dist.length} concepts, LAPACK ${local.length}")
+          dist.zip(local.sortBy(_.concept)).foreach { case (r, lc) =>
+            val sd = r.getAs[Double]("singular_value")
+            require(math.abs(sd - lc.singularValue) <=
+                1e-3 * math.max(1.0, math.abs(lc.singularValue)),
+              s"concept ${lc.concept}: ARPACK sigma $sd vs LAPACK ${lc.singularValue}")
+            require(r.getAs[Seq[String]]("keywords") == lc.keywords,
+              s"concept ${lc.concept}: keyword sets diverge")
+            require(r.getAs[Seq[Long]]("doc_ids") == lc.docIds,
+              s"concept ${lc.concept}: doc selections diverge")
+          }
+        }
+        out.select($"concept",
             round($"singular_value", 4).as("singular_value"),
             concat_ws(" ", $"keywords").as("keywords"),
             concat_ws(" ", $"doc_ids").as("doc_ids"))
@@ -36,22 +95,27 @@ object LsaQueries extends QueryProvider {
       None,
       bench = true),
 
+    // The pytldr-equivalent baseline (V1/H3) in its DuckDB-replayable
+    // configuration: the Ozsoy cross-method over a PowerCore-factored
+    // binary matrix (OzsoyPowerSummarizer doc). V1 is a driver-local
+    // per-document baseline by design; the "document" here is the
+    // ordered en-corpus slice. The LAPACK/topics=15 parity anchor stays
+    // OzsoyLsaSummarizer + OzsoySpec/AnchorSpec/OzsoyPowerSpec.
     Q(
       "ls02_baseline_scores",
       (s, dir) => {
         import s.implicits._
-        // V1 is a driver-local per-document baseline by design; the
-        // "document" here is the ordered en-corpus slice.
-        val sents = Tables.documents(s, dir)
-          .filter($"lang" === "en" && $"doc_id" < 200)
-          .orderBy($"doc_id")
-          .select($"text").as[String].collect().toSeq
-        val scored = OzsoyLsaSummarizer.scoreSentences(sents)
-        s.createDataFrame(scored.map(x => (x.index, math.rint(x.score * 1e6) / 1e6)))
+        val sents = baselineSents(s, dir)
+        val scored = OzsoyPowerSummarizer.scoreSentences(
+          sents, OzsoyTopics, PowerIters)
+        s.createDataFrame(scored.map(x =>
+            (x.index.toLong, OzsoyPowerSummarizer.round6(x.score))))
           .toDF("sent_idx", "score")
           .orderBy($"sent_idx")
       },
-      None),
+      Some(s"""$ozsoyChainSql
+             |SELECT sid AS sent_idx, round(score, 6) AS score
+             |FROM scall ORDER BY sent_idx""".stripMargin)),
 
     // Per-group (per-source) extractive top-k in one flatMapGroups job —
     // one local SVD per bounded group, no driver loop. Rows-only (SVD).
@@ -91,16 +155,16 @@ object LsaQueries extends QueryProvider {
       "ls03_baseline_summary",
       (s, dir) => {
         import s.implicits._
-        val sents = Tables.documents(s, dir)
-          .filter($"lang" === "en" && $"doc_id" < 200)
-          .orderBy($"doc_id")
-          .select($"text").as[String].collect().toSeq
-        val summary = OzsoyLsaSummarizer.summarize(sents, topics = 15,
-          length = 15, topicSigmaThreshold = 0.75)
-        s.createDataFrame(summary.zipWithIndex.map(_.swap))
-          .toDF("pos", "sentence").orderBy($"pos")
+        val sents = baselineSents(s, dir)
+        val summary = OzsoyPowerSummarizer.summarize(sents, length = 15,
+          OzsoyTopics, PowerIters)
+        s.createDataFrame(summary).toDF("pos", "sentence").orderBy($"pos")
       },
-      None),
+      Some(s"""$ozsoyChainSql,
+             |sel AS (SELECT sid FROM scall ORDER BY score DESC, sid LIMIT 15)
+             |SELECT row_number() OVER (ORDER BY sid) - 1 AS pos,
+             |  text AS sentence
+             |FROM sents JOIN sel USING (sid) ORDER BY pos""".stripMargin)),
 
     // The SVD family's ORACLE-CHECKED member: top singular triple of
     // the t05 TF-IDF matrix via the deterministic fixed-iteration power
@@ -135,18 +199,88 @@ object LsaQueries extends QueryProvider {
       Some(secondOracleSql(PowerIters)))
   )
 
-  /** The t05-style TF-IDF cell matrix both power queries factor. */
-  private def powerCells(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  /** The V1 baseline's input: the ordered en-corpus slice. */
+  private def baselineSents(s: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[String] = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .filter($"lang" === "en" && $"doc_id" < 200)
+      .orderBy($"doc_id")
+      .select($"text").as[String].collect().toSeq
+  }
+
+  /** Shared ls02/ls03 oracle prefix: sentence slice → binary matrix →
+    * PowerKSql chain → cross-method scores, ending in
+    * scall(sid, score) over ALL sentences (zero-token ones score 0).
+    */
+  private def ozsoyChainSql: String = {
+    val j = 1 to OzsoyTopics
+    val sigt = j.map(i => s"SELECT $i AS j, sigma FROM sg$i").mkString(" UNION ALL ")
+    val svt = j.map(i =>
+      s"SELECT $i AS j, token AS sid, fl * v AS sv FROM cv$i JOIN fl$i USING (g)")
+      .mkString("\nUNION ALL\n")
+    s"""WITH sents AS (SELECT row_number() OVER (ORDER BY doc_id) - 1 AS sid, text
+       |  FROM documents WHERE lang = 'en' AND doc_id < 200),
+       |tokrows AS (SELECT sid, unnest(list_distinct(list_filter(
+       |    regexp_extract_all(lower(text), '[a-zA-Z]+'),
+       |    x -> NOT list_contains(${TextQueries.stopSql}, x)))) AS term
+       |  FROM sents),
+       |cells AS MATERIALIZED (SELECT '' AS g, term AS id, sid AS token, 1.0 AS a
+       |  FROM tokrows),
+       |${PowerKSql.chain(OzsoyTopics, PowerIters)},
+       |sigt AS ($sigt),
+       |smaxt AS (SELECT max(sigma) AS smax FROM sigt),
+       |svt AS (\n$svt),
+       |nsent AS (SELECT count(*) AS n FROM sents),
+       |avgt AS (SELECT j, CAST(sum(CAST(sv AS DECIMAL(38,18))) AS DOUBLE) / n AS avg
+       |  FROM svt CROSS JOIN nsent GROUP BY j, n),
+       |sigk AS (SELECT j, CASE WHEN sigma >= 0.75 * smax THEN sigma ELSE 0.0 END AS sig
+       |  FROM sigt CROSS JOIN smaxt),
+       |cutt AS (SELECT j, sid, CASE WHEN sv > avg THEN sv ELSE 0.0 END AS vcut
+       |  FROM svt JOIN avgt USING (j)),
+       |sct AS (SELECT sid, CAST(sum(CAST((sig * vcut) * (sig * vcut)
+       |    AS DECIMAL(38,18))) AS DOUBLE) AS score
+       |  FROM cutt JOIN sigk USING (j) GROUP BY sid),
+       |scall AS (SELECT s.sid, coalesce(sct.score, 0.0) AS score
+       |  FROM sents s LEFT JOIN sct ON sct.sid = s.sid)""".stripMargin
+  }
+
+  /** The t05-style TF-IDF cell matrix the power queries factor (ls06/
+    * ls07 take the raw-token form; ls01 the lemma'd LSA pipeline).
+    */
+  private def powerCells(s: org.apache.spark.sql.SparkSession, dir: String,
+      lemma: Boolean = false) = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
     val n = docs.count()
     val tok = graft.Par.fanOut(docs)
-      .select($"doc_id", TF.lsaTokens($"text", lemma = false).as("tokens"))
+      .select($"doc_id", TF.lsaTokens($"text", lemma).as("tokens"))
     val tf = TfIdf.termFrequencies(tok, "doc_id", "tokens")
     val idf = TfIdf.idfTable(tf, "doc_id", n)
     tf.join(broadcast(idf.select($"token", $"idf")), "token")
       .select($"doc_id".as("id"), $"token", round($"tf" * $"idf", 6).as("a"))
   }
+
+  /** DuckDB replay of ls01: lemma'd TF-IDF cells (morphy in SQL, as in
+    * tr03/t07) → PowerKSql k-concept chain → concept emission.
+    */
+  private def ls01OracleSql: String =
+    s"""WITH RECURSIVE
+       |d0 AS (SELECT doc_id, ${TextQueries.tokSql()} AS t0 FROM documents),
+       |tokrows AS (SELECT doc_id, unnest(t0) AS tok FROM d0),
+       |toks AS (SELECT DISTINCT tok FROM tokrows),
+       |${MorphySql.ctes},
+       |ltok AS (SELECT tr.doc_id, l.lemma AS token
+       |  FROM tokrows tr JOIN lem l ON l.tok = tr.tok),
+       |ltf AS (SELECT doc_id, token, count(*) AS tf
+       |  FROM ltok GROUP BY doc_id, token),
+       |ldf AS (SELECT token, count(*) AS df FROM ltf GROUP BY token),
+       |nn AS (SELECT count(*) AS n FROM documents),
+       |cells AS MATERIALIZED (SELECT '' AS g, doc_id AS id, ltf.token,
+       |  round(ltf.tf * log10(nn.n * 1.0 / ldf.df), 6) AS a
+       |  FROM ltf JOIN ldf USING (token) CROSS JOIN nn),
+       |${PowerKSql.chain(K, PowerIters)}
+       |${PowerKSql.conceptEmission(K, NKw, NDoc)}""".stripMargin
 
   // AS MATERIALIZED throughout: without it DuckDB inlines every CTE
   // reference and the iteration chain re-evaluates `cells` exponentially.

@@ -26,7 +26,7 @@ object TextQueries extends QueryProvider {
   /** NLTK stopword list inlined for oracle SQL (alpha-only subset — the
     * `[a-zA-Z]+` tokenizer can never produce the apostrophe entries).
     */
-  private val stopSql: String =
+  private[queries] val stopSql: String =
     StopWords.nltkEnglishAlpha.map(w => s"'$w'").mkString("[", ",", "]")
 
   /** DuckDB expression for the LSA-style kept-token list (shared with
