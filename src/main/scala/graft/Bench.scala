@@ -29,16 +29,22 @@ object Bench {
     // plan pays one-off Janino codegen compilation + JVM JIT of the
     // generated classes (3-6x the steady-state time for the HOF-heavy text
     // plans). A long-running engine runs every plan shape many times, so
-    // the steady-state number is the representative one; the warmup pass
-    // is executed identically (same noop sink, full materialization).
+    // the steady-state number is the representative one; the warmup run
+    // is executed identically (same noop sink, full materialization) and
+    // IMMEDIATELY before its timed run — a single up-front warmup pass
+    // left 15 queries between q01's warmup and its measurement, enough
+    // for JIT/code-cache state to decay (the r4 q01/q03 drift).
     def runOnce(name: String): Boolean =
       try { qmap(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
-    names.foreach(runOnce)
+    // one untimed pipeline warm-up (scan + shuffle machinery, parquet
+    // footers, codegen of the most common operators) before any timing
+    names.headOption.foreach(runOnce)
     // A failed query is recorded as a NEGATIVE time (sentinel) and listed
     // under "failed" — never as a fast success that silently shrinks the
     // headline total.
     val results = names.map { name =>
+      runOnce(name) // adjacent warmup: JIT-hot when the clock starts
       val t0 = System.nanoTime()
       val ok = runOnce(name)
       val dt = (System.nanoTime() - t0) / 1e9

@@ -60,9 +60,14 @@ object PowerCore {
   }
 
   /** k singular triples of the sparse cells matrix by sequential
-    * implicit deflation. Stops early (returns fewer factors) if a
-    * residual collapses to zero norm — a rank-deficient corner the gate
-    * corpora never hit, guarded so degenerate inputs can't divide by 0.
+    * implicit deflation. Always returns exactly k factors: when a
+    * residual collapses to zero norm (rank-deficient input, e.g. a
+    * 2-sentence group factored at k=5), the normalize step yields the
+    * ZERO vector and the concept continues with σ=0 — deflation against
+    * a zero factor is a no-op, so later concepts are unaffected. This
+    * zero-continue convention is what the SQL oracles replay (their
+    * normalize guards `nrm = 0`), keeping engine and oracle total on
+    * degenerate groups instead of diverging on an early stop.
     */
   def factorize(nIds: Int, nToks: Int, cellIds: Array[Int],
       cellToks: Array[Int], cellAs: Array[Double],
@@ -89,6 +94,11 @@ object PowerCore {
       math.sqrt(acc.doubleValue)
     }
 
+    def normalize(w: Array[Double]): Array[Double] = {
+      val n = norm(w)
+      if (n == 0.0) Array.fill(w.length)(0.0) else w.map(_ / n)
+    }
+
     val out = scala.collection.mutable.ArrayBuffer.empty[Factor]
     val c0 = 1.0 / math.sqrt(nToks.toDouble)
     var j = 0
@@ -106,14 +116,10 @@ object PowerCore {
             t = 0
             while (t < nToks) { sumInto(corr, t, d0 * f.v(t)); t += 1 }
           }
-          val w = Array.tabulate(nToks)(t => c0 - corr(t).doubleValue)
-          val n0 = norm(w)
-          if (n0 == 0.0) return out.toArray
-          w.map(_ / n0)
+          normalize(Array.tabulate(nToks)(t => c0 - corr(t).doubleValue))
         }
       var it = 0
-      var dead = false
-      while (it < iters && !dead) {
+      while (it < iters) {
         val u = matvecV(v)
         val w0 = matvecU(u)
         val w =
@@ -128,16 +134,11 @@ object PowerCore {
             }
             Array.tabulate(nToks)(t => w0(t) - corr(t).doubleValue)
           }
-        val nw = norm(w)
-        if (nw == 0.0) dead = true
-        else v = w.map(_ / nw)
+        v = normalize(w)
         it += 1
       }
-      if (dead) return out.toArray
       val av = matvecV(v)
-      val sigma = norm(av)
-      if (sigma == 0.0) return out.toArray
-      out += Factor(sigma, v, av)
+      out += Factor(norm(av), v, av)
       j += 1
     }
     out.toArray

@@ -147,7 +147,8 @@ object PowerLsa {
       val kw = toks.indices.map(t => (fl * f.v(t), toks(t)))
         .sortBy { case (sv, t) => (-sv, t) }.take(nKeywords)
         .map(_._2).mkString(" ")
-      val dc = ids.indices.map(d => (fl * (f.av(d) / f.sigma), ids(d)))
+      val dc = ids.indices.map(d => (
+          if (f.sigma == 0.0) 0.0 else fl * (f.av(d) / f.sigma), ids(d)))
         .sortBy { case (su, d) => (-su, d) }.take(nDocs)
         .map(_._2).mkString(" ")
       ConceptRow(j, round4(f.sigma), kw, dc)
@@ -230,7 +231,8 @@ object PowerLsa {
         .orderBy(desc("sv"), col("token")).limit(nKeywords)
         .select(col("token")).as[String].collect().mkString(" ")
       val dc = av.select(col("id"),
-          (lit(fl) * (col("av") / lit(sigma))).as("su"))
+          (if (sigma == 0.0) lit(0.0)
+           else lit(fl) * (col("av") / lit(sigma))).as("su"))
         .orderBy(desc("su"), col("id")).limit(nDocs)
         .select(col("id").cast("long")).as[Long].collect().mkString(" ")
       ConceptRow(i, round4(sigma), kw, dc)
@@ -239,12 +241,17 @@ object PowerLsa {
     spark.createDataFrame(spark.sparkContext.parallelize(out.toSeq, 1))
   }
 
-  /** w → w/‖w‖ with the exact-decimal norm, column renamed to v. */
+  /** w → w/‖w‖ with the exact-decimal norm, column renamed to v; a
+    * zero-norm residual yields the ZERO vector (PowerCore's
+    * zero-continue convention for rank-deficient inputs).
+    */
   private def normalized(w: DataFrame): DataFrame = {
     val nrm = w.agg(
       sqrt(sum((col("w") * col("w")).cast(Dec)).cast("double")).as("nrm"))
     w.crossJoin(broadcast(nrm))
-      .select(col("token"), (col("w") / col("nrm")).as("v"))
+      .select(col("token"),
+        when(col("nrm") === 0.0, 0.0)
+          .otherwise(col("w") / col("nrm")).as("v"))
   }
 
   /** SECOND singular triple via IMPLICIT deflation: never materialize

@@ -114,6 +114,10 @@ object Similarity {
         rem = rem.filter(col("id") =!= pid)
           .withColumn("ms", greatest(col("ms"),
             round(cosine(col("vec"), typedlit(pvec)), 6)))
+        // the greedy loop grows the plan by one filter+withColumn per
+        // round; past a handful of rounds, cut the lineage so analysis/
+        // optimization cost stays O(1) per round instead of O(i)
+        if (i % 8 == 0) rem = rem.localCheckpoint()
         i += 1
       }
     }

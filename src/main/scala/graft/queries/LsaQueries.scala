@@ -118,23 +118,32 @@ object LsaQueries extends QueryProvider {
              |FROM scall ORDER BY sent_idx""".stripMargin)),
 
     // Per-group (per-source) extractive top-k in one flatMapGroups job —
-    // one local SVD per bounded group, no driver loop. Rows-only (SVD).
+    // one local SVD per bounded group, no driver loop. The in-group
+    // scorer is the PowerCore configuration, so the whole selection is
+    // DuckDB-replayed as a keyed chain (20 groups ride the same CTEs).
     Q(
       "ls04_grouped_topk",
       (s, dir) => {
         import s.implicits._
         val sents = Tables.documents(s, dir)
           .select($"source".as("grp"), $"doc_id".as("sid"), $"text")
-        graft.operators.GroupedSummarizer.topKPerGroup(sents, 3)
+        graft.operators.GroupedSummarizer
+          .topKPerGroupPower(sents, 3, OzsoyTopics, PowerIters)
           .toDF()
           .select($"grp", $"sid", $"score")
           .orderBy($"grp", $"sid")
       },
-      None),
+      Some(ls04OracleSql)),
 
     // EP3 at scale: per-source system-vs-baseline ROUGE table in ONE
-    // flatMapGroups job (no driver loop). Rows-only (SVD inside);
-    // GroupedEvalSpec asserts equality with Pipelines.evaluate.
+    // flatMapGroups job (no driver loop), in its DuckDB-replayable
+    // configuration — both in-group summarizers on the PowerCore
+    // solver, stemmed ROUGE-1/2/L, exact-decimal means. The oracle
+    // unrolls the ENTIRE evaluation: two keyed power chains (system
+    // TF-IDF k=5 with morphy lemmas + baseline binary Ozsoy), the
+    // Porter stemmer, n-gram overlap, the recursive-CTE LCS, and the
+    // per-group means. The LAPACK composite (evaluatePerGroup) remains
+    // the Pipelines.evaluate parity path, pinned by GroupedEvalSpec.
     Q(
       "ls05_grouped_eval",
       (s, dir) => {
@@ -142,14 +151,17 @@ object LsaQueries extends QueryProvider {
         val sents = Tables.documents(s, dir)
           .select($"source".as("grp"), $"doc_id".cast("string").as("review_id"),
             lit(0).as("sent_idx"), $"text".as("sentence"))
-        graft.operators.GroupedSummarizer.evaluatePerGroup(sents).toDF()
+        graft.operators.GroupedSummarizer
+          .evaluatePerGroupPower(sents, OzsoyTopics, PowerIters,
+            summaryLen = 15, k = K, nDocs = NDoc)
+          .toDF()
           .select($"product_id", $"metric",
             round($"precision", 6).as("precision"),
             round($"recall", 6).as("recall"),
             round($"f1", 6).as("f1"))
           .orderBy($"product_id", $"metric")
       },
-      None),
+      Some(ls05OracleSql)),
 
     Q(
       "ls03_baseline_summary",
@@ -199,6 +211,185 @@ object LsaQueries extends QueryProvider {
       Some(secondOracleSql(PowerIters)))
   )
 
+  /** DuckDB replay of ls04: per-source binary matrices factored by the
+    * SAME keyed chain (every CTE carries g = source), scored by the
+    * keyed Ozsoy CTEs, top-3 per group by (score desc, position).
+    */
+  private def ls04OracleSql: String =
+    s"""WITH sents AS (SELECT source AS g, doc_id AS sid, text,
+       |  row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS sidx
+       |  FROM documents),
+       |tokrows AS (SELECT g, sidx, unnest(list_distinct(list_filter(
+       |    regexp_extract_all(lower(text), '[a-zA-Z]+'),
+       |    x -> NOT list_contains(${TextQueries.stopSql}, x)))) AS term
+       |  FROM sents),
+       |cells AS MATERIALIZED (SELECT g, term AS id, sidx AS token, 1.0 AS a
+       |  FROM tokrows),
+       |nsent AS (SELECT g, count(*) AS n FROM sents GROUP BY g),
+       |${PowerKSql.chain(OzsoyTopics, PowerIters)},
+       |${PowerKSql.ozsoyScoreCtes(OzsoyTopics)},
+       |scall AS (SELECT s.g, s.sid, s.sidx, coalesce(sct.score, 0.0) AS score
+       |  FROM sents s LEFT JOIN sct ON sct.g = s.g AND sct.sid = s.sidx),
+       |sel AS (SELECT g, sid, score, row_number() OVER (PARTITION BY g
+       |    ORDER BY score DESC, sidx) AS rn FROM scall)
+       |SELECT g AS grp, sid, round(score, 6) AS score
+       |FROM sel WHERE rn <= 3 ORDER BY grp, sid""".stripMargin
+
+  /** DuckDB replay of ls05 — the full grouped evaluation:
+    *  1. `ord`: per-source sentences in (review_id-string) order;
+    *     `sided`: the ≥5-space-word slice with 1-based sids;
+    *  2. system side: lemma'd TF-IDF cells (morphy CTEs) → keyed power
+    *     chain (prefix `s`) → per-concept top-3 summaries;
+    *  3. baseline side: binary cells → keyed chain (prefix `b`) + Ozsoy
+    *     scoring → top-15 summary sentences in original order;
+    *  4. pairs j=1..K (concept j vs j-th baseline sentence), stemmed
+    *     ROUGE-1/2/L (Porter CTEs + recursive LCS), round-6 per pair,
+    *     exact-decimal means per (group, metric) on a group spine.
+    */
+  private def ls05OracleSql: String = {
+    val sysJ = (1 to K).map { j =>
+      s"""sys$j AS (SELECT r.g, string_agg(sd.text, ' ' ORDER BY r.su DESC, r.sid) AS summary
+         |  FROM (SELECT g, id AS sid,
+         |      CASE WHEN sigma = 0.0 THEN 0.0 ELSE fl * (av / sigma) END AS su,
+         |      row_number() OVER (PARTITION BY g ORDER BY
+         |        CASE WHEN sigma = 0.0 THEN 0.0 ELSE fl * (av / sigma) END DESC,
+         |        id) AS rn
+         |    FROM sav$j JOIN ssg$j USING (g) JOIN sfl$j USING (g)) r
+         |  JOIN sided sd ON sd.g = r.g AND sd.sid = r.sid
+         |  WHERE r.rn <= $NDoc GROUP BY r.g)""".stripMargin
+    }.mkString(",\n")
+    val sysAll = (1 to K).map(j => s"SELECT g, $j AS j, summary FROM sys$j")
+      .mkString(" UNION ALL ")
+    s"""WITH RECURSIVE
+       |ord AS (SELECT source AS g, CAST(doc_id AS VARCHAR) AS rid, text,
+       |  row_number() OVER (PARTITION BY source
+       |    ORDER BY CAST(doc_id AS VARCHAR)) - 1 AS oidx
+       |  FROM documents WHERE len(trim(text)) > 0),
+       |sided AS (SELECT g, text,
+       |  row_number() OVER (PARTITION BY g ORDER BY rid) AS sid
+       |  FROM ord WHERE len(string_split(text, ' ')) >= 5),
+       |stok AS (SELECT g, sid, unnest(${TextQueries.tokSql()}) AS tok FROM sided),
+       |toks AS (SELECT DISTINCT tok FROM stok),
+       |${MorphySql.ctes},
+       |slt AS (SELECT s.g, s.sid, l.lemma AS token
+       |  FROM stok s JOIN lem l ON l.tok = s.tok),
+       |stf AS (SELECT g, sid, token, count(*) AS tf
+       |  FROM slt GROUP BY g, sid, token),
+       |snd AS (SELECT g, count(DISTINCT sid) AS nd FROM stf GROUP BY g),
+       |sdf AS (SELECT g, token, count(*) AS df FROM stf GROUP BY g, token),
+       |scells AS MATERIALIZED (SELECT g, sid AS id, stf.token,
+       |  round(stf.tf * log10(nd * 1.0 / df), 6) AS a
+       |  FROM stf JOIN sdf USING (g, token) JOIN snd USING (g)),
+       |${PowerKSql.chain(K, PowerIters, "s")},
+       |$sysJ,
+       |sysall AS ($sysAll),
+       |btok AS (SELECT g, oidx, unnest(list_distinct(list_filter(
+       |    regexp_extract_all(lower(text), '[a-zA-Z]+'),
+       |    x -> NOT list_contains(${TextQueries.stopSql}, x)))) AS term
+       |  FROM ord),
+       |bcells AS MATERIALIZED (SELECT g, term AS id, oidx AS token, 1.0 AS a
+       |  FROM btok),
+       |bnsent AS (SELECT g, count(*) AS n FROM ord GROUP BY g),
+       |${PowerKSql.chain(OzsoyTopics, PowerIters, "b")},
+       |${PowerKSql.ozsoyScoreCtes(OzsoyTopics, "b")},
+       |bscall AS (SELECT o.g, o.oidx, o.text, coalesce(b.score, 0.0) AS score
+       |  FROM ord o LEFT JOIN bsct b ON b.g = o.g AND b.sid = o.oidx),
+       |bsel AS (SELECT g, oidx, text, row_number() OVER (PARTITION BY g
+       |    ORDER BY score DESC, oidx) AS rn FROM bscall),
+       |bref AS (SELECT g, row_number() OVER (PARTITION BY g ORDER BY oidx) AS j,
+       |  text FROM bsel WHERE rn <= 15),
+       |pairs AS (SELECT s.g, s.j, s.summary AS sys, r.text AS ref
+       |  FROM sysall s JOIN bref r ON r.g = s.g AND r.j = s.j),
+       |rtokr AS (
+       |  SELECT g, j, 's' AS side, unnest(range(len(t))) AS pos, unnest(t) AS tok
+       |  FROM (SELECT g, j, regexp_extract_all(lower(sys), '[a-z0-9]+') AS t
+       |        FROM pairs)
+       |  UNION ALL
+       |  SELECT g, j, 'r', unnest(range(len(t))), unnest(t)
+       |  FROM (SELECT g, j, regexp_extract_all(lower(ref), '[a-z0-9]+') AS t
+       |        FROM pairs)),
+       |rvoc AS (SELECT DISTINCT tok FROM rtokr WHERE len(tok) > 3),
+       |${PorterSql.ctes("rvoc")},
+       |rmap AS (SELECT t.g, t.j, t.side, t.pos,
+       |    CASE WHEN len(t.tok) <= 3 THEN t.tok ELSE s.stm END AS stok
+       |  FROM rtokr t LEFT JOIN stems s ON s.tok = t.tok),
+       |ragg AS (SELECT g, j, side, list(stok ORDER BY pos) AS toks
+       |  FROM rmap GROUP BY g, j, side),
+       |rpairs AS MATERIALIZED (SELECT p.g, p.j,
+       |    coalesce(sa.toks, []::VARCHAR[]) AS sys,
+       |    coalesce(ra.toks, []::VARCHAR[]) AS ref
+       |  FROM pairs p
+       |  LEFT JOIN ragg sa ON sa.g = p.g AND sa.j = p.j AND sa.side = 's'
+       |  LEFT JOIN ragg ra ON ra.g = p.g AND ra.j = p.j AND ra.side = 'r'),
+       |u_sc AS (SELECT g, j, tok, count(*) AS c
+       |  FROM (SELECT g, j, unnest(sys) AS tok FROM rpairs) GROUP BY g, j, tok),
+       |u_rc AS (SELECT g, j, tok, count(*) AS c
+       |  FROM (SELECT g, j, unnest(ref) AS tok FROM rpairs) GROUP BY g, j, tok),
+       |u_ov AS (SELECT sc.g, sc.j, sum(least(sc.c, rc.c)) AS ov
+       |  FROM u_sc sc JOIN u_rc rc
+       |    ON rc.g = sc.g AND rc.j = sc.j AND rc.tok = sc.tok
+       |  GROUP BY sc.g, sc.j),
+       |u_sco AS (SELECT p.g, p.j,
+       |    coalesce(ov.ov, 0) * 1.0 / greatest(len(p.sys), 1) AS p,
+       |    coalesce(ov.ov, 0) * 1.0 / greatest(len(p.ref), 1) AS r
+       |  FROM rpairs p LEFT JOIN u_ov ov ON ov.g = p.g AND ov.j = p.j),
+       |bgp AS (SELECT g, j,
+       |    CASE WHEN len(sys) < 2 THEN [] ELSE list_transform(range(1, len(sys)),
+       |      i -> sys[i] || ' ' || sys[i+1]) END AS gs,
+       |    CASE WHEN len(ref) < 2 THEN [] ELSE list_transform(range(1, len(ref)),
+       |      i -> ref[i] || ' ' || ref[i+1]) END AS gr
+       |  FROM rpairs),
+       |b_sc AS (SELECT g, j, tok, count(*) AS c
+       |  FROM (SELECT g, j, unnest(gs) AS tok FROM bgp) GROUP BY g, j, tok),
+       |b_rc AS (SELECT g, j, tok, count(*) AS c
+       |  FROM (SELECT g, j, unnest(gr) AS tok FROM bgp) GROUP BY g, j, tok),
+       |b_ov AS (SELECT sc.g, sc.j, sum(least(sc.c, rc.c)) AS ov
+       |  FROM b_sc sc JOIN b_rc rc
+       |    ON rc.g = sc.g AND rc.j = sc.j AND rc.tok = sc.tok
+       |  GROUP BY sc.g, sc.j),
+       |b_sco AS (SELECT b.g, b.j,
+       |    coalesce(ov.ov, 0) * 1.0 / greatest(len(b.gs), 1) AS p,
+       |    coalesce(ov.ov, 0) * 1.0 / greatest(len(b.gr), 1) AS r
+       |  FROM bgp b LEFT JOIN b_ov ov ON ov.g = b.g AND ov.j = b.j),
+       |lcs(g, j, i, row) AS (
+       |  SELECT g, j, 0, list_transform(range(0, len(ref)+1), x -> 0) FROM rpairs
+       |  UNION ALL
+       |  SELECT l.g, l.j, l.i+1,
+       |    list_reduce([[0]] || list_transform(range(1, len(p.ref)+1), jj -> [jj]),
+       |      (acc, x) -> list_append(acc,
+       |        CASE WHEN p.sys[l.i+1] = p.ref[x[1]] THEN l.row[x[1]] + 1
+       |             ELSE greatest(l.row[x[1]+1], acc[len(acc)]) END))
+       |  FROM lcs l JOIN rpairs p ON p.g = l.g AND p.j = l.j
+       |  WHERE l.i < len(p.sys)),
+       |lfin AS (SELECT l.g, l.j, l.row[len(l.row)] AS ll, len(p.sys) AS ns,
+       |  len(p.ref) AS nr
+       |  FROM lcs l JOIN rpairs p ON p.g = l.g AND p.j = l.j
+       |  WHERE l.i = len(p.sys)),
+       |l_sco AS (SELECT g, j, ll * 1.0 / greatest(ns, 1) AS p,
+       |  ll * 1.0 / greatest(nr, 1) AS r FROM lfin),
+       |allsco AS (
+       |  SELECT g, j, 'rouge1' AS metric, p, r FROM u_sco
+       |  UNION ALL SELECT g, j, 'rouge2', p, r FROM b_sco
+       |  UNION ALL SELECT g, j, 'rougeL', p, r FROM l_sco),
+       |rounded AS (SELECT g, metric, round(p, 6) AS p, round(r, 6) AS r,
+       |  round(CASE WHEN p + r = 0 THEN 0 ELSE 2 * p * r / (p + r) END, 6) AS f
+       |  FROM allsco),
+       |means AS (SELECT g, metric,
+       |  CAST(sum(CAST(p AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS mp,
+       |  CAST(sum(CAST(r AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS mr,
+       |  CAST(sum(CAST(f AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS mf
+       |  FROM rounded GROUP BY g, metric),
+       |mspine AS (SELECT g, metric
+       |  FROM (SELECT DISTINCT g FROM ord)
+       |  CROSS JOIN (SELECT unnest(['rouge1','rouge2','rougeL']) AS metric))
+       |SELECT m.g AS product_id, m.metric,
+       |  round(coalesce(mp, 0.0), 6) AS precision,
+       |  round(coalesce(mr, 0.0), 6) AS recall,
+       |  round(coalesce(mf, 0.0), 6) AS f1
+       |FROM mspine m LEFT JOIN means me ON me.g = m.g AND me.metric = m.metric
+       |ORDER BY product_id, m.metric""".stripMargin
+  }
+
   /** The V1 baseline's input: the ordered en-corpus slice. */
   private def baselineSents(s: org.apache.spark.sql.SparkSession,
       dir: String): Seq[String] = {
@@ -210,15 +401,10 @@ object LsaQueries extends QueryProvider {
   }
 
   /** Shared ls02/ls03 oracle prefix: sentence slice → binary matrix →
-    * PowerKSql chain → cross-method scores, ending in
+    * PowerKSql chain + keyed Ozsoy scoring (g = '' constant), ending in
     * scall(sid, score) over ALL sentences (zero-token ones score 0).
     */
-  private def ozsoyChainSql: String = {
-    val j = 1 to OzsoyTopics
-    val sigt = j.map(i => s"SELECT $i AS j, sigma FROM sg$i").mkString(" UNION ALL ")
-    val svt = j.map(i =>
-      s"SELECT $i AS j, token AS sid, fl * v AS sv FROM cv$i JOIN fl$i USING (g)")
-      .mkString("\nUNION ALL\n")
+  private def ozsoyChainSql: String =
     s"""WITH sents AS (SELECT row_number() OVER (ORDER BY doc_id) - 1 AS sid, text
        |  FROM documents WHERE lang = 'en' AND doc_id < 200),
        |tokrows AS (SELECT sid, unnest(list_distinct(list_filter(
@@ -227,23 +413,11 @@ object LsaQueries extends QueryProvider {
        |  FROM sents),
        |cells AS MATERIALIZED (SELECT '' AS g, term AS id, sid AS token, 1.0 AS a
        |  FROM tokrows),
+       |nsent AS (SELECT '' AS g, count(*) AS n FROM sents),
        |${PowerKSql.chain(OzsoyTopics, PowerIters)},
-       |sigt AS ($sigt),
-       |smaxt AS (SELECT max(sigma) AS smax FROM sigt),
-       |svt AS (\n$svt),
-       |nsent AS (SELECT count(*) AS n FROM sents),
-       |avgt AS (SELECT j, CAST(sum(CAST(sv AS DECIMAL(38,18))) AS DOUBLE) / n AS avg
-       |  FROM svt CROSS JOIN nsent GROUP BY j, n),
-       |sigk AS (SELECT j, CASE WHEN sigma >= 0.75 * smax THEN sigma ELSE 0.0 END AS sig
-       |  FROM sigt CROSS JOIN smaxt),
-       |cutt AS (SELECT j, sid, CASE WHEN sv > avg THEN sv ELSE 0.0 END AS vcut
-       |  FROM svt JOIN avgt USING (j)),
-       |sct AS (SELECT sid, CAST(sum(CAST((sig * vcut) * (sig * vcut)
-       |    AS DECIMAL(38,18))) AS DOUBLE) AS score
-       |  FROM cutt JOIN sigk USING (j) GROUP BY sid),
+       |${PowerKSql.ozsoyScoreCtes(OzsoyTopics)},
        |scall AS (SELECT s.sid, coalesce(sct.score, 0.0) AS score
        |  FROM sents s LEFT JOIN sct ON sct.sid = s.sid)""".stripMargin
-  }
 
   /** The t05-style TF-IDF cell matrix the power queries factor (ls06/
     * ls07 take the raw-token form; ls01 the lemma'd LSA pipeline).

@@ -442,32 +442,37 @@ object TemporalQueries extends QueryProvider {
              |FROM st GROUP BY stage ORDER BY stage""".stripMargin)),
 
     // Per-user exponential moving average of event values, α = 1/2
-    // (zero-seeded: s ← (s + x)/2 over the time-ordered stream). The
-    // halving form is chosen deliberately: each step is one IEEE add and
-    // one exact power-of-two scale, so Spark's fold and the oracle's
-    // list_reduce are bit-identical — a smoothing operator whose
-    // cross-engine parity needs no tolerance. One hash agg (collect per
-    // user) + a narrow per-row fold; user cardinality bounds the state.
+    // (zero-seeded), in CLOSED form: s_n = Σ_i x_i · 2^(i−n−1). Each
+    // contribution is the value times an exact power-of-two scale
+    // (IEEE-exact on both engines), and the sum runs in exact decimal —
+    // associative, so partitioning cannot reorder anything observable.
+    // No per-user array: position/count come from one sort-based window
+    // over the user partition and the sum is a plain hash agg, so a
+    // power user's history streams through bounded state instead of
+    // landing in a single collect_list row (the 100×-safe form; the r4
+    // fold-over-collect_list shape is gone).
     Q(
       "q50_ema",
       (s, dir) => {
         import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val wu = Window.partitionBy($"user_id")
         Tables.events(s, dir)
+          .withColumn("i", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(wu))
           .groupBy($"user_id")
           .agg(count(lit(1)).as("n_events"),
-            sort_array(collect_list(struct($"ts", $"event_id", $"value")))
-              .as("xs"))
-          .select($"user_id", $"n_events",
-            round(aggregate(transform($"xs", e => e("value")), lit(0.0),
-              (s0, x) => (s0 + x) / lit(2.0)), 6).as("ema"))
+            round(sum(($"value" * pow(lit(2.0), $"i" - $"n" - 1))
+              .cast("decimal(38,18)")).cast("double"), 6).as("ema"))
           .orderBy($"user_id")
       },
-      Some("""WITH l AS (SELECT user_id, count(*) AS n_events,
-             |  list(value ORDER BY ts, event_id) AS xs
-             |  FROM events GROUP BY user_id)
-             |SELECT user_id, n_events,
-             |  round(list_reduce(list_prepend(0.0, xs),
-             |    (s, x) -> (s + x) / 2), 6) AS ema
-             |FROM l ORDER BY user_id""".stripMargin))
+      Some("""WITH w AS (SELECT user_id, value,
+             |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i,
+             |  count(*) OVER (PARTITION BY user_id) AS n
+             |  FROM events)
+             |SELECT user_id, count(*) AS n_events,
+             |  round(CAST(sum(CAST(value * pow(2.0, i - n - 1)
+             |    AS DECIMAL(38,18))) AS DOUBLE), 6) AS ema
+             |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin))
   )
 }

@@ -61,6 +61,11 @@ object EventStreams {
     * (more events may arrive — default false). In a BATCH backfill there
     * is no later batch, so pass true or every user's final session is
     * silently dropped from the output.
+    *
+    * The per-call sort buffers one user's events from ONE micro-batch —
+    * bounded by the trigger size in streaming. For a COMPLETE backfill
+    * (the whole history arriving as one "batch") use [[sessionizeBatch]]
+    * instead, which never materializes a user's history.
     */
   def sessionize(events: Dataset[Event], gapMs: Long,
       emitOpen: Boolean = false): Dataset[Session] = {
@@ -92,6 +97,64 @@ object EventStreams {
             cur.foreach(state.update)
           }
           closed.iterator
+      }
+  }
+
+  /** Batch/backfill sessionization with BOUNDED state: repartition by
+    * user, sort within partitions by (user, ts, event_id) — Spark's
+    * external sort spills, so a power user's history never has to fit
+    * in memory — then ONE incremental pass per partition holding a
+    * single open-session record. Bit-equal to
+    * `sessionize(_, gapMs, emitOpen = true)` (same per-user event order
+    * → same fold; pinned in StreamingSpec), at a fraction of the peak
+    * memory: this is the 100 TB replay path, while
+    * [[sessionize]] remains the streaming path whose per-call buffer is
+    * bounded by the micro-batch.
+    */
+  def sessionizeBatch(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .repartition(col("user_id"))
+      // millisecond key, matching sessionize's (ts.getTime, event_id)
+      // fold order exactly (a raw ts sort would tie-break on micros)
+      .sortWithinPartitions(col("user_id"), unix_millis(col("ts")),
+        col("event_id"))
+      .mapPartitions { it =>
+        new Iterator[Session] {
+          private var cur: Option[(Long, SessionState)] = None // (user, state)
+          private var pending: Option[Session] = None
+          private def close(u: Long, s: SessionState): Session =
+            Session(u, s.start_ms, s.last_ms, s.n, s.sum)
+          private def advance(): Unit = {
+            while (pending.isEmpty && it.hasNext) {
+              val e = it.next()
+              val t = e.ts.getTime
+              cur match {
+                case Some((u, s)) if u == e.user_id && t - s.last_ms <= gapMs =>
+                  cur = Some((u, s.copy(last_ms = t, n = s.n + 1, sum = s.sum + e.value)))
+                case Some((u, s)) =>
+                  pending = Some(close(u, s))
+                  cur = Some((e.user_id, SessionState(t, t, 1, e.value)))
+                case None =>
+                  cur = Some((e.user_id, SessionState(t, t, 1, e.value)))
+              }
+            }
+            if (pending.isEmpty && !it.hasNext) { // flush the final session
+              pending = cur.map { case (u, s) => close(u, s) }
+              cur = None
+            }
+          }
+          override def hasNext: Boolean = {
+            if (pending.isEmpty) advance()
+            pending.nonEmpty
+          }
+          override def next(): Session = {
+            if (!hasNext) throw new NoSuchElementException
+            val out = pending.get
+            pending = None
+            out
+          }
+        }
       }
   }
 }

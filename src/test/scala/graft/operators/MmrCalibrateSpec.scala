@@ -27,6 +27,22 @@ class MmrCalibrateSpec extends SparkSpec {
     assert(picked == Set(1L, 3L))
   }
 
+  test("MMR at k=64 over a 10k-candidate pool stays plan-bounded") {
+    // the greedy loop localCheckpoints every 8 rounds, so round i's plan
+    // is O(1), not O(i) — without the cut, 64 rounds of filter+withColumn
+    // stack into an analysis-time blowup
+    val n = 10000
+    val cands = spark.range(n).select($"id",
+      array(cos($"id" * 0.001), sin($"id" * 0.001)).as("vec"),
+      round(lit(1.0) / (lit(1.0) + $"id" * 0.0001), 6).as("rel"))
+    val t0 = System.nanoTime()
+    val picked = Similarity.mmrSelect(cands, 64, 0.5).collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(picked.length == 64)
+    assert(picked.map(_.getLong(1)).distinct.length == 64)
+    assert(secs < 120.0, f"k=64 selection took $secs%.1f s")
+  }
+
   test("s10 MMR scores are non-increasing down the selection order") {
     val q = SimilarityQueries.all.find(_.name == "s10_mmr").get
     val rows = q.run(spark, sf("sf0.001")).collect()

@@ -129,6 +129,37 @@ class StreamingSpec extends SparkSpec {
     assert(closed.head.start_ms == 0 && closed.head.end_ms == 30000)
   }
 
+  test("sessionizeBatch equals the stateful sessionizer, including one giant group") {
+    // one power user with a long history dwarfing everyone else — the
+    // skew shape the bounded-state path exists for
+    def ev(id: Long, tMs: Long, user: Long, v: Double) =
+      EventStreams.Event(id, new Timestamp(tMs), user, "click", v)
+    val skewed = (0 until 5000).map(i =>
+        ev(i.toLong, i.toLong * 45000, 1L, i * 0.001)) ++ // gaps every step < 60s
+      Seq(ev(9001, 0, 2, 1.0), ev(9002, 1000000, 2, 2.0), ev(9003, 100, 3, 0.5))
+    val ds = skewed.toDS().repartition(7)
+    val viaState = EventStreams.sessionize(ds, gapMs = 60000, emitOpen = true)
+      .collect().map(s => (s.user_id, s.start_ms, s.end_ms, s.n_events, s.sum_value))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val viaBatch = EventStreams.sessionizeBatch(ds, gapMs = 60000)
+      .collect().map(s => (s.user_id, s.start_ms, s.end_ms, s.n_events, s.sum_value))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(viaBatch == viaState) // bit-equal, sums included
+    assert(viaBatch.count(_._1 == 1L) == 1 && viaBatch.head._4 == 5000)
+  }
+
+  test("sessionizeBatch matches the harness-events stateful path") {
+    val events = Tables.events(spark, sf("sf0.001")).as[EventStreams.Event]
+    val viaState = EventStreams.sessionize(events, 3600000L, emitOpen = true)
+      .collect().map(s => (s.user_id, s.start_ms, s.end_ms, s.n_events, s.sum_value))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val viaBatch = EventStreams.sessionizeBatch(events, 3600000L)
+      .collect().map(s => (s.user_id, s.start_ms, s.end_ms, s.n_events, s.sum_value))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(viaBatch == viaState)
+    assert(viaBatch.nonEmpty)
+  }
+
   test("sm02 gate query (streamed sessions) equals the batch sessionizer") {
     val sm02 = graft.queries.StreamingQueries.all
       .find(_.name == "sm02_stream_sessions").get
