@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf1 stress spot-run (round-5 plan item): replicate the sf0.1 tables
+  * 10× with disjoint key ranges into a scratch dir, then wall-time the
+  * heaviest gate operators end-to-end (noop sink, like Bench). The goal
+  * is NOT correctness (keys are synthetic offsets; the DuckDB gate stays
+  * on the driver-generated sf dirs) but termination + scaling shape:
+  * every candidate-generating operator must stay bucketed — a quadratic
+  * path that survived sf0.1 by luck becomes obvious at sf1.
+  *
+  * Usage: runMain graft.Stress [outDir] [queryRegex]
+  */
+object Stress {
+  private val Targets = Seq(
+    "d15_tfidf_cosine", "d16_repeated_spans", "t13_bm25", "t15_bpe_merges",
+    "s08_pq_adc", "mm04_dhash_neardup", "c06_context_packing",
+    "q41_hourly_gapfill", "q44_hourly_locf", "sk06_bloom_bits")
+
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("/tmp/graft_sf1")
+    val filter = args.lift(1).map(_.r)
+    val src = "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
+      .master(s"local[$cpus]")
+      .appName("graft-stress")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // ---- build the 10x replica (skipped if already present, or when
+    // pointed at a harness sf dir to collect baseline ratios) ----
+    val marker = new java.io.File(s"$out/_STRESS_READY")
+    if (!marker.exists() && !out.startsWith("/root/testdata/")) {
+      def replicate(name: String, keyCols: Seq[String],
+          base: DataFrame): Unit = {
+        val copies = (0 until 10).map { i =>
+          val off = i.toLong * 100000000L
+          keyCols.foldLeft(base) { (df, k) =>
+            df.withColumn(k, col(k) + off)
+          }
+        }
+        copies.reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$out/$name.parquet")
+        System.err.println(s"[stress] built $name x10")
+      }
+      replicate("documents", Seq("doc_id"),
+        spark.read.parquet(s"$src/documents.parquet"))
+      replicate("embeddings", Seq("vec_id"),
+        spark.read.parquet(s"$src/embeddings.parquet"))
+      // events go through Tables (the raw file may be TIMESTAMP(NANOS),
+      // which plain parquet inference rejects); the replica is written
+      // with an annotated-µs ts, which the loaders pass through
+      replicate("events", Seq("event_id", "user_id"),
+        graft.tables.Tables.events(spark, src))
+      // dimension tables copied as-is (target queries don't join them at
+      // stress scale; present so Tables.* loaders resolve)
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem").foreach { t =>
+        spark.read.parquet(s"$src/$t.parquet")
+          .write.mode("overwrite").parquet(s"$out/$t.parquet")
+      }
+      marker.getParentFile.mkdirs()
+      java.nio.file.Files.write(marker.toPath, Array.empty[Byte]): Unit
+    }
+
+    // ---- wall-time the targets ----
+    val qmap = SparkEntry.queries
+    val results = Targets
+      .filter(n => filter.forall(_.findFirstIn(n).isDefined))
+      .map { name =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { qmap(name)(spark, out).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[stress] $name FAILED: $e"); false
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[stress] $name: $dt%.1f s" + (if (ok) "" else " FAILED"))
+        (name, if (ok) dt else -dt)
+      }
+    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.2f""" }
+      .mkString("{", ",", "}")
+    println(s"""{"stress":"sf1","queries":$qs}""")
+    spark.stop()
+  }
+}
