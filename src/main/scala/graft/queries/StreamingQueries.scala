@@ -557,6 +557,82 @@ object StreamingQueries extends QueryProvider {
              |r AS (SELECT *, row_number() OVER (PARTITION BY window_start
              |  ORDER BY n DESC, event_type) AS rnk FROM c)
              |SELECT window_start, CAST(rnk AS BIGINT) AS rnk, event_type, n
-             |FROM r WHERE rnk <= 3 ORDER BY window_start, rnk""".stripMargin))
+             |FROM r WHERE rnk <= 3 ORDER BY window_start, rnk""".stripMargin)),
+
+    // Spark's NATIVE session_window through the REAL streaming engine —
+    // the engine-managed merging-interval state q51 runs in batch, here
+    // driven by the session-window state store. Session windows only
+    // support APPEND mode (sessions emit once their end falls behind
+    // the watermark), so the replay stages TWO micro-batches (sm07's
+    // pattern): batch A = all real events; batch B = one far-future
+    // `__flush` row that advances the watermark past every real
+    // session's end (the row itself is filtered out after the watermark
+    // node, so it feeds the clock, never the aggregation). The final
+    // emitted set is then the complete session table, which equals the
+    // batch aggregate — the same stream-equals-backfill contract as
+    // sm01, for the operator class sm02 implements by hand.
+    Q(
+      "sm11_stream_session_window",
+      (s, dir) => {
+        import s.implicits._
+        val events = Tables.events(s, dir)
+        val normSchema = events.schema
+        val sink = s"sm11_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val stage = Files.createTempDirectory("sm11_events")
+        val scratch = Files.createTempDirectory("sm11_scratch")
+        var q: org.apache.spark.sql.streaming.StreamingQuery = null
+        def rmRec(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmRec))
+          f.delete(): Unit
+        }
+        try {
+          // TWO flush batches: eviction uses the watermark computed at
+          // the END of the PRIOR batch (sm07's pinned semantics), so
+          // batch B emits everything older than maxA − 2 h and batch C
+          // (watermark now 2099-01-01 − 2 h) emits the tail sessions.
+          // The flush rows ride a sentinel user (-1) THROUGH the
+          // aggregation — a filter between watermark and groupBy gets
+          // pushed below the watermark node, and a row that never
+          // reaches the event-time stats never advances the clock; the
+          // sentinel's own sessions are dropped at the sink instead.
+          def flush(ts: String) = events.limit(1)
+            .withColumn("ts", to_timestamp(lit(ts)))
+            .withColumn("user_id", lit(-1L))
+            .withColumn("value", lit(0.0))
+          Seq(events, flush("2099-01-01 00:00:00"), flush("2099-02-01 00:00:00"))
+            .zipWithIndex.foreach { case (df, i) =>
+            val tmp = scratch.resolve(s"w$i").toString
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            val part = new java.io.File(tmp).listFiles()
+              .filter(_.getName.endsWith(".parquet")).head
+            val dst = stage.resolve(f"batch_$i%02d.parquet")
+            Files.move(part.toPath, dst)
+            dst.toFile.setLastModified(1000000000000L + i * 60000L): Unit
+          }
+          q = s.readStream.schema(normSchema)
+            .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+            .withWatermark("ts", "2 hours")
+            .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
+            .agg(count(lit(1)).as("n_events"),
+              sum($"value".cast("decimal(18,6)")).as("sv"))
+            .select($"user_id",
+              unix_micros($"w.start").as("start_us"),
+              unix_micros($"w.end").as("end_us"),
+              $"n_events",
+              round($"sv", 2).cast("double").as("sum_value"))
+            .writeStream.outputMode("append")
+            .format("memory").queryName(sink).start()
+          q.processAllAvailable()
+        } finally {
+          if (q != null) q.stop()
+          rmRec(stage.toFile)
+          rmRec(scratch.toFile)
+        }
+        s.table(sink)
+          .filter($"user_id" >= 0) // drop the sentinel flush sessions
+          .select($"user_id", $"start_us", $"end_us", $"n_events", $"sum_value")
+          .orderBy($"user_id", $"start_us")
+      },
+      Some(TemporalQueries.sessionWindowOracle))
   )
 }

@@ -473,6 +473,50 @@ object TemporalQueries extends QueryProvider {
              |SELECT user_id, count(*) AS n_events,
              |  round(CAST(sum(CAST(value * pow(2.0, i - n - 1)
              |    AS DECIMAL(38,18))) AS DOUBLE), 6) AS ema
-             |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin))
+             |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Spark's NATIVE session_window aggregation (the engine-managed
+    // merging-interval form of q24's manual gaps-and-islands): each
+    // event opens [t, t+gap) and overlapping intervals merge, so a
+    // session breaks exactly when the inter-event gap is >= the window
+    // gap, and the session end is last_event + gap. The oracle replays
+    // the merge rule relationally. Same decimal-exact value sums as the
+    // sm06 family. One shuffle on (session_window, user) — the state is
+    // per-open-session, never per-event (the 100 TB shape), and the
+    // IDENTICAL plan serves the streaming path (sm11).
+    Q(
+      "q51_session_window",
+      (s, dir) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum($"value".cast("decimal(18,6)")).as("sv"))
+          .select($"user_id",
+            unix_micros($"w.start").as("start_us"),
+            unix_micros($"w.end").as("end_us"),
+            $"n_events",
+            round($"sv", 2).cast("double").as("sum_value"))
+          .orderBy($"user_id", $"start_us")
+      },
+      Some(sessionWindowOracle))
   )
+
+  /** Shared q51/sm11 oracle: session_window's merge rule as
+    * gaps-and-islands — break on gap >= 30 min, end = last + 30 min.
+    */
+  private[queries] def sessionWindowOracle: String =
+    """WITH m AS (SELECT user_id, event_id, epoch_us(ts) AS t, value,
+      |  CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+      |    (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000
+      |  THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |i AS (SELECT user_id, t, value,
+      |  sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM m)
+      |SELECT user_id, min(t) AS start_us, max(t) + 1800000000 AS end_us,
+      |  count(*) AS n_events,
+      |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+      |FROM i GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin
 }
