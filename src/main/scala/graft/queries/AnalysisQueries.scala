@@ -1158,7 +1158,49 @@ object AnalysisQueries extends QueryProvider {
              |  CAST(sum(CASE WHEN df.nd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
              |  round(sum(CASE WHEN df.nd = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
              |    AS novelty
-             |FROM sh JOIN df USING (sh) GROUP BY sh.doc_id ORDER BY doc_id""".stripMargin))
+             |FROM sh JOIN df USING (sh) GROUP BY sh.doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Tokenizer fertility per language: mean tokens-per-whitespace-word
+    // and UTF-8 bytes-per-token under a BPE-ish pretokenizer (letter
+    // runs | digit runs | single punctuation) — the per-language token
+    // budget signal a multilingual mixture design reads (a language
+    // with 2× fertility costs 2× the context window per word). Narrow
+    // per-row counts + one hash agg; per-doc ratios averaged in exact
+    // decimal so partitioning can't move the 6th decimal.
+    Q(
+      "a23_tokenizer_fertility",
+      (s, dir) => {
+        import s.implicits._
+        val tokRe = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+        graft.Par.fanOut(Tables.documents(s, dir))
+          .select($"lang",
+            octet_length($"text").cast("long").as("nb"),
+            TF.spaceWordCount($"text").cast("long").as("nw"),
+            size(regexp_extract_all($"text", lit(tokRe), lit(0)))
+              .cast("long").as("nt"))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"nt").as("n_tokens"),
+            round(sum(($"nt" * 1.0 / greatest($"nw", lit(1L)))
+                .cast("decimal(38,18)")).cast("double") / count(lit(1)), 6)
+              .as("fertility"),
+            round(sum(($"nb" * 1.0 / greatest($"nt", lit(1L)))
+                .cast("decimal(38,18)")).cast("double") / count(lit(1)), 6)
+              .as("bytes_per_token"))
+          .orderBy($"lang")
+      },
+      Some("""WITH p AS (SELECT lang,
+             |  octet_length(encode(text)) AS nb,
+             |  len(string_split(text, ' ')) AS nw,
+             |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS nt
+             |  FROM documents)
+             |SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+             |  round(CAST(sum(CAST(nt * 1.0 / greatest(nw, 1)
+             |    AS DECIMAL(38,18))) AS DOUBLE) / count(*), 6) AS fertility,
+             |  round(CAST(sum(CAST(nb * 1.0 / greatest(nt, 1)
+             |    AS DECIMAL(38,18))) AS DOUBLE) / count(*), 6) AS bytes_per_token
+             |FROM p GROUP BY lang ORDER BY lang""".stripMargin))
   )
 
   /** mm03's byte-exact frame chain (`b, by2, fr, sl, hs` — hs holds

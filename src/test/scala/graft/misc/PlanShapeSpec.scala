@@ -67,6 +67,24 @@ class PlanShapeSpec extends SparkSpec {
       s"expected no hash exchange (row-local 1-to-many Generate), got:\n$plan")
   }
 
+  test("q50 EMA is windows + one hash agg — no per-user array collect") {
+    val plan = planOf("q50_ema")
+    assert(!plan.contains("collect_list"),
+      s"q50 must not gather per-user histories into one row, got:\n$plan")
+    // row_number/count windows and the aggregation all share the one
+    // user-hash exchange
+    assert(hashExchanges(plan) == 1,
+      s"expected exactly 1 hash exchange (windows + agg co-partitioned), got:\n$plan")
+  }
+
+  test("q51 runs the native session-window aggregation") {
+    val plan = planOf("q51_session_window")
+    assert(plan.contains("session_window") || plan.contains("SessionWindow"),
+      s"expected the native merging-interval session node, got:\n$plan")
+    assert(!plan.contains("FlatMapGroups"),
+      s"q51 is the engine-managed form, not the custom-state one:\n$plan")
+  }
+
   test("q34 profiler is one scan with a single Expand for multi-distinct") {
     val plan = planOf("q34_profile")
     assert("Scan parquet".r.findAllIn(plan).length == 1,
