@@ -633,6 +633,47 @@ object StreamingQueries extends QueryProvider {
           .select($"user_id", $"start_us", $"end_us", $"n_events", $"sum_value")
           .orderBy($"user_id", $"start_us")
       },
-      Some(TemporalQueries.sessionWindowOracle))
+      Some(TemporalQueries.sessionWindowOracle)),
+
+    // The state-BOUNDED form of sm03's streaming dedup:
+    // dropDuplicatesWithinWatermark keeps a key in the state store only
+    // until the watermark passes its event time — the production shape
+    // for an infinite stream, where sm03's dropDuplicates would grow
+    // state forever (exactly the caveat documented on sm03). The gate
+    // replay is batch-complete (one micro-batch, watermark still at
+    // epoch), so no key evicts mid-replay and the emitted key set
+    // equals batch DISTINCT — which is the oracle. Only the KEYS are
+    // emitted: which physical copy survives depends on intra-batch
+    // arrival order, so the row payload is not part of the contract.
+    Q(
+      "sm12_stream_dedup_watermark",
+      (s, dir) => {
+        import s.implicits._
+        val fileSchema = Tables.eventsFileSchema(s, dir)
+        val sink = s"sm12_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val stage = Files.createTempDirectory("sm12_events")
+        var q: org.apache.spark.sql.streaming.StreamingQuery = null
+        try {
+          Files.copy(Paths.get(s"$dir/events.parquet"),
+            stage.resolve("events.parquet"))
+          val stream = Tables.normalizeEventTs(
+            s.readStream.schema(fileSchema).parquet(stage.toString))
+          q = stream
+            .withWatermark("ts", "2 hours")
+            .dropDuplicatesWithinWatermark("user_id", "event_type")
+            .select($"user_id", $"event_type")
+            .writeStream.outputMode("append")
+            .format("memory").queryName(sink).start()
+          q.processAllAvailable()
+        } finally {
+          if (q != null) q.stop()
+          Files.deleteIfExists(stage.resolve("events.parquet"))
+          Files.deleteIfExists(stage)
+        }
+        s.table(sink).select($"user_id", $"event_type")
+          .orderBy($"user_id", $"event_type")
+      },
+      Some("""SELECT DISTINCT user_id, event_type FROM events
+             |ORDER BY user_id, event_type""".stripMargin))
   )
 }

@@ -537,6 +537,38 @@ object TextQueries extends QueryProvider {
              |  round(ln((cnt * 1.0 * n) / (cx * 1.0 * cy)), 6) AS pmi
              |FROM j CROSS JOIN n
              |ORDER BY pmi DESC, bigram LIMIT 50""".stripMargin)),
+
+    // Unicode text normalization — the canonical first pass of a text
+    // pipeline: curly quotes/dashes mapped to ASCII (translate),
+    // control characters to spaces, whitespace runs collapsed, edges
+    // trimmed. Pure narrow codegen'd expressions (translate +
+    // regexp_replace), no shuffle before the gate sort — the shape that
+    // streams through 100 TB at scan speed.
+    Q(
+      "t19_normalize",
+      (s, dir) => {
+        import s.implicits._
+        val quotes = "‘’“”–—"
+        val norm = trim(regexp_replace(regexp_replace(
+          translate($"text", quotes, "''\"\"--"),
+          "[\\x00-\\x1f]", " "), "\\s+", " "))
+        graft.Par.fanOut(Tables.documents(s, dir))
+          .select($"doc_id", norm.as("norm"),
+            (norm =!= $"text").as("changed"),
+            length(norm).cast("long").as("n_chars"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  trim(regexp_replace(regexp_replace(
+             |    translate(text, '‘’“”–—', '''''""--'),
+             |    '[\x00-\x1f]', ' ', 'g'), '\s+', ' ', 'g')) AS norm,
+             |  trim(regexp_replace(regexp_replace(
+             |    translate(text, '‘’“”–—', '''''""--'),
+             |    '[\x00-\x1f]', ' ', 'g'), '\s+', ' ', 'g')) <> text AS changed,
+             |  CAST(length(trim(regexp_replace(regexp_replace(
+             |    translate(text, '‘’“”–—', '''''""--'),
+             |    '[\x00-\x1f]', ' ', 'g'), '\s+', ' ', 'g'))) AS BIGINT) AS n_chars
+             |FROM documents ORDER BY doc_id""".stripMargin))
   )
 
   /** The 20 BPE merge stages unrolled as materialized CTEs (the tr01
