@@ -192,4 +192,50 @@ object Multimodal {
         }
       }, energySchema)
   }
+
+  val resizeSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false),
+    StructField("cell", IntegerType, nullable = false),
+    StructField("v", DoubleType, nullable = false)))
+
+  /** STUB resize kernel: area-average resample of the payload byte
+    * stream onto a FIXED `cells`-cell grid — source position p lands in
+    * cell ⌊p·cells/n⌋ (exact integer arithmetic), each cell emits the
+    * round-6 mean of its bytes, empty cells (n < cells) emit 0. A real
+    * kernel would decode and bilinear-resize the 2-D image here; the
+    * fixed output shape, the per-partition batch iterator, and the
+    * long-form (id, cell, value) schema the downstream featurizer
+    * consumes are identical either way.
+    */
+  def resizeStub(media: DataFrame, cells: Int = 64): DataFrame = {
+    require(cells > 0)
+    media.sparkSession.createDataFrame(
+      media.rdd.mapPartitions { it =>
+        // one-time per-partition decoder init would happen HERE
+        it.flatMap { r =>
+          val id = r.getLong(r.fieldIndex("id"))
+          val modality = r.getString(r.fieldIndex("modality"))
+          val payload = r.getAs[Array[Byte]]("payload")
+          val bytes = if (payload == null) Array.emptyByteArray else payload
+          val n = bytes.length
+          val sums = new Array[Long](cells)
+          val cnts = new Array[Long](cells)
+          var p = 0
+          while (p < n) {
+            val c = ((p.toLong * cells) / n).toInt
+            sums(c) += (bytes(p) & 0xff).toLong
+            cnts(c) += 1
+            p += 1
+          }
+          (0 until cells).iterator.map { c =>
+            val v =
+              if (cnts(c) == 0L) 0.0
+              else java.math.BigDecimal.valueOf(sums(c) * 1.0 / cnts(c))
+                .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+            Row(id, modality, c, v)
+          }
+        }
+      }, resizeSchema)
+  }
 }

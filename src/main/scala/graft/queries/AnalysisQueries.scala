@@ -290,6 +290,45 @@ object AnalysisQueries extends QueryProvider {
              |FROM ag JOIN mr ON ag.id = mr.id
              |WHERE n_frames > 1 ORDER BY ag.id""".stripMargin)),
 
+    // The resize kernel (the missing quarter of the decode /
+    // feature-extract / resize / frame-sample stub family): payload
+    // bytes area-averaged onto a FIXED 64-cell grid (source position p
+    // → cell ⌊p·64/n⌋, exact integer arithmetic; empty cells 0), the
+    // 1→fixed-shape batch plumbing an image-resize featurizer needs.
+    // Oracle recovers the bytes from hex and replays the bucket means
+    // on a dense (id × cell) spine.
+    Q(
+      "mm08_resize_grid",
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.resizeStub(
+          Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text"))
+          .orderBy($"id", $"cell")
+      },
+      Some("""WITH b AS (
+             |  SELECT doc_id AS id,
+             |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+             |      ELSE 'video' END AS modality,
+             |    hex(encode(coalesce(text,''))) AS hx,
+             |    octet_length(encode(coalesce(text,''))) AS n
+             |  FROM documents),
+             |by2 AS (
+             |  SELECT id, n,
+             |    list_transform(range(n), i ->
+             |      (strpos('0123456789ABCDEF', hx[2*i+1])-1)*16 +
+             |      (strpos('0123456789ABCDEF', hx[2*i+2])-1)) AS bytes
+             |  FROM b),
+             |px AS (SELECT id, n, unnest(range(n)) AS i, unnest(bytes) AS v
+             |  FROM by2 WHERE n > 0),
+             |agg AS (SELECT id, (i * 64) // n AS cell,
+             |  round(sum(v) * 1.0 / count(*), 6) AS av
+             |  FROM px GROUP BY id, (i * 64) // n),
+             |spine AS (SELECT id, modality, unnest(range(64)) AS cell FROM b)
+             |SELECT s.id, s.modality, CAST(s.cell AS INTEGER) AS cell,
+             |  coalesce(a.av, 0.0) AS v
+             |FROM spine s LEFT JOIN agg a ON a.id = s.id AND a.cell = s.cell
+             |ORDER BY s.id, s.cell""".stripMargin)),
+
     // Perceptual-hash (dHash) near-dup over the decode kernel: each
     // media row gets a 60-bit adjacent-"pixel" gradient hash from the
     // stub decoder, banded into 4×15-bit chunks; pairs colliding on
