@@ -775,7 +775,46 @@ object CurationQueries extends QueryProvider {
               |  GROUP BY s.source, s.q)
               |SELECT sc.doc_id, sc.source, sc.q AS quality, cal.calibrated
               |FROM sc JOIN cal ON sc.source = cal.source AND sc.q = cal.q
-              |ORDER BY sc.doc_id""".stripMargin))
+              |ORDER BY sc.doc_id""".stripMargin)),
+
+    // Padding-waste report for length-bucketed batching — the training-
+    // efficiency number c06's packing exists to beat: docs fall into
+    // 16-token buckets (capped at 16 buckets); batching each bucket to its
+    // own max length wastes (n·max − Σlen)/(n·max) of the compute.
+    // Everything up to the final ratio is exact integer arithmetic, so
+    // the report is partition-order-proof by construction. One narrow
+    // token count + one hash agg at any corpus size.
+    Q(
+      "c20_padding_waste",
+      (s, dir) => {
+        import s.implicits._
+        val tokRe = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+        graft.Par.fanOut(Tables.documents(s, dir))
+          .select($"doc_id",
+            size(regexp_extract_all($"text", lit(tokRe), lit(0)))
+              .cast("long").as("nt"))
+          .select($"doc_id", $"nt",
+            least(expr("nt div 16"), lit(15L)).cast("long").as("bucket"))
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            max($"nt").as("max_len"),
+            sum($"nt").as("sum_len"))
+          .select($"bucket", $"n_docs", $"max_len", $"sum_len",
+            round(($"n_docs" * $"max_len" - $"sum_len") * 1.0 /
+              ($"n_docs" * $"max_len"), 6).as("padding_frac"))
+          .orderBy($"bucket")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS nt
+             |  FROM documents),
+             |b AS (SELECT doc_id, nt, least(nt // 16, 15) AS bucket FROM t),
+             |g AS (SELECT bucket, count(*) AS n_docs, max(nt) AS max_len,
+             |  CAST(sum(nt) AS BIGINT) AS sum_len FROM b GROUP BY bucket)
+             |SELECT CAST(bucket AS BIGINT) AS bucket, n_docs,
+             |  CAST(max_len AS BIGINT) AS max_len, sum_len,
+             |  round((n_docs * max_len - sum_len) * 1.0 /
+             |    (n_docs * max_len), 6) AS padding_frac
+             |FROM g ORDER BY bucket""".stripMargin))
   )
 
 }
