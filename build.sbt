@@ -24,6 +24,15 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
+  // Pure-Java SIMD BLAS: dev.ludovic.netlib's VectorBLAS needs the (still
+  // incubating on JDK 17) Vector API module. With it, BLAS.getInstance()
+  // resolves VectorBLAS instead of the scalar Java fallback — the largest
+  // single recoverable perf item for the ARPACK/SVD path (ls08). LAPACK and
+  // ARPACK themselves have no Vector implementation and no JNI natives exist
+  // in this zero-egress container (numpy's bundled OpenBLAS is ILP64 with
+  // `_64`-suffixed symbols, not dlopen-able by netlib's LP64 JNI glue), so
+  // they stay on F2j — a documented fallback, not a missing flag.
+  "--add-modules=jdk.incubator.vector",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",

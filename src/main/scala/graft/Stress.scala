@@ -17,7 +17,16 @@ object Stress {
   private val Targets = Seq(
     "d15_tfidf_cosine", "d16_repeated_spans", "t13_bm25", "t15_bpe_merges",
     "s08_pq_adc", "mm04_dhash_neardup", "c06_context_packing",
-    "q41_hourly_gapfill", "q44_hourly_locf", "sk06_bloom_bits")
+    "q41_hourly_gapfill", "q44_hourly_locf", "sk06_bloom_bits",
+    // round-5 late additions, promoted to the stress tier (r5 advice #4)
+    "q51_session_window", "sm11_stream_session_window",
+    "sm12_stream_dedup_watermark", "t19_normalize",
+    "a23_tokenizer_fertility", "mm08_resize_grid", "c18_quantile_calibrate",
+    "c20_padding_waste", "d17_threshold_yield",
+    // the production ARPACK SVD — runs with the in-query eigen-residual
+    // gate ON, so completing here IS at-scale solver verification; the
+    // power-twin σ cross-check on the leaders is tools/Ls08TwinCheck
+    "ls08_concepts_arpack")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/graft_sf1")

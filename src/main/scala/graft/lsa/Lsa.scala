@@ -38,7 +38,27 @@ object Lsa {
         * higher floor bounds the local V matrix (|vocab| × k) and the
         * broadcast vocabulary table.
         */
-      minDf: Long = 1L)
+      minDf: Long = 1L,
+      /** In-query solver verification, SCALE-INDEPENDENT: after the SVD,
+        * one extra distributed pass checks every returned (σⱼ, vⱼ)
+        * satisfies the eigenpair identity ‖AᵀAvⱼ − σⱼ²vⱼ‖ ≤ tol·σⱼ² —
+        * i.e. the ARPACK output is a genuine singular triple of THIS
+        * matrix with the claimed σ, whatever the corpus size. (U needs no
+        * separate check: computeSVD derives U = AVS⁻¹ from V.) This is
+        * the at-scale complement to the ≤2000-doc dense-LAPACK mirror in
+        * ls08 and the power-twin σ cross-check in Stress: those pin the
+        * top-k SELECTION on collectable corpora; the residual gate pins
+        * solver integrity everywhere, including 100 TB. Cost: one
+        * treeAggregate over the cached row RDD with a |vocab|×k
+        * accumulator — negligible next to the ~dozens of ARPACK matvec
+        * jobs that precede it.
+        */
+      verifyResiduals: Boolean = true,
+      /** Max relative eigen-residual ‖AᵀAvⱼ−σⱼ²vⱼ‖/σⱼ². Measured ~1e-12
+        * at sf0.1 (ARPACK tol 1e-10); 1e-6 leaves float headroom without
+        * letting a broken solver through.
+        */
+      residualTol: Double = 1e-6)
 
   final case class Concept(
       concept: Int,
@@ -137,6 +157,53 @@ object Lsa {
     val svd = mat.computeSVD(k, computeU = true)
     // ARPACK may converge on fewer than k singular values — truncate.
     val kEff = math.min(k, math.min(svd.s.size, svd.V.numCols))
+
+    if (cfg.verifyResiduals) {
+      // Z = AᵀAV in one pass: per row a, w = aᵀV (k dots over the active
+      // indices), then Z += a wᵀ. Accumulator is |vocab|×kEff doubles.
+      val vB = spark.sparkContext.broadcast(svd.V)
+      val z = rows.treeAggregate(null.asInstanceOf[Array[Double]])(
+        seqOp = (acc0, r) => {
+          val acc = if (acc0 == null) new Array[Double](vocabSize * kEff) else acc0
+          val vm = vB.value
+          val sv = r.vector.toSparse
+          val idx = sv.indices; val vs = sv.values
+          val w = new Array[Double](kEff)
+          var j = 0
+          while (j < kEff) {
+            var p = 0; var s = 0.0
+            while (p < idx.length) { s += vs(p) * vm(idx(p), j); p += 1 }
+            w(j) = s; j += 1
+          }
+          var p = 0
+          while (p < idx.length) {
+            val base = idx(p) * kEff; val a = vs(p)
+            var q = 0
+            while (q < kEff) { acc(base + q) += a * w(q); q += 1 }
+            p += 1
+          }
+          acc
+        },
+        combOp = (x, y) =>
+          if (x == null) y else if (y == null) x
+          else { var i = 0; while (i < x.length) { x(i) += y(i); i += 1 }; x })
+      vB.destroy()
+      val zz = if (z == null) new Array[Double](vocabSize * kEff) else z
+      (0 until kEff).foreach { j =>
+        val s2 = svd.s(j) * svd.s(j)
+        if (s2 > 0.0) {
+          var rs = 0.0; var i = 0
+          while (i < vocabSize) {
+            val d = zz(i * kEff + j) - s2 * svd.V(i, j)
+            rs += d * d; i += 1
+          }
+          val rel = math.sqrt(rs) / s2
+          require(rel <= cfg.residualTol,
+            s"SVD self-check failed: concept $j eigen-residual " +
+              s"|AtAv - s2 v|/s2 = $rel > ${cfg.residualTol} (sigma=${svd.s(j)})")
+        }
+      }
+    }
 
     // V: vocabSize x kEff (local). Sign convention per concept.
     val v = svd.V

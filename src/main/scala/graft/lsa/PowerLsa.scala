@@ -214,9 +214,16 @@ object PowerLsa {
             w0.join(corr, Seq("token"))
               .select(col("token"), (col("w0") - col("corr")).as("w"))
           }
-        q = normalized(w).localCheckpoint()
+        val qNext = normalized(w).localCheckpoint()
+        // localCheckpoint is EAGER: qNext's blocks are materialized, so
+        // the previous round's vector is dead — release its checkpoint
+        // storage now instead of letting ~k·iters vocabulary-sized block
+        // sets pile up for the session lifetime on the at-scale path.
+        releaseCheckpoint(q)
+        q = qNext
       }
       val av = matvecV(c, q, "av").localCheckpoint()
+      if (vprev != null) releaseCheckpoint(vprev) // dead once av materializes
       val sigma = av.agg(
         sqrt(sum((col("av") * col("av")).cast(Dec)).cast("double")))
         .head().getDouble(0)
@@ -237,9 +244,31 @@ object PowerLsa {
         .select(col("id").cast("long")).as[Long].collect().mkString(" ")
       ConceptRow(i, round4(sigma), kw, dc)
     }
+    // `out` holds plain local rows now — every (v, av) checkpoint is dead.
+    done.foreach { case (vj, _, av) =>
+      releaseCheckpoint(vj); releaseCheckpoint(av)
+    }
     c.unpersist()
     spark.createDataFrame(spark.sparkContext.parallelize(out.toSeq, 1))
   }
+
+  /** Free the block storage behind a localCheckpoint'd DataFrame. The
+    * checkpoint IS the persisted RDD blocks (LocalRDDCheckpointData), so
+    * unpersisting the underlying RDD releases them immediately instead of
+    * waiting for the ContextCleaner's weak-reference GC pass. The plan of
+    * a checkpointed Dataset is a LogicalRDD (package-private) — reached
+    * via reflection; a non-checkpointed plan is left untouched. MUST only
+    * be called once no downstream computation will read the DataFrame
+    * again (its lineage was truncated — re-access cannot recompute).
+    */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical.collect {
+      case p if p.getClass.getSimpleName == "LogicalRDD" =>
+        try p.getClass.getMethod("rdd").invoke(p) match {
+          case r: org.apache.spark.rdd.RDD[_] => r.unpersist(blocking = false)
+          case _ => ()
+        } catch { case _: ReflectiveOperationException => () }
+    }
 
   /** w → w/‖w‖ with the exact-decimal norm, column renamed to v; a
     * zero-norm residual yields the ZERO vector (PowerCore's

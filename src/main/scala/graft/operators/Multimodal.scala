@@ -8,16 +8,124 @@ import org.apache.spark.sql.types._
   * payloads with typed metadata, processed by partition-batched
   * decode/feature kernels.
   *
-  * The container has no image/audio codecs, so `decodeStub` is a
-  * clearly-marked deterministic fake — but every Spark-side piece the
-  * real kernel needs is genuine and tested: the (id, modality, payload,
+  * IMAGE decode is REAL for every `javax.imageio`-readable format (BMP,
+  * PNG, GIF, JPEG in a stock JVM — no external codec deps):
+  * [[decodeImage]] parses the container bytes into a pixel grid and
+  * [[decodeFeatures]] / [[resizeGrid]] compute their features from
+  * DECODED PIXELS. The gate queries route the corpus through
+  * [[grayImagePayload]], which writes each payload as a genuine 24-bit
+  * BMP first — so the decoder the queries exercise is the actual BMP
+  * parser, while the DuckDB oracle stays exact (the BMP stores our gray
+  * levels verbatim, so decode∘encode is the identity on the padded byte
+  * grid and the oracle replays the pixel math directly on the bytes).
+  *
+  * Audio/video codecs genuinely aren't in the container, so those
+  * kernels (`frameSampleStub`, `audioEnergyStub`, `dHashStub`) remain
+  * clearly-marked deterministic stand-ins — with every Spark-side piece
+  * the real kernel needs genuine and tested: the (id, modality, payload,
   * meta) schema, iterator-to-iterator `mapPartitions` (decoder state is
   * initialized once per partition, NOT per row — the local equivalent of
   * a Pandas-UDF batch loop), explicit output schema, and partition-count
-  * preservation. Swapping in a real JNI/FFmpeg/pillow-equivalent kernel
-  * changes only the body of `decodeStub`.
+  * preservation.
   */
 object Multimodal {
+
+  /** Encode a row-major grayscale pixel array as a REAL uncompressed
+    * 24-bit BMP (BITMAPINFOHEADER, bottom-up rows, BGR, 4-byte row
+    * padding — the format every parser on earth reads). Gray level v
+    * becomes (B,G,R) = (v,v,v), so a decoder recovers v exactly.
+    */
+  def encodeGrayBmp(gray: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && gray.length == w * h,
+      s"bad gray buffer: ${gray.length} != $w x $h")
+    val rowBytes = (w * 3 + 3) & ~3
+    val dataSize = rowBytes * h
+    val fileSize = 54 + dataSize
+    val out = new Array[Byte](fileSize)
+    def putInt(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte
+      out(off + 1) = ((v >>> 8) & 0xff).toByte
+      out(off + 2) = ((v >>> 16) & 0xff).toByte
+      out(off + 3) = ((v >>> 24) & 0xff).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    putInt(2, fileSize); putInt(10, 54)
+    putInt(14, 40); putInt(18, w); putInt(22, h)
+    out(26) = 1 // planes
+    out(28) = 24 // bpp
+    putInt(34, dataSize)
+    var y = 0
+    while (y < h) {
+      // bottom-up: file row y holds image row (h-1-y)
+      val src = (h - 1 - y) * w
+      val dst = 54 + y * rowBytes
+      var x = 0
+      while (x < w) {
+        val v = gray(src + x)
+        val o = dst + x * 3
+        out(o) = v; out(o + 1) = v; out(o + 2) = v
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** REAL image decode: any ImageIO-readable payload → (width, height,
+    * row-major gray levels), gray = (r+g+b)/3 in exact integer math (the
+    * identity on our own encoder's output, where r=g=b). None when the
+    * bytes aren't a decodable image — callers fall back to the labeled
+    * byte-stream stand-in.
+    */
+  def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    if (bytes == null || bytes.length < 8) None
+    else try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val px = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            px(y * w + x) =
+              (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, px))
+      }
+    } catch { case _: java.io.IOException => None }
+
+  /** Re-encode each payload as a genuine image: the bytes become the
+    * gray levels of a `width`-wide BMP, zero-padded to fill the last row
+    * (an empty payload becomes one all-zero row, so every media row
+    * yields a decodable image). This is the gate-data bridge: the
+    * harness corpus carries text bytes, not media files — wrapping them
+    * in a real container makes the downstream kernels exercise the REAL
+    * parser while keeping the pixel grid an exact function of the bytes
+    * (which is what lets DuckDB replay the math).
+    */
+  def grayImagePayload(media: DataFrame, width: Int = 32): DataFrame = {
+    require(width > 0)
+    media.sparkSession.createDataFrame(
+      media.rdd.mapPartitions { it =>
+        it.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          val bytes = if (payload == null) Array.emptyByteArray else payload
+          val h = math.max(1, (bytes.length + width - 1) / width)
+          val gray = java.util.Arrays.copyOf(bytes, width * h)
+          Row(r.getLong(r.fieldIndex("id")),
+            r.getString(r.fieldIndex("modality")),
+            encodeGrayBmp(gray, width, h),
+            r.getAs[Row]("meta"))
+        }
+      }, mediaSchema)
+  }
 
   val mediaSchema: StructType = StructType(Seq(
     StructField("id", LongType, nullable = false),
@@ -91,11 +199,60 @@ object Multimodal {
       }, frameSchema)
   }
 
-  /** STUB decode/feature-extract kernel. Deterministic fake standing in
-    * for the real decoder: frame count = ceil(bytes/256), checksum =
-    * FNV-1a over the payload, feature = 4 moments of the byte stream.
-    * Real implementation would decode frames/samples here — per
-    * partition, reusing one decoder instance.
+  /** Decode/feature-extract kernel — REAL for images: payloads that
+    * ImageIO can parse (BMP/PNG/GIF/JPEG) are decoded to a pixel grid
+    * and the features come from PIXELS: n_bytes = pixel count,
+    * n_frames = 1 (a still image), checksum = FNV-1a over the row-major
+    * gray levels, feature = [n_px, mean, min, max] of the gray levels.
+    * Undecodable payloads take the labeled byte-stream stand-in
+    * (`decodeStub` semantics) so the kernel is total.
+    */
+  def decodeFeatures(media: DataFrame): DataFrame = {
+    media.sparkSession.createDataFrame(
+      media.rdd.mapPartitions { it =>
+        // a real multi-codec kernel would init its decoder table HERE,
+        // once per partition
+        it.map { r =>
+          val id = r.getLong(r.fieldIndex("id"))
+          val modality = r.getString(r.fieldIndex("modality"))
+          val payload = r.getAs[Array[Byte]]("payload")
+          decodeImage(payload) match {
+            case Some((w, h, px)) =>
+              var hsh = 0xcbf29ce484222325L
+              var sum = 0L; var mn = 255; var mx = 0
+              var i = 0
+              while (i < px.length) {
+                val v = px(i)
+                hsh ^= v.toLong; hsh *= 0x100000001b3L
+                sum += v
+                if (v < mn) mn = v
+                if (v > mx) mx = v
+                i += 1
+              }
+              val n = px.length
+              val mean = if (n == 0) 0.0 else sum.toDouble / n
+              Row(id, modality, n.toLong, 1, hsh,
+                Seq(n.toDouble, mean, if (n == 0) 0.0 else mn.toDouble,
+                  if (n == 0) 0.0 else mx.toDouble))
+            case None =>
+              val bytes = if (payload == null) Array.emptyByteArray else payload
+              var hsh = 0xcbf29ce484222325L
+              bytes.foreach { b => hsh ^= (b & 0xffL); hsh *= 0x100000001b3L }
+              val n = bytes.length
+              val mean = if (n == 0) 0.0 else bytes.map(b => (b & 0xff).toDouble).sum / n
+              val mx = if (n == 0) 0.0 else bytes.map(b => (b & 0xff).toDouble).max
+              val mn = if (n == 0) 0.0 else bytes.map(b => (b & 0xff).toDouble).min
+              Row(id, modality, n.toLong, (n + 255) / 256, hsh,
+                Seq(n.toDouble, mean, mn, mx))
+          }
+        }
+      }, featureSchema)
+  }
+
+  /** STUB decode/feature-extract kernel (byte-stream stand-in), kept for
+    * payloads with no in-container codec: frame count = ceil(bytes/256),
+    * checksum = FNV-1a over the payload, feature = 4 moments of the byte
+    * stream. [[decodeFeatures]] is the real-image version.
     */
   def decodeStub(media: DataFrame): DataFrame = {
     media.sparkSession.createDataFrame(
@@ -198,6 +355,64 @@ object Multimodal {
     StructField("modality", StringType, nullable = false),
     StructField("cell", IntegerType, nullable = false),
     StructField("v", DoubleType, nullable = false)))
+
+  /** REAL 2-D image resize: decode the payload (ImageIO) and
+    * area-average the w×h pixel grid onto a fixed gridW×gridH output —
+    * source pixel (x, y) lands in cell (⌊y·gridH/h⌋, ⌊x·gridW/w⌋), all
+    * index math exact integers, each cell emits the round-6 mean of its
+    * gray levels (cells with no source pixels — h < gridH rows — emit
+    * 0). Cell ids are row-major r·gridW + c, matching [[resizeSchema]].
+    * Undecodable payloads fall back to the 1-D byte-stream stand-in
+    * ([[resizeStub]] semantics) over gridW·gridH cells.
+    */
+  def resizeGrid(media: DataFrame, gridW: Int = 8, gridH: Int = 8): DataFrame = {
+    require(gridW > 0 && gridH > 0)
+    val cells = gridW * gridH
+    media.sparkSession.createDataFrame(
+      media.rdd.mapPartitions { it =>
+        // per-partition decoder init would happen HERE in a multi-codec kernel
+        it.flatMap { r =>
+          val id = r.getLong(r.fieldIndex("id"))
+          val modality = r.getString(r.fieldIndex("modality"))
+          val payload = r.getAs[Array[Byte]]("payload")
+          val sums = new Array[Long](cells)
+          val cnts = new Array[Long](cells)
+          decodeImage(payload) match {
+            case Some((w, h, px)) =>
+              var y = 0
+              while (y < h) {
+                val cr = ((y.toLong * gridH) / h).toInt
+                var x = 0
+                while (x < w) {
+                  val cc = ((x.toLong * gridW) / w).toInt
+                  val cell = cr * gridW + cc
+                  sums(cell) += px(y * w + x)
+                  cnts(cell) += 1
+                  x += 1
+                }
+                y += 1
+              }
+            case None =>
+              val bytes = if (payload == null) Array.emptyByteArray else payload
+              val n = bytes.length
+              var p = 0
+              while (p < n) {
+                val c = ((p.toLong * cells) / n).toInt
+                sums(c) += (bytes(p) & 0xff).toLong
+                cnts(c) += 1
+                p += 1
+              }
+          }
+          (0 until cells).iterator.map { c =>
+            val v =
+              if (cnts(c) == 0L) 0.0
+              else java.math.BigDecimal.valueOf(sums(c) * 1.0 / cnts(c))
+                .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+            Row(id, modality, c, v)
+          }
+        }
+      }, resizeSchema)
+  }
 
   /** STUB resize kernel: area-average resample of the payload byte
     * stream onto a FIXED `cells`-cell grid — source position p lands in

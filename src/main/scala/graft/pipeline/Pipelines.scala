@@ -63,13 +63,21 @@ object Pipelines {
       ReviewSource.sentences(ReviewSource.reviews(spark, path)), cfg)
 
   /** S5 report shape: the reference's printed concept report (:144-152,
-    * `round(x, 2)` formatting at :399-401) as a one-column table —
-    * presentation stays a table, never a driver print.
+    * `round(x, 2)` formatting at :399-401) as a table — presentation
+    * stays a table, never a driver print. σ is formatted through
+    * CAST(… AS DECIMAL(18,2)) rather than %.2f: both Spark and DuckDB
+    * round the decimal cast HALF_UP and print the fixed-scale form
+    * ("4.10", "5.00"), while printf-style %.2f is round-half-even in C
+    * — the decimal cast is the engine-stable spelling, which is what
+    * lets ls09 gate this exact string. `concept` rides along as the
+    * deterministic sort key.
     */
   def conceptReport(concepts: DataFrame): DataFrame =
-    concepts.select(format_string("Concept %d [sigma=%.2f] keywords: %s | sentences: %s",
-      col("concept"), col("singular_value"), col("keywords"),
-      col("sentence_ids")).as("line"))
+    concepts.select(col("concept"),
+      concat(lit("Concept "), col("concept").cast("string"),
+        lit(" [sigma="), col("singular_value").cast("decimal(18,2)").cast("string"),
+        lit("] keywords: "), col("keywords"),
+        lit(" | sentences: "), col("sentence_ids")).as("line"))
 
   /** EP2 — TextRank review summary: top-k sentences by rank. */
   def textrankSummary(spark: SparkSession, path: String, k: Int = 5,

@@ -139,20 +139,24 @@ object AnalysisQueries extends QueryProvider {
              |lang AS declared_lang
              |FROM documents ORDER BY id""".stripMargin)),
 
-    // ... and the partition-batched decode kernel. Full oracle: the
-    // deterministic stub is pure arithmetic, so DuckDB recomputes it —
-    // UTF-8 bytes recovered via hex() (ord() would give codepoints),
-    // FNV-1a's 64-bit wrap in HUGEINT with the XOR decomposed onto the
-    // low byte (h^b = h - h%256 + xor(h%256, b) since b < 256), signed
-    // BIGINT conversion as in a03.
+    // ... and the partition-batched decode kernel — REAL image decode:
+    // each payload is first written as a genuine 24-bit BMP
+    // (grayImagePayload: bytes = gray levels of a 32-wide image, last
+    // row zero-padded) and the kernel runs ImageIO's actual BMP parser,
+    // computing every feature from DECODED PIXELS. The oracle stays
+    // exact because the BMP stores our gray levels verbatim: pixel grid
+    // = bytes zero-padded to 32·ceil(n/32) (one zero row when n = 0),
+    // so DuckDB replays the pixel math on the padded byte list — FNV-1a
+    // over gray levels in HUGEINT (XOR decomposed onto the low byte as
+    // in a03), n_bytes = pixel count, n_frames = 1 (a still image).
     Q(
       "mm02_decoded_features",
       (s, dir) => {
         import s.implicits._
-        Multimodal.decodeStub(
-          Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text"))
+        Multimodal.decodeFeatures(Multimodal.grayImagePayload(
+          Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text")))
           .select($"id", $"modality", $"n_bytes", $"n_frames", $"checksum",
-            round(element_at($"feature", 2), 6).as("byte_mean"))
+            round(element_at($"feature", 2), 6).as("px_mean"))
           .orderBy($"id")
       },
       Some("""WITH b AS (
@@ -164,23 +168,27 @@ object AnalysisQueries extends QueryProvider {
              |  FROM documents),
              |by2 AS (
              |  SELECT id, modality, n,
-             |    list_transform(range(n), i ->
-             |      (strpos('0123456789ABCDEF', hx[2*i+1])-1)*16 +
-             |      (strpos('0123456789ABCDEF', hx[2*i+2])-1)) AS bytes
+             |    greatest(1, (n + 31) // 32) AS h,
+             |    list_concat(
+             |      list_transform(range(n), i ->
+             |        (strpos('0123456789ABCDEF', hx[2*i+1])-1)*16 +
+             |        (strpos('0123456789ABCDEF', hx[2*i+2])-1)),
+             |      list_transform(range(greatest(1, (n + 31) // 32) * 32 - n),
+             |        i -> 0)) AS px
              |  FROM b),
              |hsh AS (
              |  SELECT *, list_reduce(
              |    list_prepend(14695981039346656037::HUGEINT,
-             |      list_transform(bytes, x -> x::HUGEINT)),
+             |      list_transform(px, x -> x::HUGEINT)),
              |    (acc, x) -> ((acc - acc % 256 +
              |        xor((acc % 256)::BIGINT, x::BIGINT)::HUGEINT)
-             |      * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) AS h
+             |      * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) AS h2
              |  FROM by2)
-             |SELECT id, modality, CAST(n AS BIGINT) AS n_bytes,
-             |  CAST((n + 255) // 256 AS INTEGER) AS n_frames,
-             |  CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
-             |    THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS checksum,
-             |  round(CASE WHEN n = 0 THEN 0 ELSE list_sum(bytes) * 1.0 / n END, 6) AS byte_mean
+             |SELECT id, modality, CAST(h * 32 AS BIGINT) AS n_bytes,
+             |  CAST(1 AS INTEGER) AS n_frames,
+             |  CAST(CASE WHEN h2 >= 9223372036854775808::HUGEINT
+             |    THEN h2 - 18446744073709551616::HUGEINT ELSE h2 END AS BIGINT) AS checksum,
+             |  round(list_sum(px) * 1.0 / (h * 32), 6) AS px_mean
              |FROM hsh ORDER BY id""".stripMargin)),
 
     // The 1→many frame-sampling kernel (every 4th 256-byte frame, per
@@ -290,19 +298,22 @@ object AnalysisQueries extends QueryProvider {
              |FROM ag JOIN mr ON ag.id = mr.id
              |WHERE n_frames > 1 ORDER BY ag.id""".stripMargin)),
 
-    // The resize kernel (the missing quarter of the decode /
-    // feature-extract / resize / frame-sample stub family): payload
-    // bytes area-averaged onto a FIXED 64-cell grid (source position p
-    // → cell ⌊p·64/n⌋, exact integer arithmetic; empty cells 0), the
-    // 1→fixed-shape batch plumbing an image-resize featurizer needs.
-    // Oracle recovers the bytes from hex and replays the bucket means
-    // on a dense (id × cell) spine.
+    // The resize kernel — REAL 2-D image resize: the payload is written
+    // as a genuine 32-wide BMP (grayImagePayload), ImageIO decodes it
+    // back, and the w×h pixel grid is area-averaged onto a FIXED 8×8
+    // grid — source pixel (x, y) → cell (⌊y·8/h⌋·8 + ⌊x·8/32⌋), exact
+    // integer arithmetic, per-cell round-6 means, rows absent when
+    // h < 8 emit 0. The oracle replays the identical 2-D math on the
+    // zero-padded byte grid (pixel p: y = p//32, x = p%32) over a dense
+    // (id × cell) spine — exact because BMP decode∘encode is the
+    // identity on the gray levels.
     Q(
       "mm08_resize_grid",
       (s, dir) => {
         import s.implicits._
-        Multimodal.resizeStub(
-          Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text"))
+        Multimodal.resizeGrid(Multimodal.grayImagePayload(
+          Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text")),
+          gridW = 8, gridH = 8)
           .orderBy($"id", $"cell")
       },
       Some("""WITH b AS (
@@ -313,16 +324,20 @@ object AnalysisQueries extends QueryProvider {
              |    octet_length(encode(coalesce(text,''))) AS n
              |  FROM documents),
              |by2 AS (
-             |  SELECT id, n,
-             |    list_transform(range(n), i ->
-             |      (strpos('0123456789ABCDEF', hx[2*i+1])-1)*16 +
-             |      (strpos('0123456789ABCDEF', hx[2*i+2])-1)) AS bytes
+             |  SELECT id, greatest(1, (n + 31) // 32) AS h,
+             |    list_concat(
+             |      list_transform(range(n), i ->
+             |        (strpos('0123456789ABCDEF', hx[2*i+1])-1)*16 +
+             |        (strpos('0123456789ABCDEF', hx[2*i+2])-1)),
+             |      list_transform(range(greatest(1, (n + 31) // 32) * 32 - n),
+             |        i -> 0)) AS px
              |  FROM b),
-             |px AS (SELECT id, n, unnest(range(n)) AS i, unnest(bytes) AS v
-             |  FROM by2 WHERE n > 0),
-             |agg AS (SELECT id, (i * 64) // n AS cell,
+             |pxr AS (SELECT id, h, unnest(range(h * 32)) AS p, unnest(px) AS v
+             |  FROM by2),
+             |agg AS (SELECT id,
+             |  ((p // 32) * 8 // h) * 8 + (p % 32) // 4 AS cell,
              |  round(sum(v) * 1.0 / count(*), 6) AS av
-             |  FROM px GROUP BY id, (i * 64) // n),
+             |  FROM pxr GROUP BY id, ((p // 32) * 8 // h) * 8 + (p % 32) // 4),
              |spine AS (SELECT id, modality, unnest(range(64)) AS cell FROM b)
              |SELECT s.id, s.modality, CAST(s.cell AS INTEGER) AS cell,
              |  coalesce(a.av, 0.0) AS v
@@ -1210,13 +1225,20 @@ object AnalysisQueries extends QueryProvider {
       "a23_tokenizer_fertility",
       (s, dir) => {
         import s.implicits._
+        // Token count runs on the BMP-only text: Java regex counts an
+        // astral char (emoji surrogate pair) as 2 punctuation tokens while
+        // DuckDB's RE2 counts code points (1) — stripping [U+10000,
+        // U+10FFFF] on BOTH sides pins the count engine-independently.
+        // nb/nw stay on the original text (byte length and space-split
+        // word count are code-point-agnostic).
         val tokRe = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
         graft.Par.fanOut(Tables.documents(s, dir))
           .select($"lang",
             octet_length($"text").cast("long").as("nb"),
             TF.spaceWordCount($"text").cast("long").as("nw"),
-            size(regexp_extract_all($"text", lit(tokRe), lit(0)))
-              .cast("long").as("nt"))
+            size(regexp_extract_all(
+              regexp_replace($"text", "[\\x{10000}-\\x{10FFFF}]", ""),
+              lit(tokRe), lit(0))).cast("long").as("nt"))
           .groupBy($"lang")
           .agg(count(lit(1)).as("n_docs"),
             sum($"nt").as("n_tokens"),
@@ -1231,7 +1253,8 @@ object AnalysisQueries extends QueryProvider {
       Some("""WITH p AS (SELECT lang,
              |  octet_length(encode(text)) AS nb,
              |  len(string_split(text, ' ')) AS nw,
-             |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS nt
+             |  len(regexp_extract_all(regexp_replace(text, '[\x{10000}-\x{10FFFF}]', '', 'g'),
+             |    '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS nt
              |  FROM documents)
              |SELECT lang, count(*) AS n_docs,
              |  CAST(sum(nt) AS BIGINT) AS n_tokens,

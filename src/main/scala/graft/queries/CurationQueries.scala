@@ -278,7 +278,8 @@ object CurationQueries extends QueryProvider {
               |  FROM sh)
               |SELECT doc_id, shard, n_tokens, start_offset,
               |start_offset // 2048 AS window_id
-              |FROM p ORDER BY doc_id""".stripMargin)),
+              |FROM p ORDER BY doc_id""".stripMargin),
+      bench = true),
 
     // Deterministic stratified sampling — EXACTLY k docs per language
     // (c04's hash-rate mixture keeps a proportion; audits and eval sets
@@ -788,24 +789,32 @@ object CurationQueries extends QueryProvider {
       "c20_padding_waste",
       (s, dir) => {
         import s.implicits._
+        // Astral-plane chars are stripped BEFORE tokenizing: Java regex
+        // walks UTF-16 code units (an emoji = 2 punctuation matches) while
+        // DuckDB's RE2 walks code points (1 match) — pinning the count to
+        // the BMP makes the two engines agree on any corpus.
         val tokRe = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
         graft.Par.fanOut(Tables.documents(s, dir))
           .select($"doc_id",
-            size(regexp_extract_all($"text", lit(tokRe), lit(0)))
-              .cast("long").as("nt"))
+            size(regexp_extract_all(
+              regexp_replace($"text", "[\\x{10000}-\\x{10FFFF}]", ""),
+              lit(tokRe), lit(0))).cast("long").as("nt"))
           .select($"doc_id", $"nt",
             least(expr("nt div 16"), lit(15L)).cast("long").as("bucket"))
           .groupBy($"bucket")
           .agg(count(lit(1)).as("n_docs"),
             max($"nt").as("max_len"),
             sum($"nt").as("sum_len"))
+          // greatest(·,1): bucket 0 can be all zero-token docs; 0/0 would
+          // be NaN in Spark vs an engine-dependent result in DuckDB.
           .select($"bucket", $"n_docs", $"max_len", $"sum_len",
             round(($"n_docs" * $"max_len" - $"sum_len") * 1.0 /
-              ($"n_docs" * $"max_len"), 6).as("padding_frac"))
+              greatest($"n_docs" * $"max_len", lit(1L)), 6).as("padding_frac"))
           .orderBy($"bucket")
       },
       Some("""WITH t AS (SELECT doc_id,
-             |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS nt
+             |  len(regexp_extract_all(regexp_replace(text, '[\x{10000}-\x{10FFFF}]', '', 'g'),
+             |    '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS nt
              |  FROM documents),
              |b AS (SELECT doc_id, nt, least(nt // 16, 15) AS bucket FROM t),
              |g AS (SELECT bucket, count(*) AS n_docs, max(nt) AS max_len,
@@ -813,7 +822,7 @@ object CurationQueries extends QueryProvider {
              |SELECT CAST(bucket AS BIGINT) AS bucket, n_docs,
              |  CAST(max_len AS BIGINT) AS max_len, sum_len,
              |  round((n_docs * max_len - sum_len) * 1.0 /
-             |    (n_docs * max_len), 6) AS padding_frac
+             |    greatest(n_docs * max_len, 1), 6) AS padding_frac
              |FROM g ORDER BY bucket""".stripMargin))
   )
 

@@ -508,7 +508,8 @@ object DedupQueries extends QueryProvider {
              |  FROM d JOIN nrm na ON na.doc_id = d.ida
              |         JOIN nrm nb ON nb.doc_id = d.idb)
              |SELECT a, b, cosine FROM c WHERE cosine >= 0.3
-             |ORDER BY a, b""".stripMargin)),
+             |ORDER BY a, b""".stripMargin),
+      bench = true),
 
     // Repeated-substring duplication profile (Lee et al.'s
     // suffix-array dedup signal, shuffle-shaped): every character

@@ -54,13 +54,23 @@ object LsaQueries extends QueryProvider {
       Some(ls01OracleSql)),
 
     // The production-solver sibling: distributed ARPACK SVD
-    // (IndexedRowMatrix.computeSVD — the path a 100 TB corpus calls),
-    // gated IN-QUERY cell-for-cell against the driver-local LAPACK
-    // mirror (LocalLsa) whenever the corpus is small enough to collect:
-    // σ within 1e-3 relative and identical keyword/doc selections, or
-    // the query throws and the gate records a failure. Rows-only at the
-    // DuckDB layer by nature of the solver; the k=5 semantics themselves
-    // are hash-verified via ls01's power twin.
+    // (IndexedRowMatrix.computeSVD — the path a 100 TB corpus calls).
+    // Verified at EVERY scale, two layers:
+    //  1. Lsa.concepts' built-in eigen-residual gate (Config
+    //     .verifyResiduals, default ON — including here, including under
+    //     Bench): one distributed pass proves each returned (σⱼ, vⱼ) is a
+    //     genuine singular triple of this matrix (‖AᵀAvⱼ−σⱼ²vⱼ‖ ≤
+    //     1e-6·σⱼ²), so the solver cannot silently return garbage at any
+    //     corpus size — the r5 "unverified above 2000 docs" gap.
+    //  2. Below 2000 docs, additionally the cell-for-cell dense-LAPACK
+    //     mirror (LocalLsa): σ within 1e-3 relative and identical
+    //     keyword/doc selections. Above that, Stress cross-checks σ
+    //     against the PowerLsa twin on the gap-separated leaders (a
+    //     degenerate cluster — sf0.1 has σ₂≈σ₃≈σ₄ within 1% — cannot be
+    //     separated by any bounded-iteration power method; the residual
+    //     gate covers those concepts instead).
+    // Rows-only at the DuckDB layer by nature of the solver; the k=5
+    // semantics themselves are hash-verified via ls01's power twin.
     Q(
       "ls08_concepts_arpack",
       (s, dir) => {
@@ -69,9 +79,9 @@ object LsaQueries extends QueryProvider {
         val out = Lsa.concepts(docs, "doc_id", "text")
         val nDocs = docs.count()
         // Bounded verification collect: covers the correctness gate
-        // (sf0.01 = 500 docs) while keeping the BENCH measurement
-        // (sf0.1 = 5000 docs) a pure ARPACK number — the dense LAPACK
-        // mirror at 5k×vocab would dominate the timing, not the solver.
+        // (sf0.01 = 500 docs); at bench scale the in-query residual gate
+        // (above) is the verifier — the dense LAPACK mirror at 5k×vocab
+        // would dominate the timing, not the solver.
         if (nDocs <= 2000L) {
           val local = graft.lsa.LocalLsa.concepts(
             docs.select($"doc_id".cast("long"), $"text")
@@ -190,6 +200,25 @@ object LsaQueries extends QueryProvider {
     // k concepts; PowerLsaSpec ties the two together on a fixture. This
     // closes the "SVD not SQL-expressible" gap the same way s03 closed
     // it for KMeans: make the algorithm a pure function of the data.
+    // S5 (the stdout report sink) as a GATE QUERY — the last unit-only
+    // §2 row: the reference prints its concept report line-by-line
+    // (BigdataProjectCode.py:144-152 with the round(x,2) formatting of
+    // :399-401); here the same line is a TABLE (Pipelines.conceptReport)
+    // over the ls01 power concepts, and DuckDB rebuilds the exact string
+    // — decimal-cast σ, keyword/doc lists — from the same k-concept
+    // chain, so even the presentation layer is hash-verified.
+    Q(
+      "ls09_concept_report",
+      (s, dir) => {
+        import s.implicits._
+        val concepts = PowerLsa.kConcepts(powerCells(s, dir, lemma = true),
+            K, PowerIters, NKw, NDoc)
+          .withColumnRenamed("doc_ids", "sentence_ids")
+        graft.pipeline.Pipelines.conceptReport(concepts).orderBy($"concept")
+      },
+      Some(s"""$ls01ReportSql"""),
+      bench = false),
+
     Q(
       "ls06_power_concept",
       (s, dir) => {
@@ -438,6 +467,20 @@ object LsaQueries extends QueryProvider {
     tf.join(broadcast(idf.select($"token", $"idf")), "token")
       .select($"doc_id".as("id"), $"token", round($"tf" * $"idf", 6).as("a"))
   }
+
+  /** ls09: the ls01 chain re-emitted as the S5 report line. The string
+    * is rebuilt piece-for-piece — decimal-cast σ (HALF_UP in both
+    * engines, fixed scale-2 print), space-joined keyword/doc lists.
+    */
+  private def ls01ReportSql: String =
+    s"""SELECT concept,
+       |  'Concept ' || CAST(concept AS VARCHAR) ||
+       |  ' [sigma=' || CAST(CAST(singular_value AS DECIMAL(18,2)) AS VARCHAR) ||
+       |  '] keywords: ' || keywords ||
+       |  ' | sentences: ' || doc_ids AS line
+       |FROM (
+       |$ls01OracleSql
+       |) ORDER BY concept""".stripMargin
 
   /** DuckDB replay of ls01: lemma'd TF-IDF cells (morphy in SQL, as in
     * tr03/t07) → PowerKSql k-concept chain → concept emission.

@@ -356,7 +356,8 @@ object TextQueries extends QueryProvider {
       },
       Some(s"""$bm25CtesSql
               |SELECT doc_id, dl, c_spark, c_join, c_window, score
-              |FROM bm ORDER BY score DESC, doc_id LIMIT 50""".stripMargin)),
+              |FROM bm ORDER BY score DESC, doc_id LIMIT 50""".stripMargin),
+      bench = true),
 
     // Reciprocal Rank Fusion of two retrievers for the same query —
     // BM25 (t13's scorer) and raw query-term frequency. Each ranker is
@@ -428,7 +429,8 @@ object TextQueries extends QueryProvider {
           numMerges = 20)
           .orderBy($"step")
       },
-      Some(t15OracleSql)),
+      Some(t15OracleSql),
+      bench = true),
 
     // The trained tokenizer applied back to the corpus: subword-token
     // frequencies after t15's 20 merges — the token-counting step of a

@@ -34,11 +34,17 @@ object Tables {
   private val eventsSchemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, types.StructType]()
 
-  def eventsFileSchema(s: SparkSession, d: String): types.StructType =
-    // one probe per (session, dir): queries that call eventsFileSchema AND
-    // Tables.events (sm07/sm09) no longer launch redundant inference jobs
-    eventsSchemaCache.computeIfAbsent(s"${System.identityHashCode(s)}:$d",
-      _ => probeEventsSchema(s, d))
+  def eventsFileSchema(s: SparkSession, d: String): types.StructType = {
+    // one probe per (session, dir, file state): queries that call
+    // eventsFileSchema AND Tables.events (sm07/sm09) no longer launch
+    // redundant inference jobs. The file mtime+length in the key
+    // invalidates the entry when events.parquet is rewritten in-place
+    // within one JVM (Stress replica rebuilds, test-data regeneration) —
+    // a same-path rewrite with a different physical ts type must re-probe.
+    val f = new java.io.File(s"$d/events.parquet")
+    val key = s"${System.identityHashCode(s)}:$d:${f.lastModified}:${f.length}"
+    eventsSchemaCache.computeIfAbsent(key, _ => probeEventsSchema(s, d))
+  }
 
   private def probeEventsSchema(s: SparkSession, d: String): types.StructType = {
     import org.apache.spark.sql.types._

@@ -85,10 +85,15 @@ class ResultSinkSpec extends SparkSpec {
 class ReportSpec extends SparkSpec {
   import spark.implicits._
 
-  test("concept report formats with format_string") {
-    val concepts = Seq((0, 3.14159, "alpha beta", "R1_0,R2_1"))
+  test("concept report formats the reference's line (decimal-cast sigma)") {
+    val concepts = Seq((0, 3.14159, "alpha beta", "R1_0,R2_1"),
+        (1, 4.1, "gamma", "R3_0"))
       .toDF("concept", "singular_value", "keywords", "sentence_ids")
-    val line = graft.pipeline.Pipelines.conceptReport(concepts).as[String].head()
-    assert(line == "Concept 0 [sigma=3.14] keywords: alpha beta | sentences: R1_0,R2_1")
+    val out = graft.pipeline.Pipelines.conceptReport(concepts)
+      .orderBy("concept").collect()
+    assert(out.map(_.getString(1)).toSeq == Seq(
+      "Concept 0 [sigma=3.14] keywords: alpha beta | sentences: R1_0,R2_1",
+      // fixed scale-2 print — "4.10", not "4.1" (what DuckDB prints too)
+      "Concept 1 [sigma=4.10] keywords: gamma | sentences: R3_0"))
   }
 }

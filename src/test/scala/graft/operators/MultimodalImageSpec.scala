@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+
+import graft.SparkSpec
+
+/** REAL image decode and pixel math (r5 advice #5): the BMP path is no
+  * longer a stub — ImageIO's actual parser runs, and these tests pin it
+  * with exact pixel assertions against a checked-in fixture image
+  * (src/test/resources/graft/fixture_gradient.bmp — a 9×8 24-bit BMP
+  * whose gray level at (x, y) is (25x + 3y) mod 256).
+  */
+class MultimodalImageSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixtureBytes: Array[Byte] = {
+    val in = getClass.getResourceAsStream("/graft/fixture_gradient.bmp")
+    assert(in != null, "fixture_gradient.bmp missing from test resources")
+    try in.readAllBytes() finally in.close()
+  }
+
+  private def expected(x: Int, y: Int): Int = (25 * x + 3 * y) % 256
+
+  test("decodeImage parses the checked-in BMP to exact pixel values") {
+    val Some((w, h, px)) = Multimodal.decodeImage(fixtureBytes)
+    assert(w == 9 && h == 8)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(px(y * w + x) == expected(x, y),
+        s"pixel ($x,$y): got ${px(y * w + x)}, want ${expected(x, y)}")
+  }
+
+  test("encodeGrayBmp round-trips through ImageIO exactly") {
+    val w = 13; val h = 5 // odd width exercises the 4-byte row padding
+    val gray = Array.tabulate(w * h)(i => ((i * 37 + 11) % 256).toByte)
+    val bmp = Multimodal.encodeGrayBmp(gray, w, h)
+    val Some((dw, dh, px)) = Multimodal.decodeImage(bmp)
+    assert(dw == w && dh == h)
+    (0 until w * h).foreach { i =>
+      assert(px(i) == (gray(i) & 0xff), s"pixel $i: ${px(i)} vs ${gray(i) & 0xff}")
+    }
+  }
+
+  test("decodeFeatures computes features from decoded fixture pixels") {
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "image", fixtureBytes, Row(fixtureBytes.length.toLong, null))), 1),
+      Multimodal.mediaSchema)
+    val r = Multimodal.decodeFeatures(media).collect().head
+    assert(r.getAs[Long]("n_bytes") == 72L) // 9*8 pixels
+    assert(r.getAs[Int]("n_frames") == 1)
+    val vals = for (y <- 0 until 8; x <- 0 until 9) yield expected(x, y)
+    var fnv = 0xcbf29ce484222325L
+    vals.foreach { v => fnv ^= v.toLong; fnv *= 0x100000001b3L }
+    assert(r.getAs[Long]("checksum") == fnv)
+    val feat = r.getSeq[Double](r.fieldIndex("feature"))
+    assert(feat(0) == 72.0)
+    assert(math.abs(feat(1) - vals.sum.toDouble / 72) < 1e-12)
+    assert(feat(2) == vals.min.toDouble && feat(3) == vals.max.toDouble)
+  }
+
+  test("resizeGrid area-averages the decoded 2-D grid (not the byte stream)") {
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "image", fixtureBytes, Row(fixtureBytes.length.toLong, null))), 1),
+      Multimodal.mediaSchema)
+    val out = Multimodal.resizeGrid(media, gridW = 3, gridH = 2).collect()
+      .map(r => r.getAs[Int]("cell") -> r.getAs[Double]("v")).toMap
+    assert(out.size == 6)
+    // mirror of the kernel's mapping: (x,y) -> (y*2/8, x*3/9)
+    val sums = Array.fill(6)(0L); val cnts = Array.fill(6)(0L)
+    for (y <- 0 until 8; x <- 0 until 9) {
+      val cell = (y * 2 / 8) * 3 + (x * 3 / 9)
+      sums(cell) += expected(x, y); cnts(cell) += 1
+    }
+    (0 until 6).foreach { c =>
+      val want = java.math.BigDecimal.valueOf(sums(c) * 1.0 / cnts(c))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+      assert(out(c) == want, s"cell $c: ${out(c)} vs $want")
+    }
+  }
+
+  test("grayImagePayload wraps bytes into a BMP whose pixels are the padded bytes") {
+    val docs = Seq((1L, "hello multimodal world"), (2L, "")).toDF("doc_id", "text")
+    val wrapped = Multimodal.grayImagePayload(
+      Multimodal.asMedia(docs, "doc_id", "text"), width = 32)
+    wrapped.collect().foreach { r =>
+      val Some((w, h, px)) = Multimodal.decodeImage(r.getAs[Array[Byte]]("payload"))
+      assert(w == 32)
+      val orig =
+        if (r.getAs[Long]("id") == 1L) "hello multimodal world".getBytes("UTF-8")
+        else Array.emptyByteArray
+      assert(h == math.max(1, (orig.length + 31) / 32))
+      (0 until w * h).foreach { i =>
+        val want = if (i < orig.length) orig(i) & 0xff else 0
+        assert(px(i) == want, s"pixel $i: ${px(i)} vs $want")
+      }
+    }
+  }
+
+  test("non-image payloads fall back to the byte-stream path") {
+    val docs = Seq((7L, "plain text, not an image")).toDF("doc_id", "text")
+    val media = Multimodal.asMedia(docs, "doc_id", "text") // raw UTF-8 payload
+    val r = Multimodal.decodeFeatures(media).collect().head
+    val bytes = "plain text, not an image".getBytes("UTF-8")
+    assert(r.getAs[Long]("n_bytes") == bytes.length.toLong)
+    assert(r.getAs[Int]("n_frames") == (bytes.length + 255) / 256)
+  }
+}
