@@ -87,10 +87,104 @@ object Bpe {
     vocab.select(col("word"), size(split(col("repr"), Sep)).as("n_sub"))
   }
 
-  /** Merge table + the final (freq, repr) word-type table. */
+  /** Merge table + the final (freq, repr) word-type table.
+    *
+    * Scale routing (the TextRank/PowerLsa pattern): the merge loop's
+    * working set is the word-TYPE table, which Heaps' law keeps
+    * vocabulary-sized however large the corpus — so when the type count
+    * fits a driver budget the 2·numMerges tiny Spark jobs (each a
+    * shuffle + an eager checkpoint, pure scheduling overhead at this
+    * size) are replaced by ONE bounded collect and a local loop walking
+    * the IDENTICAL greedy recurrence (BpeSpec pins the two routes
+    * row-equal). A truly unbounded type table (100 TB multilingual)
+    * routes to the distributed loop unchanged.
+    */
   def mergesAndVocab(spark: SparkSession, wordFreq: DataFrame,
-      numMerges: Int): (DataFrame, DataFrame) = {
+      numMerges: Int, maxLocalTypes: Long = 2000000L): (DataFrame, DataFrame) = {
     require(numMerges >= 1, "numMerges must be >= 1")
+    val wf = wordFreq.select(col("word"),
+      col("freq").cast("long").as("freq")).persist()
+    val nTypes = wf.count()
+    val out =
+      if (nTypes <= maxLocalTypes) mergesAndVocabLocal(spark, wf, numMerges)
+      else mergesAndVocabDF(spark, wf, numMerges)
+    wf.unpersist()
+    out
+  }
+
+  /** Bounded-types route: one collect, local greedy loop — semantics
+    * identical to [[mergesAndVocabDF]] (same per-position pair counts
+    * weighted by type frequency, same (cnt desc, l, r) tie-break, same
+    * left-to-right non-overlapping merge scan).
+    */
+  private def mergesAndVocabLocal(spark: SparkSession, wordFreq: DataFrame,
+      numMerges: Int): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val types: Array[(String, Long)] =
+      wordFreq.as[(String, Long)].collect()
+    // chars + end marker; ASCII-ordered like the engine's ORDER BY word
+    val reprs: Array[Array[String]] = types.map { case (w, _) =>
+      (w.map(_.toString) :+ EndMark).toArray
+    }
+    val freqs = types.map(_._2)
+    val merges = scala.collection.mutable.ListBuffer.empty[Merge]
+    var step = 1
+    var exhausted = false
+    while (step <= numMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      var i = 0
+      while (i < reprs.length) {
+        val s = reprs(i); val f = freqs(i)
+        var p = 0
+        while (p + 1 < s.length) {
+          val k = (s(p), s(p + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          p += 1
+        }
+        i += 1
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((l, r), cnt) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        val merged = l + r
+        merges += Merge(step.toLong, l, r, merged, cnt)
+        var j = 0
+        while (j < reprs.length) {
+          val s = reprs(j)
+          // greedy left-to-right non-overlapping scan == the engine fold
+          var hit = false
+          var p = 0
+          while (!hit && p + 1 < s.length) {
+            hit = s(p) == l && s(p + 1) == r; p += 1
+          }
+          if (hit) {
+            val b = scala.collection.mutable.ArrayBuffer.empty[String]
+            var q = 0
+            while (q < s.length) {
+              if (q + 1 < s.length && s(q) == l && s(q + 1) == r) {
+                b += merged; q += 2
+              } else { b += s(q); q += 1 }
+            }
+            reprs(j) = b.toArray
+          }
+          j += 1
+        }
+        step += 1
+      }
+    }
+    val vocabRows = types.indices.map { i =>
+      (types(i)._1, freqs(i), reprs(i).mkString(Sep))
+    }
+    val parts = math.min(8, math.max(1, spark.sparkContext.defaultParallelism))
+    (merges.toSeq.toDF("step", "l", "r", "merged", "cnt"),
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(vocabRows.toSeq, parts))
+        .toDF("word", "freq", "repr"))
+  }
+
+  /** Distributed route — the 100 TB path (unbounded type tables). */
+  private def mergesAndVocabDF(spark: SparkSession, wordFreq: DataFrame,
+      numMerges: Int): (DataFrame, DataFrame) = {
     // chars + end marker, joined on the separator; the word TYPE rides
     // along untouched so the final table doubles as an encode dictionary
     var repr = wordFreq.select(col("word"),

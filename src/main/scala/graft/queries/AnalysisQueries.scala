@@ -379,6 +379,65 @@ object AnalysisQueries extends QueryProvider {
       },
       Some(mm04OracleSql)),
 
+    // REAL-pixel perceptual dHash — the upgrade mm04's stub doc
+    // promised: payloads wrapped as genuine BMPs, ImageIO-decoded,
+    // area-averaged onto the classic 9×8 grid, bit i = 8r+c set iff
+    // cell (r, c+1) is strictly brighter than (r, c) — brightness
+    // compared by the exact integer cross-product sumA·cntB > sumB·cntA
+    // (no float mean anywhere), 60 bits kept for signed portability.
+    // The oracle rebuilds the padded pixel grid from hex bytes, the
+    // same 2-D cell map (p → gy = (p/32)·8/h, gx = (p%32)·9/32), a
+    // dense 8×9 spine (short images leave empty zero-brightness rows),
+    // and the same cross-product bit rule.
+    Q(
+      "mm09_dhash_real",
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.dHashReal(Multimodal.grayImagePayload(
+          Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text")))
+          .orderBy($"id")
+      },
+      Some("""WITH b AS (
+             |  SELECT doc_id AS id,
+             |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+             |      ELSE 'video' END AS modality,
+             |    hex(encode(coalesce(text,''))) AS hx,
+             |    octet_length(encode(coalesce(text,''))) AS n
+             |  FROM documents),
+             |by2 AS (
+             |  SELECT id, greatest(1, (n + 31) // 32) AS h,
+             |    list_concat(
+             |      list_transform(range(n), i ->
+             |        (strpos('0123456789ABCDEF', hx[2*i+1])-1)*16 +
+             |        (strpos('0123456789ABCDEF', hx[2*i+2])-1)),
+             |      list_transform(range(greatest(1, (n + 31) // 32) * 32 - n),
+             |        i -> 0)) AS px
+             |  FROM b),
+             |pxr AS (SELECT id, h, unnest(range(h * 32)) AS p, unnest(px) AS v
+             |  FROM by2),
+             |g AS (SELECT id, ((p // 32) * 8) // h AS gy,
+             |  ((p % 32) * 9) // 32 AS gx,
+             |  CAST(sum(v) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+             |  FROM pxr GROUP BY id, ((p // 32) * 8) // h, ((p % 32) * 9) // 32),
+             |spine AS (SELECT id, gy, gx FROM (SELECT DISTINCT id FROM b)
+             |  CROSS JOIN (SELECT unnest(range(8)) AS gy)
+             |  CROSS JOIN (SELECT unnest(range(9)) AS gx)),
+             |cells AS (SELECT sp.id, sp.gy, sp.gx,
+             |  coalesce(g.s, 0) AS s, coalesce(g.c, 0) AS c
+             |  FROM spine sp LEFT JOIN g
+             |    ON g.id = sp.id AND g.gy = sp.gy AND g.gx = sp.gx),
+             |bits AS (SELECT a.id, a.gy * 8 + a.gx AS i,
+             |  CASE WHEN b2.s * greatest(a.c, 1) > a.s * greatest(b2.c, 1)
+             |    THEN 1 ELSE 0 END AS bit
+             |  FROM cells a JOIN cells b2
+             |    ON b2.id = a.id AND b2.gy = a.gy AND b2.gx = a.gx + 1
+             |  WHERE a.gx <= 7 AND a.gy * 8 + a.gx < 60),
+             |hh AS (SELECT id, CAST(sum(bit * (1::BIGINT << i)) AS BIGINT)
+             |  AS dhash FROM bits GROUP BY id)
+             |SELECT b.id, b.modality, coalesce(hh.dhash, 0) AS dhash
+             |FROM b LEFT JOIN hh ON hh.id = b.id
+             |ORDER BY b.id""".stripMargin)),
+
     // Audio windowed energy (the DSP half of voice-activity
     // detection): audio-modality payloads window into 160-byte frames
     // (≈10 ms of 8-bit 16 kHz mono); each frame's INTEGER sum of

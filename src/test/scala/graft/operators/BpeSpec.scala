@@ -59,6 +59,24 @@ class BpeSpec extends SparkSpec {
       "w" -> 3L, "i" -> 3L, "d" -> 3L))
   }
 
+  test("local and distributed merge routes are row-equal") {
+    // the routing contract t15/t16 rely on: bounded type tables collect
+    // and loop locally, unbounded ones walk the same recurrence in
+    // 2·numMerges Spark jobs — the outputs must be IDENTICAL
+    val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+    val toks = docs.select(
+      expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("tokens"))
+    val freq = Bpe.wordFrequencies(toks, "tokens")
+    def rows(p: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)) = (
+      p._1.as[(Long, String, String, String, Long)].collect().sortBy(_._1).toSeq,
+      p._2.as[(String, Long, String)].collect().sortBy(_._1).toSeq)
+    val local = rows(Bpe.mergesAndVocab(spark, freq, 8))
+    val dist = rows(Bpe.mergesAndVocab(spark, freq, 8, maxLocalTypes = 0L))
+    assert(local._1 == dist._1)
+    assert(local._2 == dist._2)
+    assert(local._1.length == 8)
+  }
+
   test("word frequencies reduce the corpus to types") {
     val toks = Seq(Seq("to", "be", "or"), Seq("not", "to", "be"))
       .toDF("tokens")

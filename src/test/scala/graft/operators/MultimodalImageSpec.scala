@@ -97,6 +97,39 @@ class MultimodalImageSpec extends SparkSpec {
     }
   }
 
+  test("PNG payloads decode through the same real path") {
+    val img = new java.awt.image.BufferedImage(6, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 6) {
+      val v = (x * 40 + y * 7) % 256
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val Some((w, h, px)) = Multimodal.decodeImage(bos.toByteArray)
+    assert(w == 6 && h == 4)
+    for (y <- 0 until 4; x <- 0 until 6)
+      assert(px(y * 6 + x) == (x * 40 + y * 7) % 256)
+  }
+
+  test("dHashReal sets bits by exact cross-product brightness compares") {
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "image", fixtureBytes, Row(fixtureBytes.length.toLong, null))), 1),
+      Multimodal.mediaSchema)
+    val got = Multimodal.dHashReal(media).collect().head.getAs[Long]("dhash")
+    // local mirror on the known 9x8 fixture: grid == pixels (w=9 -> gx:
+    // x*9/9 = x; h=8 -> gy: y*8/8 = y), so each cell is one pixel and
+    // bit i is just px(r, c+1) > px(r, c) — with the gradient
+    // (25x + 3y) % 256 that is true except where the +25 wraps
+    var want = 0L
+    for (i <- 0 until 60) {
+      val r = i / 8; val c = i % 8
+      if (expected(c + 1, r) > expected(c, r)) want |= 1L << i
+    }
+    assert(got == want)
+  }
+
   test("non-image payloads fall back to the byte-stream path") {
     val docs = Seq((7L, "plain text, not an image")).toDF("doc_id", "text")
     val media = Multimodal.asMedia(docs, "doc_id", "text") // raw UTF-8 payload
