@@ -201,6 +201,13 @@ object Similarity {
           * lit(quantScale)).cast("long"))
       .filter(col("wq") > 0)
       .select(col("id"), col("tok"), col("wq"))
+      // Feeds BOTH sides of the token self-join plus the norm table —
+      // without the persist the scan+tokenize+tf/df subtree replays once
+      // per reference (the explain showed 4 full corpus scans). Same
+      // no-unpersist-hook rationale as d04's shingle cache: the result
+      // is a lazy plan still referencing it; MEMORY_AND_DISK entries are
+      // LRU-bounded, not leaked.
+      .persist()
     val norms = w.groupBy(col("id")).agg(sum(col("wq") * col("wq")).as("nsq"))
     val dot = w.select(col("tok"), col("id").as("ida"), col("wq").as("wa"))
       .join(w.select(col("tok"), col("id").as("idb"), col("wq").as("wb")),
