@@ -37,6 +37,12 @@ object Bm25 {
       .filter(col("tok").isin(terms: _*))
       .groupBy(col("doc_id"), col("dl"), col("tok"))
       .agg(count(lit(1)).as("tf"))
+      // Bounded by the query's posting lists (docs containing a query
+      // term × |terms|), and referenced by BOTH the df aggregate and the
+      // scoring join — without the persist each reference replays the
+      // corpus explode (the plan audit showed 6 corpus scans; now 2:
+      // one for corpus stats, one for the postings).
+      .persist()
     val dfT = tf.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
     val scored = tf
       .join(broadcast(dfT), Seq("tok"))
