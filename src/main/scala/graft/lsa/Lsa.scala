@@ -84,6 +84,68 @@ object Lsa {
       .toDF("token", "df", "idx")
   }
 
+  /** Relative eigen-residuals ‖AᵀAvⱼ − σⱼ²vⱼ‖ / σⱼ² of a claimed
+    * factorization against the ACTUAL matrix, computed distributed in
+    * one pass: per row a, w = aᵀV (k dots over the active indices), then
+    * Z += a·wᵀ via treeAggregate into a |vocab|×k accumulator. A genuine
+    * singular triple has residual ~solver-tolerance; a corrupted V or a
+    * wrong σ is orders of magnitude off (EigenResidualSpec proves the
+    * gate can fail). Zero-σ concepts report 0 (nothing to verify).
+    *
+    * `rows`: the matrix as IndexedRows; `v(i, j)`: claimed right-singular
+    * loadings; `s`: claimed singular values (length = #concepts).
+    */
+  def eigenResiduals(
+      rows: org.apache.spark.rdd.RDD[IndexedRow],
+      v: (Int, Int) => Double, s: Array[Double],
+      vocabSize: Int): Array[Double] = {
+    val kEff = s.length
+    if (kEff == 0) return Array.empty
+    val sc = rows.sparkContext
+    // ship the loadings as a plain array (v may close over a local Matrix)
+    val vArr = Array.tabulate(vocabSize, kEff)(v)
+    val vB = sc.broadcast(vArr)
+    val z = rows.treeAggregate(null.asInstanceOf[Array[Double]])(
+      seqOp = (acc0, r) => {
+        val acc = if (acc0 == null) new Array[Double](vocabSize * kEff) else acc0
+        val vm = vB.value
+        val sv = r.vector.toSparse
+        val idx = sv.indices; val vs = sv.values
+        val w = new Array[Double](kEff)
+        var j = 0
+        while (j < kEff) {
+          var p = 0; var acc2 = 0.0
+          while (p < idx.length) { acc2 += vs(p) * vm(idx(p))(j); p += 1 }
+          w(j) = acc2; j += 1
+        }
+        var p = 0
+        while (p < idx.length) {
+          val base = idx(p) * kEff; val a = vs(p)
+          var q = 0
+          while (q < kEff) { acc(base + q) += a * w(q); q += 1 }
+          p += 1
+        }
+        acc
+      },
+      combOp = (x, y) =>
+        if (x == null) y else if (y == null) x
+        else { var i = 0; while (i < x.length) { x(i) += y(i); i += 1 }; x })
+    vB.destroy()
+    val zz = if (z == null) new Array[Double](vocabSize * kEff) else z
+    Array.tabulate(kEff) { j =>
+      val s2 = s(j) * s(j)
+      if (s2 <= 0.0) 0.0
+      else {
+        var rs = 0.0; var i = 0
+        while (i < vocabSize) {
+          val d = zz(i * kEff + j) - s2 * vArr(i)(j)
+          rs += d * d; i += 1
+        }
+        math.sqrt(rs) / s2
+      }
+    }
+  }
+
   /** Concepts from a (id: long, text: string) corpus. Returns a LOCAL
     * small result (k rows) as a DataFrame.
     */
@@ -159,49 +221,12 @@ object Lsa {
     val kEff = math.min(k, math.min(svd.s.size, svd.V.numCols))
 
     if (cfg.verifyResiduals) {
-      // Z = AᵀAV in one pass: per row a, w = aᵀV (k dots over the active
-      // indices), then Z += a wᵀ. Accumulator is |vocab|×kEff doubles.
-      val vB = spark.sparkContext.broadcast(svd.V)
-      val z = rows.treeAggregate(null.asInstanceOf[Array[Double]])(
-        seqOp = (acc0, r) => {
-          val acc = if (acc0 == null) new Array[Double](vocabSize * kEff) else acc0
-          val vm = vB.value
-          val sv = r.vector.toSparse
-          val idx = sv.indices; val vs = sv.values
-          val w = new Array[Double](kEff)
-          var j = 0
-          while (j < kEff) {
-            var p = 0; var s = 0.0
-            while (p < idx.length) { s += vs(p) * vm(idx(p), j); p += 1 }
-            w(j) = s; j += 1
-          }
-          var p = 0
-          while (p < idx.length) {
-            val base = idx(p) * kEff; val a = vs(p)
-            var q = 0
-            while (q < kEff) { acc(base + q) += a * w(q); q += 1 }
-            p += 1
-          }
-          acc
-        },
-        combOp = (x, y) =>
-          if (x == null) y else if (y == null) x
-          else { var i = 0; while (i < x.length) { x(i) += y(i); i += 1 }; x })
-      vB.destroy()
-      val zz = if (z == null) new Array[Double](vocabSize * kEff) else z
-      (0 until kEff).foreach { j =>
-        val s2 = svd.s(j) * svd.s(j)
-        if (s2 > 0.0) {
-          var rs = 0.0; var i = 0
-          while (i < vocabSize) {
-            val d = zz(i * kEff + j) - s2 * svd.V(i, j)
-            rs += d * d; i += 1
-          }
-          val rel = math.sqrt(rs) / s2
-          require(rel <= cfg.residualTol,
-            s"SVD self-check failed: concept $j eigen-residual " +
-              s"|AtAv - s2 v|/s2 = $rel > ${cfg.residualTol} (sigma=${svd.s(j)})")
-        }
+      val res = eigenResiduals(rows,
+        (i, j) => svd.V(i, j), Array.tabulate(kEff)(svd.s(_)), vocabSize)
+      res.zipWithIndex.foreach { case (rel, j) =>
+        require(rel <= cfg.residualTol,
+          s"SVD self-check failed: concept $j eigen-residual " +
+            s"|AtAv - s2 v|/s2 = $rel > ${cfg.residualTol} (sigma=${svd.s(j)})")
       }
     }
 
