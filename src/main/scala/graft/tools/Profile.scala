@@ -68,6 +68,22 @@ object Profile {
           .orderBy("a", "b")
         time("verify-join")(noop(out))
 
+      case "ls08" =>
+        val docs = Tables.documents(spark, sfDir)
+        val tok = graft.Par.fanOut(docs)
+          .select($"doc_id".cast("long").as("id"),
+            graft.text.TextFunctions.lsaTokens($"text", true).as("tokens"))
+          .filter(size($"tokens") > 0)
+        time("tokenize+lemma")(tok.count())
+        // warm run then timed runs isolating the residual gate
+        val cfgOff = graft.lsa.Lsa.Config(verifyResiduals = false)
+        time("concepts-warmup")(noop(
+          graft.lsa.Lsa.concepts(docs, "doc_id", "text", cfgOff)))
+        time("concepts-noGate")(noop(
+          graft.lsa.Lsa.concepts(docs, "doc_id", "text", cfgOff)))
+        time("concepts-withGate")(noop(
+          graft.lsa.Lsa.concepts(docs, "doc_id", "text")))
+
       case "ls01" =>
         val docs = Tables.documents(spark, sfDir)
         for (round <- Seq("cold", "warm")) {
