@@ -26,7 +26,10 @@ object Stress {
     // the production ARPACK SVD — runs with the in-query eigen-residual
     // gate ON, so completing here IS at-scale solver verification; the
     // power-twin σ cross-check on the leaders is tools/Ls08TwinCheck
-    "ls08_concepts_arpack")
+    "ls08_concepts_arpack",
+    // round-6 additions: real-pixel dHash, trained-tokenizer fertility,
+    // the S5 report over the power chain
+    "mm09_dhash_real", "t20_bpe_fertility", "ls09_concept_report")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/graft_sf1")

@@ -455,6 +455,54 @@ object TextQueries extends QueryProvider {
               |  (SELECT freq, unnest(string_split(repr, chr(31))) AS token FROM r20)
               |GROUP BY token ORDER BY cnt DESC, token LIMIT 50""".stripMargin)),
 
+    // Per-language fertility under the TRAINED tokenizer — the real-
+    // subword complement to a23's BPE-ish regex proxy: t15's 20-merge
+    // vocabulary is applied back per word TYPE (subwordDict — a
+    // vocabulary-sized broadcast dictionary at any corpus scale), and
+    // each language reports its mean tokens-per-word in exact-decimal
+    // means. This is the number a multilingual mixture design actually
+    // budgets with: a language at 2× fertility costs 2× context per
+    // word UNDER THE TOKENIZER THAT WILL BE USED, not under a proxy.
+    // Oracle: the shared bpeCtesSql chain → dict from r20 → the same
+    // per-doc ratio means.
+    Q(
+      "t20_bpe_fertility",
+      (s, dir) => {
+        import s.implicits._
+        val docs = graft.Par.fanOut(Tables.documents(s, dir))
+        val dict = graft.operators.Bpe.subwordDict(s,
+          graft.operators.Bpe.wordFrequencies(
+            docs.select(TF.tokenize($"text").as("tokens")), "tokens"),
+          numMerges = 20)
+        docs.select($"doc_id", $"lang",
+            explode(TF.tokenize($"text")).as("word"))
+          .join(broadcast(dict), "word")
+          .groupBy($"doc_id", $"lang")
+          .agg(count(lit(1)).as("nw"), sum($"n_sub").cast("long").as("ns"))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"nw").cast("long").as("n_words"),
+            sum($"ns").cast("long").as("n_subwords"),
+            round(sum(($"ns" * 1.0 / $"nw").cast("decimal(38,18)"))
+              .cast("double") / count(lit(1)), 6).as("bpe_fertility"))
+          .orderBy($"lang")
+      },
+      Some(s"""$bpeCtesSql,
+              |dict AS (SELECT word, len(string_split(repr, chr(31))) AS n_sub
+              |  FROM r20),
+              |dw AS (SELECT doc_id, lang,
+              |  unnest(regexp_extract_all(lower(text), '[a-zA-Z]+')) AS word
+              |  FROM documents),
+              |pd AS (SELECT doc_id, lang, count(*) AS nw,
+              |  CAST(sum(n_sub) AS BIGINT) AS ns
+              |  FROM dw JOIN dict USING (word) GROUP BY doc_id, lang)
+              |SELECT lang, count(*) AS n_docs,
+              |  CAST(sum(nw) AS BIGINT) AS n_words,
+              |  CAST(sum(ns) AS BIGINT) AS n_subwords,
+              |  round(CAST(sum(CAST(ns * 1.0 / nw AS DECIMAL(38,18))) AS DOUBLE)
+              |    / count(*), 6) AS bpe_fertility
+              |FROM pd GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // Keyword-in-context concordance (the corpus-linguistics KWIC
     // view): every occurrence of the query term with its ±2-token
     // window. A row-local Generate + array slices — narrow at any
