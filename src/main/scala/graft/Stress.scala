@@ -29,7 +29,11 @@ object Stress {
     "ls08_concepts_arpack",
     // round-6 additions: real-pixel dHash, trained-tokenizer fertility,
     // the S5 report over the power chain
-    "mm09_dhash_real", "t20_bpe_fertility", "ls09_concept_report")
+    "mm09_dhash_real", "t20_bpe_fertility", "ls09_concept_report",
+    // mid-round-6 pipeline gates: the LM-based filters (corpus-trained
+    // bigram/unigram LMs), token chunking, and the streaming LSH index
+    "a24_lm_surprisal", "a26_dsir_weights", "c21_chunk_windows",
+    "sm13_stream_lsh_index")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/graft_sf1")

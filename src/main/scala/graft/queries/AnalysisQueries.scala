@@ -1321,7 +1321,197 @@ object AnalysisQueries extends QueryProvider {
              |    AS DECIMAL(38,18))) AS DOUBLE) / count(*), 6) AS fertility,
              |  round(CAST(sum(CAST(nb * 1.0 / greatest(nt, 1)
              |    AS DECIMAL(38,18))) AS DOUBLE) / count(*), 6) AS bytes_per_token
-             |FROM p GROUP BY lang ORDER BY lang""".stripMargin))
+             |FROM p GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Bigram-LM surprisal — the CCNet-style language-model quality
+    // filter: train an add-1-smoothed bigram LM on the corpus itself
+    // (unigram + bigram count tables), then score every document by its
+    // mean negative log10 bigram probability. Low surprisal = fluent /
+    // in-distribution text; high = noise. Scale shape: the unigram table
+    // is vocabulary-sized (broadcast), the bigram table is
+    // corpus-bounded (hash join on the bigram key), and the per-doc
+    // aggregation is one partial-agg shuffle — the whole filter is two
+    // linear passes, the same shape a 100 TB KenLM-filter stage has.
+    // Determinism: each bigram's -log10 P is rounded to 6dp (double
+    // noise ~1e-15 vs the 1e-6 grid) and summed in DECIMAL so partition
+    // order can't move the mean.
+    Q(
+      "a24_lm_surprisal",
+      (s, dir) => {
+        import s.implicits._
+        val toks = graft.Par.fanOut(Tables.documents(s, dir))
+          .select($"doc_id", TF.tokenize($"text").as("t"))
+        val uni = toks.select(explode($"t").as("w"))
+          .groupBy($"w").agg(count(lit(1)).as("c1"))
+        val vocab = uni.agg(count(lit(1)).as("vocab"))
+        val bi = toks.where(size($"t") >= 2)
+          .select($"doc_id", explode(expr(
+            "transform(sequence(0, size(t)-2), i -> struct(t[i] AS w1, t[i+1] AS w2))"))
+            .as("bg"))
+          .select($"doc_id", $"bg.w1".as("w1"), $"bg.w2".as("w2"))
+        val bic = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("cb"))
+        val perDoc = bi
+          .join(bic, Seq("w1", "w2"))
+          .join(broadcast(uni.withColumnRenamed("w", "w1")), Seq("w1"))
+          .crossJoin(broadcast(vocab))
+          .withColumn("nlp",
+            round(-log10(($"cb" + lit(1.0)) / ($"c1" + $"vocab")), 6)
+              .cast("decimal(18,6)"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(sum($"nlp").cast("double") / count(lit(1)), 6).as("surprisal"))
+        Tables.documents(s, dir).select($"doc_id")
+          .join(perDoc, Seq("doc_id"), "left")
+          .select($"doc_id", coalesce($"n_bigrams", lit(0L)).as("n_bigrams"),
+            $"surprisal")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH base AS (SELECT doc_id,
+             |  regexp_extract_all(lower(text),'[a-zA-Z]+') AS t FROM documents),
+             |u AS (SELECT w, count(*) AS c1
+             |  FROM (SELECT unnest(t) AS w FROM base) GROUP BY w),
+             |v AS (SELECT count(*) AS vocab FROM u),
+             |bg AS (SELECT doc_id, unnest(list_transform(range(len(t)-1),
+             |    i -> struct_pack(w1 := t[i+1], w2 := t[i+2]))) AS g
+             |  FROM base WHERE len(t) >= 2),
+             |bg2 AS (SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM bg),
+             |bc AS (SELECT w1, w2, count(*) AS cb FROM bg2 GROUP BY w1, w2),
+             |sc AS (SELECT doc_id,
+             |    CAST(round(-log10((cb + 1.0) / (c1 + vocab)), 6)
+             |      AS DECIMAL(18,6)) AS nlp
+             |  FROM bg2 JOIN bc USING (w1, w2) JOIN u ON bg2.w1 = u.w
+             |  CROSS JOIN v),
+             |pd AS (SELECT doc_id, count(*) AS n_bigrams,
+             |    round(CAST(sum(nlp) AS DOUBLE) / count(*), 6) AS surprisal
+             |  FROM sc GROUP BY doc_id)
+             |SELECT d.doc_id, coalesce(pd.n_bigrams, 0) AS n_bigrams,
+             |  pd.surprisal
+             |FROM documents d LEFT JOIN pd USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Gopher-style rule gates (Rae et al. 2021 §A1.1): the explicit
+    // per-document quality rules a pretraining pipeline applies before
+    // any model-based filter — word-count band, mean-word-length band,
+    // minimum stopword evidence, alphabetic-word fraction, symbol-to-
+    // word ratio. Emitted as individual booleans (so a corpus report
+    // can show WHICH rule rejects) plus the composite keep decision.
+    // Pure narrow per-row expressions — no shuffle at all.
+    Q(
+      "a25_gopher_gates",
+      (s, dir) => {
+        import s.implicits._
+        val tok = TF.tokenize($"text")
+        val words = split(trim($"text"), "\\s+")
+        val mwl = TA.meanWordLen(tok)
+        val nw = size(words).cast("long")
+        val alphaFrac = size(filter(words, w => w.rlike("[a-zA-Z]")))
+          .cast("double") / greatest(size(words), lit(1))
+        val nSym = size(regexp_extract_all($"text", lit("#|\\.\\.\\."), lit(0)))
+        graft.Par.fanOut(Tables.documents(s, dir))
+          .select($"doc_id", nw.as("n_words"),
+            round(mwl, 6).as("mean_word_len"),
+            (nw >= 50 && nw <= 100000).as("g_word_count"),
+            (mwl >= 3.0 && mwl <= 10.0).as("g_mean_word_len"),
+            (graft.functions.TextNative.nltk_stop_count(tok) >= 2)
+              .as("g_stopwords"),
+            (alphaFrac >= 0.8).as("g_alpha_words"),
+            (nSym.cast("double") / greatest(nw, lit(1L)) <= 0.1).as("g_symbols"))
+          .withColumn("keep",
+            $"g_word_count" && $"g_mean_word_len" && $"g_stopwords" &&
+              $"g_alpha_words" && $"g_symbols")
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH base AS (SELECT doc_id, text,
+              |  regexp_extract_all(lower(text),'[a-zA-Z]+') AS tok,
+              |  regexp_split_to_array(trim(text), '\\s+') AS words
+              |  FROM documents),
+              |m AS (SELECT doc_id, text, tok, words,
+              |  len(words) AS nw,
+              |  CASE WHEN len(tok) = 0 THEN 0.0 ELSE
+              |    list_reduce(list_transform(tok, x -> len(x) * 1.0),
+              |      (a, b) -> a + b) / len(tok) END AS mwl,
+              |  len(list_filter(tok, x -> list_contains(${TextSql.stopSql}, x)))
+              |    AS nstop,
+              |  len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]')))
+              |    * 1.0 / greatest(len(words), 1) AS afrac,
+              |  len(regexp_extract_all(text, '#|\\.\\.\\.')) AS nsym
+              |  FROM base)
+              |SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+              |  round(mwl, 6) AS mean_word_len,
+              |  nw >= 50 AND nw <= 100000 AS g_word_count,
+              |  mwl >= 3.0 AND mwl <= 10.0 AS g_mean_word_len,
+              |  nstop >= 2 AS g_stopwords,
+              |  afrac >= 0.8 AS g_alpha_words,
+              |  nsym * 1.0 / greatest(nw, 1) <= 0.1 AS g_symbols,
+              |  nw >= 50 AND nw <= 100000 AND (mwl >= 3.0 AND mwl <= 10.0)
+              |    AND nstop >= 2 AND afrac >= 0.8
+              |    AND nsym * 1.0 / greatest(nw, 1) <= 0.1 AS keep
+              |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // DSIR importance weights (Xie et al. 2023, "Data Selection for
+    // Language Models via Importance Resampling"): score every document
+    // by the log-likelihood ratio of a TARGET-domain unigram LM (here:
+    // the corpus's declared-English slice, the in-domain proxy) against
+    // the SOURCE LM (the whole corpus), both add-1 smoothed over the
+    // shared vocabulary. Positive log-weight = looks more like the
+    // target domain than the raw pool; resampling by these weights is
+    // the published recipe for domain-targeted pretraining selection.
+    // Scale shape: both LMs are vocabulary-sized tables (broadcast), the
+    // scoring pass is one narrow join + one per-doc agg — linear at any
+    // corpus size, same as a24. Per-token llr is rounded to 6dp and
+    // summed in DECIMAL so partitioning can't move the doc score.
+    Q(
+      "a26_dsir_weights",
+      (s, dir) => {
+        import s.implicits._
+        val words = graft.Par.fanOut(Tables.documents(s, dir))
+          .select($"doc_id", $"lang", explode(TF.tokenize($"text")).as("w"))
+        val src = words.groupBy($"w").agg(count(lit(1)).as("cs"))
+        val tgt = words.where($"lang" === "en")
+          .groupBy($"w").agg(count(lit(1)).as("ct"))
+        val totals = src.agg(sum($"cs").as("ns"), count(lit(1)).as("v"))
+        val tTotal = tgt.agg(sum($"ct").as("nt"))
+        val lm = src.join(tgt, Seq("w"), "left")
+          .select($"w", $"cs", coalesce($"ct", lit(0L)).as("ct"))
+          .crossJoin(broadcast(totals)).crossJoin(broadcast(tTotal))
+          .select($"w", round(log10(
+            (($"ct" + lit(1.0)) / ($"nt" + $"v")) /
+              (($"cs" + lit(1.0)) / ($"ns" + $"v"))), 6)
+            .cast("decimal(18,6)").as("llr"))
+        val perDoc = words
+          .join(broadcast(lm), Seq("w"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            round(sum($"llr").cast("double"), 6).as("log_weight"))
+        Tables.documents(s, dir).select($"doc_id", $"lang")
+          .join(perDoc, Seq("doc_id"), "left")
+          .select($"doc_id", $"lang",
+            coalesce($"n_tokens", lit(0L)).as("n_tokens"),
+            $"log_weight",
+            coalesce($"log_weight" > 0.0, lit(false)).as("selected"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH base AS (SELECT doc_id, lang,
+             |  regexp_extract_all(lower(text),'[a-zA-Z]+') AS t FROM documents),
+             |words AS (SELECT doc_id, lang, unnest(t) AS w FROM base),
+             |src AS (SELECT w, count(*) AS cs FROM words GROUP BY w),
+             |tgt AS (SELECT w, count(*) AS ct FROM words
+             |  WHERE lang = 'en' GROUP BY w),
+             |tot AS (SELECT CAST(sum(cs) AS BIGINT) AS ns, count(*) AS v FROM src),
+             |tt AS (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS nt FROM tgt),
+             |lm AS (SELECT w,
+             |    CAST(round(log10(
+             |      ((coalesce(ct, 0) + 1.0) / (nt + v)) /
+             |      ((cs + 1.0) / (ns + v))), 6) AS DECIMAL(18,6)) AS llr
+             |  FROM src LEFT JOIN tgt USING (w) CROSS JOIN tot CROSS JOIN tt),
+             |pd AS (SELECT doc_id, count(*) AS n_tokens,
+             |    round(CAST(sum(llr) AS DOUBLE), 6) AS log_weight
+             |  FROM words JOIN lm USING (w) GROUP BY doc_id)
+             |SELECT d.doc_id, d.lang, coalesce(pd.n_tokens, 0) AS n_tokens,
+             |  pd.log_weight,
+             |  coalesce(pd.log_weight > 0.0, false) AS selected
+             |FROM documents d LEFT JOIN pd USING (doc_id)
+             |ORDER BY doc_id""".stripMargin))
   )
 
   /** mm03's byte-exact frame chain (`b, by2, fr, sl, hs` — hs holds

@@ -823,7 +823,84 @@ object CurationQueries extends QueryProvider {
              |  CAST(max_len AS BIGINT) AS max_len, sum_len,
              |  round((n_docs * max_len - sum_len) * 1.0 /
              |    greatest(n_docs * max_len, 1), 6) AS padding_frac
-             |FROM g ORDER BY bucket""".stripMargin))
+             |FROM g ORDER BY bucket""".stripMargin)),
+
+    // Sliding-window chunking over TOKENS — the sequence-construction
+    // step that turns variable-length documents into fixed-size training
+    // windows with overlap (window 32 tokens, stride 24, so consecutive
+    // chunks share 8 tokens of context). a09_chunks slides over
+    // CHARACTERS (retrieval-style passage chunks); this one is the
+    // token-budgeted variant a context-window pipeline feeds to packing. Emits one row per chunk with its
+    // token count and an md5 over the chunk text, pinning the exact
+    // token spans. Scale shape: a narrow per-row transform + explode —
+    // embarrassingly parallel, zero shuffles; chunk count is
+    // ceil(n/stride)-bounded so output is linear in corpus tokens.
+    Q(
+      "c21_chunk_windows",
+      (s, dir) => {
+        import s.implicits._
+        val W = 32
+        val S = 24
+        graft.Par.fanOut(Tables.documents(s, dir))
+          .select($"doc_id", TF.tokenize($"text").as("t"))
+          .where(size($"t") > 0)
+          .select($"doc_id", posexplode(expr(
+            s"transform(sequence(0, (size(t)-1) div $S), i -> slice(t, i*$S+1, $W))")))
+          .select($"doc_id", $"pos".cast("long").as("chunk_idx"),
+            size($"col").cast("long").as("n_tokens"),
+            md5(concat_ws(" ", $"col")).as("chunk_md5"))
+          .orderBy($"doc_id", $"chunk_idx")
+      },
+      Some("""WITH base AS (SELECT doc_id,
+             |  regexp_extract_all(lower(text),'[a-zA-Z]+') AS t FROM documents),
+             |ch AS (SELECT doc_id, unnest(list_transform(range((len(t)-1)//24 + 1),
+             |    i -> struct_pack(ci := i, cs := t[i*24+1 : i*24+32]))) AS c
+             |  FROM base WHERE len(t) > 0)
+             |SELECT doc_id, CAST(c.ci AS BIGINT) AS chunk_idx,
+             |  CAST(len(c.cs) AS BIGINT) AS n_tokens,
+             |  md5(array_to_string(c.cs, ' ')) AS chunk_md5
+             |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // Temperature-scaled mixture weights (the multilingual rebalancing
+    // rule from mBERT/XLM-R: p_l ∝ n_l^α with α=0.3) — upsamples low-
+    // resource languages relative to their raw share. Reports each
+    // language's raw count, temperature weight, allocation per 1M
+    // sampled docs, and the implied epochs over its pool (how many
+    // times a low-resource corpus repeats). One vocabulary-sized agg +
+    // a broadcast scalar total: no scale risk at any corpus size.
+    // Determinism: the 5 n^α terms are rounded to 9dp and summed in
+    // DECIMAL so the total is partition-order-proof.
+    Q(
+      "c22_temperature_mixture",
+      (s, dir) => {
+        import s.implicits._
+        val counts = Tables.documents(s, dir)
+          .groupBy($"lang").agg(count(lit(1)).as("n_docs"))
+          .withColumn("w_raw",
+            round(pow($"n_docs".cast("double"), 0.3), 9).cast("decimal(28,9)"))
+        val tot = counts.agg(sum($"w_raw").as("w_tot"))
+        counts.crossJoin(broadcast(tot))
+          .withColumn("weight",
+            round($"w_raw".cast("double") / $"w_tot".cast("double"), 6))
+          .select($"lang", $"n_docs", $"weight",
+            round($"w_raw".cast("double") / $"w_tot".cast("double") * 1e6, 0)
+              .cast("long").as("alloc_per_m"))
+          .withColumn("epochs",
+            round($"alloc_per_m".cast("double") / $"n_docs", 6))
+          .orderBy($"lang")
+      },
+      Some("""WITH c AS (SELECT lang, count(*) AS n_docs,
+             |    CAST(round(pow(n_docs, 0.3), 9) AS DECIMAL(28,9)) AS w_raw
+             |  FROM documents GROUP BY lang),
+             |t AS (SELECT sum(w_raw) AS w_tot FROM c),
+             |a AS (SELECT lang, n_docs,
+             |    round(CAST(w_raw AS DOUBLE) / CAST(w_tot AS DOUBLE), 6) AS weight,
+             |    CAST(round(CAST(w_raw AS DOUBLE) / CAST(w_tot AS DOUBLE) * 1e6, 0)
+             |      AS BIGINT) AS alloc_per_m
+             |  FROM c CROSS JOIN t)
+             |SELECT lang, n_docs, weight, alloc_per_m,
+             |  round(alloc_per_m * 1.0 / n_docs, 6) AS epochs
+             |FROM a ORDER BY lang""".stripMargin))
   )
 
 }

@@ -674,6 +674,69 @@ object StreamingQueries extends QueryProvider {
           .orderBy($"user_id", $"event_type")
       },
       Some("""SELECT DISTINCT user_id, event_type FROM events
-             |ORDER BY user_id, event_type""".stripMargin))
+             |ORDER BY user_id, event_type""".stripMargin)),
+
+    // Streaming near-dup INDEX maintenance: documents arrive as a
+    // stream, each is shingled/minhashed with the exact d04 pipeline
+    // (FNV family — oracle-replayable), and the stateful aggregation
+    // maintains the LSH band index incrementally — per (band, key)
+    // bucket: the canonical (minimum) doc id and the member count. A
+    // streaming ingest pipeline serves near-dup candidate lookups from
+    // exactly this index (new doc → 8 bucket probes), and min/count are
+    // order-independent aggregates, so the maintained index is
+    // DETERMINISTIC regardless of arrival order — which is what makes
+    // this streamable where "keep the first arrival" near-dup is not.
+    // At scale the same plan runs in update mode into a KV sink; the
+    // gate drains it complete into a memory sink and keeps only the
+    // collision buckets.
+    Q(
+      "sm13_stream_lsh_index",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.Dedup
+        import graft.text.{TextFunctions => TF}
+        val docSchema = new org.apache.spark.sql.types.StructType()
+          .add("doc_id", "long").add("text", "string").add("lang", "string")
+          .add("source", "string").add("n_chars", "long")
+        val sink = s"sm13_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val stage = Files.createTempDirectory("sm13_docs")
+        var q: org.apache.spark.sql.streaming.StreamingQuery = null
+        try {
+          Files.copy(Paths.get(s"$dir/documents.parquet"),
+            stage.resolve("documents.parquet"))
+          val stream = s.readStream.schema(docSchema).parquet(stage.toString)
+          val sigs = stream
+            .select($"doc_id".as("id"), TF.tokenize($"text").as("tokens"))
+            .where(size($"tokens") >= 3)
+            .select($"id", Dedup.minhashSignature(
+              Dedup.shingleHashes(Dedup.shingles($"tokens", 3)), 32).as("sig"))
+          val banded = sigs.select($"id",
+            posexplode(transform(sequence(lit(0), lit(7)),
+              j => array_join(slice($"sig", j * 4 + 1, lit(4)), ","))))
+            .toDF("id", "band", "key")
+          q = banded
+            .groupBy($"band", $"key")
+            .agg(min($"id").as("canonical"), count(lit(1)).as("n_docs"))
+            .writeStream.outputMode("complete")
+            .format("memory").queryName(sink).start()
+          q.processAllAvailable()
+        } finally {
+          if (q != null) q.stop()
+          Files.deleteIfExists(stage.resolve("documents.parquet"))
+          Files.deleteIfExists(stage)
+        }
+        s.table(sink)
+          .filter($"n_docs" > 1)
+          .select($"band".cast("long").as("band"), $"key",
+            $"canonical", $"n_docs")
+          .orderBy($"band", $"key")
+      },
+      // d04's minhash CTE chain, read at the `bands` stage: the index
+      // contents must equal the batch banding of the same corpus.
+      Some(s"""WITH ${DedupQueries.minhashPairCtes}
+              |SELECT CAST(band AS BIGINT) AS band, key,
+              |  min(id) AS canonical, count(*) AS n_docs
+              |FROM bands GROUP BY band, key HAVING count(*) > 1
+              |ORDER BY band, key""".stripMargin))
   )
 }

@@ -1,0 +1,113 @@
+package graft.misc
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Invariants of the round-6 pipeline-gate queries (a24 LM surprisal,
+  * a25 Gopher rules, c21 token chunking, c22 temperature mixture) that
+  * the hash oracle can't express directly: structural relationships
+  * between columns, coverage of the chunk windows, and the rebalancing
+  * direction of the temperature weights.
+  */
+class PipelineGatesSpec extends SparkSpec {
+
+  private val dir = sf("sf0.001")
+  private def run(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  test("a24: surprisal is defined exactly for docs with >=2 tokens, " +
+    "and n_bigrams = ntok - 1") {
+    import spark.implicits._
+    val got = run("a24_lm_surprisal")
+    val ntok = graft.tables.Tables.documents(spark, dir)
+      .select($"doc_id", size(graft.text.TextFunctions.tokenize($"text"))
+        .cast("long").as("ntok"))
+    val joined = got.join(ntok, "doc_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (nb, nt) = (r.getAs[Long]("n_bigrams"), r.getAs[Long]("ntok"))
+      assert(nb === math.max(nt - 1, 0L), s"doc ${r.get(0)}")
+      val sNull = r.isNullAt(r.fieldIndex("surprisal"))
+      assert(sNull === (nb == 0L), s"doc ${r.get(0)}")
+      if (!sNull) assert(r.getAs[Double]("surprisal") > 0.0)
+    }
+  }
+
+  test("a25: keep is the conjunction of the five gate bits") {
+    val rows = run("a25_gopher_gates").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val bits = Seq("g_word_count", "g_mean_word_len", "g_stopwords",
+        "g_alpha_words", "g_symbols").map(r.getAs[Boolean])
+      assert(r.getAs[Boolean]("keep") === bits.forall(identity))
+    }
+  }
+
+  test("c21: windows cover every token with stride-sized starts and " +
+    "window-bounded lengths") {
+    import spark.implicits._
+    val (w, s) = (32, 24)
+    val chunks = run("c21_chunk_windows")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"), max($"n_tokens").as("max_nt"),
+        min($"n_tokens").as("min_nt"), max($"chunk_idx").as("last_idx"))
+    val ntok = graft.tables.Tables.documents(spark, dir)
+      .select($"doc_id", size(graft.text.TextFunctions.tokenize($"text"))
+        .cast("long").as("ntok"))
+      .where($"ntok" > 0)
+    val joined = chunks.join(ntok, "doc_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val nt = r.getAs[Long]("ntok")
+      val expChunks = (nt - 1) / s + 1
+      assert(r.getAs[Long]("n_chunks") === expChunks, s"doc ${r.get(0)}")
+      assert(r.getAs[Long]("last_idx") === expChunks - 1)
+      assert(r.getAs[Long]("max_nt") <= w)
+      // the last chunk starts at (expChunks-1)*s < nt, so it is non-empty
+      assert(r.getAs[Long]("min_nt") >= 1)
+    }
+    // every doc with tokens appears
+    assert(joined.length ===
+      ntok.count())
+  }
+
+  test("a26: selection follows the sign of the log-weight, and the " +
+    "target-domain slice scores higher than the rest") {
+    val rows = run("a26_dsir_weights").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val lwNull = r.isNullAt(r.fieldIndex("log_weight"))
+      val sel = r.getAs[Boolean]("selected")
+      if (lwNull) assert(!sel)
+      else assert(sel === (r.getAs[Double]("log_weight") > 0.0))
+    }
+    val scored = rows.filter(!_.isNullAt(2)).filter(!_.isNullAt(3))
+    def mean(p: Seq[Double]) = p.sum / p.length
+    val en = scored.filter(_.getAs[String]("lang") == "en")
+      .map(_.getAs[Double]("log_weight")).toSeq
+    val rest = scored.filter(_.getAs[String]("lang") != "en")
+      .map(_.getAs[Double]("log_weight")).toSeq
+    assert(en.nonEmpty && rest.nonEmpty)
+    // the importance weight must rank the target domain above the pool
+    assert(mean(en) > mean(rest),
+      s"mean en=${mean(en)} vs rest=${mean(rest)}")
+  }
+
+  test("c22: weights sum to 1 and upsample low-resource languages") {
+    val rows = run("c22_temperature_mixture").collect()
+    assert(rows.length >= 2)
+    val wsum = rows.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(wsum - 1.0) < 1e-4)
+    val total = rows.map(_.getAs[Long]("n_docs")).sum.toDouble
+    // temperature < 1 compresses shares: every language's weight sits
+    // between its raw share and the uniform share
+    rows.foreach { r =>
+      val raw = r.getAs[Long]("n_docs") / total
+      val uni = 1.0 / rows.length
+      val wgt = r.getAs[Double]("weight")
+      val (lo, hi) = if (raw < uni) (raw, uni) else (uni, raw)
+      assert(wgt >= lo - 1e-6 && wgt <= hi + 1e-6,
+        s"${r.getAs[String]("lang")}: raw=$raw uniform=$uni weight=$wgt")
+    }
+  }
+}
