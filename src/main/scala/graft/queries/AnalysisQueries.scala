@@ -1339,55 +1339,70 @@ object AnalysisQueries extends QueryProvider {
       "a24_lm_surprisal",
       (s, dir) => {
         import s.implicits._
-        val toks = graft.Par.fanOut(Tables.documents(s, dir))
-          .select($"doc_id", TF.tokenize($"text").as("t"))
-        val uni = toks.select(explode($"t").as("w"))
-          .groupBy($"w").agg(count(lit(1)).as("c1"))
-        val vocab = uni.agg(count(lit(1)).as("vocab"))
-        val bi = toks.where(size($"t") >= 2)
-          .select($"doc_id", explode(expr(
-            "transform(sequence(0, size(t)-2), i -> struct(t[i] AS w1, t[i+1] AS w2))"))
-            .as("bg"))
-          .select($"doc_id", $"bg.w1".as("w1"), $"bg.w2".as("w2"))
-        val bic = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("cb"))
-        val perDoc = bi
-          .join(bic, Seq("w1", "w2"))
-          .join(broadcast(uni.withColumnRenamed("w", "w1")), Seq("w1"))
-          .crossJoin(broadcast(vocab))
-          .withColumn("nlp",
-            round(-log10(($"cb" + lit(1.0)) / ($"c1" + $"vocab")), 6)
-              .cast("decimal(18,6)"))
-          .groupBy($"doc_id")
-          .agg(count(lit(1)).as("n_bigrams"),
-            round(sum($"nlp").cast("double") / count(lit(1)), 6).as("surprisal"))
         Tables.documents(s, dir).select($"doc_id")
-          .join(perDoc, Seq("doc_id"), "left")
+          .join(lmSurprisalPerDoc(s, dir), Seq("doc_id"), "left")
           .select($"doc_id", coalesce($"n_bigrams", lit(0L)).as("n_bigrams"),
             $"surprisal")
           .orderBy($"doc_id")
       },
-      Some("""WITH base AS (SELECT doc_id,
-             |  regexp_extract_all(lower(text),'[a-zA-Z]+') AS t FROM documents),
-             |u AS (SELECT w, count(*) AS c1
-             |  FROM (SELECT unnest(t) AS w FROM base) GROUP BY w),
-             |v AS (SELECT count(*) AS vocab FROM u),
-             |bg AS (SELECT doc_id, unnest(list_transform(range(len(t)-1),
-             |    i -> struct_pack(w1 := t[i+1], w2 := t[i+2]))) AS g
-             |  FROM base WHERE len(t) >= 2),
-             |bg2 AS (SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM bg),
-             |bc AS (SELECT w1, w2, count(*) AS cb FROM bg2 GROUP BY w1, w2),
-             |sc AS (SELECT doc_id,
-             |    CAST(round(-log10((cb + 1.0) / (c1 + vocab)), 6)
-             |      AS DECIMAL(18,6)) AS nlp
-             |  FROM bg2 JOIN bc USING (w1, w2) JOIN u ON bg2.w1 = u.w
-             |  CROSS JOIN v),
-             |pd AS (SELECT doc_id, count(*) AS n_bigrams,
-             |    round(CAST(sum(nlp) AS DOUBLE) / count(*), 6) AS surprisal
-             |  FROM sc GROUP BY doc_id)
-             |SELECT d.doc_id, coalesce(pd.n_bigrams, 0) AS n_bigrams,
-             |  pd.surprisal
-             |FROM documents d LEFT JOIN pd USING (doc_id)
-             |ORDER BY doc_id""".stripMargin)),
+      Some(s"""WITH $lmSurprisalCtes
+              |SELECT d.doc_id, coalesce(pd.n_bigrams, 0) AS n_bigrams,
+              |  pd.surprisal
+              |FROM documents d LEFT JOIN pd USING (doc_id)
+              |ORDER BY doc_id""".stripMargin)),
+
+    // CCNet perplexity buckets (Wenzek et al. 2020): split each
+    // language's corpus into head / middle / tail TERCILES of the a24
+    // LM surprisal — the published recipe keeps "head" (most fluent),
+    // samples "middle", drops "tail". Tercile assignment is pure
+    // integer arithmetic on (row_number, count) so both engines agree
+    // bit-for-bit; per-bucket means are 6dp values summed in DECIMAL.
+    // Scale note: the per-language rank window is exact-tercile gate
+    // semantics; a 100 TB run computes the two cutoffs from a sample
+    // (or t-digest) and buckets by broadcast thresholds — same output
+    // contract, no global sort.
+    Q(
+      "a27_ccnet_buckets",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"lang").orderBy($"surprisal", $"doc_id")
+        val n = Window.partitionBy($"lang")
+        lmSurprisalPerDoc(s, dir)
+          .join(Tables.documents(s, dir).select($"doc_id", $"lang"), "doc_id")
+          .withColumn("rk", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(n))
+          .withColumn("bucket",
+            when(($"rk" - 1) * 3 < ($"n" - 1), "head")
+              .when(($"rk" - 1) * 3 < ($"n" - 1) * 2, "middle")
+              .otherwise("tail"))
+          .groupBy($"lang", $"bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            round(sum($"surprisal".cast("decimal(18,6)")).cast("double") /
+              count(lit(1)), 6).as("mean_surprisal"),
+            min($"surprisal").as("min_surprisal"),
+            max($"surprisal").as("max_surprisal"))
+          .orderBy($"lang", $"bucket")
+      },
+      Some(s"""WITH $lmSurprisalCtes,
+              |j AS (SELECT pd.doc_id, d.lang, pd.surprisal
+              |  FROM pd JOIN documents d USING (doc_id)),
+              |r AS (SELECT *,
+              |    row_number() OVER (PARTITION BY lang
+              |      ORDER BY surprisal, doc_id) AS rk,
+              |    count(*) OVER (PARTITION BY lang) AS n
+              |  FROM j),
+              |b AS (SELECT lang, surprisal,
+              |    CASE WHEN (rk - 1) * 3 < (n - 1) THEN 'head'
+              |      WHEN (rk - 1) * 3 < (n - 1) * 2 THEN 'middle'
+              |      ELSE 'tail' END AS bucket
+              |  FROM r)
+              |SELECT lang, bucket, count(*) AS n_docs,
+              |  round(CAST(sum(CAST(surprisal AS DECIMAL(18,6))) AS DOUBLE)
+              |    / count(*), 6) AS mean_surprisal,
+              |  min(surprisal) AS min_surprisal,
+              |  max(surprisal) AS max_surprisal
+              |FROM b GROUP BY lang, bucket
+              |ORDER BY lang, bucket""".stripMargin)),
 
     // Gopher-style rule gates (Rae et al. 2021 §A1.1): the explicit
     // per-document quality rules a pretraining pipeline applies before
@@ -1513,6 +1528,60 @@ object AnalysisQueries extends QueryProvider {
              |FROM documents d LEFT JOIN pd USING (doc_id)
              |ORDER BY doc_id""".stripMargin))
   )
+
+  /** a24/a27's per-document bigram-LM chain: train the add-1-smoothed
+    * bigram LM on the corpus (vocabulary-broadcast unigram table +
+    * bigram-key hash join), score every >=2-token doc by its mean
+    * -log10 bigram probability. Columns: (doc_id, n_bigrams, surprisal).
+    */
+  private def lmSurprisalPerDoc(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val toks = graft.Par.fanOut(Tables.documents(s, dir))
+      .select($"doc_id", TF.tokenize($"text").as("t"))
+    val uni = toks.select(explode($"t").as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("vocab"))
+    val bi = toks.where(size($"t") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(t)-2), i -> struct(t[i] AS w1, t[i+1] AS w2))"))
+        .as("bg"))
+      .select($"doc_id", $"bg.w1".as("w1"), $"bg.w2".as("w2"))
+    val bic = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("cb"))
+    bi
+      .join(bic, Seq("w1", "w2"))
+      .join(broadcast(uni.withColumnRenamed("w", "w1")), Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("nlp",
+        round(-log10(($"cb" + lit(1.0)) / ($"c1" + $"vocab")), 6)
+          .cast("decimal(18,6)"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum($"nlp").cast("double") / count(lit(1)), 6).as("surprisal"))
+  }
+
+  /** The DuckDB replay of [[lmSurprisalPerDoc]], ending in `pd`
+    * (doc_id, n_bigrams, surprisal) — shared by a24 and a27.
+    */
+  private lazy val lmSurprisalCtes: String =
+    """base AS (SELECT doc_id,
+      |  regexp_extract_all(lower(text),'[a-zA-Z]+') AS t FROM documents),
+      |u AS (SELECT w, count(*) AS c1
+      |  FROM (SELECT unnest(t) AS w FROM base) GROUP BY w),
+      |v AS (SELECT count(*) AS vocab FROM u),
+      |bg AS (SELECT doc_id, unnest(list_transform(range(len(t)-1),
+      |    i -> struct_pack(w1 := t[i+1], w2 := t[i+2]))) AS g
+      |  FROM base WHERE len(t) >= 2),
+      |bg2 AS (SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM bg),
+      |bc AS (SELECT w1, w2, count(*) AS cb FROM bg2 GROUP BY w1, w2),
+      |sc AS (SELECT doc_id,
+      |    CAST(round(-log10((cb + 1.0) / (c1 + vocab)), 6)
+      |      AS DECIMAL(18,6)) AS nlp
+      |  FROM bg2 JOIN bc USING (w1, w2) JOIN u ON bg2.w1 = u.w
+      |  CROSS JOIN v),
+      |pd AS (SELECT doc_id, count(*) AS n_bigrams,
+      |    round(CAST(sum(nlp) AS DOUBLE) / count(*), 6) AS surprisal
+      |  FROM sc GROUP BY doc_id)""".stripMargin
 
   /** mm03's byte-exact frame chain (`b, by2, fr, sl, hs` — hs holds
     * (id, modality, frame_idx, frame_bytes, unsigned FNV h)), shared

@@ -900,7 +900,43 @@ object CurationQueries extends QueryProvider {
              |  FROM c CROSS JOIN t)
              |SELECT lang, n_docs, weight, alloc_per_m,
              |  round(alloc_per_m * 1.0 / n_docs, 6) AS epochs
-             |FROM a ORDER BY lang""".stripMargin))
+             |FROM a ORDER BY lang""".stripMargin)),
+
+    // Deterministic epoch shuffle — the reproducible global data order
+    // a training run needs: each epoch's order is the sort of
+    // FNV(epoch ":" doc_id), so re-running the job (or re-sharding the
+    // cluster) yields the IDENTICAL sequence, and each epoch is an
+    // independent pseudo-random permutation (c03's split technique
+    // applied to ordering). The epoch seed is hashed FIRST: as the
+    // final byte it would only shift every key by the constant ±prime
+    // (FNV's last step is (state XOR byte) * prime, and the epoch byte
+    // flips one bit of state), leaving the permutation essentially
+    // unchanged across epochs — the seed must diverge the hash state
+    // before the per-doc bytes fold in (caught by PipelineGatesSpec's
+    // distinct-permutation check). Emits the shuffle key itself; a
+    // reader materializes positions by range-sorting on it — Spark's
+    // orderBy IS the distributed range sort, so there is no global
+    // window or single-task stage at any corpus size.
+    Q(
+      "c23_epoch_shuffle",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select($"doc_id", explode(sequence(lit(0), lit(1))).as("epoch"))
+          .select($"doc_id", $"epoch".cast("long").as("epoch"),
+            graft.functions.Fnv.fnv1a64(
+              concat($"epoch".cast("string"), lit(":"),
+                $"doc_id".cast("string"))).as("skey"))
+          .orderBy($"epoch", $"skey", $"doc_id")
+      },
+      Some(s"""WITH e AS (SELECT doc_id, unnest([0, 1]) AS epoch
+              |  FROM documents),
+              |k AS (SELECT doc_id, CAST(epoch AS BIGINT) AS epoch,
+              |  ${FnvSql.toSigned(FnvSql.ofString(
+                   "(epoch::VARCHAR || ':' || doc_id::VARCHAR)"))} AS skey
+              |  FROM e)
+              |SELECT doc_id, epoch, skey FROM k
+              |ORDER BY epoch, skey, doc_id""".stripMargin))
   )
 
 }

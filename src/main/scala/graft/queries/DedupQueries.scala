@@ -589,7 +589,41 @@ object DedupQueries extends QueryProvider {
              |  CAST(count(DISTINCT p.b) AS BIGINT) AS n_removed,
              |  CAST(tot.n_docs - count(DISTINCT p.b) AS BIGINT) AS n_survivors
              |FROM g LEFT JOIN p ON p.j >= g.threshold CROSS JOIN tot
-             |GROUP BY g.threshold, tot.n_docs ORDER BY threshold""".stripMargin))
+             |GROUP BY g.threshold, tot.n_docs ORDER BY threshold""".stripMargin)),
+
+    // CONVERGED near-dup components over the d04 pair graph — the
+    // scale-correct closure of d07: alternating large-star/small-star
+    // rounds (Kiveris et al. 2014) reach the fixpoint in O(log n)
+    // rounds at ANY component diameter, where d07's reference-faithful
+    // fixed-3-round propagation under-merges chains longer than 3 hops.
+    // The oracle computes the true fixpoint independently: a recursive
+    // CTE propagates labels to transitive closure and takes the min
+    // per node — so the gate proves actual convergence, not just
+    // agreement with another iteration count.
+    Q(
+      "d18_neardup_components",
+      (s, dir) => {
+        import s.implicits._
+        val toks = graft.Par.fanOut(Tables.documents(s, dir))
+          .select($"doc_id".as("id"), TF.tokenize($"text").as("tokens"))
+        val pairs = Dedup.minhashNearDuplicates(toks, shingleN = 3,
+          numHashes = 32, bands = 8, threshold = 0.3)
+        Dedup.connectedComponents(pairs.select($"a", $"b"))
+          .orderBy($"id")
+      },
+      Some(s"""WITH RECURSIVE $minhashPairCtes,
+              |pr AS (SELECT a, b FROM jac WHERE j >= 0.3),
+              |e2 AS (SELECT a AS src, b AS dst FROM pr
+              |  UNION SELECT b, a FROM pr),
+              |n AS (SELECT DISTINCT src AS id FROM e2),
+              |lbl AS (
+              |  SELECT id, id AS l FROM n
+              |  UNION
+              |  SELECT e2.dst AS id, lbl.l FROM lbl
+              |  JOIN e2 ON e2.src = lbl.id
+              |)
+              |SELECT id, min(l) AS component FROM lbl
+              |GROUP BY id ORDER BY id""".stripMargin))
   )
 
   /** d14 oracle: the same blocked sorted-neighborhood windows — leads

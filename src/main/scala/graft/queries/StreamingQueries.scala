@@ -16,6 +16,31 @@ import graft.tables.Tables
   */
 object StreamingQueries extends QueryProvider {
 
+  /** Stage a source table for readStream. The driver's sf dirs hold one
+    * parquet FILE per table, but Spark-written replicas (the Stress sf1
+    * dir) hold a DIRECTORY of part files — a plain `Files.copy` of a
+    * directory stages it EMPTY, silently turning the streamed corpus
+    * into zero rows. Copy whichever layout is present as flat files.
+    */
+  private def stageParquet(src: String, stage: java.nio.file.Path,
+      name: String): Unit = {
+    val p = Paths.get(src)
+    if (Files.isDirectory(p)) {
+      new java.io.File(src).listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .sortBy(_.getName).zipWithIndex
+        .foreach { case (f, i) =>
+          Files.copy(f.toPath, stage.resolve(f"${name}_$i%05d.parquet")): Unit
+        }
+    } else Files.copy(p, stage.resolve(s"$name.parquet")): Unit
+  }
+
+  /** Remove a [[stageParquet]] stage dir (flat files only). */
+  private def rmStage(stage: java.nio.file.Path): Unit = {
+    Option(stage.toFile.listFiles()).foreach(_.foreach(f => f.delete(): Unit))
+    Files.deleteIfExists(stage): Unit
+  }
+
   override val all: Seq[Q] = Seq(
     Q(
       "sm01_stream_hourly",
@@ -28,8 +53,7 @@ object StreamingQueries extends QueryProvider {
         val stage = Files.createTempDirectory("sm01_events")
         var q: org.apache.spark.sql.streaming.StreamingQuery = null
         try {
-          Files.copy(Paths.get(s"$dir/events.parquet"),
-            stage.resolve("events.parquet"))
+          stageParquet(s"$dir/events.parquet", stage, "events")
           val stream = Tables.normalizeEventTs(
             s.readStream.schema(fileSchema).parquet(stage.toString))
           q = EventStreams.windowedCounts(stream, "1 hour")
@@ -39,8 +63,7 @@ object StreamingQueries extends QueryProvider {
         } finally {
           if (q != null) q.stop()
           // the memory sink holds the results; drop the staged copy
-          Files.deleteIfExists(stage.resolve("events.parquet"))
-          Files.deleteIfExists(stage)
+          rmStage(stage)
         }
         s.table(sink)
           .select($"window_start", $"event_type", $"n",
@@ -70,8 +93,7 @@ object StreamingQueries extends QueryProvider {
         val stage = Files.createTempDirectory("sm02_events")
         var q: org.apache.spark.sql.streaming.StreamingQuery = null
         try {
-          Files.copy(Paths.get(s"$dir/events.parquet"),
-            stage.resolve("events.parquet"))
+          stageParquet(s"$dir/events.parquet", stage, "events")
           val stream = Tables.normalizeEventTs(
             s.readStream.schema(fileSchema).parquet(stage.toString))
             .as[EventStreams.Event]
@@ -81,8 +103,7 @@ object StreamingQueries extends QueryProvider {
           q.processAllAvailable()
         } finally {
           if (q != null) q.stop()
-          Files.deleteIfExists(stage.resolve("events.parquet"))
-          Files.deleteIfExists(stage)
+          rmStage(stage)
         }
         s.table(sink)
           .select($"user_id", $"start_ms", $"end_ms",
@@ -122,8 +143,7 @@ object StreamingQueries extends QueryProvider {
         val stage = Files.createTempDirectory("sm03_docs")
         var q: org.apache.spark.sql.streaming.StreamingQuery = null
         try {
-          Files.copy(Paths.get(s"$dir/documents.parquet"),
-            stage.resolve("documents.parquet"))
+          stageParquet(s"$dir/documents.parquet", stage, "documents")
           val schema = Tables.documents(s, dir).schema
           val stream = s.readStream.schema(schema).parquet(stage.toString)
           q = stream
@@ -134,8 +154,7 @@ object StreamingQueries extends QueryProvider {
           q.processAllAvailable()
         } finally {
           if (q != null) q.stop()
-          Files.deleteIfExists(stage.resolve("documents.parquet"))
-          Files.deleteIfExists(stage)
+          rmStage(stage)
         }
         s.table(sink).select($"content_hash").orderBy($"content_hash")
       },
@@ -159,8 +178,7 @@ object StreamingQueries extends QueryProvider {
         val stage = Files.createTempDirectory("sm04_events")
         var q: org.apache.spark.sql.streaming.StreamingQuery = null
         try {
-          Files.copy(Paths.get(s"$dir/events.parquet"),
-            stage.resolve("events.parquet"))
+          stageParquet(s"$dir/events.parquet", stage, "events")
           val stream = Tables.normalizeEventTs(
             s.readStream.schema(fileSchema).parquet(stage.toString))
           val clicks = stream.filter($"event_type" === "click")
@@ -181,8 +199,7 @@ object StreamingQueries extends QueryProvider {
           q.processAllAvailable()
         } finally {
           if (q != null) q.stop()
-          Files.deleteIfExists(stage.resolve("events.parquet"))
-          Files.deleteIfExists(stage)
+          rmStage(stage)
         }
         s.table(sink).select($"click_id", $"purchase_id")
           .orderBy($"click_id", $"purchase_id")
@@ -210,8 +227,7 @@ object StreamingQueries extends QueryProvider {
         val stage = Files.createTempDirectory("sm05_events")
         var q: org.apache.spark.sql.streaming.StreamingQuery = null
         try {
-          Files.copy(Paths.get(s"$dir/events.parquet"),
-            stage.resolve("events.parquet"))
+          stageParquet(s"$dir/events.parquet", stage, "events")
           val stream = Tables.normalizeEventTs(
             s.readStream.schema(fileSchema).parquet(stage.toString))
           q = EventStreams.slidingCounts(stream, "1 hour", "15 minutes")
@@ -220,8 +236,7 @@ object StreamingQueries extends QueryProvider {
           q.processAllAvailable()
         } finally {
           if (q != null) q.stop()
-          Files.deleteIfExists(stage.resolve("events.parquet"))
-          Files.deleteIfExists(stage)
+          rmStage(stage)
         }
         s.table(sink)
           .select($"window_start", $"event_type", $"n",
@@ -420,8 +435,7 @@ object StreamingQueries extends QueryProvider {
         val stage = Files.createTempDirectory("sm08_docs")
         var q: org.apache.spark.sql.streaming.StreamingQuery = null
         try {
-          Files.copy(Paths.get(s"$dir/documents.parquet"),
-            stage.resolve("documents.parquet"))
+          stageParquet(s"$dir/documents.parquet", stage, "documents")
           val stream = s.readStream.schema(batchSchema)
             .parquet(stage.toString)
           val tok = TF.tokenize($"text")
@@ -436,8 +450,7 @@ object StreamingQueries extends QueryProvider {
           q.processAllAvailable()
         } finally {
           if (q != null) q.stop()
-          Files.deleteIfExists(stage.resolve("documents.parquet"))
-          Files.deleteIfExists(stage)
+          rmStage(stage)
         }
         s.table(sink).orderBy($"doc_id").localCheckpoint()
       },
@@ -485,8 +498,7 @@ object StreamingQueries extends QueryProvider {
         val stage = Files.createTempDirectory("sm09_events")
         var q: org.apache.spark.sql.streaming.StreamingQuery = null
         try {
-          Files.copy(Paths.get(s"$dir/events.parquet"),
-            stage.resolve("events.parquet"))
+          stageParquet(s"$dir/events.parquet", stage, "events")
           val stream = Tables.normalizeEventTs(
             s.readStream.schema(fileSchema).parquet(stage.toString))
           q = stream.join(broadcast(dim), Seq("user_id"))
@@ -497,8 +509,7 @@ object StreamingQueries extends QueryProvider {
           q.processAllAvailable()
         } finally {
           if (q != null) q.stop()
-          Files.deleteIfExists(stage.resolve("events.parquet"))
-          Files.deleteIfExists(stage)
+          rmStage(stage)
         }
         s.table(sink)
           .select($"tier", $"event_type", $"n",
@@ -530,8 +541,7 @@ object StreamingQueries extends QueryProvider {
         val stage = Files.createTempDirectory("sm10_events")
         var q: org.apache.spark.sql.streaming.StreamingQuery = null
         try {
-          Files.copy(Paths.get(s"$dir/events.parquet"),
-            stage.resolve("events.parquet"))
+          stageParquet(s"$dir/events.parquet", stage, "events")
           val stream = Tables.normalizeEventTs(
             s.readStream.schema(fileSchema).parquet(stage.toString))
           q = EventStreams.windowedCounts(stream, "1 hour")
@@ -540,8 +550,7 @@ object StreamingQueries extends QueryProvider {
           q.processAllAvailable()
         } finally {
           if (q != null) q.stop()
-          Files.deleteIfExists(stage.resolve("events.parquet"))
-          Files.deleteIfExists(stage)
+          rmStage(stage)
         }
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy($"window_start").orderBy(desc("n"), $"event_type")
@@ -654,8 +663,7 @@ object StreamingQueries extends QueryProvider {
         val stage = Files.createTempDirectory("sm12_events")
         var q: org.apache.spark.sql.streaming.StreamingQuery = null
         try {
-          Files.copy(Paths.get(s"$dir/events.parquet"),
-            stage.resolve("events.parquet"))
+          stageParquet(s"$dir/events.parquet", stage, "events")
           val stream = Tables.normalizeEventTs(
             s.readStream.schema(fileSchema).parquet(stage.toString))
           q = stream
@@ -667,8 +675,7 @@ object StreamingQueries extends QueryProvider {
           q.processAllAvailable()
         } finally {
           if (q != null) q.stop()
-          Files.deleteIfExists(stage.resolve("events.parquet"))
-          Files.deleteIfExists(stage)
+          rmStage(stage)
         }
         s.table(sink).select($"user_id", $"event_type")
           .orderBy($"user_id", $"event_type")
@@ -702,8 +709,7 @@ object StreamingQueries extends QueryProvider {
         val stage = Files.createTempDirectory("sm13_docs")
         var q: org.apache.spark.sql.streaming.StreamingQuery = null
         try {
-          Files.copy(Paths.get(s"$dir/documents.parquet"),
-            stage.resolve("documents.parquet"))
+          stageParquet(s"$dir/documents.parquet", stage, "documents")
           val stream = s.readStream.schema(docSchema).parquet(stage.toString)
           val sigs = stream
             .select($"doc_id".as("id"), TF.tokenize($"text").as("tokens"))
@@ -722,8 +728,7 @@ object StreamingQueries extends QueryProvider {
           q.processAllAvailable()
         } finally {
           if (q != null) q.stop()
-          Files.deleteIfExists(stage.resolve("documents.parquet"))
-          Files.deleteIfExists(stage)
+          rmStage(stage)
         }
         s.table(sink)
           .filter($"n_docs" > 1)

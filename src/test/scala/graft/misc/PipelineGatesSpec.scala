@@ -93,6 +93,42 @@ class PipelineGatesSpec extends SparkSpec {
       s"mean en=${mean(en)} vs rest=${mean(rest)}")
   }
 
+  test("a27: terciles are balanced within 1 doc and ordered by surprisal") {
+    val rows = run("a27_ccnet_buckets").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, g) =>
+      val byBucket = g.map(r =>
+        r.getAs[String]("bucket") -> r.getAs[Long]("n_docs")).toMap
+      val n = byBucket.values.sum
+      byBucket.values.foreach(c =>
+        assert(math.abs(c - n / 3.0) <= 1.0, s"$lang unbalanced: $byBucket"))
+      // head is the most fluent (lowest-surprisal) slice
+      def mean(b: String) = g.find(_.getAs[String]("bucket") == b)
+        .map(_.getAs[Double]("mean_surprisal"))
+      for (h <- mean("head"); m <- mean("middle"); t <- mean("tail")) {
+        assert(h <= m && m <= t, s"$lang: head=$h middle=$m tail=$t")
+      }
+    }
+  }
+
+  test("c23: each epoch is a full, distinct, reproducible permutation") {
+    val a = run("c23_epoch_shuffle").collect()
+    val byEpoch = a.groupBy(_.getAs[Long]("epoch"))
+      .map { case (e, rs) => e -> rs.map(_.getAs[Long]("doc_id")).toSeq }
+    assert(byEpoch.keySet === Set(0L, 1L))
+    // every doc appears exactly once per epoch
+    assert(byEpoch(0L).sorted === byEpoch(1L).sorted)
+    assert(byEpoch(0L).distinct.length === byEpoch(0L).length)
+    // the two epochs order the corpus differently
+    assert(byEpoch(0L) !== byEpoch(1L))
+    // re-running yields the identical sequence (the reproducibility
+    // contract that df.sample cannot give)
+    val b = run("c23_epoch_shuffle").collect()
+      .groupBy(_.getAs[Long]("epoch"))
+      .map { case (e, rs) => e -> rs.map(_.getAs[Long]("doc_id")).toSeq }
+    assert(byEpoch === b)
+  }
+
   test("c22: weights sum to 1 and upsample low-resource languages") {
     val rows = run("c22_temperature_mixture").collect()
     assert(rows.length >= 2)

@@ -181,4 +181,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Scan parquet"),
       s"encode must reuse the word-type table, got:\n$plan")
   }
+
+  test("a26 DSIR scoring broadcasts the vocabulary-sized LM table") {
+    val plan = planOf("a26_dsir_weights")
+    // the per-token scoring join (corpus-sized probe side) must be
+    // broadcast, not an all-corpus shuffle on the word key
+    assert(plan.contains("BroadcastHashJoin"),
+      s"LM table must broadcast into the scoring join, got:\n$plan")
+  }
+
+  test("c21 token chunking is a narrow generate: no shuffle before the sort") {
+    val plan = planOf("c21_chunk_windows")
+    assert(hashExchanges(plan) == 0,
+      s"expected no hash exchange (row-local 1-to-many Generate), got:\n$plan")
+  }
+
+  test("a25 gopher gates are row-local: no shuffle before the sort") {
+    val plan = planOf("a25_gopher_gates")
+    assert(hashExchanges(plan) == 0,
+      s"expected no hash exchange (pure narrow expressions), got:\n$plan")
+  }
 }

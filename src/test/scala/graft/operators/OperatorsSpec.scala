@@ -114,6 +114,35 @@ class DedupSpec extends SparkSpec {
     assert(k1(4L) == 3L && k1(2L) == 1L)
   }
 
+  test("alternating-star components converge on a long chain where " +
+    "fixed-3-round propagation cannot") {
+    // diameter-9 chain: min-label needs 9 rounds, the star rounds O(log)
+    val chain = (1L to 9L).map(i => (i, i + 1)).toDF("a", "b")
+    val cc = Dedup.connectedComponents(chain)
+      .as[(Long, Long)].collect().toMap
+    assert(cc == (1L to 10L).map(_ -> 1L).toMap)
+    val k3 = Dedup.labelPropagationClusters(chain, iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(k3(10L) != 1L, "3 fixed rounds must NOT close a 9-hop chain " +
+      "(else the d07/d18 distinction is vacuous)")
+  }
+
+  test("alternating-star components equal graphx full convergence on " +
+    "random graphs") {
+    val rnd = new scala.util.Random(23)
+    for (seed <- 1 to 3) {
+      val pairs = Seq.fill(80)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .filter(p => p._1 != p._2).distinct
+        .toDF("a", "b")
+      val cc = Dedup.connectedComponents(pairs)
+        .as[(Long, Long)].collect().toSet
+      // 60 rounds >= any diameter here: pregel min-label at fixpoint
+      val gx = Dedup.labelPropagationClustersGraphX(pairs, 60)
+        .as[(Long, Long)].collect().toSet
+      assert(cc == gx, s"seed=$seed")
+    }
+  }
+
   test("repeated-span stats count corpus-wide duplicated k-gram positions") {
     // k=5 grams; "abcdefgh" appears in docs 20 and 21, so every one of
     // its 4 positions is duplicated in both; doc 22 shares nothing of
