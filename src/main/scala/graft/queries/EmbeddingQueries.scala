@@ -160,7 +160,55 @@ object EmbeddingQueries extends QueryProvider {
           .select($"id".as("vec_id"), $"proj", $"var_share")
           .orderBy($"vec_id")
       },
-      Some(e06OracleSql(5)))
+      Some(e06OracleSql(5))),
+
+    // Distribution drift between embedding cohorts: linear-kernel
+    // Maximum Mean Discrepancy = ‖mean_a − mean_b‖² between every pair
+    // of label groups — the closed-form member of the MMD family
+    // (Gretton et al. 2012) a corpus-snapshot drift monitor computes
+    // (no matrix square roots, unlike FID). Per-dim means are rounded
+    // to 6dp and the squared differences summed in exact DECIMAL, so
+    // the drift matrix is partition-order-proof. Scale shape: one
+    // #labels×#dims partial agg + a dims-sized self-join — the pairwise
+    // stage is over GROUP MEANS, never over vectors, so corpus size
+    // only enters the first aggregation.
+    Q(
+      "e07_mmd_drift",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.embeddings(s, dir)
+          .select($"label", posexplode(Similarity.toDouble($"embedding")))
+          .toDF("label", "dim", "x")
+        val m = e.groupBy($"label", $"dim")
+          .agg(round(avg($"x"), 6).cast("decimal(18,6)").as("m"))
+        m.as("a").join(m.as("b"),
+            col("a.dim") === col("b.dim") && col("a.label") < col("b.label"))
+          .select(col("a.label").as("label_a"), col("b.label").as("label_b"),
+            // re-narrow the diff to (18,6) before squaring: (19,6)² would
+            // exceed decimal precision 38 and Spark truncates the scale,
+            // diverging from DuckDB's exact (38,12) product by 1 ulp
+            ((col("a.m") - col("b.m")).cast("decimal(18,6)") *
+              (col("a.m") - col("b.m")).cast("decimal(18,6)")).as("d2"))
+          .groupBy($"label_a", $"label_b")
+          .agg(round(sum($"d2").cast("double"), 9).as("mmd2"))
+          .withColumn("mean_dist", round(sqrt($"mmd2"), 6))
+          .orderBy($"label_a", $"label_b")
+      },
+      Some("""WITH e AS (SELECT label,
+             |  unnest(embedding::DOUBLE[]) AS x,
+             |  unnest(range(len(embedding))) AS dim
+             |  FROM embeddings),
+             |m AS (SELECT label, dim,
+             |  CAST(round(avg(x), 6) AS DECIMAL(18,6)) AS m
+             |  FROM e GROUP BY label, dim),
+             |p AS (SELECT a.label AS label_a, b.label AS label_b,
+             |  (a.m - b.m) * (a.m - b.m) AS d2
+             |  FROM m a JOIN m b ON a.dim = b.dim AND a.label < b.label),
+             |g AS (SELECT label_a, label_b,
+             |  round(CAST(sum(d2) AS DOUBLE), 9) AS mmd2
+             |  FROM p GROUP BY label_a, label_b)
+             |SELECT label_a, label_b, mmd2, round(sqrt(mmd2), 6) AS mean_dist
+             |FROM g ORDER BY label_a, label_b""".stripMargin))
   )
 
   /** e04 oracle: four prefixed Lloyd chains (one per 16-dim slice) +

@@ -240,7 +240,58 @@ object SimilarityQueries extends QueryProvider {
             $"rel", $"score")
           .orderBy($"rnk")
       },
-      Some(s10OracleSql(5, 20, 0.5)))
+      Some(s10OracleSql(5, 20, 0.5))),
+
+    // Hybrid retrieval — the RAG-standard combination: a LEXICAL ranker
+    // (t13's BM25 over the query terms) and a DENSE ranker (exact
+    // cosine against query vector 0, ids shared with documents) each
+    // emit a bounded top-100 list, fused by Reciprocal Rank Fusion
+    // (k=60) with no score calibration between the two systems. Scale
+    // shape: both rankers already end in bounded lists (BM25 is a
+    // posting-join + top-k, dense is a broadcast-query scan + top-k),
+    // so the fusion is a constant-size union + one hash agg — corpus
+    // size only enters through the rankers, never the fusion.
+    Q(
+      "s11_hybrid_rrf",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val v = vecs(s, dir)
+        val dense = Similarity.bruteForceTopK(v, v.filter($"id" === 0), 100)
+          .select($"neighbor_id".as("doc_id"), $"rank".cast("long").as("rnk"))
+        val docs = graft.Par.fanOut(Tables.documents(s, dir))
+        val bm = graft.operators.Bm25.score(docs, "doc_id",
+          graft.text.TextFunctions.tokenize($"text"),
+          Seq("spark", "join", "window"))
+        val lex = bm.select($"doc_id", $"score")
+          .orderBy(desc("score"), $"doc_id").limit(100)
+          .withColumn("rnk", row_number().over(
+            Window.orderBy(desc("score"), $"doc_id")))
+          .select($"doc_id", $"rnk")
+        graft.operators.Rrf.fuse(Seq("dense" -> dense, "bm25" -> lex), k = 60)
+          .orderBy(desc("rrf_score"), $"doc_id").limit(30)
+      },
+      Some(s"""${TextQueries.bm25CtesSql},
+              |vv AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+              |qq AS (SELECT e FROM vv WHERE vec_id = 0),
+              |pp AS (SELECT vv.vec_id AS doc_id,
+              |  round(list_cosine_similarity(qq.e, vv.e), 6) AS cosine
+              |  FROM vv CROSS JOIN qq WHERE vv.vec_id <> 0),
+              |r1 AS (SELECT doc_id,
+              |  row_number() OVER (ORDER BY cosine DESC, doc_id) AS rnk
+              |  FROM pp QUALIFY rnk <= 100),
+              |r2 AS (SELECT doc_id,
+              |  row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+              |  FROM bm QUALIFY rnk <= 100),
+              |f AS (SELECT coalesce(r1.doc_id, r2.doc_id) AS doc_id,
+              |  round(coalesce(1.0::DOUBLE / (60.0::DOUBLE + r1.rnk), 0.0), 6)
+              |    AS rrf_dense,
+              |  round(coalesce(1.0::DOUBLE / (60.0::DOUBLE + r2.rnk), 0.0), 6)
+              |    AS rrf_bm25
+              |  FROM r1 FULL OUTER JOIN r2 ON r1.doc_id = r2.doc_id)
+              |SELECT doc_id, rrf_dense, rrf_bm25,
+              |  round(rrf_dense + rrf_bm25, 6) AS rrf_score
+              |FROM f ORDER BY rrf_score DESC, doc_id LIMIT 30""".stripMargin))
   )
 
   /** Unrolled MMR oracle: candidate pool r0 (top-`pool` by relevance),

@@ -667,7 +667,7 @@ object TextQueries extends QueryProvider {
     * does (the k1+1 literal is re-derived as `1.2+1.0` so both engines
     * perform the identical addition).
     */
-  private lazy val bm25CtesSql: String =
+  private[queries] lazy val bm25CtesSql: String =
     """WITH t AS (SELECT doc_id,
       |  regexp_extract_all(lower(text), '[a-zA-Z]+') AS tok FROM documents),
       |base AS (SELECT doc_id, CAST(len(tok) AS BIGINT) AS dl, tok FROM t),
