@@ -1481,6 +1481,9 @@ object AnalysisQueries extends QueryProvider {
         import s.implicits._
         val words = graft.Par.fanOut(Tables.documents(s, dir))
           .select($"doc_id", $"lang", explode(TF.tokenize($"text")).as("w"))
+        // three references (source LM, target LM, scoring probe) replay
+        // the scan — cheaper than persisting a corpus-sized exploded
+        // stream; see the a24 note
         val src = words.groupBy($"w").agg(count(lit(1)).as("cs"))
         val tgt = words.where($"lang" === "en")
           .groupBy($"w").agg(count(lit(1)).as("ct"))
@@ -1547,6 +1550,11 @@ object AnalysisQueries extends QueryProvider {
         "transform(sequence(0, size(t)-2), i -> struct(t[i] AS w1, t[i+1] AS w2))"))
         .as("bg"))
       .select($"doc_id", $"bg.w1".as("w1"), $"bg.w2".as("w2"))
+    // NOT persisted, deliberately: bi feeds both the count table and the
+    // scoring probe, but it is the CORPUS-SIZED exploded stream —
+    // materializing it costs more than replaying the columnar scan
+    // (measured: persist doubled the sf0.1 wall time). The Bm25/d15
+    // persists win because those tables are query- or df-bounded.
     val bic = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("cb"))
     bi
       .join(bic, Seq("w1", "w2"))

@@ -15,7 +15,12 @@ object ExplainAudit {
       else Seq("q01_pricing_summary", "q02_filter_project", "q03_shipping_priority",
         "q04_brand_volume", "q05_top_orders", "q14_local_supplier_volume",
         "t02_term_counts", "tr01_ranks", "d04_minhash_neardup", "s01_cosine_topk",
-        "c07_stratified_sample", "d13_containment", "e02_standardize")
+        "c07_stratified_sample", "d13_containment", "e02_standardize",
+        // round-6 pipeline gates: LM scoring joins must broadcast the
+        // vocab tables, chunking must stay shuffle-free, the star
+        // rounds must stay equi-join-only
+        "a24_lm_surprisal", "a26_dsir_weights", "c21_chunk_windows",
+        "d18_neardup_components", "s11_hybrid_rrf", "e07_mmd_drift")
     val spark = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
       .master("local[4]")
