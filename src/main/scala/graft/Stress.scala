@@ -34,7 +34,8 @@ object Stress {
     // bigram/unigram LMs), token chunking, and the streaming LSH index
     "a24_lm_surprisal", "a26_dsir_weights", "c21_chunk_windows",
     "sm13_stream_lsh_index", "a27_ccnet_buckets", "c23_epoch_shuffle",
-    "d18_neardup_components", "s11_hybrid_rrf", "e07_mmd_drift")
+    "d18_neardup_components", "s11_hybrid_rrf", "e07_mmd_drift",
+    "c24_bpe_pack")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/graft_sf1")

@@ -936,7 +936,56 @@ object CurationQueries extends QueryProvider {
                    "(epoch::VARCHAR || ':' || doc_id::VARCHAR)"))} AS skey
               |  FROM e)
               |SELECT doc_id, epoch, skey FROM k
-              |ORDER BY epoch, skey, doc_id""".stripMargin))
+              |ORDER BY epoch, skey, doc_id""".stripMargin)),
+
+    // Tokenize-then-pack, end to end: the producing step of a training-
+    // data pipeline — each document's TRUE token count under the t15-
+    // trained BPE tokenizer (vocabulary-sized broadcast dictionary, as
+    // t20) drives c06's hash-sharded context packing at ctx=512. c06
+    // packs by a whitespace proxy; this composition packs by the count
+    // the trainer actually pays, and the gate checks the two
+    // oracle-green stages COMPOSE (the c01 principle). Scale shape:
+    // tokenizer application is a broadcast join + per-doc agg, packing
+    // is one shard-partitioned window — no global state.
+    Q(
+      "c24_bpe_pack",
+      (s, dir) => {
+        import s.implicits._
+        val docs = graft.Par.fanOut(Tables.documents(s, dir))
+        val dict = graft.operators.Bpe.subwordDict(s,
+          graft.operators.Bpe.wordFrequencies(
+            docs.select(TF.tokenize($"text").as("tokens")), "tokens"),
+          numMerges = 20)
+        val counts = docs
+          .select($"doc_id", explode(TF.tokenize($"text")).as("word"))
+          .join(broadcast(dict), "word")
+          .groupBy($"doc_id").agg(sum($"n_sub").cast("long").as("n_tok"))
+        graft.operators.Packing.contextPack(counts, "doc_id", $"n_tok",
+          ctx = 512L, shards = 8)
+          .orderBy($"doc_id")
+      },
+      Some(s"""${TextQueries.bpeCtesSql},
+              |dict AS (SELECT word, len(string_split(repr, chr(31))) AS n_sub
+              |  FROM r20),
+              |dw AS (SELECT doc_id,
+              |  unnest(regexp_extract_all(lower(text), '[a-zA-Z]+')) AS word
+              |  FROM documents),
+              |pd AS (SELECT doc_id, CAST(sum(n_sub) AS BIGINT) AS n_tok
+              |  FROM dw JOIN dict USING (word) GROUP BY doc_id),
+              |h0 AS (SELECT doc_id, n_tok AS n_tokens,
+              |  ${FnvSql.toSigned(FnvSql.ofString("(doc_id::VARCHAR)"))} AS hs
+              |  FROM pd),
+              |sh AS (SELECT doc_id, n_tokens,
+              |  CAST(((hs % 8) + 8) % 8 AS INTEGER) AS shard, hs FROM h0),
+              |p AS (SELECT doc_id, shard, n_tokens,
+              |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard
+              |    ORDER BY hs, doc_id
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+              |    AS start_offset
+              |  FROM sh)
+              |SELECT doc_id, shard, n_tokens, start_offset,
+              |start_offset // 512 AS window_id
+              |FROM p ORDER BY doc_id""".stripMargin))
   )
 
 }

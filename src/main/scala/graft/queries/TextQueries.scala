@@ -631,7 +631,7 @@ object TextQueries extends QueryProvider {
     * `element_at(_, 1)`. Shared by the t15 (merge table) and t16
     * (subword counts) oracles.
     */
-  private lazy val bpeCtesSql: String = {
+  private[queries] lazy val bpeCtesSql: String = {
     val n = 20
     val sb = new StringBuilder
     sb ++=

@@ -127,6 +127,35 @@ class DedupSpec extends SparkSpec {
       "(else the d07/d18 distinction is vacuous)")
   }
 
+  test("alternating-star components equal a plain union-find reference") {
+    // fully Spark-independent oracle: disjoint-set union with the
+    // smaller root absorbing the larger, so each final root IS the
+    // component min — the contract connectedComponents promises
+    val rnd = new scala.util.Random(37)
+    for (trial <- 1 to 3) {
+      val n = 50
+      val edges = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2).distinct
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> find(v.toInt).toLong).toMap
+      val got = Dedup.connectedComponents(edges.toDF("a", "b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expect, s"trial=$trial")
+    }
+  }
+
   test("alternating-star components equal graphx full convergence on " +
     "random graphs") {
     val rnd = new scala.util.Random(23)
