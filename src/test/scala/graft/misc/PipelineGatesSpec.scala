@@ -129,6 +129,27 @@ class PipelineGatesSpec extends SparkSpec {
     assert(byEpoch === b)
   }
 
+  test("decimal-summed scores are bit-identical under different " +
+    "shuffle partitionings") {
+    // the queries CLAIM partition-order-proof aggregation (rounded
+    // terms summed in DECIMAL); prove it by executing under 1 vs 7
+    // shuffle partitions and requiring byte-equal row sets
+    val conf = spark.conf
+    val before = conf.get("spark.sql.shuffle.partitions")
+    def snapshot(name: String): Seq[String] =
+      run(name).collect().map(_.toString).sorted.toSeq
+    try {
+      for (name <- Seq("a24_lm_surprisal", "c22_temperature_mixture",
+        "e07_mmd_drift")) {
+        conf.set("spark.sql.shuffle.partitions", "1")
+        val one = snapshot(name)
+        conf.set("spark.sql.shuffle.partitions", "7")
+        val seven = snapshot(name)
+        assert(one === seven, s"$name diverges across partitionings")
+      }
+    } finally conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("c22: weights sum to 1 and upsample low-resource languages") {
     val rows = run("c22_temperature_mixture").collect()
     assert(rows.length >= 2)
