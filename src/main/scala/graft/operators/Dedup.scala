@@ -251,10 +251,27 @@ object Dedup {
     *
     * Each round is two bounded groupBy/join passes over the edge set
     * (kept distinct, stored larger→smaller); lineage is cut per round.
-    * Convergence is checked exactly with two `except`s — at 100 TB one
-    * would compare a count+hash signature instead, same contract.
+    * Convergence check: `exactConvergence = true` (the gate default)
+    * compares edge sets with two `except`s; `false` is the 100 TB path
+    * — one aggregation computing (count, wrapped sum of per-edge FNV),
+    * which declares convergence when the signature repeats (a false
+    * positive needs a 64-bit wrapped-sum collision between CONSECUTIVE
+    * star rounds — astronomically unlikely, and ConnectedComponentsSpec
+    * pins both modes identical on random graphs).
     */
-  def connectedComponents(pairs: DataFrame, maxRounds: Int = 30): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 30,
+      exactConvergence: Boolean = true): DataFrame = {
+    // DECIMAL(38,0) sum: exact at any edge count, and safe under the
+    // ANSI default (a LongType sum of 64-bit hashes would overflow)
+    def signature(e: DataFrame): (Long, String) = {
+      val r = e.agg(
+        count(lit(1)).as("n"),
+        sum(graft.functions.Fnv.fnv1a64(
+          concat(col("x").cast("string"), lit(":"), col("w").cast("string")))
+          .cast("decimal(38,0)")).as("h"))
+        .collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toPlainString)
+    }
     var edges = pairs.filter(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("x"),
         least(col("a"), col("b")).as("w"))
@@ -279,7 +296,10 @@ object Dedup {
         .select(col("w").as("x"), col("m").as("w"))
         .union(smins.select(col("x"), col("m").as("w")))
         .distinct().localCheckpoint()
-      done = small.except(edges).isEmpty && edges.except(small).isEmpty
+      done =
+        if (exactConvergence)
+          small.except(edges).isEmpty && edges.except(small).isEmpty
+        else signature(small) == signature(edges)
       edges = small
       rounds += 1
     }

@@ -157,7 +157,7 @@ class DedupSpec extends SparkSpec {
   }
 
   test("alternating-star components equal graphx full convergence on " +
-    "random graphs") {
+    "random graphs, in both convergence-check modes") {
     val rnd = new scala.util.Random(23)
     for (seed <- 1 to 3) {
       val pairs = Seq.fill(80)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
@@ -169,6 +169,11 @@ class DedupSpec extends SparkSpec {
       val gx = Dedup.labelPropagationClustersGraphX(pairs, 60)
         .as[(Long, Long)].collect().toSet
       assert(cc == gx, s"seed=$seed")
+      // the signature-based (100 TB) convergence check lands on the
+      // same fixpoint as the exact except-based one
+      val sig = Dedup.connectedComponents(pairs, exactConvergence = false)
+        .as[(Long, Long)].collect().toSet
+      assert(sig == cc, s"seed=$seed signature-mode diverged")
     }
   }
 
