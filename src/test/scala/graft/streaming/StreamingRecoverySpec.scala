@@ -117,4 +117,51 @@ class StreamingRecoverySpec extends SparkSpec {
       rmRec(scratch.toFile)
     }
   }
+
+  test("stateful streaming is backend-agnostic: RocksDB state store " +
+    "produces the HDFS-backed results bit-for-bit") {
+    // local[n] runs the in-memory HDFSBackedStateStore by default; a
+    // 1000-executor cluster runs RocksDB (state larger than heap).
+    // The windowed aggregation must not care which backend holds it.
+    val dir = sf("sf0.001")
+    val providerConf = "spark.sql.streaming.stateStore.providerClass"
+    val rocks =
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    def runWindowed(): Seq[String] = {
+      val sink = s"rdb_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val stage = Files.createTempDirectory("rdb_events")
+      var q: StreamingQuery = null
+      try {
+        val fileSchema = Tables.eventsFileSchema(spark, dir)
+        spark.read.schema(fileSchema).parquet(s"$dir/events.parquet")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(stage.resolve("in").toString)
+        q = EventStreams.windowedCounts(
+          Tables.normalizeEventTs(spark.readStream.schema(fileSchema)
+            .parquet(stage.resolve("in").toString)), "1 hour")
+          .writeStream.outputMode("complete")
+          .format("memory").queryName(sink).start()
+        q.processAllAvailable()
+        spark.table(sink)
+          .select($"window_start", $"event_type", $"n",
+            round($"sum_value", 2).cast("double").as("sum_value"))
+          .collect().map(_.toString).sorted.toSeq
+      } finally {
+        if (q != null) q.stop()
+        rmRec(stage.toFile)
+      }
+    }
+    val default = runWindowed()
+    val before = spark.conf.getOption(providerConf)
+    spark.conf.set(providerConf, rocks)
+    try {
+      val viaRocks = runWindowed()
+      assert(viaRocks === default,
+        "RocksDB state store diverged from the default backend")
+      assert(default.nonEmpty)
+    } finally before match {
+      case Some(v) => spark.conf.set(providerConf, v)
+      case None => spark.conf.unset(providerConf)
+    }
+  }
 }
