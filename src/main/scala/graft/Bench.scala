@@ -57,9 +57,11 @@ object Bench {
       val (ok1, dt1) = timed(name)
       val (ok2, dt2) = timed(name)
       val ok = ok1 && ok2
-      val dt = math.min(dt1, dt2)
+      // report min on success, max on failure — and PRINT the same
+      // number the JSON records, so logs and artifacts reconcile
+      val dt = if (ok) math.min(dt1, dt2) else math.max(dt1, dt2)
       System.err.println(f"[bench] $name: $dt%.2f s" + (if (ok) "" else " (FAILED)"))
-      (name, if (ok) dt else -math.max(dt1, dt2))
+      (name, if (ok) dt else -dt)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -69,11 +69,19 @@ object Dedup {
     * should raise maxBucket or run the brute-force verify on the
     * affected keys.
     */
+  /** Per-band LSH bucket keys: element j = comma-joined j-th band slice
+    * of the signature. THE parity contract between the batch banding
+    * (d04), the streaming index (sm13) and the DuckDB `bands` CTE —
+    * one definition so the three cannot drift.
+    */
+  def bandKeyArray(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      j => array_join(slice(sig, j * rowsPerBand + 1, lit(rowsPerBand)), ","))
+
   def lshCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int,
       maxBucket: Int = 1000): DataFrame = {
     val banded = sigs.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        j => array_join(slice(col("sig"), j * rowsPerBand + 1, lit(rowsPerBand)), ","))))
+      posexplode(bandKeyArray(col("sig"), bands, rowsPerBand)))
       .toDF("id", "band", "key")
     val sized = banded
       .withColumn("bucket_n", count(lit(1))
@@ -277,6 +285,8 @@ object Dedup {
         least(col("a"), col("b")).as("w"))
       .distinct().localCheckpoint()
     var done = edges.isEmpty
+    var prevSig: Option[(Long, String)] =
+      if (exactConvergence || done) None else Some(signature(edges))
     var rounds = 0
     while (!done && rounds < maxRounds) {
       // large-star: every neighbor v > u links to min(N(u) ∪ {u})
@@ -299,7 +309,14 @@ object Dedup {
       done =
         if (exactConvergence)
           small.except(edges).isEmpty && edges.except(small).isEmpty
-        else signature(small) == signature(edges)
+        else {
+          // carry the prior round's signature: one aggregation per
+          // round, not a recompute of both sides
+          val sigSmall = signature(small)
+          val same = prevSig.contains(sigSmall)
+          prevSig = Some(sigSmall)
+          same
+        }
       edges = small
       rounds += 1
     }

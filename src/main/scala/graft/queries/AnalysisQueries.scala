@@ -1488,7 +1488,9 @@ object AnalysisQueries extends QueryProvider {
         val tgt = words.where($"lang" === "en")
           .groupBy($"w").agg(count(lit(1)).as("ct"))
         val totals = src.agg(sum($"cs").as("ns"), count(lit(1)).as("v"))
-        val tTotal = tgt.agg(sum($"ct").as("nt"))
+        // coalesce like the oracle's tt CTE: a slice with no target-
+        // domain docs must yield finite smoothed scores, not all-NULL
+        val tTotal = tgt.agg(coalesce(sum($"ct"), lit(0L)).as("nt"))
         val lm = src.join(tgt, Seq("w"), "left")
           .select($"w", $"cs", coalesce($"ct", lit(0L)).as("ct"))
           .crossJoin(broadcast(totals)).crossJoin(broadcast(tTotal))

@@ -702,9 +702,9 @@ object StreamingQueries extends QueryProvider {
         import s.implicits._
         import graft.operators.Dedup
         import graft.text.{TextFunctions => TF}
-        val docSchema = new org.apache.spark.sql.types.StructType()
-          .add("doc_id", "long").add("text", "string").add("lang", "string")
-          .add("source", "string").add("n_chars", "long")
+        // schema from the batch loader (as sm03 does) — a hardcoded
+        // StructType would silently NULL-out renamed/retyped columns
+        val docSchema = Tables.documents(s, dir).schema
         val sink = s"sm13_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
         val stage = Files.createTempDirectory("sm13_docs")
         var q: org.apache.spark.sql.streaming.StreamingQuery = null
@@ -717,8 +717,7 @@ object StreamingQueries extends QueryProvider {
             .select($"id", Dedup.minhashSignature(
               Dedup.shingleHashes(Dedup.shingles($"tokens", 3)), 32).as("sig"))
           val banded = sigs.select($"id",
-            posexplode(transform(sequence(lit(0), lit(7)),
-              j => array_join(slice($"sig", j * 4 + 1, lit(4)), ","))))
+            posexplode(Dedup.bandKeyArray($"sig", bands = 8, rowsPerBand = 4)))
             .toDF("id", "band", "key")
           q = banded
             .groupBy($"band", $"key")
