@@ -150,6 +150,29 @@ class PipelineGatesSpec extends SparkSpec {
     } finally conf.set("spark.sql.shuffle.partitions", before)
   }
 
+  test("representative gate queries are AQE-invariant") {
+    // AQE re-plans shuffles at runtime (coalesced partitions, skew
+    // splits, join-strategy switches) — none of which may move a row
+    // or an ulp. Pin it on a shuffle-heavy sample: LSH banding + window
+    // (d04), the curation composition (c01), grouped decimal means
+    // (a23), converged star rounds (d18).
+    val conf = spark.conf
+    val before = conf.get("spark.sql.adaptive.enabled")
+    def snap(name: String): Seq[String] =
+      run(name).collect().map(_.toString).sorted.toSeq
+    try {
+      for (name <- Seq("d04_minhash_neardup", "c01_curated_docs",
+        "a23_tokenizer_fertility", "d18_neardup_components")) {
+        conf.set("spark.sql.adaptive.enabled", "true")
+        val on = snap(name)
+        conf.set("spark.sql.adaptive.enabled", "false")
+        val off = snap(name)
+        assert(on === off, s"$name diverges under AQE")
+        assert(on.nonEmpty)
+      }
+    } finally conf.set("spark.sql.adaptive.enabled", before)
+  }
+
   test("c22: weights sum to 1 and upsample low-resource languages") {
     val rows = run("c22_temperature_mixture").collect()
     assert(rows.length >= 2)
