@@ -35,7 +35,11 @@ object Stress {
     "a24_lm_surprisal", "a26_dsir_weights", "c21_chunk_windows",
     "sm13_stream_lsh_index", "a27_ccnet_buckets", "c23_epoch_shuffle",
     "d18_neardup_components", "s11_hybrid_rrf", "e07_mmd_drift",
-    "c24_bpe_pack")
+    "c24_bpe_pack",
+    // late-round-6 quality harnesses: corpus-global duplicated-n-gram
+    // rate (gram-df join) and ANN recall@10 (brute leg bounded by the
+    // 20-query sample even at 10x vectors)
+    "d19_dupgram_rate", "s12_ann_recall")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/graft_sf1")

@@ -596,4 +596,42 @@ object Dedup {
       .withColumn("dup_ratio",
         round(col("n_dup") / greatest(col("n_pos"), lit(1L)), 6))
   }
+
+  /** Cross-document duplicated-n-gram rate (RefinedWeb/FineWeb quality
+    * signal, Penedo et al. 2023 §4.2): per document, the fraction of its
+    * word n-gram OCCURRENCES whose gram also appears in >= 1 OTHER
+    * document. Distinct from within-doc repetition (repeatedSpanStats /
+    * a06) and benchmark contamination (d09): this is corpus-global.
+    *
+    * Plan: one shuffle to the distinct (doc, gram, in-doc count) table,
+    * one gram-keyed aggregation for document frequency, one
+    * co-partitioned join back — linear in total gram count, no pair
+    * enumeration. At 100 TB the df table is the big intermediate; it
+    * carries (gram, count) only, and the exact df side can be replaced
+    * by a Bloom/CMS approximation when approximate rates suffice.
+    *
+    * Output: (doc_id, n_grams, dup_occ, dup_frac) for docs with >= n
+    * tokens.
+    */
+  def dupGramRate(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val sh = graft.Par.fanOut(docs)
+      .select(col(idCol).as("doc_id"),
+        shingles(graft.text.TextFunctions.tokenize(col(textCol)), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    // per-(doc, gram) occurrence counts; one row per doc-gram pair
+    val perDoc = sh
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_grams"),
+        explode(col("sh")).as("g"))
+      .groupBy(col("doc_id"), col("n_grams"), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+    // gram document frequency: perDoc is already distinct per doc
+    val df = perDoc.groupBy(col("g")).agg(count(lit(1)).as("ndocs"))
+    perDoc.join(df, Seq("g"))
+      .groupBy(col("doc_id"), col("n_grams"))
+      .agg(sum(when(col("ndocs") >= 2, col("cnt")).otherwise(lit(0L)))
+        .as("dup_occ"))
+      .select(col("doc_id"), col("n_grams"), col("dup_occ"),
+        round(col("dup_occ") * 1.0 / col("n_grams"), 6).as("dup_frac"))
+  }
 }

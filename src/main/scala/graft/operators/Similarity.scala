@@ -499,4 +499,27 @@ object Similarity {
       .select(col("qid").as("query_id"), col("rank"),
         col("id").as("neighbor_id"), col("adc"))
   }
+
+  /** Recall of an approximate neighbor list against the exact one: per
+    * query, |approx ∩ truth| / |truth|. Both inputs are (query_id,
+    * neighbor_id) result sets (any extra columns ignored). The join is
+    * on the composite key — truth side drives, so queries the approx
+    * index missed entirely still report recall 0, and approx extras
+    * beyond the truth set don't inflate the score.
+    *
+    * This is the evaluation harness an ANN deployment runs on a SAMPLED
+    * query set before committing to an index configuration: the exact
+    * leg bounds the cost (it scales with the sample, never the corpus).
+    */
+  def recallAtK(truth: DataFrame, approx: DataFrame): DataFrame = {
+    val t = truth.select(col("query_id"), col("neighbor_id"))
+    val a = approx.select(col("query_id"), col("neighbor_id"),
+      lit(1L).as("hit"))
+    t.join(a, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+      .select(col("query_id"), col("n_exact"), col("n_hit"),
+        round(col("n_hit") * 1.0 / col("n_exact"), 6).as("recall"))
+  }
 }

@@ -623,7 +623,38 @@ object DedupQueries extends QueryProvider {
               |  JOIN e2 ON e2.src = lbl.id
               |)
               |SELECT id, min(l) AS component FROM lbl
-              |GROUP BY id ORDER BY id""".stripMargin))
+              |GROUP BY id ORDER BY id""".stripMargin)),
+
+    // Cross-document duplicated-n-gram rate (see Dedup.dupGramRate) —
+    // the RefinedWeb/FineWeb corpus-global quality signal, distinct
+    // from a06 (within-doc repetition) and d09 (overlap vs a fixed
+    // benchmark set). The oracle replays shingling, in-doc occurrence
+    // counts, gram document frequency and the rate join in SQL.
+    Q(
+      "d19_dupgram_rate",
+      (s, dir) => {
+        import s.implicits._
+        Dedup.dupGramRate(Tables.documents(s, dir), "doc_id", "text", 5)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |  regexp_extract_all(lower(text),'[a-zA-Z]+') AS tk FROM documents),
+             |s AS (SELECT doc_id, list_transform(range(1, len(tk)-3),
+             |    i -> array_to_string(tk[i:i+4], ' ')) AS sh
+             |  FROM t WHERE len(tk) >= 5),
+             |occ AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_grams,
+             |    unnest(sh) AS g FROM s),
+             |pd AS (SELECT doc_id, n_grams, g, count(*) AS cnt
+             |  FROM occ GROUP BY doc_id, n_grams, g),
+             |df AS (SELECT g, count(*) AS ndocs FROM pd GROUP BY g)
+             |SELECT pd.doc_id, pd.n_grams,
+             |  CAST(sum(CASE WHEN df.ndocs >= 2 THEN pd.cnt ELSE 0 END)
+             |    AS BIGINT) AS dup_occ,
+             |  round(sum(CASE WHEN df.ndocs >= 2 THEN pd.cnt ELSE 0 END)
+             |    * 1.0 / pd.n_grams, 6) AS dup_frac
+             |FROM pd JOIN df USING (g)
+             |GROUP BY pd.doc_id, pd.n_grams
+             |ORDER BY pd.doc_id""".stripMargin))
   )
 
   /** d14 oracle: the same blocked sorted-neighborhood windows — leads

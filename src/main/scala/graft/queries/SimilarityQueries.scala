@@ -291,8 +291,70 @@ object SimilarityQueries extends QueryProvider {
               |  FROM r1 FULL OUTER JOIN r2 ON r1.doc_id = r2.doc_id)
               |SELECT doc_id, rrf_dense, rrf_bm25,
               |  round(rrf_dense + rrf_bm25, 6) AS rrf_score
-              |FROM f ORDER BY rrf_score DESC, doc_id LIMIT 30""".stripMargin))
+              |FROM f ORDER BY rrf_score DESC, doc_id LIMIT 30""".stripMargin)),
+
+    // ANN recall@10 — the quality dial every approximate index trades
+    // against speed: per query, |LSH top-10 ∩ exact top-10| / 10. Both
+    // legs are the production operators (s01's broadcast brute force as
+    // truth, s02's banded hyperplane LSH as candidate), so this is the
+    // evaluation harness a 100 TB deployment runs on a SAMPLED query
+    // set before committing to a bands/rows configuration — the exact
+    // leg is the expensive one and is bounded by the sample size, never
+    // the corpus. The oracle recomputes both legs and the join in SQL.
+    Q(
+      "s12_ann_recall",
+      (s, dir) => {
+        import s.implicits._
+        val v = vecs(s, dir)
+        val q = v.filter($"id" < 20)
+        Similarity.recallAtK(
+          Similarity.bruteForceTopK(v, q, 10),
+          Similarity.lshTopK(v, q, 10, bands = 8, rowsPerBand = 4,
+            seed = 42L, dim = 64))
+          .orderBy($"query_id")
+      },
+      Some(s12OracleSql))
   )
+
+  /** s12 oracle: the s01 brute-force chain and the s02 LSH chain (same
+    * embedded plane constants) over 20 query vectors, left-joined on
+    * (query, neighbor) and reduced to per-query hit counts.
+    */
+  private lazy val s12OracleSql: String = {
+    val planes = Similarity.hyperplanes(32, 64, 42L)
+    val planesSql = planes.map(_.map(_.toString).mkString("[", ",", "]"))
+      .mkString("[", ",\n", "]")
+    s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings),
+       |q AS (SELECT id, e FROM v WHERE id < 20),
+       |px AS (SELECT q.id AS query_id, v.id AS neighbor_id,
+       |    round(list_cosine_similarity(q.e, v.e), 6) AS cosine
+       |  FROM v CROSS JOIN q WHERE q.id <> v.id),
+       |rx AS (SELECT query_id, neighbor_id, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+       |  FROM px),
+       |ex AS (SELECT query_id, neighbor_id FROM rx WHERE rnk <= 10),
+       |pl AS (SELECT unnest(range(32)) AS pi, unnest($planesSql) AS pv),
+       |bits AS (SELECT id, pi // 4 AS band,
+       |    string_agg(CASE WHEN list_inner_product(e, pv) >= 0
+       |      THEN '1' ELSE '0' END, '' ORDER BY pi) AS key
+       |  FROM v CROSS JOIN pl GROUP BY id, pi // 4),
+       |cand AS (SELECT DISTINCT qb.id AS query_id, vb.id AS neighbor_id
+       |  FROM bits qb JOIN bits vb ON qb.band = vb.band AND qb.key = vb.key
+       |  WHERE qb.id < 20 AND qb.id <> vb.id),
+       |sc AS (SELECT c.query_id, c.neighbor_id,
+       |    round(list_cosine_similarity(qv.e, nv.e), 6) AS cosine
+       |  FROM cand c JOIN v qv ON qv.id = c.query_id
+       |  JOIN v nv ON nv.id = c.neighbor_id),
+       |rl AS (SELECT query_id, neighbor_id, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+       |  FROM sc),
+       |al AS (SELECT query_id, neighbor_id, 1 AS hit FROM rl WHERE rnk <= 10)
+       |SELECT ex.query_id, count(*) AS n_exact,
+       |  CAST(coalesce(sum(al.hit), 0) AS BIGINT) AS n_hit,
+       |  round(coalesce(sum(al.hit), 0) * 1.0 / count(*), 6) AS recall
+       |FROM ex LEFT JOIN al USING (query_id, neighbor_id)
+       |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
+  }
 
   /** Unrolled MMR oracle: candidate pool r0 (top-`pool` by relevance),
     * then per stage i an argmax CTE s_i (6dp score, id tiebreak) and a

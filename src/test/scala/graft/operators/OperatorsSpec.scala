@@ -197,6 +197,22 @@ class DedupSpec extends SparkSpec {
     // doc 24: positions 1..8; only "xyzvw" (position 1 vs 8) repeats
     assert(out(24L)._1 == 8L && out(24L)._2 == 2L)
   }
+
+  test("cross-doc duplicated-n-gram rate counts occurrences, not types") {
+    // word 2-grams: "a b" lives in docs 30 (TWICE) and 31 -> both of
+    // doc 30's occurrences count (occurrence semantics); doc 32 shares
+    // nothing; doc 33 is shorter than n and drops out of the output.
+    val docs = Seq(
+      (30L, "a b c a b"), (31L, "a b x y"), (32L, "p q r s"), (33L, "z")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupGramRate(docs, "doc_id", "text", n = 2)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(30L) == ((4L, 2L, 0.5)))
+    assert(out(31L) == ((3L, 1L, 0.333333)))
+    assert(out(32L) == ((3L, 0L, 0.0)))
+    assert(!out.contains(33L))
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {
@@ -351,6 +367,18 @@ class SimilaritySpec extends SparkSpec {
     val a = run()
     assert(a.nonEmpty)
     assert(a == run())
+  }
+
+  test("recallAtK: truth drives, missed queries score 0, extras don't inflate") {
+    val truth = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 4L), (1L, 5L))
+      .toDF("query_id", "neighbor_id")
+    val approx = Seq((0L, 1L), (0L, 3L), (0L, 9L)) // q1 entirely missed
+      .toDF("query_id", "neighbor_id")
+    val r = Similarity.recallAtK(truth, approx)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4))).toMap
+    assert(r(0L) == ((3L, 2L, 0.666667)))
+    assert(r(1L) == ((2L, 0L, 0.0)))
   }
 
   test("lsh top-k finds the near-identical neighbor at rank 1") {
