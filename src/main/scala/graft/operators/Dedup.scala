@@ -619,12 +619,16 @@ object Dedup {
       .select(col(idCol).as("doc_id"),
         shingles(graft.text.TextFunctions.tokenize(col(textCol)), n).as("sh"))
       .filter(size(col("sh")) > 0)
-    // per-(doc, gram) occurrence counts; one row per doc-gram pair
+    // per-(doc, gram) occurrence counts; one row per doc-gram pair.
+    // Persisted: it feeds BOTH the df aggregation and the probe side of
+    // the rate join — without it the scan+tokenize+shingle+explode
+    // subtree replays once per reference (the d15/t13 diamond).
     val perDoc = sh
       .select(col("doc_id"), size(col("sh")).cast("long").as("n_grams"),
         explode(col("sh")).as("g"))
       .groupBy(col("doc_id"), col("n_grams"), col("g"))
       .agg(count(lit(1)).as("cnt"))
+      .persist()
     // gram document frequency: perDoc is already distinct per doc
     val df = perDoc.groupBy(col("g")).agg(count(lit(1)).as("ndocs"))
     perDoc.join(df, Seq("g"))
