@@ -313,8 +313,91 @@ object SimilarityQueries extends QueryProvider {
             seed = 42L, dim = 64))
           .orderBy($"query_id")
       },
-      Some(s12OracleSql))
+      Some(s12OracleSql)),
+
+    // LSH band-layout sweep — the tuning run behind s12's single
+    // configuration: the SAME 32 hyperplanes sliced as 4×8 / 8×4 /
+    // 16×2 bands (fewer, longer bands = higher precision, lower
+    // recall), each scored by micro-averaged recall@10 against the
+    // shared brute-force truth. The ANN analog of d17's
+    // threshold-yield sweep: one bounded grid run on a sampled query
+    // set picks the layout before the corpus-scale index build. Truth
+    // is persisted across the three config branches (one broadcast
+    // NLJ pass, not three); micro recall = Σhits/Σexact keeps the
+    // aggregate in integer arithmetic until one final division.
+    Q(
+      "s13_lsh_band_sweep",
+      (s, dir) => {
+        import s.implicits._
+        val v = vecs(s, dir)
+        val q = v.filter($"id" < 20)
+        val truth = Similarity.bruteForceTopK(v, q, 10)
+          .select($"query_id", $"neighbor_id").persist()
+        val configs = Seq((4, 8), (8, 4), (16, 2))
+        configs.map { case (b, r) =>
+          Similarity.recallAtK(truth,
+            Similarity.lshTopK(v, q, 10, bands = b, rowsPerBand = r,
+              seed = 42L, dim = 64))
+            .agg(sum($"n_exact").as("sum_exact"), sum($"n_hit").as("sum_hit"))
+            .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+              $"sum_exact", $"sum_hit",
+              round($"sum_hit" * 1.0 / $"sum_exact", 6).as("micro_recall"))
+        }.reduce(_ unionAll _)
+          .orderBy($"bands")
+      },
+      Some(s13OracleSql))
   )
+
+  /** s13 oracle: one shared per-plane sign-bit table, re-banded per
+    * config (pi // rows), each joined to the shared exact truth and
+    * reduced to Σhits/Σexact.
+    */
+  private lazy val s13OracleSql: String = {
+    val planes = Similarity.hyperplanes(32, 64, 42L)
+    val planesSql = planes.map(_.map(_.toString).mkString("[", ",", "]"))
+      .mkString("[", ",\n", "]")
+    val configs = Seq((4, 8), (8, 4), (16, 2))
+    val perConfig = configs.map { case (b, r) =>
+      s"""SELECT $b AS bands, $r AS rows_per_band,
+         |  CAST(count(*) AS BIGINT) AS sum_exact,
+         |  CAST(coalesce(sum(hit), 0) AS BIGINT) AS sum_hit,
+         |  round(coalesce(sum(hit), 0) * 1.0 / count(*), 6) AS micro_recall
+         |FROM ex LEFT JOIN (
+         |  SELECT query_id, neighbor_id, 1 AS hit FROM (
+         |    SELECT sc.query_id, sc.neighbor_id, row_number() OVER
+         |      (PARTITION BY sc.query_id
+         |       ORDER BY sc.cosine DESC, sc.neighbor_id) AS rnk
+         |    FROM (SELECT DISTINCT qb.id AS query_id, vb.id AS neighbor_id
+         |          FROM (SELECT id, pi // $r AS band,
+         |                  string_agg(bit, '' ORDER BY pi) AS key
+         |                FROM bits GROUP BY id, pi // $r) qb
+         |          JOIN (SELECT id, pi // $r AS band,
+         |                  string_agg(bit, '' ORDER BY pi) AS key
+         |                FROM bits GROUP BY id, pi // $r) vb
+         |            ON qb.band = vb.band AND qb.key = vb.key
+         |          WHERE qb.id < 20 AND qb.id <> vb.id) c
+         |    JOIN px sc ON sc.query_id = c.query_id
+         |      AND sc.neighbor_id = c.neighbor_id) rr
+         |  WHERE rnk <= 10) al
+         |USING (query_id, neighbor_id)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings),
+       |q AS (SELECT id, e FROM v WHERE id < 20),
+       |px AS (SELECT q.id AS query_id, v.id AS neighbor_id,
+       |    round(list_cosine_similarity(q.e, v.e), 6) AS cosine
+       |  FROM v CROSS JOIN q WHERE q.id <> v.id),
+       |rx AS (SELECT query_id, neighbor_id, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+       |  FROM px),
+       |ex AS (SELECT query_id, neighbor_id FROM rx WHERE rnk <= 10),
+       |pl AS (SELECT unnest(range(32)) AS pi, unnest($planesSql) AS pv),
+       |bits AS (SELECT id, pi,
+       |    CASE WHEN list_inner_product(e, pv) >= 0
+       |      THEN '1' ELSE '0' END AS bit
+       |  FROM v CROSS JOIN pl)
+       |SELECT * FROM ($perConfig)
+       |ORDER BY bands""".stripMargin
+  }
 
   /** s12 oracle: the s01 brute-force chain and the s02 LSH chain (same
     * embedded plane constants) over 20 query vectors, left-joined on

@@ -381,6 +381,27 @@ class SimilaritySpec extends SparkSpec {
     assert(r(1L) == ((2L, 0L, 0.0)))
   }
 
+  test("lsh band layouts over shared planes have nested candidates: recall is monotone") {
+    // A band match under (b, r) forces its sub-bands to match under
+    // (2b, r/2) — candidates nest, and since the re-rank is by exact
+    // cosine, a true top-k neighbor that is a candidate always stays in
+    // the candidate top-k. So recall must be non-decreasing from 2x8
+    // to 4x4 to 8x2 over the SAME 16 hyperplanes.
+    val rnd = new scala.util.Random(7)
+    val many = (0L until 40L).map(i =>
+      (i, Seq.fill(8)(rnd.nextDouble() * 2 - 1))).toDF("id", "vec")
+    val q = many.filter($"id" < 6)
+    val truth = Similarity.bruteForceTopK(many, q, 5)
+    def hits(b: Int, r: Int): Long =
+      Similarity.recallAtK(truth,
+        Similarity.lshTopK(many, q, 5, bands = b, rowsPerBand = r,
+          seed = 42L, dim = 8))
+        .agg(sum($"n_hit")).as[Long].head()
+    val h = Seq(hits(2, 8), hits(4, 4), hits(8, 2))
+    assert(h == h.sorted, s"recall not monotone across band layouts: $h")
+    assert(h.last > 0L)
+  }
+
   test("lsh top-k finds the near-identical neighbor at rank 1") {
     val r = Similarity.lshTopK(vecs, vecs.filter($"id" === 0), 2,
       bands = 8, rowsPerBand = 2, seed = 7L, dim = 2)
