@@ -234,4 +234,52 @@ object Bpe {
     import spark.implicits._
     (out.toSeq.toDF("step", "l", "r", "merged", "cnt"), repr)
   }
+
+  /** BPE-encode optimality audit (cf. Bostrom & Durrett, "Byte Pair
+    * Encoding is Suboptimal for Language Model Pretraining", Findings
+    * of EMNLP 2020): merge-order encoding applies merges in trained
+    * priority order, which is NOT guaranteed to yield the fewest
+    * tokens expressible over the final vocabulary. Per word type this
+    * reports both counts — bpe_ntok from the trained repr, opt_ntok
+    * from a shortest-segmentation dynamic program over the same
+    * effective vocabulary (the distinct symbols surviving in any final
+    * repr) — and their gap.
+    *
+    * The DP runs as one row-local `aggregate()` fold over positions of
+    * `word + EndMark` with the vocabulary as an array literal (the
+    * vocabulary is merge-count-bounded, the standard broadcast-
+    * dictionary size), so the audit is a narrow codegen'd map over the
+    * type table: no shuffle beyond training itself, any corpus scale.
+    * A word's own BPE repr is always one valid segmentation, so
+    * opt_ntok <= bpe_ntok (gap >= 0) by construction.
+    *
+    * Output: (word, freq, bpe_ntok, opt_ntok, gap).
+    */
+  def optimalityGap(spark: SparkSession, wordFreq: DataFrame,
+      numMerges: Int): DataFrame = {
+    val (_, reprs) = mergesAndVocab(spark, wordFreq, numMerges)
+    val units = reprs.select(explode(split(col("repr"), Sep)).as("u"))
+      .distinct().orderBy("u").collect().map(_.getString(0)).toSeq
+    val uCol = typedLit(units)
+    val Big = 1000000
+    val w = concat(col("word"), lit(EndMark))
+    val len = length(w)
+    // best(i) = fewest vocab units concatenating to prefix i of w;
+    // fold appends best(i) = 1 + min over units u ending at i of
+    // best(i - |u|). The when-guard keeps element_at indices >= 1.
+    val best = aggregate(
+      sequence(lit(1), len),
+      array(lit(0)),
+      (acc, i) => concat(acc, array(
+        array_min(transform(uCol, u =>
+          when(i >= length(u) &&
+              w.substr(i - length(u) + lit(1), length(u)) === u,
+            element_at(acc, i - length(u) + 1) + 1)
+            .otherwise(lit(Big)))))),
+      acc => element_at(acc, len + 1))
+    reprs.select(col("word"), col("freq"),
+      size(split(col("repr"), Sep)).as("bpe_ntok"),
+      best.as("opt_ntok"))
+      .withColumn("gap", col("bpe_ntok") - col("opt_ntok"))
+  }
 }

@@ -618,7 +618,50 @@ object TextQueries extends QueryProvider {
              |  CAST(length(trim(regexp_replace(regexp_replace(
              |    translate(text, '‘’“”–—', '''''""--'),
              |    '[\x00-\x1f]', ' ', 'g'), '\s+', ' ', 'g'))) AS BIGINT) AS n_chars
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // BPE-encode optimality audit (Bpe.optimalityGap): merge-order
+    // token count vs the DP-shortest segmentation over the same final
+    // vocabulary, on the 50 most frequent word types. The oracle
+    // replays the merge chain, then solves the same shortest-
+    // segmentation problem INDEPENDENTLY — a breadth-first recursive
+    // CTE over (word, position, level) pruned by level <= bpe_ntok
+    // (sound: the BPE repr itself is a valid segmentation).
+    Q(
+      "t21_bpe_optimality",
+      (s, dir) => {
+        import s.implicits._
+        val toks = graft.Par.fanOut(Tables.documents(s, dir))
+          .select(TF.tokenize($"text").as("tokens"))
+        graft.operators.Bpe.optimalityGap(s,
+          graft.operators.Bpe.wordFrequencies(toks, "tokens"),
+          numMerges = 20)
+          .orderBy(desc("freq"), $"word").limit(50)
+          .orderBy(desc("freq"), $"word")
+      },
+      Some(s"""WITH RECURSIVE ${bpeCtesSql.stripPrefix("WITH ")},
+              |u AS (SELECT DISTINCT unnest(string_split(repr, chr(31))) AS tokn
+              |  FROM r20),
+              |w AS (SELECT word, freq,
+              |    CAST(len(string_split(repr, chr(31))) AS INTEGER) AS bpe_ntok,
+              |    word || '$$' AS t
+              |  FROM r20 ORDER BY freq DESC, word LIMIT 50),
+              |reach AS (
+              |  SELECT word, 0 AS pos, 0 AS lvl FROM w
+              |  UNION
+              |  SELECT r.word, r.pos + length(u.tokn) AS pos, r.lvl + 1 AS lvl
+              |  FROM reach r
+              |  JOIN w ON w.word = r.word
+              |  JOIN u ON substr(w.t, r.pos + 1, length(u.tokn)) = u.tokn
+              |  WHERE r.pos < length(w.t) AND r.lvl < w.bpe_ntok
+              |),
+              |opt AS (SELECT r.word, CAST(min(r.lvl) AS INTEGER) AS opt_ntok
+              |  FROM reach r JOIN w ON w.word = r.word
+              |  WHERE r.pos = length(w.t) GROUP BY r.word)
+              |SELECT w.word, w.freq, w.bpe_ntok, o.opt_ntok,
+              |  w.bpe_ntok - o.opt_ntok AS gap
+              |FROM w JOIN opt o USING (word)
+              |ORDER BY w.freq DESC, w.word""".stripMargin))
   )
 
   /** The 20 BPE merge stages unrolled as materialized CTEs (the tr01

@@ -84,4 +84,33 @@ class BpeSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(f == Map("to" -> 2L, "be" -> 2L, "or" -> 1L, "not" -> 1L))
   }
+
+  test("optimality gap: merge-order encoding can lose to the DP optimum") {
+    // Hand-traced 6-merge trajectory: (a,b), (ab,$), (b,c), (bc,$),
+    // (d,$), (bc,d$). Final reprs: ab$ | bc$ | bcd$ | ab·c·d$ | z·a·$.
+    // "abcd" encodes to 3 merge-order tokens, but the effective vocab
+    // still contains the single 'a' (it survives in za's repr) and
+    // bcd$ — so the optimal segmentation a+bcd$ is 2 tokens: gap 1.
+    val words = Seq(("ab", 100L), ("bc", 25L), ("bcd", 20L),
+      ("abcd", 1L), ("za", 5L)).toDF("word", "freq")
+    val g = Bpe.optimalityGap(spark, words, numMerges = 6)
+      .as[(String, Long, Int, Int, Int)].collect()
+      .map(r => r._1 -> ((r._3, r._4, r._5))).toMap
+    assert(g("abcd") == ((3, 2, 1)))
+    assert(g("ab") == ((1, 1, 0)))
+    assert(g("bc") == ((1, 1, 0)))
+    assert(g("bcd") == ((1, 1, 0)))
+    assert(g("za") == ((3, 3, 0)))
+  }
+
+  test("optimality gap is never negative and bpe count matches the dict") {
+    val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+    val toks = docs.select(
+      expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("tokens"))
+    val freq = Bpe.wordFrequencies(toks, "tokens")
+    val g = Bpe.optimalityGap(spark, freq, numMerges = 8)
+    assert(g.filter($"gap" < 0 || $"opt_ntok" < 1).count() == 0L)
+    val dict = Bpe.subwordDict(spark, freq, numMerges = 8)
+    assert(g.join(dict, "word").filter($"bpe_ntok" =!= $"n_sub").count() == 0L)
+  }
 }
