@@ -1531,7 +1531,60 @@ object AnalysisQueries extends QueryProvider {
              |  pd.log_weight,
              |  coalesce(pd.log_weight > 0.0, false) AS selected
              |FROM documents d LEFT JOIN pd USING (doc_id)
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Language purity / code-switching rate: the fraction of a
+    // document's sentences whose lang-ID vote agrees with the
+    // document-level vote. Mixed-language documents poison
+    // language-bucketed mixtures (a05/c04) and fertility budgets
+    // (t20), so multilingual curation gates on this before bucketing.
+    // Sentence split = the reference's split('.') semantics (t11);
+    // lang-ID = the a02 one-pass native voter, applied per sentence.
+    // Narrow ops + one doc-keyed aggregation — scan-speed at 100 TB.
+    Q(
+      "a28_lang_purity",
+      (s, dir) => {
+        import s.implicits._
+        graft.Par.fanOut(Tables.documents(s, dir))
+          .select($"doc_id", TA.languageId($"text").as("doc_lang"),
+            explode(split($"text", "\\.")).as("sentence"))
+          .select($"doc_id", $"doc_lang", trim($"sentence").as("sentence"))
+          .filter(length($"sentence") > 0)
+          .select($"doc_id", $"doc_lang",
+            TA.languageId($"sentence").as("sent_lang"))
+          .groupBy($"doc_id", $"doc_lang")
+          .agg(count(lit(1)).as("n_sent"),
+            sum(when($"sent_lang" === $"doc_lang", 1L).otherwise(0L))
+              .as("n_match"))
+          .select($"doc_id", $"doc_lang", $"n_sent", $"n_match",
+            round($"n_match" * 1.0 / $"n_sent", 6).as("purity"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, text,
+              |  regexp_split_to_array(lower(text), '[^a-zA-Z]+') AS tk
+              |  FROM documents),
+              |dv AS (SELECT doc_id, text, ${TextSql.voteItems}
+              |  FROM d),
+              |dl AS (SELECT doc_id, ${TextSql.guessedCase} AS doc_lang
+              |  FROM dv),
+              |e AS (SELECT doc_id,
+              |  trim(unnest(regexp_split_to_array(text, '\\.'))) AS sentence
+              |  FROM documents),
+              |sv AS (SELECT doc_id, sentence AS text,
+              |  regexp_split_to_array(lower(sentence), '[^a-zA-Z]+') AS tk
+              |  FROM e WHERE length(sentence) > 0),
+              |sv2 AS (SELECT doc_id, text, ${TextSql.voteItems}
+              |  FROM sv),
+              |sl AS (SELECT doc_id, ${TextSql.guessedCase} AS sent_lang
+              |  FROM sv2)
+              |SELECT dl.doc_id, dl.doc_lang, count(*) AS n_sent,
+              |  CAST(sum(CASE WHEN sl.sent_lang = dl.doc_lang
+              |    THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+              |  round(sum(CASE WHEN sl.sent_lang = dl.doc_lang
+              |    THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS purity
+              |FROM sl JOIN dl USING (doc_id)
+              |GROUP BY dl.doc_id, dl.doc_lang
+              |ORDER BY dl.doc_id""".stripMargin))
   )
 
   /** a24/a27's per-document bigram-LM chain: train the add-1-smoothed

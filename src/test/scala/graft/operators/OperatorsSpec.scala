@@ -236,6 +236,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(5L) == "und")
   }
 
+  test("language purity flags code-switched documents") {
+    // doc 0: both sentences English -> purity 1.0; doc 1: one English
+    // + one French sentence -> the doc-level vote goes to whichever
+    // lexicon wins overall, and exactly one sentence agrees -> 0.5.
+    val docs = Seq(
+      (0L, "the cat is in the house. it is warm and the dog is here."),
+      (1L, "the cat is in the house and it is warm. le chat est dans la maison et il est la.")
+    ).toDF("doc_id", "text")
+    val out = docs
+      .select($"doc_id", TextAnalysis.languageId($"text").as("doc_lang"),
+        explode(split($"text", "\\.")).as("s"))
+      .select($"doc_id", $"doc_lang", trim($"s").as("s"))
+      .filter(length($"s") > 0)
+      .select($"doc_id", $"doc_lang",
+        (TextAnalysis.languageId($"s") === $"doc_lang").as("m"))
+      .groupBy($"doc_id")
+      .agg((sum(when($"m", 1).otherwise(0)) * 1.0 / count(lit(1))).as("p"))
+      .as[(Long, Double)].collect().toMap
+    assert(out(0L) == 1.0)
+    assert(out(1L) == 0.5)
+  }
+
   test("token counts: whitespace vs bpe-ish") {
     val df = Seq((0L, "Hello, world! It's 2024.")).toDF("id", "text")
     val r = df.select(
