@@ -741,6 +741,100 @@ object StreamingQueries extends QueryProvider {
               |SELECT CAST(band AS BIGINT) AS band, key,
               |  min(id) AS canonical, count(*) AS n_docs
               |FROM bands GROUP BY band, key HAVING count(*) > 1
-              |ORDER BY band, key""".stripMargin))
+              |ORDER BY band, key""".stripMargin)),
+
+    // Streaming drift monitor: the hourly event-type mix maintained by
+    // the REAL streaming engine (windowedCounts' additive state), PSI-
+    // scored per window against the global batch reference mix
+    // DOWNSTREAM of the sink — the monitoring topology where the
+    // stream maintains only the tiny additive aggregate and the
+    // consumer computes the drift score over it (a17's batch PSI, e07's
+    // drift idea, on the stream path). Smoothed +0.5 window counts
+    // keep absent types finite; per-type terms round to 9dp and sum in
+    // a sorted fold so neither engine's addition order can leak in.
+    Q(
+      "sm14_stream_drift",
+      (s, dir) => {
+        import s.implicits._
+        val fileSchema = Tables.eventsFileSchema(s, dir)
+        val sink = s"sm14_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val stage = Files.createTempDirectory("sm14_events")
+        var q: org.apache.spark.sql.streaming.StreamingQuery = null
+        try {
+          stageParquet(s"$dir/events.parquet", stage, "events")
+          val stream = Tables.normalizeEventTs(
+            s.readStream.schema(fileSchema).parquet(stage.toString))
+          q = EventStreams.windowedCounts(stream, "1 hour")
+            .writeStream.outputMode("complete")
+            .format("memory").queryName(sink).start()
+          q.processAllAvailable()
+        } finally {
+          if (q != null) q.stop()
+          rmStage(stage)
+        }
+        // reference mix from the batch table (the training-time
+        // distribution); everything below is aggregate-sized
+        val ref = Tables.events(s, dir)
+          .groupBy($"event_type").agg(count(lit(1)).as("n_ref"))
+        val k = ref.agg(count(lit(1)).as("k"),
+          sum($"n_ref").as("n_tot"))
+        // localCheckpoint: the sink table is referenced on both sides
+        // of the grid join, and MemoryPlan can't re-instance itself for
+        // a self-join (LogicalRDD can); the table is aggregate-sized
+        val wc = s.table(sink)
+          .select($"window_start", $"event_type", $"n")
+          .localCheckpoint()
+        val grid = wc.select($"window_start").distinct()
+          .crossJoin(ref).crossJoin(k)
+        val cells = grid
+          .join(wc, Seq("window_start", "event_type"), "left")
+          .select($"window_start", $"event_type", $"n_ref", $"k",
+            $"n_tot", coalesce($"n", lit(0L)).as("nw"))
+        val tot = cells.groupBy($"window_start")
+          .agg(sum($"nw").as("n_events"))
+        cells.join(tot, "window_start")
+          .select($"window_start", $"event_type", $"n_events",
+            (($"nw" + 0.5) / ($"n_events" + $"k" * 0.5)).as("pw"),
+            ($"n_ref" * 1.0 / $"n_tot").as("pg"))
+          .select($"window_start", $"n_events",
+            struct($"event_type",
+              round(($"pw" - $"pg") * log($"pw" / $"pg"), 9).as("term"))
+              .as("cell"))
+          .groupBy($"window_start")
+          .agg(max($"n_events").as("n_events"),
+            sort_array(collect_list($"cell")).as("arr"))
+          .select($"window_start", $"n_events",
+            round(expr("aggregate(transform(arr, e -> e.term), " +
+              "cast(0.0 as double), (a, b) -> a + b)"), 6).as("psi"))
+          .orderBy($"window_start")
+      },
+      Some("""WITH wc AS (SELECT date_trunc('hour', ts) AS window_start,
+             |    event_type, count(*) AS n FROM events GROUP BY 1, 2),
+             |ref AS (SELECT event_type, count(*) AS n_ref
+             |  FROM events GROUP BY 1),
+             |kk AS (SELECT count(*) AS k, CAST(sum(n_ref) AS BIGINT) AS n_tot
+             |  FROM ref),
+             |grid AS (SELECT w.window_start, r.event_type, r.n_ref,
+             |    kk.k, kk.n_tot
+             |  FROM (SELECT DISTINCT window_start FROM wc) w
+             |  CROSS JOIN ref r CROSS JOIN kk),
+             |cells AS (SELECT g.window_start, g.event_type, g.n_ref,
+             |    g.k, g.n_tot, coalesce(wc.n, 0) AS nw
+             |  FROM grid g LEFT JOIN wc USING (window_start, event_type)),
+             |tot AS (SELECT window_start, CAST(sum(nw) AS BIGINT) AS n_events
+             |  FROM cells GROUP BY 1),
+             |terms AS (SELECT c.window_start, c.event_type, t.n_events,
+             |    round(((c.nw + 0.5) / (t.n_events + 0.5 * c.k)
+             |        - c.n_ref * 1.0 / c.n_tot)
+             |      * ln(((c.nw + 0.5) / (t.n_events + 0.5 * c.k))
+             |        / (c.n_ref * 1.0 / c.n_tot)), 9) AS term
+             |  FROM cells c JOIN tot t USING (window_start)),
+             |sw AS (SELECT window_start, n_events,
+             |    list(term ORDER BY event_type) AS lt
+             |  FROM terms GROUP BY 1, 2)
+             |SELECT window_start, n_events,
+             |  round(list_reduce(list_prepend(0.0::DOUBLE, lt),
+             |    (a, b) -> a + b), 6) AS psi
+             |FROM sw ORDER BY window_start""".stripMargin))
   )
 }
