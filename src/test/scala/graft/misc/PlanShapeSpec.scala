@@ -201,4 +201,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(hashExchanges(plan) == 0,
       s"expected no hash exchange (pure narrow expressions), got:\n$plan")
   }
+
+  test("d19 dup-gram rate reads the persisted occurrence table on both references") {
+    val plan = planOf("d19_dupgram_rate")
+    // the (doc, gram, cnt) table feeds the df aggregation AND the rate
+    // join probe; BOTH references must hit the InMemoryRelation (the
+    // "Scan parquet" strings inside the printed cached-plan subtree are
+    // the one-time cache build, not live scans)
+    assert("InMemoryTableScan".r.findAllIn(plan).length == 2,
+      s"both diamond references must read the persisted table, got:\n$plan")
+    // the aggregated gram-df side must broadcast into the rate join —
+    // never shuffle the occurrence table a second time for it
+    assert(plan.contains("BroadcastHashJoin"),
+      s"gram-df side should broadcast into the rate join, got:\n$plan")
+  }
+
+  test("s12 ann recall broadcasts the bounded query set in both legs") {
+    val plan = planOf("s12_ann_recall")
+    // exact leg: broadcast NLJ of the 20-query side against the full
+    // vector table (linear scan, no pairwise shuffle)
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"exact leg must broadcast the bounded query set, got:\n$plan")
+    // LSH leg: the band-bucket join builds on the banded query side —
+    // broadcast, so the corpus side never shuffles for candidates
+    assert(plan.contains("BroadcastHashJoin"),
+      s"LSH bucket join must broadcast the banded query side, got:\n$plan")
+  }
 }
