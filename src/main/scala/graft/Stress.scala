@@ -40,7 +40,8 @@ object Stress {
     // rate (gram-df join) and ANN recall@10 (brute leg bounded by the
     // 20-query sample even at 10x vectors)
     "d19_dupgram_rate", "s12_ann_recall", "s13_lsh_band_sweep",
-    "t21_bpe_optimality", "sm14_stream_drift")
+    "t21_bpe_optimality", "sm14_stream_drift",
+    "s14_cluster_balanced_sample")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/graft_sf1")

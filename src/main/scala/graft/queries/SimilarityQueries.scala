@@ -345,7 +345,54 @@ object SimilarityQueries extends QueryProvider {
         }.reduce(_ unionAll _)
           .orderBy($"bands")
       },
-      Some(s13OracleSql))
+      Some(s13OracleSql)),
+
+    // Cluster-balanced diversity sampling (the SemDeDup/DataComp
+    // follow-on to d12): assign every vector to its deterministic
+    // Lloyd cluster, then keep a fixed per-cluster quota in FNV-hash
+    // order — a seedable "random" that both engines replay exactly.
+    // Balancing by cluster rather than uniform sampling preserves the
+    // tail clusters a frequency-proportional sample would starve. The
+    // per-cluster window bounds sort parallelism by nClusters at gate
+    // scale; the documented 100 TB path swaps row_number for a
+    // per-cluster hash-threshold (same contract, no global window), as
+    // c18's quantile gate does. Gate output: per-cluster totals, kept
+    // counts, and the order-free kept-id checksum.
+    Q(
+      "s14_cluster_balanced_sample",
+      (s, dir) => {
+        import s.implicits._
+        val v = vecs(s, dir)
+        val (_, af) = Similarity.lloydClusters(v, nClusters = 16,
+          lloydIters = 2)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"cluster").orderBy($"h", $"id")
+        af.select($"cluster", $"id",
+            graft.functions.Fnv.fnv1a64($"id".cast("string")).as("h"))
+          .withColumn("rk", row_number().over(w))
+          .groupBy($"cluster")
+          .agg(count(lit(1)).as("n_total"),
+            sum(when($"rk" <= 32, 1L).otherwise(0L)).as("n_kept"),
+            sum(when($"rk" <= 32, $"id").otherwise(0L)).as("kept_idsum"))
+          .orderBy($"cluster")
+      },
+      Some(s"""WITH ${LloydSql.ctes(16, 2)},
+              |h0 AS (SELECT cluster, id,
+              |    ${FnvSql.ofString("CAST(id AS VARCHAR)")} AS fh
+              |  FROM af),
+              |h AS (SELECT cluster, id,
+              |    CAST(CASE WHEN fh >= 9223372036854775808::HUGEINT
+              |      THEN fh - 18446744073709551616::HUGEINT
+              |      ELSE fh END AS BIGINT) AS hh
+              |  FROM h0),
+              |r AS (SELECT cluster, id, row_number() OVER
+              |  (PARTITION BY cluster ORDER BY hh, id) AS rk FROM h)
+              |SELECT cluster, count(*) AS n_total,
+              |  CAST(sum(CASE WHEN rk <= 32 THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_kept,
+              |  CAST(sum(CASE WHEN rk <= 32 THEN id ELSE 0 END) AS BIGINT)
+              |    AS kept_idsum
+              |FROM r GROUP BY cluster ORDER BY cluster""".stripMargin))
   )
 
   /** s13 oracle: one shared per-plane sign-bit table, re-banded per

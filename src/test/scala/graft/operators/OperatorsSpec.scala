@@ -391,6 +391,31 @@ class SimilaritySpec extends SparkSpec {
     assert(a == run())
   }
 
+  test("cluster-balanced sampling keeps min(quota, cluster size) per cluster") {
+    // two tight clusters of very different sizes; quota 3 caps the big
+    // one and keeps the small one whole — the balancing property a
+    // frequency-proportional sample would break
+    val rnd = new scala.util.Random(11)
+    val many = ((0L until 20L).map(i =>
+      (i, Seq(1.0 + rnd.nextDouble() * 0.01, 0.0))) ++
+      (20L until 24L).map(i =>
+        (i, Seq(0.0, 1.0 + rnd.nextDouble() * 0.01)))).toDF("id", "vec")
+    val (_, af) = Similarity.lloydClusters(many, nClusters = 2, lloydIters = 2)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"cluster").orderBy($"h", $"id")
+    val kept = af.select($"cluster", $"id",
+        graft.functions.Fnv.fnv1a64($"id".cast("string")).as("h"))
+      .withColumn("rk", row_number().over(w))
+      .groupBy($"cluster")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"rk" <= 3, 1L).otherwise(0L)).as("k"))
+      .as[(Int, Long, Long)].collect()
+      .map(r => r._2 -> r._3).toMap
+    assert(kept.keySet == Set(20L, 4L))
+    assert(kept(20L) == 3L) // capped at quota
+    assert(kept(4L) == 3L)  // min(quota, 4) = 3
+  }
+
   test("recallAtK: truth drives, missed queries score 0, extras don't inflate") {
     val truth = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 4L), (1L, 5L))
       .toDF("query_id", "neighbor_id")
