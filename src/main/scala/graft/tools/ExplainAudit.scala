@@ -20,7 +20,13 @@ object ExplainAudit {
         // vocab tables, chunking must stay shuffle-free, the star
         // rounds must stay equi-join-only
         "a24_lm_surprisal", "a26_dsir_weights", "c21_chunk_windows",
-        "d18_neardup_components", "s11_hybrid_rrf", "e07_mmd_drift")
+        "d18_neardup_components", "s11_hybrid_rrf", "e07_mmd_drift",
+        // late-round-6 harnesses: the dup-gram diamond must read its
+        // persisted table twice, the ANN legs must broadcast the query
+        // side, the balanced sample must keep the window per-cluster
+        "d19_dupgram_rate", "s12_ann_recall", "s13_lsh_band_sweep",
+        "s14_cluster_balanced_sample", "t21_bpe_optimality",
+        "a28_lang_purity")
     val spark = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
       .master("local[4]")
