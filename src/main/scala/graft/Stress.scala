@@ -41,7 +41,7 @@ object Stress {
     // 20-query sample even at 10x vectors)
     "d19_dupgram_rate", "s12_ann_recall", "s13_lsh_band_sweep",
     "t21_bpe_optimality", "sm14_stream_drift",
-    "s14_cluster_balanced_sample")
+    "s14_cluster_balanced_sample", "sm15_stream_file_sink")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/graft_sf1")

@@ -835,6 +835,69 @@ object StreamingQueries extends QueryProvider {
              |SELECT window_start, n_events,
              |  round(list_reduce(list_prepend(0.0::DOUBLE, lt),
              |    (a, b) -> a + b), 6) AS psi
-             |FROM sw ORDER BY window_start""".stripMargin))
+             |FROM sw ORDER BY window_start""".stripMargin)),
+
+    // Exactly-once parquet FILE sink round-trip: append-mode windowed
+    // aggregates land in a real FileStreamSink (commit protocol +
+    // _spark_metadata transaction log), then read back through the
+    // metadata-aware reader — the persistence topology a production
+    // stream actually ships results with (sm01-sm14 use the memory
+    // sink). Only watermark-finalized windows may appear, and a
+    // duplicated or orphaned sink file would double a count and fail
+    // the hash — so the gate pins the sink's exactly-once contract,
+    // not just the aggregation. Watermark cutoff math mirrors sm07.
+    Q(
+      "sm15_stream_file_sink",
+      (s, dir) => {
+        import s.implicits._
+        val fileSchema = Tables.eventsFileSchema(s, dir)
+        val stage = Files.createTempDirectory("sm15_events")
+        val out = Files.createTempDirectory("sm15_sink")
+        val ckpt = Files.createTempDirectory("sm15_ckpt")
+        def rmRec(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmRec))
+          f.delete(): Unit
+        }
+        var q: org.apache.spark.sql.streaming.StreamingQuery = null
+        try {
+          stageParquet(s"$dir/events.parquet", stage, "events")
+          val stream = Tables.normalizeEventTs(
+            s.readStream.schema(fileSchema).parquet(stage.toString))
+          q = stream
+            .withWatermark("ts", "2 hours")
+            .groupBy(window($"ts", "1 hour"), $"event_type")
+            .agg(count(lit(1)).as("n"),
+              sum($"value".cast("decimal(18,6)")).as("sv"))
+            .select($"window.start".as("window_start"), $"event_type",
+              $"n", round($"sv", 2).cast("double").as("sum_value"))
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out.toString)
+            .option("checkpointLocation", ckpt.toString)
+            .start()
+          q.processAllAvailable()
+          q.stop(); q = null
+          // the metadata-aware read: only files recorded in
+          // _spark_metadata count, orphans are invisible
+          s.read.parquet(out.toString)
+            .select($"window_start", $"event_type", $"n", $"sum_value")
+            .orderBy($"window_start", $"event_type")
+            .localCheckpoint() // eager — the temp sink dirs go away below
+        } finally {
+          if (q != null) q.stop()
+          Seq(stage, out, ckpt).foreach(p => rmRec(p.toFile))
+        }
+      },
+      Some("""WITH w AS (SELECT (epoch_us(max(ts)) // 1000) * 1000
+             |    - 7200000000 AS wm FROM events),
+             |agg AS (SELECT date_trunc('hour', ts) AS window_start,
+             |    event_type, count(*) AS n,
+             |    CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+             |      AS sum_value
+             |  FROM events GROUP BY 1, 2)
+             |SELECT window_start, event_type, n, sum_value
+             |FROM agg CROSS JOIN w
+             |WHERE epoch_us(window_start + INTERVAL 1 HOUR) <= w.wm
+             |ORDER BY window_start, event_type""".stripMargin))
   )
 }
