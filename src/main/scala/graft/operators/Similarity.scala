@@ -396,15 +396,24 @@ object Similarity {
   def lshTopK(vecs: DataFrame, queries: DataFrame, k: Int, bands: Int,
       rowsPerBand: Int, seed: Long, dim: Int): DataFrame = {
     val planes = hyperplanes(bands * rowsPerBand, dim, seed)
+    def withBits(df: DataFrame) = df.select(col("id"), col("vec"),
+      signBits(col("vec"), planes).as("bits"))
+    lshTopKFromBits(withBits(vecs), withBits(queries), k, bands, rowsPerBand)
+  }
+
+  /** [[lshTopK]] over a PRECOMPUTED per-vector sign-bit table (id, vec,
+    * bits) — a band-layout sweep (s13) shares ONE signature pass across
+    * layouts instead of recomputing the plane dot products per config.
+    */
+  def lshTopKFromBits(vecBits: DataFrame, queryBits: DataFrame, k: Int,
+      bands: Int, rowsPerBand: Int): DataFrame = {
     def banded(df: DataFrame, idName: String): DataFrame =
       df.select(col("id").as(idName), col("vec"),
-        signBits(col("vec"), planes).as("bits"))
-        .select(col(idName), col("vec"),
           posexplode(transform(sequence(lit(0), lit(bands - 1)),
             j => array_join(slice(col("bits"), j * rowsPerBand + 1, lit(rowsPerBand)), ""))))
         .toDF(idName, if (idName == "query_id") "qv" else "nv", "band", "key")
-    val qb = banded(queries, "query_id")
-    val vb = banded(vecs, "neighbor_id")
+    val qb = banded(queryBits, "query_id")
+    val vb = banded(vecBits, "neighbor_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cosine"), col("neighbor_id"))
     vb.join(qb, Seq("band", "key"))
@@ -502,24 +511,53 @@ object Similarity {
 
   /** Recall of an approximate neighbor list against the exact one: per
     * query, |approx ∩ truth| / |truth|. Both inputs are (query_id,
-    * neighbor_id) result sets (any extra columns ignored). The join is
-    * on the composite key — truth side drives, so queries the approx
-    * index missed entirely still report recall 0, and approx extras
-    * beyond the truth set don't inflate the score.
+    * neighbor_id) result sets (any extra columns ignored); duplicate
+    * key rows in EITHER input are collapsed first — a pre-dedup
+    * candidate list would otherwise multiply joined rows and silently
+    * corrupt both counts. The join is on the composite key — truth
+    * side drives, so queries the approx index missed entirely still
+    * report recall 0, and approx extras beyond the truth set don't
+    * inflate the score.
     *
     * This is the evaluation harness an ANN deployment runs on a SAMPLED
     * query set before committing to an index configuration: the exact
     * leg bounds the cost (it scales with the sample, never the corpus).
     */
   def recallAtK(truth: DataFrame, approx: DataFrame): DataFrame = {
-    val t = truth.select(col("query_id"), col("neighbor_id"))
-    val a = approx.select(col("query_id"), col("neighbor_id"),
-      lit(1L).as("hit"))
+    val t = truth.select(col("query_id"), col("neighbor_id")).distinct()
+    val a = approx.select(col("query_id"), col("neighbor_id")).distinct()
+      .withColumn("hit", lit(1L))
     t.join(a, Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
       .agg(count(lit(1)).as("n_exact"),
         coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
       .select(col("query_id"), col("n_exact"), col("n_hit"),
         round(col("n_hit") * 1.0 / col("n_exact"), 6).as("recall"))
+  }
+
+  /** Cluster-balanced diversity sampling (the SemDeDup/DataComp
+    * follow-on): assign every vector to its deterministic Lloyd
+    * cluster, keep a fixed per-cluster quota in FNV-hash order — a
+    * seedable "random" both engines replay exactly. Balancing by
+    * cluster preserves the tail clusters a frequency-proportional
+    * sample starves. The per-cluster window bounds sort parallelism by
+    * nClusters; the documented 100 TB path swaps row_number for a
+    * per-cluster hash threshold (same contract, no global window).
+    *
+    * Output: (cluster, n_total, n_kept, kept_idsum) — the kept-id sum
+    * is the order-free checksum the gate hashes.
+    */
+  def clusterBalancedSample(vecs: DataFrame, nClusters: Int,
+      lloydIters: Int, quota: Int): DataFrame = {
+    val (_, af) = lloydClusters(vecs, nClusters, lloydIters)
+    val w = Window.partitionBy(col("cluster")).orderBy(col("h"), col("id"))
+    af.select(col("cluster"), col("id"),
+        graft.functions.Fnv.fnv1a64(col("id").cast("string")).as("h"))
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("rk") <= quota, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rk") <= quota, col("id")).otherwise(0L))
+          .as("kept_idsum"))
   }
 }

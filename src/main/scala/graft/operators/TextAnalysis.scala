@@ -133,4 +133,35 @@ object TextAnalysis {
     size(regexp_extract_all(regexp_replace(text, UrlRe, "<URL>"),
       lit(EmailRe), lit(0))).as("n_emails"),
     size(regexp_extract_all(text, lit(PhoneRe), lit(0))).as("n_phones"))
+
+  /** Language purity / code-switching rate: per document, the fraction
+    * of its sentences (the reference's split('.') semantics) whose
+    * [[languageId]] vote agrees with the document-level vote. Mixed-
+    * language docs poison language-bucketed mixtures and fertility
+    * budgets, so multilingual curation gates on this before bucketing.
+    *
+    * The doc-level vote is computed in a projection BELOW the sentence
+    * Generate — once per document, not once per exploded sentence row
+    * (inlining it next to the explode would re-evaluate the full-text
+    * lexicon scan per sentence). Docs with no non-empty sentence drop
+    * out. Output: (doc_id, doc_lang, n_sent, n_match, purity).
+    */
+  def languagePurity(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), languageId(col(textCol)).as("doc_lang"),
+        col(textCol).as("t"))
+      .select(col("doc_id"), col("doc_lang"),
+        explode(split(col("t"), "\\.")).as("sentence"))
+      .select(col("doc_id"), col("doc_lang"),
+        trim(col("sentence")).as("sentence"))
+      .filter(length(col("sentence")) > 0)
+      .select(col("doc_id"), col("doc_lang"),
+        languageId(col("sentence")).as("sent_lang"))
+      .groupBy(col("doc_id"), col("doc_lang"))
+      .agg(count(lit(1)).as("n_sent"),
+        sum(when(col("sent_lang") === col("doc_lang"), 1L).otherwise(0L))
+          .as("n_match"))
+      .select(col("doc_id"), col("doc_lang"), col("n_sent"), col("n_match"),
+        round(col("n_match") * 1.0 / col("n_sent"), 6).as("purity"))
 }

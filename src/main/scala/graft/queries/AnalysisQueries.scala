@@ -1533,31 +1533,17 @@ object AnalysisQueries extends QueryProvider {
              |FROM documents d LEFT JOIN pd USING (doc_id)
              |ORDER BY doc_id""".stripMargin)),
 
-    // Language purity / code-switching rate: the fraction of a
-    // document's sentences whose lang-ID vote agrees with the
-    // document-level vote. Mixed-language documents poison
-    // language-bucketed mixtures (a05/c04) and fertility budgets
-    // (t20), so multilingual curation gates on this before bucketing.
-    // Sentence split = the reference's split('.') semantics (t11);
-    // lang-ID = the a02 one-pass native voter, applied per sentence.
+    // Language purity / code-switching gate (TA.languagePurity):
+    // sentence split = the reference's split('.') semantics (t11);
+    // lang-ID = the a02 one-pass native voter per sentence, with the
+    // doc-level vote evaluated once per document below the Generate.
     // Narrow ops + one doc-keyed aggregation — scan-speed at 100 TB.
     Q(
       "a28_lang_purity",
       (s, dir) => {
         import s.implicits._
-        graft.Par.fanOut(Tables.documents(s, dir))
-          .select($"doc_id", TA.languageId($"text").as("doc_lang"),
-            explode(split($"text", "\\.")).as("sentence"))
-          .select($"doc_id", $"doc_lang", trim($"sentence").as("sentence"))
-          .filter(length($"sentence") > 0)
-          .select($"doc_id", $"doc_lang",
-            TA.languageId($"sentence").as("sent_lang"))
-          .groupBy($"doc_id", $"doc_lang")
-          .agg(count(lit(1)).as("n_sent"),
-            sum(when($"sent_lang" === $"doc_lang", 1L).otherwise(0L))
-              .as("n_match"))
-          .select($"doc_id", $"doc_lang", $"n_sent", $"n_match",
-            round($"n_match" * 1.0 / $"n_sent", 6).as("purity"))
+        TA.languagePurity(graft.Par.fanOut(Tables.documents(s, dir)),
+            "doc_id", "text")
           .orderBy($"doc_id")
       },
       Some(s"""WITH d AS (SELECT doc_id, text,

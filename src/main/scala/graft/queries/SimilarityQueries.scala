@@ -322,9 +322,11 @@ object SimilarityQueries extends QueryProvider {
     // shared brute-force truth. The ANN analog of d17's
     // threshold-yield sweep: one bounded grid run on a sampled query
     // set picks the layout before the corpus-scale index build. Truth
-    // is persisted across the three config branches (one broadcast
-    // NLJ pass, not three); micro recall = Σhits/Σexact keeps the
-    // aggregate in integer arithmetic until one final division.
+    // AND the per-vector sign-bit table are persisted across the three
+    // config branches (one broadcast NLJ pass and ONE signature pass,
+    // not three — the oracle's shared `bits` CTE, mirrored); micro
+    // recall = Σhits/Σexact stays in integer arithmetic until one
+    // final division.
     Q(
       "s13_lsh_band_sweep",
       (s, dir) => {
@@ -333,11 +335,15 @@ object SimilarityQueries extends QueryProvider {
         val q = v.filter($"id" < 20)
         val truth = Similarity.bruteForceTopK(v, q, 10)
           .select($"query_id", $"neighbor_id").persist()
+        val planes = Similarity.hyperplanes(32, 64, 42L)
+        val bits = v.select($"id", $"vec",
+          Similarity.signBits($"vec", planes).as("bits")).persist()
+        val qbits = bits.filter($"id" < 20)
         val configs = Seq((4, 8), (8, 4), (16, 2))
         configs.map { case (b, r) =>
           Similarity.recallAtK(truth,
-            Similarity.lshTopK(v, q, 10, bands = b, rowsPerBand = r,
-              seed = 42L, dim = 64))
+            Similarity.lshTopKFromBits(bits, qbits, 10,
+              bands = b, rowsPerBand = r))
             .agg(sum($"n_exact").as("sum_exact"), sum($"n_hit").as("sum_hit"))
             .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
               $"sum_exact", $"sum_hit",
@@ -347,33 +353,17 @@ object SimilarityQueries extends QueryProvider {
       },
       Some(s13OracleSql)),
 
-    // Cluster-balanced diversity sampling (the SemDeDup/DataComp
-    // follow-on to d12): assign every vector to its deterministic
-    // Lloyd cluster, then keep a fixed per-cluster quota in FNV-hash
-    // order — a seedable "random" that both engines replay exactly.
-    // Balancing by cluster rather than uniform sampling preserves the
-    // tail clusters a frequency-proportional sample would starve. The
-    // per-cluster window bounds sort parallelism by nClusters at gate
-    // scale; the documented 100 TB path swaps row_number for a
-    // per-cluster hash-threshold (same contract, no global window), as
-    // c18's quantile gate does. Gate output: per-cluster totals, kept
-    // counts, and the order-free kept-id checksum.
+    // Cluster-balanced diversity sampling (see
+    // Similarity.clusterBalancedSample) — the SemDeDup/DataComp
+    // follow-on to d12: per-Lloyd-cluster fixed quota in FNV-hash
+    // order; the oracle recomputes the clustering AND the quota
+    // windows entirely in SQL.
     Q(
       "s14_cluster_balanced_sample",
       (s, dir) => {
         import s.implicits._
-        val v = vecs(s, dir)
-        val (_, af) = Similarity.lloydClusters(v, nClusters = 16,
-          lloydIters = 2)
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy($"cluster").orderBy($"h", $"id")
-        af.select($"cluster", $"id",
-            graft.functions.Fnv.fnv1a64($"id".cast("string")).as("h"))
-          .withColumn("rk", row_number().over(w))
-          .groupBy($"cluster")
-          .agg(count(lit(1)).as("n_total"),
-            sum(when($"rk" <= 32, 1L).otherwise(0L)).as("n_kept"),
-            sum(when($"rk" <= 32, $"id").otherwise(0L)).as("kept_idsum"))
+        Similarity.clusterBalancedSample(vecs(s, dir), nClusters = 16,
+            lloydIters = 2, quota = 32)
           .orderBy($"cluster")
       },
       Some(s"""WITH ${LloydSql.ctes(16, 2)},

@@ -244,16 +244,8 @@ class TextAnalysisSpec extends SparkSpec {
       (0L, "the cat is in the house. it is warm and the dog is here."),
       (1L, "the cat is in the house and it is warm. le chat est dans la maison et il est la.")
     ).toDF("doc_id", "text")
-    val out = docs
-      .select($"doc_id", TextAnalysis.languageId($"text").as("doc_lang"),
-        explode(split($"text", "\\.")).as("s"))
-      .select($"doc_id", $"doc_lang", trim($"s").as("s"))
-      .filter(length($"s") > 0)
-      .select($"doc_id", $"doc_lang",
-        (TextAnalysis.languageId($"s") === $"doc_lang").as("m"))
-      .groupBy($"doc_id")
-      .agg((sum(when($"m", 1).otherwise(0)) * 1.0 / count(lit(1))).as("p"))
-      .as[(Long, Double)].collect().toMap
+    val out = TextAnalysis.languagePurity(docs, "doc_id", "text")
+      .select($"doc_id", $"purity").as[(Long, Double)].collect().toMap
     assert(out(0L) == 1.0)
     assert(out(1L) == 0.5)
   }
@@ -400,17 +392,9 @@ class SimilaritySpec extends SparkSpec {
       (i, Seq(1.0 + rnd.nextDouble() * 0.01, 0.0))) ++
       (20L until 24L).map(i =>
         (i, Seq(0.0, 1.0 + rnd.nextDouble() * 0.01)))).toDF("id", "vec")
-    val (_, af) = Similarity.lloydClusters(many, nClusters = 2, lloydIters = 2)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"cluster").orderBy($"h", $"id")
-    val kept = af.select($"cluster", $"id",
-        graft.functions.Fnv.fnv1a64($"id".cast("string")).as("h"))
-      .withColumn("rk", row_number().over(w))
-      .groupBy($"cluster")
-      .agg(count(lit(1)).as("n"),
-        sum(when($"rk" <= 3, 1L).otherwise(0L)).as("k"))
-      .as[(Int, Long, Long)].collect()
-      .map(r => r._2 -> r._3).toMap
+    val kept = Similarity.clusterBalancedSample(many, nClusters = 2,
+        lloydIters = 2, quota = 3)
+      .select($"n_total", $"n_kept").as[(Long, Long)].collect().toMap
     assert(kept.keySet == Set(20L, 4L))
     assert(kept(20L) == 3L) // capped at quota
     assert(kept(4L) == 3L)  // min(quota, 4) = 3
@@ -426,6 +410,14 @@ class SimilaritySpec extends SparkSpec {
       .map(x => x._1 -> ((x._2, x._3, x._4))).toMap
     assert(r(0L) == ((3L, 2L, 0.666667)))
     assert(r(1L) == ((2L, 0L, 0.0)))
+    // duplicate key rows (a pre-dedup candidate list) must not inflate
+    // either count: (0,1) twice in approx, (0,2) twice in truth
+    val r2 = Similarity.recallAtK(
+        truth.unionAll(Seq((0L, 2L)).toDF("query_id", "neighbor_id")),
+        approx.unionAll(Seq((0L, 1L)).toDF("query_id", "neighbor_id")))
+      .as[(Long, Long, Long, Double)].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4))).toMap
+    assert(r2(0L) == ((3L, 2L, 0.666667)))
   }
 
   test("lsh band layouts over shared planes have nested candidates: recall is monotone") {
