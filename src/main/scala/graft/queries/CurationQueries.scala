@@ -985,7 +985,50 @@ object CurationQueries extends QueryProvider {
               |  FROM sh)
               |SELECT doc_id, shard, n_tokens, start_offset,
               |start_offset // 512 AS window_id
-              |FROM p ORDER BY doc_id""".stripMargin))
+              |FROM p ORDER BY doc_id""".stripMargin)),
+
+    // Per-source (domain) cap — the RefinedWeb/CCNet "no domain may
+    // dominate the corpus" gate: keep at most N=64 docs per source,
+    // chosen by deterministic FNV-hash order so the survivor set is
+    // stable across runs, shards, and engines (a random cap would be
+    // neither reproducible nor oracle-checkable). The kept side filters
+    // rank ≤ N directly over the hash window, which Spark rewrites to
+    // WindowGroupLimit: each map task keeps its local top-64 per
+    // source, so no task ever sorts a whole source — the plan survives
+    // a single source holding 10% of 100 TB. The per-source totals come
+    // from a separate one-pass count agg joined back (broadcast-sized:
+    // one row per source); dropped = n_docs − kept is arithmetic, not a
+    // second scan of the losers.
+    Q(
+      "c25_source_cap",
+      (s, dir) => {
+        import s.implicits._
+        val N = 64
+        val h = Tables.documents(s, dir)
+          .select($"doc_id", $"source", $"n_chars",
+            graft.functions.Fnv.fnv1a_perm(lit(2), $"doc_id").as("hv"))
+        val w = Window.partitionBy($"source").orderBy($"hv", $"doc_id")
+        val kept = h.withColumn("rk", row_number().over(w))
+          .filter($"rk" <= N)
+          .groupBy($"source")
+          .agg(count(lit(1)).as("kept"), sum($"n_chars").as("kept_chars"))
+        val tot = h.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+        tot.join(kept, Seq("source"))
+          .select($"source", $"n_docs", $"kept",
+            ($"n_docs" - $"kept").as("dropped"), $"kept_chars")
+          .orderBy($"source")
+      },
+      Some(s"""WITH h AS (SELECT doc_id, source, n_chars,
+              |  ${FnvSql.toSigned(FnvSql.perm("2", "doc_id::HUGEINT"))} AS hv
+              |  FROM documents),
+              |k AS (SELECT source, doc_id, n_chars FROM h
+              |  QUALIFY row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) <= 64),
+              |kept AS (SELECT source, count(*) AS kept,
+              |  sum(n_chars) AS kept_chars FROM k GROUP BY source),
+              |tot AS (SELECT source, count(*) AS n_docs FROM h GROUP BY source)
+              |SELECT t.source, n_docs, kept, n_docs - kept AS dropped, kept_chars
+              |FROM tot t JOIN kept USING (source)
+              |ORDER BY t.source""".stripMargin))
   )
 
 }

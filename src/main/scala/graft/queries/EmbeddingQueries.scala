@@ -208,7 +208,58 @@ object EmbeddingQueries extends QueryProvider {
              |  round(CAST(sum(d2) AS DOUBLE), 9) AS mmd2
              |  FROM p GROUP BY label_a, label_b)
              |SELECT label_a, label_b, mmd2, round(sqrt(mmd2), 6) AS mean_dist
-             |FROM g ORDER BY label_a, label_b""".stripMargin))
+             |FROM g ORDER BY label_a, label_b""".stripMargin)),
+
+    // Signed (Rademacher) random projection — the Johnson–Lindenstrauss
+    // dim-reduce in front of ANN/clustering when even PCA's one
+    // covariance pass is too expensive. The projection matrix is never
+    // materialized: sign(i, j) = low bit of fnv1a_perm(j, i), computed
+    // inside the row-local higher-order functions, so the whole
+    // operator is a zero-shuffle map over the vectors (the plan is one
+    // scan → project → sort for the gate's ORDER BY). At 100 TB this is
+    // the cheapest possible dim-reduce: no training pass, no broadcast
+    // state, bit-identical across engines and re-runs. The oracle
+    // recomputes each output coordinate relationally (unnest × 8
+    // projections × FNV parity); both sides round to 6dp, absorbing the
+    // two engines' different summation orders (64 doubles, |err| ≲ 1e-13).
+    Q(
+      "e08_random_projection",
+      (s, dir) => {
+        import s.implicits._
+        val v = vecs(s, dir)
+        val projCols = (0 until 8).map { j =>
+          val terms = transform($"vec", (x, i) =>
+            when(graft.functions.Fnv.fnv1a_perm(lit(j), i.cast("long"))
+                .bitwiseAND(lit(1L)) === 0L, x).otherwise(-x))
+          round(aggregate(terms, lit(0.0), (acc, t) => acc + t), 6)
+            .as(s"p$j")
+        }
+        v.select(($"vec_id" +: projCols): _*).orderBy($"vec_id")
+      },
+      Some {
+        val parity = FnvSql.perm("j", "i::HUGEINT")
+        s"""WITH e AS (SELECT vec_id,
+           |  unnest(embedding::DOUBLE[]) AS x,
+           |  unnest(range(len(embedding))) AS i
+           |  FROM embeddings),
+           |sj AS (SELECT vec_id, i, x, j
+           |  FROM e CROSS JOIN (SELECT unnest(range(8)) AS j)),
+           |t AS (SELECT vec_id, j,
+           |  CASE WHEN $parity % 2 = 0 THEN x ELSE -x END AS term
+           |  FROM sj),
+           |p AS (SELECT vec_id, j, round(sum(term), 6) AS pv
+           |  FROM t GROUP BY vec_id, j)
+           |SELECT vec_id,
+           |  max(CASE WHEN j = 0 THEN pv END) AS p0,
+           |  max(CASE WHEN j = 1 THEN pv END) AS p1,
+           |  max(CASE WHEN j = 2 THEN pv END) AS p2,
+           |  max(CASE WHEN j = 3 THEN pv END) AS p3,
+           |  max(CASE WHEN j = 4 THEN pv END) AS p4,
+           |  max(CASE WHEN j = 5 THEN pv END) AS p5,
+           |  max(CASE WHEN j = 6 THEN pv END) AS p6,
+           |  max(CASE WHEN j = 7 THEN pv END) AS p7
+           |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin
+      })
   )
 
   /** e04 oracle: four prefixed Lloyd chains (one per 16-dim slice) +

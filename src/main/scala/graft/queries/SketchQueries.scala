@@ -383,7 +383,84 @@ object SketchQueries extends QueryProvider {
            |  round(est_click + est_purchase - est_union, 3) AS est_inter,
            |  n_exact
            |FROM wide CROSS JOIN exact""".stripMargin
-      })
+      }),
+
+    // Deterministic bottom-k-by-hash quantile SAMPLE: per source, keep
+    // the k=64 docs with the smallest FNV permutation hash — a uniform
+    // sample that is (a) deterministic (no RNG, so the oracle replays
+    // it bit-for-bit), and (b) MERGEABLE: bottom-k of a union is the
+    // bottom-k of the per-shard bottom-k's, so map-side partial top-k
+    // (Spark's WindowGroupLimit rewrite of the rank filter) computes it
+    // without ever sorting a whole source. Quantile estimates are order
+    // statistics of the ≤k-row sample. This is the 100 TB route where
+    // c18's exact per-source cumulative windows stop scaling: the
+    // sample is O(k) per source regardless of corpus size, and the
+    // thresholds it yields get broadcast (a27's documented pattern).
+    // The exact order statistics ride along as the in-gate quality
+    // reference (gate-scale eval only — the 100 TB plan returns just
+    // the sketch side). All columns are integers: no float rounding in
+    // the hash compare.
+    Q(
+      "sk10_bottomk_quantiles",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val K = 64
+        val h = Tables.documents(s, dir)
+          .select($"doc_id", $"source", $"n_chars",
+            graft.functions.Fnv.fnv1a_perm(lit(1), $"doc_id").as("hv"))
+        val wH = Window.partitionBy($"source").orderBy($"hv", $"doc_id")
+        val samp = h.withColumn("rk", row_number().over(wH))
+          .filter($"rk" <= K).drop("rk")
+        val wS = Window.partitionBy($"source").orderBy($"n_chars", $"doc_id")
+        val est = samp
+          .withColumn("r", row_number().over(wS))
+          .withColumn("m", count(lit(1)).over(Window.partitionBy($"source")))
+          .groupBy($"source")
+          .agg(max($"m").as("m"),
+            max(when($"r" === expr("(m + 3) div 4"), $"n_chars")).as("est_p25"),
+            max(when($"r" === expr("(m + 1) div 2"), $"n_chars")).as("est_p50"),
+            max(when($"r" === expr("(3 * m + 3) div 4"), $"n_chars")).as("est_p75"))
+        val wE = Window.partitionBy($"source").orderBy($"n_chars", $"doc_id")
+        val ex = h
+          .withColumn("r", row_number().over(wE))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy($"source")))
+          .groupBy($"source")
+          .agg(max($"n").as("n"),
+            max(when($"r" === expr("(n + 3) div 4"), $"n_chars")).as("ex_p25"),
+            max(when($"r" === expr("(n + 1) div 2"), $"n_chars")).as("ex_p50"),
+            max(when($"r" === expr("(3 * n + 3) div 4"), $"n_chars")).as("ex_p75"))
+        est.join(ex, Seq("source"))
+          .select($"source", $"n", $"m",
+            $"est_p25", $"est_p50", $"est_p75",
+            $"ex_p25", $"ex_p50", $"ex_p75")
+          .orderBy($"source")
+      },
+      Some(s"""WITH h AS (SELECT doc_id, source, n_chars,
+             |  ${FnvSql.toSigned(FnvSql.perm("1", "doc_id::HUGEINT"))} AS hv
+             |  FROM documents),
+             |samp AS (SELECT source, doc_id, n_chars FROM h
+             |  QUALIFY row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) <= 64),
+             |ss AS (SELECT source, n_chars,
+             |  row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS r,
+             |  count(*) OVER (PARTITION BY source) AS m FROM samp),
+             |est AS (SELECT source, max(m) AS m,
+             |  max(CASE WHEN r = (m + 3) // 4 THEN n_chars END) AS est_p25,
+             |  max(CASE WHEN r = (m + 1) // 2 THEN n_chars END) AS est_p50,
+             |  max(CASE WHEN r = (3 * m + 3) // 4 THEN n_chars END) AS est_p75
+             |  FROM ss GROUP BY source),
+             |es AS (SELECT source, n_chars,
+             |  row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS r,
+             |  count(*) OVER (PARTITION BY source) AS n FROM h),
+             |ex AS (SELECT source, max(n) AS n,
+             |  max(CASE WHEN r = (n + 3) // 4 THEN n_chars END) AS ex_p25,
+             |  max(CASE WHEN r = (n + 1) // 2 THEN n_chars END) AS ex_p50,
+             |  max(CASE WHEN r = (3 * n + 3) // 4 THEN n_chars END) AS ex_p75
+             |  FROM es GROUP BY source)
+             |SELECT e.source, x.n, e.m,
+             |  est_p25, est_p50, est_p75, ex_p25, ex_p50, ex_p75
+             |FROM est e JOIN ex x ON e.source = x.source
+             |ORDER BY e.source""".stripMargin))
   )
 
 }
