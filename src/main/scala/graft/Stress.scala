@@ -41,7 +41,12 @@ object Stress {
     // 20-query sample even at 10x vectors)
     "d19_dupgram_rate", "s12_ann_recall", "s13_lsh_band_sweep",
     "t21_bpe_optimality", "sm14_stream_drift",
-    "s14_cluster_balanced_sample", "sm15_stream_file_sink")
+    "s14_cluster_balanced_sample", "sm15_stream_file_sink",
+    // round-6 sampling/projection batch: mergeable bottom-k quantile
+    // sample, zero-shuffle JL projection, WindowGroupLimit domain cap
+    "sk10_bottomk_quantiles", "e08_random_projection", "c25_source_cap",
+    // real DCT perceptual hash over the BMP-decoded corpus
+    "mm10_phash")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/graft_sf1")

@@ -367,6 +367,102 @@ object Multimodal {
       }, dhashSchema)
   }
 
+  /** Integer-scaled DCT-II basis: CosQ(u)(y) = round(cos((2y+1)uπ/64) ·
+    * 2^14) for u ∈ [0,8), y ∈ [0,32). The pHash oracle interpolates
+    * EXACTLY these integers as SQL literals, so both engines run pure
+    * integer arithmetic — no libm cos in either evaluation path, hence
+    * no cross-engine last-ulp divergence to threshold-flip a bit.
+    * Magnitude bound: |coef| ≤ 255·2^14·32·2^14·32 ≈ 7·10^13 — Long/
+    * BIGINT safe without HUGEINT.
+    */
+  val CosQ: Array[Array[Long]] = Array.tabulate(8, 32) { (u, y) =>
+    Math.round(Math.cos((2 * y + 1) * u * Math.PI / 64.0) * 16384.0)
+  }
+
+  val phashSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false),
+    StructField("phash", LongType, nullable = false)))
+
+  /** REAL pHash (DCT perceptual hash — the robust-to-resize sibling of
+    * dHash): decode the container → nearest-neighbor sample onto the
+    * classic 32×32 grid → separable integer DCT-II via [[CosQ]] → keep
+    * the top-left 8×8 low-frequency block minus the DC term (63 AC
+    * coefficients) → bit k = u·8+v−1 set iff coef(u,v) exceeds the
+    * median (the 32nd smallest of 63). Everything after decode is exact
+    * integer math, so the DuckDB oracle replays the hash bit-for-bit.
+    * Non-image payloads (no decodable container) fall back to reading
+    * the first 1024 bytes as a 32×32 grid — the deterministic stand-in
+    * the stub kernels use, keeping every media row hashed.
+    */
+  def pHashReal(media: DataFrame): DataFrame = {
+    media.sparkSession.createDataFrame(
+      media.rdd.mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(r.fieldIndex("id"))
+          val modality = r.getString(r.fieldIndex("modality"))
+          val payload = r.getAs[Array[Byte]]("payload")
+          val (w, h, px) = decodeImage(payload).getOrElse {
+            val bytes = if (payload == null) Array.emptyByteArray else payload
+            val g = new Array[Int](32 * 32)
+            var i = 0
+            while (i < g.length) {
+              g(i) = if (i < bytes.length) bytes(i) & 0xff else 0; i += 1
+            }
+            (32, 32, g)
+          }
+          val p = Array.ofDim[Long](32, 32)
+          var gy = 0
+          while (gy < 32) {
+            val sy = (gy.toLong * h / 32).toInt
+            var gx = 0
+            while (gx < 32) {
+              val sx = (gx.toLong * w / 32).toInt
+              p(gy)(gx) = px(sy * w + sx).toLong
+              gx += 1
+            }
+            gy += 1
+          }
+          // separable DCT: gRow(u)(x) = Σ_y p(y)(x)·CosQ(u)(y), then
+          // coef(u,v) = Σ_x gRow(u)(x)·CosQ(v)(x) — 2·8·32² int mults
+          // per image instead of the naive 64·32².
+          val gRow = Array.ofDim[Long](8, 32)
+          var u = 0
+          while (u < 8) {
+            var x = 0
+            while (x < 32) {
+              var s = 0L; var y = 0
+              while (y < 32) { s += p(y)(x) * CosQ(u)(y); y += 1 }
+              gRow(u)(x) = s
+              x += 1
+            }
+            u += 1
+          }
+          val coef = new Array[Long](63)
+          u = 0
+          while (u < 8) {
+            var v = 0
+            while (v < 8) {
+              if (u != 0 || v != 0) {
+                var s = 0L; var x = 0
+                while (x < 32) { s += gRow(u)(x) * CosQ(v)(x); x += 1 }
+                coef(u * 8 + v - 1) = s
+              }
+              v += 1
+            }
+            u += 1
+          }
+          val sorted = coef.clone()
+          java.util.Arrays.sort(sorted)
+          val med = sorted(31)
+          var hash = 0L
+          var i = 0
+          while (i < 63) { if (coef(i) > med) hash |= 1L << i; i += 1 }
+          Row(id, modality, hash)
+        }
+      }, phashSchema)
+  }
+
   val energySchema: StructType = StructType(Seq(
     StructField("id", LongType, nullable = false),
     StructField("modality", StringType, nullable = false),

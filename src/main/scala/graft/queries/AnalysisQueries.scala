@@ -438,6 +438,73 @@ object AnalysisQueries extends QueryProvider {
              |FROM b LEFT JOIN hh ON hh.id = b.id
              |ORDER BY b.id""".stripMargin)),
 
+    // REAL pHash — the DCT perceptual hash (robust to resize/blur where
+    // dHash is not): BMP-decode → nearest-neighbor 32×32 → separable
+    // DCT-II with the INTEGER-scaled cosine table Multimodal.CosQ →
+    // top 8×8 block minus DC → median threshold → 63-bit hash. The
+    // oracle interpolates the SAME 256 integer cosine literals and
+    // replays the whole pipeline (pixel grid from hex bytes, the two
+    // separable contraction joins, the rank-32 median, the bit sum) in
+    // pure BIGINT arithmetic — no libm cos on either side, so there is
+    // no float boundary for a bit to flip across engines. At 100 TB the
+    // kernel is one iterator-streamed mapPartitions pass (2·8·32² int
+    // multiplies per image) and the hash feeds the same banded
+    // near-dup join mm04 uses.
+    Q(
+      "mm10_phash",
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.pHashReal(Multimodal.grayImagePayload(
+          Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text")))
+          .orderBy($"id")
+      },
+      Some {
+        val cosqValues = (for (u <- 0 until 8; y <- 0 until 32)
+          yield s"($u,$y,${Multimodal.CosQ(u)(y)})").mkString(",")
+        s"""WITH b AS (
+           |  SELECT doc_id AS id,
+           |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+           |      ELSE 'video' END AS modality,
+           |    hex(encode(coalesce(text,''))) AS hx,
+           |    octet_length(encode(coalesce(text,''))) AS n
+           |  FROM documents),
+           |by2 AS (
+           |  SELECT id, greatest(1, (n + 31) // 32) AS h,
+           |    list_concat(
+           |      list_transform(range(n), i ->
+           |        (strpos('0123456789ABCDEF', hx[2*i+1])-1)*16 +
+           |        (strpos('0123456789ABCDEF', hx[2*i+2])-1)),
+           |      list_transform(range(greatest(1, (n + 31) // 32) * 32 - n),
+           |        i -> 0)) AS px
+           |  FROM b),
+           |cosq AS (SELECT * FROM (VALUES $cosqValues) AS cq(u, y, cw)),
+           |grid AS (SELECT id, gy, gx,
+           |  px[((gy * h) // 32) * 32 + gx + 1] AS pv
+           |  FROM by2
+           |  CROSS JOIN (SELECT unnest(range(32)) AS gy)
+           |  CROSS JOIN (SELECT unnest(range(32)) AS gx)),
+           |grow AS (SELECT g.id, c.u, g.gx AS x,
+           |  CAST(sum(g.pv * c.cw) AS BIGINT) AS gv
+           |  FROM grid g JOIN cosq c ON c.y = g.gy
+           |  GROUP BY g.id, c.u, g.gx),
+           |coef AS (SELECT r.id, r.u, c.u AS v,
+           |  CAST(sum(r.gv * c.cw) AS BIGINT) AS cv
+           |  FROM grow r JOIN cosq c ON c.y = r.x
+           |  GROUP BY r.id, r.u, c.u),
+           |ac AS (SELECT id, cv, u * 8 + v - 1 AS i FROM coef
+           |  WHERE NOT (u = 0 AND v = 0)),
+           |med AS (SELECT id, cv AS m FROM (
+           |  SELECT id, cv, row_number() OVER (PARTITION BY id ORDER BY cv) AS r
+           |  FROM ac) WHERE r = 32),
+           |hh AS (SELECT a.id,
+           |  CAST(sum(CASE WHEN a.cv > m.m THEN (1::BIGINT << a.i) ELSE 0 END)
+           |    AS BIGINT) AS phash
+           |  FROM ac a JOIN med m ON m.id = a.id GROUP BY a.id)
+           |SELECT b.id, b.modality, coalesce(hh.phash, 0) AS phash
+           |FROM b LEFT JOIN hh ON hh.id = b.id
+           |ORDER BY b.id""".stripMargin
+      }),
+
     // Audio windowed energy (the DSP half of voice-activity
     // detection): audio-modality payloads window into 160-byte frames
     // (≈10 ms of 8-bit 16 kHz mono); each frame's INTEGER sum of

@@ -26,7 +26,13 @@ object ExplainAudit {
         // side, the balanced sample must keep the window per-cluster
         "d19_dupgram_rate", "s12_ann_recall", "s13_lsh_band_sweep",
         "s14_cluster_balanced_sample", "t21_bpe_optimality",
-        "a28_lang_purity")
+        "a28_lang_purity",
+        // round-6 sampling/projection batch: sk10/c25 must show
+        // WindowGroupLimit (partial top-k, no whole-source sort), e08
+        // must be a single zero-shuffle project over the scan
+        "sk10_bottomk_quantiles", "e08_random_projection",
+        "c25_source_cap")
+    // (mm10_phash is an RDD-kernel query — no Catalyst plan to audit)
     val spark = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
       .master("local[4]")

@@ -138,4 +138,78 @@ class MultimodalImageSpec extends SparkSpec {
     assert(r.getAs[Long]("n_bytes") == bytes.length.toLong)
     assert(r.getAs[Int]("n_frames") == (bytes.length + 255) / 256)
   }
+
+  // --- pHash (mm10): DCT perceptual hash over decoded pixels ---
+
+  private def mediaOf(id: Long, bmp: Array[Byte]) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(id, "image", bmp, Row(bmp.length.toLong, null))), 1),
+      Multimodal.mediaSchema)
+
+  private def phashOf(bmp: Array[Byte]): Long =
+    Multimodal.pHashReal(mediaOf(1L, bmp)).collect().head.getAs[Long]("phash")
+
+  test("CosQ table is the scaled DCT-II basis (u=0 row flat, orthogonal-ish)") {
+    assert(Multimodal.CosQ(0).forall(_ == 16384L))
+    // u=1 row: symmetric-negated around the midpoint, strictly decreasing
+    val r1 = Multimodal.CosQ(1)
+    for (y <- 0 until 32) assert(r1(y) == -r1(31 - y))
+    assert(r1.sliding(2).forall(p => p(0) > p(1)))
+  }
+
+  test("pHash is exactly invariant under 2x nearest-neighbor upscaling") {
+    // 2x pixel replication then 32x32 nearest-neighbor sampling picks the
+    // identical source pixels (floor((gy*2h/32)/2) = floor(gy*h/32)), so
+    // the DCT input — hence the hash — is bit-equal. This is the
+    // robustness dHash-over-raw-bytes lacks: any byte shift changes it.
+    val w = 24; val h = 16
+    val gray = Array.tabulate(w * h)(i => ((i * 53 + 7) % 256).toByte)
+    val up = Array.tabulate(w * 2 * h * 2) { i =>
+      val y = i / (w * 2); val x = i % (w * 2)
+      gray((y / 2) * w + (x / 2))
+    }
+    val h0 = phashOf(Multimodal.encodeGrayBmp(gray, w, h))
+    val h1 = phashOf(Multimodal.encodeGrayBmp(up, w * 2, h * 2))
+    assert(h0 == h1)
+    assert(h0 != 0L)
+  }
+
+  test("pHash separates structurally different images, ignores tiny noise") {
+    val w = 32; val h = 32
+    // a TEXTURED image: its DCT spectrum is generically spread, so the
+    // 63 AC coefficients sit far apart (~1e10 gaps). A separable
+    // pattern (pure gradient, exact checkerboard) would be the wrong
+    // fixture here — most of its spectrum is near-zero, and one-pixel
+    // noise legitimately flips many near-median bits (true of any real
+    // pHash implementation on degenerate images).
+    // java.util.Random's LCG is pinned by its Javadoc, so these fixtures
+    // are deterministic across JVMs. A formulaic pattern ((i*53+7)%256
+    // etc.) would NOT work: it's a sawtooth whose spectrum concentrates
+    // on a few frequencies, leaving dozens of near-zero coefficients
+    // clustered at the median where one-pixel noise legitimately flips
+    // bits. White noise spreads the 63 AC coefficients ~N(0, 6e11) with
+    // median gaps ~1e10.
+    val rnd = new java.util.Random(42)
+    val tex = Array.fill(w * h)(rnd.nextInt(256).toByte)
+    val tex2 = Array.fill(w * h)(rnd.nextInt(256).toByte)
+    val checker = Array.tabulate(w * h) { i =>
+      val y = i / w; val x = i % w
+      (if (((x / 4) + (y / 4)) % 2 == 0) 220 else 30).toByte
+    }
+    // +1 gray level on a single pixel perturbs each coefficient by at
+    // most 2^28 ≈ 2.7e8 — orders of magnitude below the textured
+    // image's median gaps, so the hash is unchanged (or nearly).
+    val noisy = tex.clone(); noisy(5 * w + 5) = (noisy(5 * w + 5) + 1).toByte
+    val hTex = phashOf(Multimodal.encodeGrayBmp(tex, w, h))
+    val hTex2 = phashOf(Multimodal.encodeGrayBmp(tex2, w, h))
+    val hCheck = phashOf(Multimodal.encodeGrayBmp(checker, w, h))
+    val hNoisy = phashOf(Multimodal.encodeGrayBmp(noisy, w, h))
+    assert(java.lang.Long.bitCount(hTex ^ hTex2) > 15,
+      s"independent textures too close: ${java.lang.Long.bitCount(hTex ^ hTex2)}")
+    assert(java.lang.Long.bitCount(hTex ^ hCheck) >= 10,
+      s"structurally different images too close: ${java.lang.Long.bitCount(hTex ^ hCheck)}")
+    assert(java.lang.Long.bitCount(hTex ^ hNoisy) <= 2,
+      s"one-gray-level noise flipped ${java.lang.Long.bitCount(hTex ^ hNoisy)} bits")
+  }
 }
