@@ -46,7 +46,9 @@ object Stress {
     // sample, zero-shuffle JL projection, WindowGroupLimit domain cap
     "sk10_bottomk_quantiles", "e08_random_projection", "c25_source_cap",
     // real DCT perceptual hash over the BMP-decoded corpus
-    "mm10_phash")
+    "mm10_phash",
+    // streaming bottom-k sample state + the five-gate curation funnel
+    "sm16_stream_bottomk", "c26_pipeline_attrition")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/graft_sf1")

@@ -1028,7 +1028,90 @@ object CurationQueries extends QueryProvider {
               |tot AS (SELECT source, count(*) AS n_docs FROM h GROUP BY source)
               |SELECT t.source, n_docs, kept, n_docs - kept AS dropped, kept_chars
               |FROM tot t JOIN kept USING (source)
-              |ORDER BY t.source""".stripMargin))
+              |ORDER BY t.source""".stripMargin)),
+
+    // End-to-end curation funnel: the attrition report a training-data
+    // team reads before every corpus release — the FIVE standard gates
+    // in pipeline order (length → language agreement → quality →
+    // repetition/TTR → exact-dedup survivor), each row = docs entering
+    // the stage, docs surviving it, docs it dropped. One pass computes
+    // all five per-doc booleans (reusing the a02/a01/c15 operator
+    // definitions, so the funnel can't drift from the gates it
+    // reports on); the funnel itself is a single aggregate + stack
+    // unpivot — no per-stage rescans, which is the property that
+    // matters at 100 TB. The dedup gate is corpus-wide first-wins (the
+    // same canonical-survivor rule as c09/c15), evaluated on all docs
+    // so the report is a pure function of the corpus, not of gate
+    // ordering.
+    Q(
+      "c26_pipeline_attrition",
+      (s, dir) => {
+        import s.implicits._
+        val tok = TF.tokenize($"text")
+        val base = graft.Par.fanOut(Tables.documents(s, dir))
+          .select($"doc_id", $"lang",
+            size(tok).cast("long").as("ntok"),
+            round(TA.qualityScore($"text", tok), 6).as("q"),
+            TA.languageId($"text").as("guessed"),
+            (size(array_distinct(tok)).cast("double") /
+              greatest(size(tok), lit(1))).as("ttr"),
+            md5(Dedup.normalized($"text")).as("h"))
+        val w = Window.partitionBy($"h").orderBy($"doc_id")
+        val flags = base
+          .withColumn("rn", row_number().over(w))
+          .select(
+            ($"ntok" >= 20).as("g1"),
+            ($"guessed" === $"lang").as("g2"),
+            ($"q" >= 0.5).as("g3"),
+            ($"ttr" >= 0.3).as("g4"),
+            ($"rn" === 1).as("g5"))
+        flags.agg(
+            count(lit(1)).as("n0"),
+            count(when($"g1", 1)).as("n1"),
+            count(when($"g1" && $"g2", 1)).as("n2"),
+            count(when($"g1" && $"g2" && $"g3", 1)).as("n3"),
+            count(when($"g1" && $"g2" && $"g3" && $"g4", 1)).as("n4"),
+            count(when($"g1" && $"g2" && $"g3" && $"g4" && $"g5", 1)).as("n5"))
+          .select(expr(
+            "stack(5, 1, 'length', n0, n1, 2, 'language', n1, n2, " +
+              "3, 'quality', n2, n3, 4, 'repetition', n3, n4, " +
+              "5, 'exact_dedup', n4, n5) AS (stage, gate, n_in, n_out)"))
+          .withColumn("dropped", $"n_in" - $"n_out")
+          .orderBy($"stage")
+      },
+      Some(s"""WITH base AS (SELECT doc_id, lang, text,
+              |  regexp_extract_all(lower(text),'[a-zA-Z]+') AS tok,
+              |  regexp_split_to_array(lower(text), '[^a-zA-Z]+') AS tk
+              |  FROM documents),
+              |m AS (SELECT doc_id, lang, text, tok,
+              |  ${TextSql.ratioItems},
+              |  len(tok) AS ntok,
+              |  ${TextSql.voteItems},
+              |  md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h
+              |  FROM base),
+              |f AS (SELECT doc_id,
+              |  ntok >= 20 AS g1,
+              |  (${TextSql.guessedCase}) = lang AS g2,
+              |  ${TextSql.qualityExpr()} >= 0.5 AS g3,
+              |  len(list_distinct(tok)) * 1.0 / greatest(len(tok), 1) >= 0.3 AS g4,
+              |  row_number() OVER (PARTITION BY h ORDER BY doc_id) = 1 AS g5
+              |  FROM m),
+              |agg AS (SELECT
+              |  CAST(count(*) AS BIGINT) AS n0,
+              |  CAST(count(*) FILTER (WHERE g1) AS BIGINT) AS n1,
+              |  CAST(count(*) FILTER (WHERE g1 AND g2) AS BIGINT) AS n2,
+              |  CAST(count(*) FILTER (WHERE g1 AND g2 AND g3) AS BIGINT) AS n3,
+              |  CAST(count(*) FILTER (WHERE g1 AND g2 AND g3 AND g4) AS BIGINT) AS n4,
+              |  CAST(count(*) FILTER (WHERE g1 AND g2 AND g3 AND g4 AND g5) AS BIGINT) AS n5
+              |  FROM f)
+              |SELECT CAST(stage AS INTEGER) AS stage, gate, n_in, n_out,
+              |  n_in - n_out AS dropped FROM (
+              |  SELECT 1 AS stage, 'length' AS gate, n0 AS n_in, n1 AS n_out FROM agg
+              |  UNION ALL SELECT 2, 'language', n1, n2 FROM agg
+              |  UNION ALL SELECT 3, 'quality', n2, n3 FROM agg
+              |  UNION ALL SELECT 4, 'repetition', n3, n4 FROM agg
+              |  UNION ALL SELECT 5, 'exact_dedup', n4, n5 FROM agg)
+              |ORDER BY stage""".stripMargin))
   )
 
 }

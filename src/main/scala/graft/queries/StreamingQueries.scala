@@ -898,6 +898,62 @@ object StreamingQueries extends QueryProvider {
              |SELECT window_start, event_type, n, sum_value
              |FROM agg CROSS JOIN w
              |WHERE epoch_us(window_start + INTERVAL 1 HOUR) <= w.wm
-             |ORDER BY window_start, event_type""".stripMargin))
+             |ORDER BY window_start, event_type""".stripMargin)),
+
+    // Streaming bottom-k sample — sk10's sketch maintained as stream
+    // state (graft.streaming.DocStreams.bottomKSample): documents flow
+    // through readStream into flatMapGroupsWithState holding the ≤64
+    // smallest-hash triples per source, O(k) state forever. The gate
+    // exploits the sketch's MERGEABILITY: the final streaming state
+    // must equal the batch bottom-k of the whole corpus bit-for-bit,
+    // whatever the micro-batching — so the BATCH oracle (sk10's samp
+    // CTE) hash-gates the streaming path. Update-mode emissions
+    // accumulate in the memory sink; nseen is strictly increasing, so
+    // the rows carrying each source's max(nseen) are the final
+    // snapshot.
+    Q(
+      "sm16_stream_bottomk",
+      (s, dir) => {
+        import s.implicits._
+        val docSchema = Tables.documents(s, dir).schema
+        val sink = s"sm16_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val stage = Files.createTempDirectory("sm16_docs")
+        var q: org.apache.spark.sql.streaming.StreamingQuery = null
+        try {
+          stageParquet(s"$dir/documents.parquet", stage, "documents")
+          val stream = s.readStream.schema(docSchema).parquet(stage.toString)
+          val docs = stream.select($"doc_id", $"source", $"n_chars",
+              graft.functions.Fnv.fnv1a_perm(lit(1), $"doc_id").as("hv"))
+            .as[graft.streaming.DocStreams.DocIn]
+          q = graft.streaming.DocStreams.bottomKSample(docs, 64)
+            .writeStream.outputMode("update")
+            .format("memory").queryName(sink).start()
+          q.processAllAvailable()
+        } finally {
+          if (q != null) q.stop()
+          rmStage(stage)
+        }
+        // window-max instead of a self-join: the memory view exposes one
+        // attribute set, so joining it to itself trips conflicting refs
+        val wMax = org.apache.spark.sql.expressions.Window
+          .partitionBy($"source")
+        s.table(sink)
+          .withColumn("mx", max($"nseen").over(wMax))
+          .filter($"nseen" === $"mx")
+          .select($"source", $"nseen", $"rk", $"doc_id", $"n_chars")
+          .orderBy($"source", $"rk")
+      },
+      Some(s"""WITH h AS (SELECT doc_id, source, n_chars,
+             |  ${FnvSql.toSigned(FnvSql.perm("1", "doc_id::HUGEINT"))} AS hv
+             |  FROM documents),
+             |n AS (SELECT source, count(*) AS nseen FROM h GROUP BY source),
+             |samp AS (SELECT source, doc_id, n_chars,
+             |  row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rk
+             |  FROM h
+             |  QUALIFY row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) <= 64)
+             |SELECT s.source, n.nseen, CAST(s.rk AS INTEGER) AS rk,
+             |  s.doc_id, s.n_chars
+             |FROM samp s JOIN n USING (source)
+             |ORDER BY s.source, rk""".stripMargin))
   )
 }
