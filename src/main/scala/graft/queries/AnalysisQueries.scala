@@ -1637,8 +1637,155 @@ object AnalysisQueries extends QueryProvider {
               |    THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS purity
               |FROM sl JOIN dl USING (doc_id)
               |GROUP BY dl.doc_id, dl.doc_lang
-              |ORDER BY dl.doc_id""".stripMargin))
+              |ORDER BY dl.doc_id""".stripMargin)),
+
+    // Quality-classifier distillation (the GPT-3 / CCNet recipe: fit a
+    // cheap linear model to reproduce rule-based gates, then score every
+    // document with the smooth classifier so curation can threshold or
+    // importance-sample instead of hard-filtering). Features are
+    // 6dp-DECIMAL ratios centered on their corpus means (uncentered, the
+    // ln-length column drowns the ratios and 6 full-batch rounds
+    // saturate to the base rate — measured 410/500 vs 491/500 centered),
+    // the label is a hard length/digit gate, and training is full-batch
+    // logistic gradient descent with a FIXED 6 rounds at lr=8: every
+    // per-row residual is rounded to 6dp and the gradient is summed in
+    // DECIMAL, so the means and the learned weights are bit-identical
+    // however the corpus is partitioned, and DuckDB replays the entire
+    // training run as 6 unrolled CTE rounds.
+    // Scale shape: one feature-projection pass, one mean pass, then the
+    // centered projection is persisted (4 narrow decimals per doc); 6
+    // map-reduce gradient passes each return four numbers to the driver
+    // (partial aggregation does the work — nothing shuffles but 4
+    // decimals per partition), then one broadcast-model scoring pass.
+    Q(
+      "a29_lr_quality",
+      (s, dir) => {
+        import s.implicits._
+        val len = length($"text").cast("double")
+        val nd = size(regexp_extract_all($"text", lit("[0-9]"), lit(0)))
+          .cast("double")
+        val na = size(regexp_extract_all($"text", lit("[A-Za-z]"), lit(0)))
+          .cast("double")
+        val dr = nd / greatest(len, lit(1.0))
+        val raw = graft.Par.fanOut(Tables.documents(s, dir))
+          .select($"doc_id",
+            round(log(lit(1.0) + len), 6).cast("decimal(18,6)").as("h1"),
+            round(dr, 6).cast("decimal(18,6)").as("h2"),
+            round(na / greatest(len, lit(1.0)), 6).cast("decimal(18,6)")
+              .as("h3"),
+            when(len >= 150.0 && dr <= 0.2, lit(1)).otherwise(lit(0))
+              .cast("decimal(18,6)").as("y"))
+        def round6(d: Double): Double =
+          java.math.BigDecimal.valueOf(d)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        // Corpus means from exact DECIMAL sums → one 6dp double each.
+        val muRow = raw
+          .agg(count(lit(1)), sum($"h1"), sum($"h2"), sum($"h3")).head()
+        val n = muRow.getLong(0).toDouble
+        val mu = Array.tabulate(3)(k =>
+          if (n > 0) round6(muRow.getDecimal(k + 1).doubleValue() / n)
+          else 0.0)
+        val feats = raw.select($"doc_id",
+            round($"h1".cast("double") - mu(0), 6).cast("decimal(18,6)")
+              .as("f1"),
+            round($"h2".cast("double") - mu(1), 6).cast("decimal(18,6)")
+              .as("f2"),
+            round($"h3".cast("double") - mu(2), 6).cast("decimal(18,6)")
+              .as("f3"),
+            $"y")
+          .persist()
+        // z is associated left-to-right exactly as the oracle writes it,
+        // so the double is bit-identical in both engines.
+        def z(w: Array[Double]) =
+          lit(w(0)) + $"f1".cast("double") * lit(w(1)) +
+            $"f2".cast("double") * lit(w(2)) +
+            $"f3".cast("double") * lit(w(3))
+        def score(w: Array[Double]) =
+          round(lit(1.0) / (lit(1.0) + exp(-z(w))), 6)
+        var w = Array(0.0, 0.0, 0.0, 0.0)
+        for (_ <- 1 to LrRounds if n > 0) {
+          val r = score(w).cast("decimal(18,6)") - $"y"
+          val g = feats.select(r.as("r"), $"f1", $"f2", $"f3")
+            .agg(sum($"r"), sum($"r" * $"f1"), sum($"r" * $"f2"),
+              sum($"r" * $"f3"))
+            .head()
+          w = Array.tabulate(4)(k =>
+            round6(w(k) - LrRate * g.getDecimal(k).doubleValue() / n))
+        }
+        feats.select($"doc_id", $"y".cast("int").as("label"),
+            score(w).as("score"))
+          .withColumn("pred", $"score" >= 0.5)
+          .orderBy($"doc_id")
+      },
+      Some(lrQualityOracle))
   )
+
+  /** Fixed GD round count / learning rate for a29 — shared with
+    * [[lrQualityOracle]]. `final val` so they constant-fold: `all`
+    * initializes before these lines run, and a plain val would read
+    * as 0 there.
+    */
+  private final val LrRounds = 6
+  private final val LrRate = 8.0
+
+  /** The DuckDB replay of a29's training run: identical feature
+    * projection and centering, then [[LrRounds]] unrolled (residual →
+    * DECIMAL gradient → 6dp weight update) rounds, then the same
+    * broadcast-model scoring select. Weight columns are
+    * (wa, wb, wc, wd) = (bias, f1, f2, f3).
+    */
+  private lazy val lrQualityOracle: String = {
+    val feat =
+      """feat0 AS (SELECT doc_id,
+        |  CAST(round(ln(1.0 + CAST(length(text) AS DOUBLE)), 6)
+        |    AS DECIMAL(18,6)) AS h1,
+        |  CAST(round(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+        |    / greatest(CAST(length(text) AS DOUBLE), 1.0), 6)
+        |    AS DECIMAL(18,6)) AS h2,
+        |  CAST(round(CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+        |    / greatest(CAST(length(text) AS DOUBLE), 1.0), 6)
+        |    AS DECIMAL(18,6)) AS h3,
+        |  CAST(CASE WHEN CAST(length(text) AS DOUBLE) >= 150.0
+        |      AND CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+        |        / greatest(CAST(length(text) AS DOUBLE), 1.0) <= 0.2
+        |    THEN 1 ELSE 0 END AS DECIMAL(18,6)) AS y
+        |  FROM documents),
+        |nn AS (SELECT count(*) AS cnt FROM feat0),
+        |mu AS (SELECT round(CAST(sum(h1) AS DOUBLE)/cnt, 6) AS m1,
+        |  round(CAST(sum(h2) AS DOUBLE)/cnt, 6) AS m2,
+        |  round(CAST(sum(h3) AS DOUBLE)/cnt, 6) AS m3
+        |  FROM feat0 CROSS JOIN nn GROUP BY cnt),
+        |feat AS (SELECT doc_id,
+        |  CAST(round(CAST(h1 AS DOUBLE) - m1, 6) AS DECIMAL(18,6)) AS f1,
+        |  CAST(round(CAST(h2 AS DOUBLE) - m2, 6) AS DECIMAL(18,6)) AS f2,
+        |  CAST(round(CAST(h3 AS DOUBLE) - m3, 6) AS DECIMAL(18,6)) AS f3,
+        |  y FROM feat0 CROSS JOIN mu),
+        |wr0 AS (SELECT CAST(0.0 AS DOUBLE) AS wa, CAST(0.0 AS DOUBLE) AS wb,
+        |  CAST(0.0 AS DOUBLE) AS wc, CAST(0.0 AS DOUBLE) AS wd)""".stripMargin
+    def sig(p: String) =
+      s"1.0/(1.0 + exp(-($p.wa + CAST(f.f1 AS DOUBLE)*$p.wb" +
+        s" + CAST(f.f2 AS DOUBLE)*$p.wc + CAST(f.f3 AS DOUBLE)*$p.wd)))"
+    val rounds = (1 to LrRounds).map { k =>
+      s"""rs$k AS (SELECT CAST(round(${sig("w")}, 6) AS DECIMAL(18,6)) - f.y
+         |    AS r, f.f1, f.f2, f.f3
+         |  FROM feat f CROSS JOIN wr${k - 1} w),
+         |gr$k AS (SELECT sum(r) AS s0, sum(r*f1) AS s1, sum(r*f2) AS s2,
+         |    sum(r*f3) AS s3 FROM rs$k),
+         |wr$k AS (SELECT
+         |    round(w.wa - $LrRate*CAST(g.s0 AS DOUBLE)/nn.cnt, 6) AS wa,
+         |    round(w.wb - $LrRate*CAST(g.s1 AS DOUBLE)/nn.cnt, 6) AS wb,
+         |    round(w.wc - $LrRate*CAST(g.s2 AS DOUBLE)/nn.cnt, 6) AS wc,
+         |    round(w.wd - $LrRate*CAST(g.s3 AS DOUBLE)/nn.cnt, 6) AS wd
+         |  FROM wr${k - 1} w CROSS JOIN gr$k g CROSS JOIN nn)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $feat,
+       |$rounds
+       |SELECT doc_id, label, score, score >= 0.5 AS pred FROM (
+       |  SELECT f.doc_id, CAST(f.y AS INTEGER) AS label,
+       |    round(${sig("w")}, 6) AS score
+       |  FROM feat f CROSS JOIN wr$LrRounds w)
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** a24/a27's per-document bigram-LM chain: train the add-1-smoothed
     * bigram LM on the corpus (vocabulary-broadcast unigram table +

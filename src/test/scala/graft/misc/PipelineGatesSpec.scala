@@ -190,4 +190,27 @@ class PipelineGatesSpec extends SparkSpec {
         s"${r.getAs[String]("lang")}: raw=$raw uniform=$uni weight=$wgt")
     }
   }
+
+  test("a29: the distilled classifier beats the base rate and separates " +
+    "both classes") {
+    val rows = run("a29_lr_quality").collect()
+    assert(rows.nonEmpty)
+    var acc, pos = 0
+    val preds = scala.collection.mutable.Set.empty[Boolean]
+    rows.foreach { r =>
+      val score = r.getAs[Double]("score")
+      val pred = r.getAs[Boolean]("pred")
+      assert(score >= 0.0 && score <= 1.0)
+      assert(pred === (score >= 0.5))
+      preds += pred
+      val label = r.getAs[Int]("label")
+      if (label == 1) pos += 1
+      if ((label == 1) == pred) acc += 1
+    }
+    // 6 GD rounds must actually LEARN the gate: strictly better than
+    // predicting the majority class everywhere, and well above 90%.
+    assert(preds.size === 2, "classifier collapsed to one class")
+    assert(acc > math.max(pos, rows.length - pos), s"acc=$acc pos=$pos")
+    assert(acc.toDouble / rows.length >= 0.9)
+  }
 }
