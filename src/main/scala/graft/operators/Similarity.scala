@@ -509,6 +509,83 @@ object Similarity {
         col("id").as("neighbor_id"), col("adc"))
   }
 
+  /** IVFADC (Jégou/Douze/Schmid 2011, "Product Quantization for Nearest
+    * Neighbor Search" §IV — the layout FAISS's IndexIVFPQ implements):
+    * a coarse quantizer restricts each query to `nProbe` inverted
+    * lists, and ranking inside the probed lists uses product-quantized
+    * RESIDUALS — after encoding, the database keeps only (coarse
+    * cluster, m codes) per vector, and a query scores a candidate as
+    * the sum of m per-subspace lookup-table entries built from its
+    * residual (query − probed coarse centroid). This is the index a
+    * billion-vector deployment actually ships: full vectors exist only
+    * at encode time, and unlike [[pqAdcTopK]] the LUT differs per
+    * probed list, which is what makes residual quantization pay.
+    *
+    * Scale shape: all codebooks (coarse + m PQ) are tiny broadcasts;
+    * the LUT is queries × nProbe × m × pqClusters rows, broadcast; the
+    * only corpus-sized artifact is the code table, touched via one
+    * broadcast semi-restriction on (cluster) plus m broadcast joins on
+    * (query, cluster, code) — the code table itself never shuffles.
+    *
+    * Determinism: residuals are elementwise double subtractions of
+    * decimal-exact centroids, distances the strict-left-fold
+    * [[sqDist]], and ADC adds the m lookups in subspace order and
+    * rounds to 6dp before the (adc, id) tiebreak ranking — so a SQL
+    * oracle recomputes the index, codes, LUTs and ranking bit-for-bit.
+    *
+    * vecs/queries: (id, vec) / (qid, vec). Output: (query_id, rank,
+    * neighbor_id, adc) — self-matches included, like [[pqAdcTopK]].
+    */
+  def ivfAdcTopK(vecs: DataFrame, queries: DataFrame, k: Int,
+      nClusters: Int, nProbe: Int, coarseIters: Int,
+      m: Int, subDim: Int, pqClusters: Int, pqIters: Int): DataFrame = {
+    val (cents, af) = lloydClusters(vecs, nClusters, coarseIters)
+    val resid = af.join(broadcast(cents), Seq("cluster"))
+      .select(col("id"), col("cluster"),
+        zip_with(col("vec"), col("cv"), (a, b) => a - b).as("rv"))
+      .persist() // feeds m subspace clusterings + the code assembly
+    val parts = (0 until m).map { j =>
+      val sub = resid.select(col("id"),
+        slice(col("rv"), j * subDim + 1, subDim).as("vec"))
+      val (pc, pa) = lloydClusters(sub, pqClusters, pqIters)
+      (pc.select(col("cluster").as(s"code$j"), col("cv")),
+        pa.select(col("id"), col("cluster").as(s"code$j")))
+    }
+    val codes = (parts.map(_._2) :+ resid.select(col("id"), col("cluster")))
+      .reduce(_.join(_, Seq("id")))
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist"), col("cluster"))
+    val probes = queries
+      .select(col("qid").as("query_id"), col("vec").as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("dist", sqDist(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("cluster"),
+        zip_with(col("qv"), col("cv"), (a, b) => a - b).as("qr"))
+    val cands = codes.join(
+      broadcast(probes.select(col("query_id"), col("cluster"))),
+      Seq("cluster"))
+    val withD = (0 until m).foldLeft(cands) { (acc, j) =>
+      val lut = probes.select(col("query_id"), col("cluster"),
+          slice(col("qr"), j * subDim + 1, subDim).as("qs"))
+        .crossJoin(broadcast(parts(j)._1))
+        .select(col("query_id"), col("cluster"), col(s"code$j"),
+          sqDist(col("qs"), col("cv")).as(s"d$j"))
+      acc.join(broadcast(lut), Seq("query_id", "cluster", s"code$j"))
+    }
+    val adcSum = (1 until m).foldLeft(col("d0")) {
+      (acc, j) => acc + col(s"d$j")
+    }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("id"))
+    withD.withColumn("adc", round(adcSum, 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"),
+        col("adc"))
+  }
+
   /** Recall of an approximate neighbor list against the exact one: per
     * query, |approx ∩ truth| / |truth|. Both inputs are (query_id,
     * neighbor_id) result sets (any extra columns ignored); duplicate

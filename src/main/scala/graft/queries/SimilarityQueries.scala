@@ -382,7 +382,26 @@ object SimilarityQueries extends QueryProvider {
               |    AS n_kept,
               |  CAST(sum(CASE WHEN rk <= 32 THEN id ELSE 0 END) AS BIGINT)
               |    AS kept_idsum
-              |FROM r GROUP BY cluster ORDER BY cluster""".stripMargin))
+              |FROM r GROUP BY cluster ORDER BY cluster""".stripMargin)),
+
+    // IVFADC — the full billion-scale index (coarse quantizer + residual
+    // product quantization + per-probe ADC lookup tables), composed from
+    // the same deterministic Lloyd core as s03/s08 so DuckDB recomputes
+    // the coarse clustering, the residuals, all four PQ codebooks, the
+    // per-(query, probed-list) LUTs and the final ranking bit-for-bit.
+    Q(
+      "s15_ivfadc",
+      (s, dir) => {
+        import s.implicits._
+        val v = vecs(s, dir)
+        Similarity.ivfAdcTopK(v,
+          v.filter($"id" < 5).select($"id".as("qid"), $"vec"),
+          k = 10, nClusters = 16, nProbe = 4, coarseIters = 2,
+          m = 4, subDim = 16, pqClusters = 4, pqIters = 2)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy($"query_id", $"rnk")
+      },
+      Some(s15OracleSql))
   )
 
   /** s13 oracle: one shared per-plane sign-bit table, re-banded per
@@ -567,6 +586,57 @@ object SimilarityQueries extends QueryProvider {
        |    JOIN p3 USING (id, qid)),
        |r AS (SELECT qid AS query_id, id AS neighbor_id, adc,
        |  row_number() OVER (PARTITION BY qid ORDER BY adc, id) AS rnk FROM j)
+       |SELECT query_id, rnk, neighbor_id, adc FROM r WHERE rnk <= 10
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** s15 oracle: the whole IVFADC index recomputed in SQL — coarse
+    * Lloyd chain, residuals against the final centroids, one prefixed
+    * Lloyd chain per residual subspace (PQ codebooks + codes), probe
+    * selection with per-probe query residuals, per-subspace LUTs, and
+    * the ADC sum in subspace order. Everything downstream of the chains
+    * is exact double/int arithmetic, so the only float surfaces are the
+    * fold-identical distances the Lloyd chains already pin.
+    */
+  private lazy val s15OracleSql: String = {
+    val (m, subDim, coarseIters, pqIters) = (4, 16, 2, 2)
+    val cf = LloydSql.finalCentroids(coarseIters)
+    val chains = (0 until m).map { j =>
+      val lo = j * subDim + 1; val hi = (j + 1) * subDim
+      LloydSql.ctesPrefixed(4, pqIters, s"r${j}_",
+        s"SELECT id, rv[$lo:$hi] AS e FROM resid")
+    }
+    val subs = (0 until m).map { j =>
+      val lo = j * subDim + 1; val hi = (j + 1) * subDim
+      s"""l$j AS (SELECT s.query_id, s.cluster, c.cluster AS code$j,
+         |  ${LloydSql.dist("s.qs", "c.cv")} AS d$j
+         |  FROM (SELECT query_id, cluster, qr[$lo:$hi] AS qs FROM probes) s
+         |  CROSS JOIN r${j}_c$pqIters c),
+         |p$j AS (SELECT cand.query_id, cand.id, l.d$j
+         |  FROM cand JOIN r${j}_af rc ON rc.id = cand.id
+         |  JOIN l$j l ON l.query_id = cand.query_id
+         |    AND l.cluster = cand.cluster AND l.code$j = rc.cluster)""".stripMargin
+    }
+    s"""WITH ${LloydSql.ctes(16, coarseIters)},
+       |resid AS (SELECT a.id, a.cluster,
+       |  list_transform(range(len(a.e)), i -> a.e[i+1] - c.cv[i+1]) AS rv
+       |  FROM af a JOIN $cf c USING (cluster)),
+       |${chains.mkString(",\n")},
+       |probes AS (SELECT query_id, cluster,
+       |  list_transform(range(len(qe)), i -> qe[i+1] - cv[i+1]) AS qr
+       |  FROM (SELECT q.id AS query_id, q.e AS qe, c.cluster, c.cv,
+       |    row_number() OVER (PARTITION BY q.id
+       |      ORDER BY ${LloydSql.dist("q.e", "c.cv")}, c.cluster) AS rn
+       |  FROM v q CROSS JOIN $cf c WHERE q.id < 5) WHERE rn <= 4),
+       |cand AS (SELECT p.query_id, a.id, a.cluster
+       |  FROM probes p JOIN resid a USING (cluster)),
+       |${subs.mkString(",\n")},
+       |jn AS (SELECT p0.query_id, p0.id,
+       |  round(((d0 + d1) + d2) + d3, 6) AS adc
+       |  FROM p0 JOIN p1 USING (query_id, id) JOIN p2 USING (query_id, id)
+       |    JOIN p3 USING (query_id, id)),
+       |r AS (SELECT query_id, id AS neighbor_id, adc, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY adc, id) AS rnk FROM jn)
        |SELECT query_id, rnk, neighbor_id, adc FROM r WHERE rnk <= 10
        |ORDER BY query_id, rnk""".stripMargin
   }

@@ -212,4 +212,40 @@ class RetrievalOpsSpec extends SparkSpec {
         BigDecimal.RoundingMode.HALF_UP).toDouble),
       (30L, 0.0, c(2), c(2))))
   }
+
+  test("ivfAdcTopK: full probe + perfect codebooks reproduce the exact " +
+    "squared-distance ranking") {
+    import spark.implicits._
+    // Well-separated points so no float ulp can flip an ordering. With
+    // nProbe = nClusters every list is probed, and with pqClusters = n
+    // every residual subvector is its own codeword (zero quantization
+    // error), so ADC must equal exact squared distance and the ranking
+    // must match brute force.
+    val data = Map(
+      0L -> Seq(0.0, 0.0, 0.0, 0.0),
+      1L -> Seq(10.0, 0.0, 0.0, 0.0),
+      2L -> Seq(0.0, 10.0, 0.0, 0.0),
+      3L -> Seq(10.0, 10.0, 10.0, 10.0))
+    val vs = data.toSeq.sortBy(_._1).toDF("id", "vec")
+    val qs = vs.where($"id" < 2).select($"id".as("qid"), $"vec")
+    val got = Similarity.ivfAdcTopK(vs, qs, k = 4, nClusters = 2,
+        nProbe = 2, coarseIters = 2, m = 2, subDim = 2, pqClusters = 4,
+        pqIters = 2)
+      .orderBy($"query_id", $"rank")
+      .select($"query_id", $"rank", $"neighbor_id", $"adc")
+      .as[(Long, Int, Long, Double)].collect()
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._2).toSeq == (1 to rows.length), s"query $q ranks")
+      assert(rows.map(_._4).toSeq == rows.map(_._4).sorted.toSeq,
+        s"query $q adc order")
+      assert(rows.forall(_._4 >= 0.0))
+    }
+    def sq(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    for (q <- Seq(0L, 1L)) {
+      val want = data.keys.toSeq.sortBy(n => (sq(data(q), data(n)), n))
+      val gotIds = got.filter(_._1 == q).sortBy(_._2).map(_._3).toSeq
+      assert(gotIds == want, s"query $q: got $gotIds want $want")
+    }
+  }
 }
