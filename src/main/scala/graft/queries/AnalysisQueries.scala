@@ -1661,72 +1661,21 @@ object AnalysisQueries extends QueryProvider {
       "a29_lr_quality",
       (s, dir) => {
         import s.implicits._
-        val len = length($"text").cast("double")
-        val nd = size(regexp_extract_all($"text", lit("[0-9]"), lit(0)))
-          .cast("double")
-        val na = size(regexp_extract_all($"text", lit("[A-Za-z]"), lit(0)))
-          .cast("double")
-        val dr = nd / greatest(len, lit(1.0))
-        val raw = graft.Par.fanOut(Tables.documents(s, dir))
-          .select($"doc_id",
-            round(log(lit(1.0) + len), 6).cast("decimal(18,6)").as("h1"),
-            round(dr, 6).cast("decimal(18,6)").as("h2"),
-            round(na / greatest(len, lit(1.0)), 6).cast("decimal(18,6)")
-              .as("h3"),
-            when(len >= 150.0 && dr <= 0.2, lit(1)).otherwise(lit(0))
-              .cast("decimal(18,6)").as("y"))
-        def round6(d: Double): Double =
-          java.math.BigDecimal.valueOf(d)
-            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-        // Corpus means from exact DECIMAL sums → one 6dp double each.
-        val muRow = raw
-          .agg(count(lit(1)), sum($"h1"), sum($"h2"), sum($"h3")).head()
-        val n = muRow.getLong(0).toDouble
-        val mu = Array.tabulate(3)(k =>
-          if (n > 0) round6(muRow.getDecimal(k + 1).doubleValue() / n)
-          else 0.0)
-        val feats = raw.select($"doc_id",
-            round($"h1".cast("double") - mu(0), 6).cast("decimal(18,6)")
-              .as("f1"),
-            round($"h2".cast("double") - mu(1), 6).cast("decimal(18,6)")
-              .as("f2"),
-            round($"h3".cast("double") - mu(2), 6).cast("decimal(18,6)")
-              .as("f3"),
-            $"y")
-          .persist()
-        // z is associated left-to-right exactly as the oracle writes it,
-        // so the double is bit-identical in both engines.
-        def z(w: Array[Double]) =
-          lit(w(0)) + $"f1".cast("double") * lit(w(1)) +
-            $"f2".cast("double") * lit(w(2)) +
-            $"f3".cast("double") * lit(w(3))
-        def score(w: Array[Double]) =
-          round(lit(1.0) / (lit(1.0) + exp(-z(w))), 6)
-        var w = Array(0.0, 0.0, 0.0, 0.0)
-        for (_ <- 1 to LrRounds if n > 0) {
-          val r = score(w).cast("decimal(18,6)") - $"y"
-          val g = feats.select(r.as("r"), $"f1", $"f2", $"f3")
-            .agg(sum($"r"), sum($"r" * $"f1"), sum($"r" * $"f2"),
-              sum($"r" * $"f3"))
-            .head()
-          w = Array.tabulate(4)(k =>
-            round6(w(k) - LrRate * g.getDecimal(k).doubleValue() / n))
-        }
-        feats.select($"doc_id", $"y".cast("int").as("label"),
-            score(w).as("score"))
-          .withColumn("pred", $"score" >= 0.5)
-          .orderBy($"doc_id")
+        val raw = graft.operators.QualityModel
+          .rawFeatures(graft.Par.fanOut(Tables.documents(s, dir)))
+          .persist() // feeds the mean pass, 6 gradient passes + scoring
+        val m = graft.operators.QualityModel.train(raw)
+        graft.operators.QualityModel.scored(raw, m).orderBy($"doc_id")
       },
       Some(lrQualityOracle))
   )
 
-  /** Fixed GD round count / learning rate for a29 — shared with
-    * [[lrQualityOracle]]. `final val` so they constant-fold: `all`
-    * initializes before these lines run, and a plain val would read
-    * as 0 there.
+  /** Fixed GD round count / learning rate — the oracle replays exactly
+    * the [[graft.operators.QualityModel]] configuration (both are
+    * compile-time constants, so no object-init-order hazard).
     */
-  private final val LrRounds = 6
-  private final val LrRate = 8.0
+  private final val LrRounds = graft.operators.QualityModel.Rounds
+  private final val LrRate = graft.operators.QualityModel.Rate
 
   /** The DuckDB replay of a29's training run: identical feature
     * projection and centering, then [[LrRounds]] unrolled (residual →
@@ -1734,7 +1683,7 @@ object AnalysisQueries extends QueryProvider {
     * broadcast-model scoring select. Weight columns are
     * (wa, wb, wc, wd) = (bias, f1, f2, f3).
     */
-  private lazy val lrQualityOracle: String = {
+  private[queries] lazy val lrQualityOracle: String = {
     val feat =
       """feat0 AS (SELECT doc_id,
         |  CAST(round(ln(1.0 + CAST(length(text) AS DOUBLE)), 6)

@@ -954,6 +954,44 @@ object StreamingQueries extends QueryProvider {
              |SELECT s.source, n.nseen, CAST(s.rk AS INTEGER) AS rk,
              |  s.doc_id, s.n_chars
              |FROM samp s JOIN n USING (source)
-             |ORDER BY s.source, rk""".stripMargin))
+             |ORDER BY s.source, rk""".stripMargin)),
+
+    // Offline-train / online-score: the a29 quality classifier is
+    // trained in BATCH (the same deterministic GD run), then the
+    // document stream is scored per micro-batch with the model riding
+    // along as broadcast literals — the standard topology for applying
+    // a curation model at ingest time. Scoring is STATELESS (append
+    // mode, no watermark, no state store), so the streamed scores must
+    // equal the batch scores bit-for-bit whatever the micro-batching —
+    // which is why a29's full training-replay oracle hash-gates this
+    // query too.
+    Q(
+      "sm17_stream_quality_score",
+      (s, dir) => {
+        import s.implicits._
+        val docSchema = Tables.documents(s, dir).schema
+        val model = graft.operators.QualityModel.train(
+          graft.operators.QualityModel.rawFeatures(
+            graft.Par.fanOut(Tables.documents(s, dir))))
+        val sink = s"sm17_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val stage = Files.createTempDirectory("sm17_docs")
+        var q: org.apache.spark.sql.streaming.StreamingQuery = null
+        try {
+          stageParquet(s"$dir/documents.parquet", stage, "documents")
+          val stream = s.readStream.schema(docSchema).parquet(stage.toString)
+          q = graft.operators.QualityModel
+            .scored(graft.operators.QualityModel.rawFeatures(stream), model)
+            .writeStream.outputMode("append")
+            .format("memory").queryName(sink).start()
+          q.processAllAvailable()
+        } finally {
+          if (q != null) q.stop()
+          rmStage(stage)
+        }
+        s.table(sink)
+          .select($"doc_id", $"label", $"score", $"pred")
+          .orderBy($"doc_id")
+      },
+      Some(AnalysisQueries.lrQualityOracle))
   )
 }

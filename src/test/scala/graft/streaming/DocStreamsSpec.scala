@@ -75,6 +75,54 @@ class DocStreamsSpec extends SparkSpec {
     }
   }
 
+  test("streaming quality scoring over 3 micro-batches equals batch " +
+    "scoring with the same trained model") {
+    import graft.operators.QualityModel
+    // deterministic texts straddling the label gate (length >= 150)
+    val docs = (1L to 30L).map { id =>
+      (id, ("word " * (id * 13 % 60).toInt) + id.toString)
+    }.toDF("doc_id", "text")
+    val model = QualityModel.train(QualityModel.rawFeatures(docs))
+    val stage = Files.createTempDirectory("docstreams_sm17")
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      (0 until 3).foreach { slice =>
+        docs.filter($"doc_id" % 3 === slice)
+          .coalesce(1).write.mode("append").parquet(stage.toString)
+      }
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage.toString)
+      val sink = "docstreams_sm17_sink"
+      q = QualityModel.scored(QualityModel.rawFeatures(stream), model)
+        .writeStream.outputMode("append")
+        .format("memory").queryName(sink).start()
+      q.processAllAvailable()
+      q.stop(); q = null
+      val streamed = spark.table(sink)
+        .select($"doc_id", $"label", $"score", $"pred")
+        .collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getDouble(2), r.getBoolean(3)))
+        .toSet
+      val batch = QualityModel.scored(QualityModel.rawFeatures(docs), model)
+        .collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getDouble(2), r.getBoolean(3)))
+        .toSet
+      assert(streamed == batch)
+      assert(batch.size == 30)
+      // the fixture really straddles the gate
+      assert(batch.exists(_._2 == 1) && batch.exists(_._2 == 0))
+    } finally {
+      if (q != null) q.stop()
+      val d = stage.toFile
+      Option(d.listFiles()).foreach(_.foreach { f =>
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(_.delete()))
+        f.delete()
+      })
+      d.delete()
+    }
+  }
+
   private object Tables {
     /** 60 docs over 4 sources with deterministic lengths. */
     def docsFixture(s: org.apache.spark.sql.SparkSession) = {
