@@ -48,7 +48,10 @@ object Stress {
     // real DCT perceptual hash over the BMP-decoded corpus
     "mm10_phash",
     // streaming bottom-k sample state + the five-gate curation funnel
-    "sm16_stream_bottomk", "c26_pipeline_attrition")
+    "sm16_stream_bottomk", "c26_pipeline_attrition",
+    // classifier distillation (batch train), its streaming scorer, and
+    // the residual-PQ IVFADC index
+    "a29_lr_quality", "sm17_stream_quality_score", "s15_ivfadc")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/graft_sf1")
