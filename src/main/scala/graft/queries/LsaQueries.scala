@@ -241,8 +241,102 @@ object LsaQueries extends QueryProvider {
         PowerLsa.secondSingular(powerCells(s, dir), iters = PowerIters)
           .orderBy($"kind", $"ident")
       },
-      Some(secondOracleSql(PowerIters)))
+      Some(secondOracleSql(PowerIters))),
+
+    // NMF topic extraction (Lee–Seung multiplicative updates) over the
+    // documents TF-IDF matrix — the nonnegative, parts-based complement
+    // to the SVD family: k=4 topics, 4 fixed update rounds from an
+    // FNV-seeded init, per-topic top-10 terms. Every matrix product is
+    // a DECIMAL sum rounded to 6dp, so DuckDB replays both rounds.
+    Q(
+      "ls10_nmf_topics",
+      (s, dir) => {
+        import s.implicits._
+        // band at 0.9N: the synthetic corpus has a ~31-term vocabulary
+        // where most terms hit 75-80% of docs — d15's 0.5N stopword
+        // band would leave a single term; 0.9N drops only the (absent
+        // here) universal stratum while keeping idf > 0 informative
+        val v = graft.operators.Nmf.tfidf(
+          graft.Par.fanOut(Tables.documents(s, dir)), maxDfFrac = 0.9)
+        val (_, h) = graft.operators.Nmf.factorize(v, k = NmfK,
+          rounds = NmfRounds)
+        graft.operators.Nmf.topTerms(h, 10).orderBy($"topic", $"rnk")
+      },
+      Some(nmfOracleSql))
   )
+
+  private final val NmfK = 4
+  private final val NmfRounds = 4
+
+  /** DuckDB replay of ls10: TF-IDF band, FNV-seeded W0/H0, then
+    * [[NmfRounds]] unrolled Lee–Seung rounds (Gram → numerator →
+    * denominator → elementwise step, W first, H with the new W), then
+    * the per-topic ranking. All sums are exact DECIMAL sums of 6dp
+    * DECIMAL entries, matching the engine's summation discipline.
+    */
+  private lazy val nmfOracleSql: String = {
+    def pm(key: String) =
+      s"((${FnvSql.toSigned(FnvSql.ofString(key))} % 1000) + 1000) % 1000"
+    def initSql(key: String) =
+      s"CAST(((${pm(key)}) + 1)::DOUBLE / 1000.0 AS DECIMAL(18,6))"
+    val rounds = (1 to NmfRounds).map { r =>
+      val (wp, hp) = (s"w${r - 1}", s"h${r - 1}")
+      s"""g$r AS MATERIALIZED (SELECT a.topic AS t1, b.topic AS t2,
+         |    CAST(round(CAST(sum(a.h*b.h) AS DOUBLE), 6) AS DECIMAL(18,6)) AS g
+         |  FROM $hp a JOIN $hp b USING (term) GROUP BY a.topic, b.topic),
+         |nw$r AS MATERIALIZED (SELECT vv.doc_id, h.topic,
+         |    CAST(round(CAST(sum(vv.v*h.h) AS DOUBLE), 6) AS DECIMAL(18,6)) AS num
+         |  FROM vv JOIN $hp h USING (term) GROUP BY vv.doc_id, h.topic),
+         |dw$r AS MATERIALIZED (SELECT w.doc_id, g.t2 AS topic,
+         |    CAST(round(CAST(sum(w.w*g.g) AS DOUBLE), 6) AS DECIMAL(18,6)) AS den
+         |  FROM $wp w JOIN g$r g ON w.topic = g.t1 GROUP BY w.doc_id, g.t2),
+         |w$r AS MATERIALIZED (SELECT w.doc_id, w.topic,
+         |    CAST(coalesce(round(CAST(w.w AS DOUBLE) * CAST(n.num AS DOUBLE) /
+         |      (CAST(d.den AS DOUBLE) + 1e-9), 6), 0) AS DECIMAL(18,6)) AS w
+         |  FROM $wp w
+         |  LEFT JOIN nw$r n ON n.doc_id = w.doc_id AND n.topic = w.topic
+         |  JOIN dw$r d ON d.doc_id = w.doc_id AND d.topic = w.topic),
+         |f$r AS MATERIALIZED (SELECT a.topic AS t1, b.topic AS t2,
+         |    CAST(round(CAST(sum(a.w*b.w) AS DOUBLE), 6) AS DECIMAL(18,6)) AS f
+         |  FROM w$r a JOIN w$r b USING (doc_id) GROUP BY a.topic, b.topic),
+         |nh$r AS MATERIALIZED (SELECT w.topic, vv.term,
+         |    CAST(round(CAST(sum(vv.v*w.w) AS DOUBLE), 6) AS DECIMAL(18,6)) AS num
+         |  FROM vv JOIN w$r w USING (doc_id) GROUP BY w.topic, vv.term),
+         |dh$r AS MATERIALIZED (SELECT f.t2 AS topic, h.term,
+         |    CAST(round(CAST(sum(h.h*f.f) AS DOUBLE), 6) AS DECIMAL(18,6)) AS den
+         |  FROM $hp h JOIN f$r f ON h.topic = f.t1 GROUP BY f.t2, h.term),
+         |h$r AS MATERIALIZED (SELECT h.topic, h.term,
+         |    CAST(round(CAST(h.h AS DOUBLE) * CAST(n.num AS DOUBLE) /
+         |      (CAST(d.den AS DOUBLE) + 1e-9), 6) AS DECIMAL(18,6)) AS h
+         |  FROM $hp h
+         |  JOIN nh$r n ON n.topic = h.topic AND n.term = h.term
+         |  JOIN dh$r d ON d.topic = h.topic AND d.term = h.term)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t AS MATERIALIZED (SELECT doc_id,
+       |  regexp_extract_all(lower(text),'[a-zA-Z]+') AS tok FROM documents),
+       |corpus AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+       |tfq AS (SELECT doc_id, tok2 AS term, count(*) AS tf FROM
+       |  (SELECT doc_id, unnest(tok) AS tok2 FROM t) GROUP BY doc_id, tok2),
+       |dfq AS (SELECT term, count(*) AS df FROM tfq GROUP BY term),
+       |vv AS MATERIALIZED (SELECT doc_id, term,
+       |    CAST(round(tf * ln(n_docs::DOUBLE / df), 6) AS DECIMAL(18,6)) AS v
+       |  FROM tfq JOIN dfq USING (term) CROSS JOIN corpus
+       |  WHERE df <= n_docs * 0.9),
+       |tp AS (SELECT unnest(range($NmfK)) AS topic),
+       |w0 AS MATERIALIZED (SELECT doc_id, topic,
+       |    ${initSql("(doc_id::VARCHAR || ':' || topic::VARCHAR)")} AS w
+       |  FROM (SELECT DISTINCT doc_id FROM vv) CROSS JOIN tp),
+       |h0 AS MATERIALIZED (SELECT topic, term,
+       |    ${initSql("(term || ':' || topic::VARCHAR)")} AS h
+       |  FROM (SELECT DISTINCT term FROM vv) CROSS JOIN tp),
+       |$rounds
+       |SELECT CAST(topic AS INTEGER) AS topic, rnk, term,
+       |  CAST(h AS DOUBLE) AS weight FROM (
+       |  SELECT topic, term, h, row_number() OVER
+       |    (PARTITION BY topic ORDER BY h DESC, term) AS rnk
+       |  FROM h$NmfRounds) WHERE rnk <= 10
+       |ORDER BY topic, rnk""".stripMargin
+  }
 
   /** DuckDB replay of ls04: per-source binary matrices factored by the
     * SAME keyed chain (every CTE carries g = source), scored by the
