@@ -51,7 +51,9 @@ object Stress {
     "sm16_stream_bottomk", "c26_pipeline_attrition",
     // classifier distillation (batch train), its streaming scorer, and
     // the residual-PQ IVFADC index
-    "a29_lr_quality", "sm17_stream_quality_score", "s15_ivfadc")
+    "a29_lr_quality", "sm17_stream_quality_score", "s15_ivfadc",
+    // NMF topic extraction (4 multiplicative-update rounds over TF-IDF)
+    "ls10_nmf_topics")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/graft_sf1")
