@@ -31,7 +31,12 @@ object ExplainAudit {
         // WindowGroupLimit (partial top-k, no whole-source sort), e08
         // must be a single zero-shuffle project over the scan
         "sk10_bottomk_quantiles", "e08_random_projection",
-        "c25_source_cap")
+        "c25_source_cap",
+        // classifier distillation + IVFADC: the scoring pass must be a
+        // single narrow project (model as literals), and every IVFADC
+        // codebook/LUT join must broadcast — the code table may never
+        // be on the build side of a shuffle
+        "a29_lr_quality", "s15_ivfadc", "ls10_nmf_topics")
     // (mm10_phash is an RDD-kernel query — no Catalyst plan to audit)
     val spark = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
