@@ -123,6 +123,26 @@ object Nmf {
     (w, h)
   }
 
+  /** Per-document topic mixture from W: dominant topic (argmax weight,
+    * lowest-topic tiebreak) and its share of the document's total topic
+    * mass — (doc_id, topic, share). The total is a DECIMAL-exact sum of
+    * the k 6dp weights, so the share is partition-order-proof; an
+    * all-zero row (a doc the updates zeroed out) reports share 0.
+    */
+  def topicMixture(w: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tot = w.groupBy(col("doc_id")).agg(sum(col("w")).as("s"))
+    val win = Window.partitionBy(col("doc_id"))
+      .orderBy(col("w").desc, col("topic"))
+    w.withColumn("rn", row_number().over(win))
+      .filter(col("rn") === 1)
+      .join(tot, Seq("doc_id"))
+      .select(col("doc_id"), col("topic"),
+        round(when(col("s").cast("double") === 0.0, 0.0)
+          .otherwise(col("w").cast("double") / col("s").cast("double")), 6)
+          .as("share"))
+  }
+
   /** Per-topic top-n terms: (topic, rnk, term, weight). */
   def topTerms(h: DataFrame, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -262,19 +262,37 @@ object LsaQueries extends QueryProvider {
           rounds = NmfRounds)
         graft.operators.Nmf.topTerms(h, 10).orderBy($"topic", $"rnk")
       },
-      Some(nmfOracleSql))
+      Some(nmfOracleSql)),
+
+    // The W side of the same factorization: per-document topic mixture
+    // — dominant topic (argmax weight, topic tiebreak) and its share of
+    // the doc's total topic mass. The oracle rides the identical
+    // unrolled W/H chain; only the final select differs.
+    Q(
+      "ls11_topic_mixture",
+      (s, dir) => {
+        import s.implicits._
+        val v = graft.operators.Nmf.tfidf(
+          graft.Par.fanOut(Tables.documents(s, dir)), maxDfFrac = 0.9)
+        val (w, _) = graft.operators.Nmf.factorize(v, k = NmfK,
+          rounds = NmfRounds)
+        graft.operators.Nmf.topicMixture(w).orderBy($"doc_id")
+      },
+      Some(nmfMixtureOracleSql))
   )
 
   private final val NmfK = 4
   private final val NmfRounds = 4
 
-  /** DuckDB replay of ls10: TF-IDF band, FNV-seeded W0/H0, then
-    * [[NmfRounds]] unrolled Lee–Seung rounds (Gram → numerator →
-    * denominator → elementwise step, W first, H with the new W), then
-    * the per-topic ranking. All sums are exact DECIMAL sums of 6dp
-    * DECIMAL entries, matching the engine's summation discipline.
+  /** The shared ls10/ls11 CTE chain: TF-IDF band, FNV-seeded W0/H0,
+    * then [[NmfRounds]] unrolled Lee–Seung rounds (Gram → numerator →
+    * denominator → elementwise step, W first, H with the new W),
+    * ending at w[[NmfRounds]] / h[[NmfRounds]]. All sums are exact
+    * DECIMAL sums of 6dp DECIMAL entries, matching the engine's
+    * summation discipline. MATERIALIZED throughout — inlining doubles
+    * the expression tree per round.
     */
-  private lazy val nmfOracleSql: String = {
+  private lazy val nmfChainSql: String = {
     def pm(key: String) =
       s"((${FnvSql.toSigned(FnvSql.ofString(key))} % 1000) + 1000) % 1000"
     def initSql(key: String) =
@@ -312,7 +330,7 @@ object LsaQueries extends QueryProvider {
          |  JOIN nh$r n ON n.topic = h.topic AND n.term = h.term
          |  JOIN dh$r d ON d.topic = h.topic AND d.term = h.term)""".stripMargin
     }.mkString(",\n")
-    s"""WITH t AS MATERIALIZED (SELECT doc_id,
+    s"""t AS MATERIALIZED (SELECT doc_id,
        |  regexp_extract_all(lower(text),'[a-zA-Z]+') AS tok FROM documents),
        |corpus AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
        |tfq AS (SELECT doc_id, tok2 AS term, count(*) AS tf FROM
@@ -329,14 +347,32 @@ object LsaQueries extends QueryProvider {
        |h0 AS MATERIALIZED (SELECT topic, term,
        |    ${initSql("(term || ':' || topic::VARCHAR)")} AS h
        |  FROM (SELECT DISTINCT term FROM vv) CROSS JOIN tp),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private lazy val nmfOracleSql: String =
+    s"""WITH $nmfChainSql
        |SELECT CAST(topic AS INTEGER) AS topic, rnk, term,
        |  CAST(h AS DOUBLE) AS weight FROM (
        |  SELECT topic, term, h, row_number() OVER
        |    (PARTITION BY topic ORDER BY h DESC, term) AS rnk
        |  FROM h$NmfRounds) WHERE rnk <= 10
        |ORDER BY topic, rnk""".stripMargin
-  }
+
+  /** ls11's final select over the same chain: per-doc argmax topic +
+    * its share of the (DECIMAL-exact) total topic mass.
+    */
+  private lazy val nmfMixtureOracleSql: String =
+    s"""WITH $nmfChainSql,
+       |tot AS (SELECT doc_id, sum(w) AS s FROM w$NmfRounds GROUP BY doc_id),
+       |dom AS (SELECT doc_id, topic, w, row_number() OVER
+       |    (PARTITION BY doc_id ORDER BY w DESC, topic) AS rn
+       |  FROM w$NmfRounds)
+       |SELECT d.doc_id, CAST(d.topic AS INTEGER) AS topic,
+       |  round(CASE WHEN CAST(t.s AS DOUBLE) = 0.0 THEN 0.0
+       |    ELSE CAST(d.w AS DOUBLE) / CAST(t.s AS DOUBLE) END, 6) AS share
+       |FROM dom d JOIN tot t USING (doc_id) WHERE d.rn = 1
+       |ORDER BY d.doc_id""".stripMargin
 
   /** DuckDB replay of ls04: per-source binary matrices factored by the
     * SAME keyed chain (every CTE carries g = source), scored by the

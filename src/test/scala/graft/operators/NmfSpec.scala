@@ -68,4 +68,23 @@ class NmfSpec extends SparkSpec {
     val blocks = top.values.map(t => t.exists(fruit)).toSeq
     assert(blocks.distinct.size == 2, s"both topics chose one block: $top")
   }
+
+  test("topicMixture assigns the two doc blocks to different dominant " +
+    "topics with majority shares") {
+    val v = Nmf.tfidf(docs, maxDfFrac = 0.9)
+    val (w, _) = Nmf.factorize(v, k = 2, rounds = 8)
+    val mix = Nmf.topicMixture(w).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("topic"),
+        r.getAs[Double]("share"))).toSeq
+    assert(mix.size == 12)
+    mix.foreach { case (d, _, s) =>
+      assert(s > 0.0 && s <= 1.0, s"doc $d share $s")
+    }
+    val fruitTopics = mix.filter(_._1 <= 6).map(_._2).toSet
+    val metalTopics = mix.filter(_._1 > 6).map(_._2).toSet
+    assert(fruitTopics.size == 1 && metalTopics.size == 1 &&
+      fruitTopics != metalTopics, s"mixtures did not separate: $mix")
+    // dominant topic really dominates on cleanly separated blocks
+    assert(mix.forall(_._3 > 0.5), s"weak dominance: $mix")
+  }
 }
