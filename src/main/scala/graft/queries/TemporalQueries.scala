@@ -499,7 +499,48 @@ object TemporalQueries extends QueryProvider {
             round($"sv", 2).cast("double").as("sum_value"))
           .orderBy($"user_id", $"start_us")
       },
-      Some(sessionWindowOracle))
+      Some(sessionWindowOracle)),
+
+    // Pre-shuffle skew audit — the diagnosis a 100 TB job runs BEFORE
+    // keying a join/agg on a column: per-key histogram (one partial-agg
+    // groupBy), global top-5 heavy hitters via TakeOrderedAndProject
+    // (map-side partial top-k, no global sort), and the skew factor
+    // max/avg that decides between a plain shuffle, AQE skew handling,
+    // or an explicit salt (q19's operator). All integer arithmetic +
+    // one rounded ratio — trivially exact cross-engine.
+    Q(
+      "q52_skew_audit",
+      (s, dir) => {
+        import s.implicits._
+        val counts = Tables.events(s, dir)
+          .groupBy($"user_id").agg(count(lit(1)).as("cnt"))
+        val summary = counts.agg(sum($"cnt").as("total"),
+          count(lit(1)).as("nkeys"), max($"cnt").as("maxc"))
+        val top = counts.orderBy($"cnt".desc, $"user_id").limit(5)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy($"cnt".desc, $"user_id")
+        top.crossJoin(broadcast(summary))
+          .withColumn("rnk", row_number().over(w))
+          .select($"rnk", $"user_id", $"cnt",
+            round($"cnt".cast("double") / $"total", 6).as("share"),
+            round($"maxc".cast("double") * $"nkeys" / $"total", 6)
+              .as("skew_factor"),
+            ($"maxc".cast("double") * $"nkeys" / $"total" >= 4.0)
+              .as("salt_recommended"))
+          .orderBy($"rnk")
+      },
+      Some("""WITH c AS (SELECT user_id, count(*) AS cnt
+             |  FROM events GROUP BY user_id),
+             |s AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+             |  count(*) AS nkeys, max(cnt) AS maxc FROM c),
+             |t AS (SELECT user_id, cnt, row_number() OVER
+             |    (ORDER BY cnt DESC, user_id) AS rnk FROM c)
+             |SELECT CAST(rnk AS INTEGER) AS rnk, user_id, cnt,
+             |  round(cnt::DOUBLE / total, 6) AS share,
+             |  round(maxc::DOUBLE * nkeys / total, 6) AS skew_factor,
+             |  maxc::DOUBLE * nkeys / total >= 4.0 AS salt_recommended
+             |FROM t CROSS JOIN s WHERE rnk <= 5
+             |ORDER BY rnk""".stripMargin))
   )
 
   /** Shared q51/sm11 oracle: session_window's merge rule as
