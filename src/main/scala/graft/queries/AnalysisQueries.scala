@@ -1741,7 +1741,7 @@ object AnalysisQueries extends QueryProvider {
     * bigram-key hash join), score every >=2-token doc by its mean
     * -log10 bigram probability. Columns: (doc_id, n_bigrams, surprisal).
     */
-  private def lmSurprisalPerDoc(s: org.apache.spark.sql.SparkSession,
+  private[queries] def lmSurprisalPerDoc(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val toks = graft.Par.fanOut(Tables.documents(s, dir))
@@ -1775,7 +1775,7 @@ object AnalysisQueries extends QueryProvider {
   /** The DuckDB replay of [[lmSurprisalPerDoc]], ending in `pd`
     * (doc_id, n_bigrams, surprisal) — shared by a24 and a27.
     */
-  private lazy val lmSurprisalCtes: String =
+  private[queries] lazy val lmSurprisalCtes: String =
     """base AS (SELECT doc_id,
       |  regexp_extract_all(lower(text),'[a-zA-Z]+') AS t FROM documents),
       |u AS (SELECT w, count(*) AS c1

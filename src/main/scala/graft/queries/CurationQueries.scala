@@ -1111,7 +1111,61 @@ object CurationQueries extends QueryProvider {
               |  UNION ALL SELECT 3, 'quality', n2, n3 FROM agg
               |  UNION ALL SELECT 4, 'repetition', n3, n4 FROM agg
               |  UNION ALL SELECT 5, 'exact_dedup', n4, n5 FROM agg)
-              |ORDER BY stage""".stripMargin))
+              |ORDER BY stage""".stripMargin)),
+
+    // DoReMi-style domain reweighting (Xie et al. 2023, "Doremi:
+    // Optimizing Data Mixtures Speeds Up Language Model Pretraining"),
+    // the one-step static approximation: each source's EXCESS loss
+    // under the corpus bigram LM (a24's surprisal chain) over the
+    // global mean sets its mixture weight ∝ exp(excess) — domains the
+    // reference model finds hard get upweighted. (The published method
+    // iterates this with a proxy-model training loop; the excess-loss
+    // → exponential-weights step is the part a data engine owns.)
+    // Scale shape: a24's linear LM chain plus two broadcast-sized
+    // aggregations; per-doc surprisal is DECIMAL-summed per source so
+    // the means — and therefore every weight — are partition-proof.
+    Q(
+      "c27_doremi_weights",
+      (s, dir) => {
+        import s.implicits._
+        val pd = AnalysisQueries.lmSurprisalPerDoc(s, dir)
+        val per = pd
+          .join(Tables.documents(s, dir).select($"doc_id", $"source"),
+            Seq("doc_id"))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            round(sum($"surprisal".cast("decimal(18,6)")).cast("double") /
+              count(lit(1)), 6).as("mean_surprisal"))
+        val glob = pd.agg(
+          round(sum($"surprisal".cast("decimal(18,6)")).cast("double") /
+            count(lit(1)), 6).as("gmean"))
+        val ex = per.crossJoin(broadcast(glob))
+          .withColumn("excess", round($"mean_surprisal" - $"gmean", 6))
+          .withColumn("rw", round(exp($"excess"), 6).cast("decimal(18,6)"))
+        val tot = ex.agg(sum($"rw").as("trw"))
+        ex.crossJoin(broadcast(tot))
+          .select($"source", $"n_docs", $"mean_surprisal", $"excess",
+            round($"rw".cast("double") / $"trw".cast("double"), 6)
+              .as("weight"))
+          .orderBy($"source")
+      },
+      Some(s"""WITH ${AnalysisQueries.lmSurprisalCtes},
+              |ds AS (SELECT doc_id, source FROM documents),
+              |per AS (SELECT source, count(*) AS n_docs,
+              |  round(CAST(sum(CAST(surprisal AS DECIMAL(18,6))) AS DOUBLE)
+              |    / count(*), 6) AS mean_surprisal
+              |  FROM pd JOIN ds USING (doc_id) GROUP BY source),
+              |gl AS (SELECT round(CAST(sum(CAST(surprisal AS DECIMAL(18,6)))
+              |    AS DOUBLE) / count(*), 6) AS gmean FROM pd),
+              |ex AS (SELECT source, n_docs, mean_surprisal,
+              |  round(mean_surprisal - gmean, 6) AS excess,
+              |  CAST(round(exp(round(mean_surprisal - gmean, 6)), 6)
+              |    AS DECIMAL(18,6)) AS rw
+              |  FROM per CROSS JOIN gl),
+              |tt AS (SELECT sum(rw) AS trw FROM ex)
+              |SELECT source, n_docs, mean_surprisal, excess,
+              |  round(CAST(rw AS DOUBLE) / CAST(trw AS DOUBLE), 6) AS weight
+              |FROM ex CROSS JOIN tt ORDER BY source""".stripMargin))
   )
 
 }

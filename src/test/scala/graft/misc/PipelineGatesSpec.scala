@@ -213,4 +213,18 @@ class PipelineGatesSpec extends SparkSpec {
     assert(acc > math.max(pos, rows.length - pos), s"acc=$acc pos=$pos")
     assert(acc.toDouble / rows.length >= 0.9)
   }
+
+  test("c27: weights are a positive distribution, monotone in excess " +
+    "loss") {
+    val rows = run("c27_doremi_weights").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Double]("excess"),
+        r.getAs[Double]("weight")))
+    assert(rows.length >= 2)
+    rows.foreach { case (s, _, w) => assert(w > 0.0, s"source $s") }
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-3,
+      s"weights sum to ${rows.map(_._3).sum}")
+    // exp is increasing: sorting by excess must sort by weight
+    val byExcess = rows.sortBy(_._2).map(_._3).toSeq
+    assert(byExcess == byExcess.sorted, "weight not monotone in excess")
+  }
 }
