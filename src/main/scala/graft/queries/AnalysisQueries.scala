@@ -1657,6 +1657,44 @@ object AnalysisQueries extends QueryProvider {
     // map-reduce gradient passes each return four numbers to the driver
     // (partial aggregation does the work — nothing shuffles but 4
     // decimals per partition), then one broadcast-model scoring pass.
+    // k-anonymity audit — the data-release gate: group the corpus by
+    // its quasi-identifier tuple (source, lang, length bucket) and flag
+    // every group smaller than k=5, where membership alone could
+    // re-identify a contributor. Reports each group's size, the flag,
+    // and the corpus-wide at-risk fraction (broadcast join of one
+    // aggregate). One groupBy with map-side partial aggregation — the
+    // audit costs one scan at any corpus size.
+    Q(
+      "a30_k_anonymity",
+      (s, dir) => {
+        import s.implicits._
+        val k = 5L
+        val groups = Tables.documents(s, dir)
+          .groupBy($"source", $"lang",
+            floor($"n_chars" / 100L).as("len_bucket"))
+          .agg(count(lit(1)).as("group_n"))
+        val risk = groups.agg(
+          sum(when($"group_n" < k, $"group_n").otherwise(0L)).as("at_risk"),
+          sum($"group_n").as("total"))
+        groups.crossJoin(broadcast(risk))
+          .select($"source", $"lang", $"len_bucket", $"group_n",
+            ($"group_n" < k).as("violates_k"),
+            round($"at_risk".cast("double") / $"total", 6).as("risk_frac"))
+          .orderBy($"source", $"lang", $"len_bucket")
+      },
+      Some("""WITH g AS (SELECT source, lang,
+             |  CAST(floor(n_chars / 100) AS BIGINT) AS len_bucket,
+             |  count(*) AS group_n
+             |  FROM documents GROUP BY source, lang, floor(n_chars / 100)),
+             |r AS (SELECT CAST(sum(CASE WHEN group_n < 5 THEN group_n
+             |    ELSE 0 END) AS BIGINT) AS at_risk,
+             |  CAST(sum(group_n) AS BIGINT) AS total FROM g)
+             |SELECT source, lang, len_bucket, group_n,
+             |  group_n < 5 AS violates_k,
+             |  round(at_risk::DOUBLE / total, 6) AS risk_frac
+             |FROM g CROSS JOIN r
+             |ORDER BY source, lang, len_bucket""".stripMargin)),
+
     Q(
       "a29_lr_quality",
       (s, dir) => {

@@ -1165,7 +1165,49 @@ object CurationQueries extends QueryProvider {
               |tt AS (SELECT sum(rw) AS trw FROM ex)
               |SELECT source, n_docs, mean_surprisal, excess,
               |  round(CAST(rw AS DOUBLE) / CAST(trw AS DOUBLE), 6) AS weight
-              |FROM ex CROSS JOIN tt ORDER BY source""".stripMargin))
+              |FROM ex CROSS JOIN tt ORDER BY source""".stripMargin)),
+
+    // Greedy no-split sequence packing (SentenceChunks.noSplitPack):
+    // whole documents packed into fixed-budget training sequences with
+    // no document ever cut — the cross-doc-contamination-safe
+    // alternative to c06/c24's stream cutting, whose padding cost c20
+    // measures. Hash shards pack independently inside one HOF fold;
+    // the oracle replays the greedy recurrence as a recursive CTE over
+    // dense per-shard hash-order positions.
+    Q(
+      "c28_nosplit_pack",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.SentenceChunks.noSplitPack(
+            graft.Par.fanOut(Tables.documents(s, dir)),
+            TA.wsTokenCount($"text"), budget = 256L, shards = 8)
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH RECURSIVE b AS (SELECT doc_id,
+             |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+             |    AS nt,
+             |  ${FnvSql.toSigned(FnvSql.ofString("doc_id::VARCHAR"))} AS hs
+             |  FROM documents),
+             |sd AS (SELECT doc_id, nt, hs,
+             |  CAST((CASE WHEN hs < 0 THEN hs + 18446744073709551616::HUGEINT
+             |    ELSE hs::HUGEINT END % 8) AS INTEGER) AS shard
+             |  FROM b),
+             |pos AS (SELECT doc_id, nt, shard,
+             |  CAST(row_number() OVER (PARTITION BY shard
+             |    ORDER BY hs, doc_id) - 1 AS INTEGER) AS pos
+             |  FROM sd),
+             |rec AS (
+             |  SELECT shard, pos, doc_id, nt, 0::BIGINT AS seq, nt AS used
+             |  FROM pos WHERE pos = 0
+             |  UNION ALL
+             |  SELECT p.shard, p.pos, p.doc_id, p.nt,
+             |    CASE WHEN c.used + p.nt > 256 THEN c.seq + 1 ELSE c.seq END,
+             |    CASE WHEN c.used + p.nt > 256 THEN p.nt
+             |      ELSE c.used + p.nt END
+             |  FROM rec c JOIN pos p
+             |    ON p.shard = c.shard AND p.pos = c.pos + 1)
+             |SELECT doc_id, shard, pos, seq AS seq_id, nt
+             |FROM rec ORDER BY doc_id""".stripMargin))
   )
 
 }

@@ -55,4 +55,36 @@ class PackingSpec extends SparkSpec {
       Packing.contextPack(docs, "doc_id", $"n", ctx = 0L, shards = 4)
     }
   }
+
+  test("noSplitPack: sequences respect the budget (except oversized " +
+    "singletons) and break exactly on overflow") {
+    import spark.implicits._
+    // token counts spanning under/over budget 50, incl. an oversized doc
+    val dd = (1L to 40L).map(id => (id, s"${"w " * (7 + (id * 11 % 60).toInt)}"))
+      .toDF("doc_id", "text")
+    val out = SentenceChunks.noSplitPack(dd,
+        graft.operators.TextAnalysis.wsTokenCount($"text"), budget = 50L,
+        shards = 4)
+      .collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+    assert(out.length == 40)
+    out.groupBy(t => (t._1, t._3)).foreach { case ((sh, seq), rows) =>
+      val total = rows.map(_._4).sum
+      assert(total <= 50L || rows.length == 1,
+        s"shard $sh seq $seq holds $total tokens in ${rows.length} docs")
+    }
+    // greedy = a new sequence starts ONLY when the previous had no room
+    out.groupBy(_._1).foreach { case (sh, rows) =>
+      val ordered = rows.sortBy(_._2)
+      ordered.sliding(2).foreach {
+        case Array((_, _, s1, n1), (_, p2, s2, n2)) =>
+          if (s2 == s1 + 1) {
+            val used = ordered.filter(t => t._3 == s1).map(_._4).sum
+            assert(used + n2 > 50L,
+              s"shard $sh pos $p2 broke with room left ($used + $n2)")
+          } else assert(s2 == s1, s"shard $sh seq ids not contiguous")
+        case _ =>
+      }
+    }
+  }
 }
