@@ -53,7 +53,11 @@ object Stress {
     // the residual-PQ IVFADC index
     "a29_lr_quality", "sm17_stream_quality_score", "s15_ivfadc",
     // NMF topic extraction (4 multiplicative-update rounds over TF-IDF)
-    "ls10_nmf_topics")
+    "ls10_nmf_topics",
+    // topic mixture (W side), DoReMi domain weights (a24-shaped LM
+    // chain), skew audit, k-anonymity, no-split packing
+    "ls11_topic_mixture", "c27_doremi_weights", "q52_skew_audit",
+    "a30_k_anonymity", "c28_nosplit_pack")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/graft_sf1")

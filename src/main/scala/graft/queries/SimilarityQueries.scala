@@ -384,6 +384,49 @@ object SimilarityQueries extends QueryProvider {
               |    AS kept_idsum
               |FROM r GROUP BY cluster ORDER BY cluster""".stripMargin)),
 
+    // Matryoshka retrieval sweep (Kusupati et al. 2022): recall@10 of
+    // cosine search over TRUNCATED embedding prefixes (8/16/32 dims)
+    // against the full-64-dim truth — the eval that picks the serving
+    // dimension before an MRL deployment trades index cost for recall.
+    // One pairwise pass computes every resolution's cosine (the slices
+    // ride the same scan — the expensive part is the pair join, not
+    // the per-pair arithmetic); micro recall stays in integer counts
+    // until one final division, like s13.
+    Q(
+      "s16_matryoshka_recall",
+      (s, dir) => {
+        import s.implicits._
+        val dims = Seq(8, 16, 32, 64)
+        val v = vecs(s, dir)
+        val q = v.filter($"id" < 20)
+          .select($"id".as("qid"), $"vec".as("qv"))
+        def cosD(d: Int) = {
+          val (a, b) = (slice($"qv", 1, d), slice($"vec", 1, d))
+          round(Similarity.dot(a, b) /
+            (Similarity.norm(a) * Similarity.norm(b)), 6).as(s"cos$d")
+        }
+        val pairs = v.crossJoin(broadcast(q)).filter($"qid" =!= $"id")
+          .select($"qid" +: $"id" +: dims.map(cosD): _*)
+          .persist()
+        def top(d: Int) = {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy($"qid").orderBy(col(s"cos$d").desc, $"id")
+          pairs.withColumn("rn", row_number().over(w))
+            .filter($"rn" <= 10).select($"qid", $"id")
+        }
+        val truth = top(64).persist()
+        val tn = truth.agg(count(lit(1)).as("truth_pairs"))
+        dims.map { d =>
+          top(d).join(truth, Seq("qid", "id"))
+            .agg(count(lit(1)).as("hits"))
+            .crossJoin(broadcast(tn))
+            .select(lit(d).as("dims"), $"truth_pairs", $"hits",
+              round($"hits".cast("double") / $"truth_pairs", 6)
+                .as("recall"))
+        }.reduce(_ unionByName _).orderBy($"dims")
+      },
+      Some(s16OracleSql)),
+
     // IVFADC — the full billion-scale index (coarse quantizer + residual
     // product quantization + per-probe ADC lookup tables), composed from
     // the same deterministic Lloyd core as s03/s08 so DuckDB recomputes
@@ -588,6 +631,39 @@ object SimilarityQueries extends QueryProvider {
        |  row_number() OVER (PARTITION BY qid ORDER BY adc, id) AS rnk FROM j)
        |SELECT query_id, rnk, neighbor_id, adc FROM r WHERE rnk <= 10
        |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** s16 oracle: the same one-pass multi-resolution cosine table (a
+    * MATERIALIZED pair CTE holding cos8/16/32/64), per-dim rank CTEs,
+    * and the integer-count micro recall against the 64-dim truth.
+    */
+  private lazy val s16OracleSql: String = {
+    val dims = Seq(8, 16, 32, 64)
+    val cosCols = dims.map { d =>
+      s"round(list_cosine_similarity(q.e[1:$d], n.e[1:$d]), 6) AS cos$d"
+    }.mkString(",\n  ")
+    val tops = dims.map { d =>
+      s"""t$d AS (SELECT qid, nid FROM (SELECT qid, nid, row_number()
+         |  OVER (PARTITION BY qid ORDER BY cos$d DESC, nid) AS rn
+         |  FROM p) WHERE rn <= 10)""".stripMargin
+    }.mkString(",\n")
+    val rows = dims.map { d =>
+      s"""SELECT $d AS dims,
+         |  (SELECT count(*) FROM t64) AS truth_pairs,
+         |  (SELECT count(*) FROM t$d a JOIN t64 b
+         |    ON a.qid = b.qid AND a.nid = b.nid) AS hits,
+         |  round((SELECT count(*) FROM t$d a JOIN t64 b
+         |    ON a.qid = b.qid AND a.nid = b.nid)::DOUBLE
+         |    / (SELECT count(*) FROM t64), 6) AS recall""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e
+       |  FROM embeddings),
+       |p AS MATERIALIZED (SELECT q.id AS qid, n.id AS nid,
+       |  $cosCols
+       |  FROM v n CROSS JOIN v q WHERE q.id < 20 AND q.id <> n.id),
+       |$tops
+       |$rows
+       |ORDER BY dims""".stripMargin
   }
 
   /** s15 oracle: the whole IVFADC index recomputed in SQL — coarse

@@ -213,6 +213,19 @@ class RetrievalOpsSpec extends SparkSpec {
       (30L, 0.0, c(2), c(2))))
   }
 
+  test("s16: matryoshka recall is nondecreasing in dims and exact at " +
+    "full dimension") {
+    val rows = graft.SparkEntry.queries("s16_matryoshka_recall")(
+        spark, sf("sf0.001")).collect()
+      .map(r => (r.getAs[Int]("dims"), r.getAs[Double]("recall")))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(8, 16, 32, 64))
+    val recalls = rows.map(_._2).toSeq
+    assert(recalls == recalls.sorted, s"recall not monotone: $recalls")
+    assert(recalls.last == 1.0)
+    assert(recalls.head < 1.0, "truncation to 8 dims lost nothing?")
+  }
+
   test("ivfAdcTopK: full probe + perfect codebooks reproduce the exact " +
     "squared-distance ranking") {
     import spark.implicits._
