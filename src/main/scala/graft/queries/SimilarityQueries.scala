@@ -444,7 +444,26 @@ object SimilarityQueries extends QueryProvider {
           .withColumnRenamed("rank", "rnk")
           .orderBy($"query_id", $"rnk")
       },
-      Some(s15OracleSql))
+      Some(s15OracleSql)),
+
+    // IVFADC recall@10 against exact-cosine truth — the s12-style eval
+    // for the residual-PQ index: the sampled-query harness a deployment
+    // runs before committing to (nProbe, m, pqClusters). Truth is
+    // bounded by the query sample; the approx leg is the s15 pipeline.
+    Q(
+      "s17_ivfadc_recall",
+      (s, dir) => {
+        import s.implicits._
+        val v = vecs(s, dir)
+        val q = v.filter($"id" < 5)
+        Similarity.recallAtK(
+          Similarity.bruteForceTopK(v, q, 10),
+          Similarity.ivfAdcTopK(v, q.select($"id".as("qid"), $"vec"),
+            k = 10, nClusters = 16, nProbe = 4, coarseIters = 2,
+            m = 4, subDim = 16, pqClusters = 4, pqIters = 2))
+          .orderBy($"query_id")
+      },
+      Some(s17OracleSql))
   )
 
   /** s13 oracle: one shared per-plane sign-bit table, re-banded per
@@ -674,7 +693,7 @@ object SimilarityQueries extends QueryProvider {
     * is exact double/int arithmetic, so the only float surfaces are the
     * fold-identical distances the Lloyd chains already pin.
     */
-  private lazy val s15OracleSql: String = {
+  private lazy val s15ChainSql: String = {
     val (m, subDim, coarseIters, pqIters) = (4, 16, 2, 2)
     val cf = LloydSql.finalCentroids(coarseIters)
     val chains = (0 until m).map { j =>
@@ -693,7 +712,7 @@ object SimilarityQueries extends QueryProvider {
          |  JOIN l$j l ON l.query_id = cand.query_id
          |    AND l.cluster = cand.cluster AND l.code$j = rc.cluster)""".stripMargin
     }
-    s"""WITH ${LloydSql.ctes(16, coarseIters)},
+    s"""${LloydSql.ctes(16, coarseIters)},
        |resid AS (SELECT a.id, a.cluster,
        |  list_transform(range(len(a.e)), i -> a.e[i+1] - c.cv[i+1]) AS rv
        |  FROM af a JOIN $cf c USING (cluster)),
@@ -712,10 +731,33 @@ object SimilarityQueries extends QueryProvider {
        |  FROM p0 JOIN p1 USING (query_id, id) JOIN p2 USING (query_id, id)
        |    JOIN p3 USING (query_id, id)),
        |r AS (SELECT query_id, id AS neighbor_id, adc, row_number() OVER
-       |  (PARTITION BY query_id ORDER BY adc, id) AS rnk FROM jn)
+       |  (PARTITION BY query_id ORDER BY adc, id) AS rnk FROM jn)""".stripMargin
+  }
+
+  private lazy val s15OracleSql: String =
+    s"""WITH $s15ChainSql
        |SELECT query_id, rnk, neighbor_id, adc FROM r WHERE rnk <= 10
        |ORDER BY query_id, rnk""".stripMargin
-  }
+
+  /** s17 oracle: the s15 chain's ranked ADC list scored for recall@10
+    * against the exact-cosine truth, s12's per-query accounting.
+    */
+  private lazy val s17OracleSql: String =
+    s"""WITH $s15ChainSql,
+       |px AS (SELECT q.id AS query_id, n.id AS neighbor_id,
+       |    round(list_cosine_similarity(q.e, n.e), 6) AS cosine
+       |  FROM v n CROSS JOIN v q WHERE q.id < 5 AND q.id <> n.id),
+       |ex AS (SELECT query_id, neighbor_id FROM (SELECT query_id,
+       |    neighbor_id, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id) AS rnk FROM px)
+       |  WHERE rnk <= 10),
+       |al AS (SELECT DISTINCT query_id, neighbor_id, 1 AS hit
+       |  FROM r WHERE rnk <= 10)
+       |SELECT ex.query_id, count(*) AS n_exact,
+       |  CAST(coalesce(sum(al.hit), 0) AS BIGINT) AS n_hit,
+       |  round(coalesce(sum(al.hit), 0) * 1.0 / count(*), 6) AS recall
+       |FROM ex LEFT JOIN al USING (query_id, neighbor_id)
+       |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
 
   /** s07 oracle: sign words as literal power-of-two conditional sums
     * (the identical constants the Spark expression folds in), then
