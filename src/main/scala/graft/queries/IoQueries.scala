@@ -291,7 +291,68 @@ object IoQueries extends QueryProvider {
       },
       Some("""SELECT count(*) AS n,
              |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-             |FROM orders WHERE o_orderpriority LIKE '1%'""".stripMargin))
+             |FROM orders WHERE o_orderpriority LIKE '1%'""".stripMargin)),
+
+    // Malformed-record routing (the dead-letter pattern): a CSV stage
+    // with a deterministic corruption (every 13th doc's line breaks off
+    // into an unclosed quote) read back in PERMISSIVE mode
+    // with columnNameOfCorruptRecord — good rows parse, corrupt rows
+    // surface as raw lines in the quarantine column instead of killing
+    // the job. The gate pins BOTH routes: good-row id sums and a
+    // position-independent FNV checksum over the quarantined raw
+    // lines, which the oracle recomputes from the corruption rule — if
+    // the parser ever accepted a corrupt line (or quarantined a good
+    // one) the hash fails.
+    Q(
+      "io10_malformed_csv",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.types._
+        val docs = Tables.documents(s, dir)
+        val stage = stageDir("graft_io10")
+        docs.select(
+            when($"doc_id" % 13 === 0,
+              concat($"doc_id".cast("string"), lit(",\"broken")))
+            .otherwise(concat_ws(",", $"doc_id",
+              $"n_chars".cast("string"), $"lang", $"source"))
+            .as("value"))
+          .write.mode("overwrite").text(stage)
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("n_chars", LongType),
+          StructField("lang", StringType), StructField("source", StringType),
+          StructField("_corrupt", StringType)))
+        val read = s.read.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt")
+          .csv(stage)
+          // materialize EVERY column before aggregating: CSV column
+          // pruning would otherwise parse only (doc_id, _corrupt) for
+          // the aggregate below, and a row whose malformation lives in
+          // an unparsed column is never flagged (observed: pruning the
+          // quote-broken n_chars/lang/source fields reported 0
+          // quarantined rows)
+          .localCheckpoint()
+        read.agg(
+            count(when($"_corrupt".isNull, 1)).as("n_good"),
+            sum(when($"_corrupt".isNull, $"doc_id")).as("good_idsum"),
+            count($"_corrupt").as("n_quarantined"),
+            sum(pmod(graft.functions.Fnv.fnv1a64($"_corrupt"),
+              lit(1000000007L))).as("quarantine_fnv"))
+          .localCheckpoint()
+      },
+      Some(s"""WITH c AS (SELECT doc_id, n_chars, lang, source,
+             |  doc_id % 13 = 0 AS bad,
+             |  doc_id::VARCHAR || ',"broken' AS line
+             |  FROM documents)
+             |SELECT
+             |  CAST(count(*) FILTER (WHERE NOT bad) AS BIGINT) AS n_good,
+             |  CAST(sum(doc_id) FILTER (WHERE NOT bad) AS BIGINT)
+             |    AS good_idsum,
+             |  CAST(count(*) FILTER (WHERE bad) AS BIGINT) AS n_quarantined,
+             |  CAST(sum(((${FnvSql.toSigned(FnvSql.ofString("line"))}
+             |      % 1000000007) + 1000000007) % 1000000007)
+             |    FILTER (WHERE bad) AS BIGINT) AS quarantine_fnv
+             |FROM c""".stripMargin))
   )
 
   private def deleteRecursively(f: java.io.File): Unit = {
