@@ -613,6 +613,72 @@ object Dedup {
     * Output: (doc_id, n_grams, dup_occ, dup_frac) for docs with >= n
     * tokens.
     */
+  /** Exact-substring span REMOVAL (the cut step of Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better" §4.1,
+    * re-expressed over hashed char k-grams instead of a suffix array):
+    * every k-char window whose gram occurs >= 2 times in the corpus is
+    * marked, overlapping marks are merged into maximal spans, and the
+    * spans are cut out of the document — d16 measures the signal, this
+    * produces the deduplicated corpus.
+    *
+    * Plan (all linear, two shuffles): gram table with positions (narrow
+    * fan-out; persisted — it feeds both the count aggregation and the
+    * position join-back), gram-keyed count -> duplicated-hash set, join
+    * back for per-doc duplicated positions, one groupBy(doc) collecting
+    * the SORTED position list, then per-doc interval-merge + cut run as
+    * two `aggregate` higher-order functions — no window, no second pass
+    * over text. At 100 TB the gram table is ~|corpus| rows of
+    * (id, i, 16-byte md5); the cnt>=2 filter drops the unique-gram
+    * majority BEFORE the join-back shuffle, so only duplicated
+    * positions (typically a small fraction) reach the per-doc state.
+    * Position lists are bounded by |doc|, never by |corpus|.
+    *
+    * Merge rule matches the oracle's gaps-and-islands exactly: sorted
+    * positions, a new span starts iff i > previous merged end
+    * (= prev_i + k - 1); adjacent-but-not-overlapping windows stay
+    * separate spans (they still cut the same characters).
+    *
+    * Output: (id, n_spans, n_cut, clean_text) for every input doc —
+    * clean_text IS the deduplicated corpus.
+    */
+  def removeRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, "k-gram length must be >= 2")
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("t"))
+    val grams = graft.Par.fanOut(base)
+      .filter(length(col("t")) >= k)
+      .select(col("id"),
+        explode(sequence(lit(1), length(col("t")) - (k - 1))).as("i"),
+        col("t"))
+      .select(col("id"), col("i"), md5(expr(s"substr(t, i, $k)")).as("gh"))
+      .persist()
+    val dupHashes = grams.groupBy(col("gh"))
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2).select("gh")
+    val perDoc = grams.join(dupHashes, Seq("gh"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("i"))).as("ps"))
+    val spans = expr(
+      s"""aggregate(ps, cast(array() as array<struct<s:int,e:int>>),
+         |  (acc, x) -> if(size(acc) = 0 or x > element_at(acc, -1).e,
+         |    concat(acc, array(named_struct('s', x, 'e', x + ${k - 1}))),
+         |    concat(slice(acc, 1, size(acc) - 1),
+         |      array(named_struct('s', element_at(acc, -1).s,
+         |        'e', x + ${k - 1})))))""".stripMargin)
+    val cut = expr(
+      """aggregate(spans, named_struct('p', 1, 'o', ''),
+        |  (acc, sp) -> named_struct('p', sp.e + 1,
+        |    'o', concat(acc.o, substring(t, acc.p, sp.s - acc.p))),
+        |  acc -> concat(acc.o,
+        |    substring(t, acc.p, length(t) - acc.p + 1)))""".stripMargin)
+    base.join(perDoc, Seq("id"), "left")
+      .withColumn("spans", spans)
+      .select(col("id"),
+        coalesce(size(col("spans")), lit(0)).cast("long").as("n_spans"),
+        coalesce(expr("aggregate(spans, 0, (a, sp) -> a + sp.e - sp.s + 1)"),
+          lit(0)).cast("long").as("n_cut"),
+        when(col("ps").isNull, col("t")).otherwise(cut).as("clean_text"))
+  }
+
   def dupGramRate(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     val sh = graft.Par.fanOut(docs)
