@@ -661,8 +661,95 @@ object TextQueries extends QueryProvider {
               |SELECT w.word, w.freq, w.bpe_ntok, o.opt_ntok,
               |  w.bpe_ntok - o.opt_ntok AS gap
               |FROM w JOIN opt o USING (word)
-              |ORDER BY w.freq DESC, w.word""".stripMargin))
+              |ORDER BY w.freq DESC, w.word""".stripMargin)),
+
+    // Unigram-LM subword tokenizer (Kudo 2018, hard-EM variant; see
+    // operators/Unigram.scala): substring-seeded vocabulary ->
+    // Viterbi E-step -> usage-count M-step -> final Viterbi. The
+    // oracle replays BOTH Viterbi passes as recursive-CTE DPs carrying
+    // (best, back) lists per word type, the backpointer walks as a
+    // second recursion, and the 6dp-rounded -ln scores — identical
+    // left-to-right double additions, first-minimal tie-break, and the
+    // same 1e18 missing-piece sentinel as the engine.
+    Q(
+      "t22_unigram_train",
+      (s, dir) => {
+        import s.implicits._
+        val toks = graft.Par.fanOut(Tables.documents(s, dir))
+          .select(TF.tokenize($"text").as("tokens"))
+        graft.operators.Unigram.train(s,
+          graft.operators.Bpe.wordFrequencies(toks, "tokens"),
+          vocabSize = 64, maxLen = 6)
+          .orderBy($"piece")
+      },
+      Some(unigramOracleSql(64, 6)))
   )
+
+  /** One Viterbi DP pass as a recursive CTE: per word type, carry the
+    * (best, back) arrays one character at a time; candidate costs come
+    * from the score map CTE with the engine's 1e18 missing sentinel,
+    * and list_position picks the FIRST minimal predecessor exactly like
+    * the engine's ascending strict-< scan.
+    */
+  private def unigramDpSql(name: String, mapCte: String, maxLen: Int): String =
+    s"""$name AS (
+       |  SELECT word, freq, 0 AS i, CAST([] AS DOUBLE[]) AS costs,
+       |    [CAST(0 AS DOUBLE)] AS best, [0] AS back FROM wt
+       |  UNION ALL
+       |  SELECT word, freq, i + 1,
+       |    list_transform(range(greatest(0, i+1-$maxLen), i+1),
+       |      j -> best[j+1] + coalesce(map_extract($mapCte.m,
+       |        substr(word, j+1, i+1-j))[1], 1e18)) AS c2,
+       |    list_append(best, list_min(c2)),
+       |    list_append(back, greatest(0, i+1-$maxLen) - 1
+       |      + list_position(c2, list_min(c2)))
+       |  FROM $name, $mapCte WHERE i < length(word))""".stripMargin
+
+  /** Backpointer walk: pos -> back[pos+1] until 0; each step's substring
+    * is one emitted piece.
+    */
+  private def unigramWalkSql(name: String, dpf: String): String =
+    s"""$name AS (
+       |  SELECT word, freq, length(word) AS pos, back FROM $dpf
+       |  UNION ALL
+       |  SELECT word, freq, back[pos+1], back FROM $name WHERE pos > 0)""".stripMargin
+
+  private def unigramOracleSql(v: Int, maxLen: Int): String =
+    s"""WITH RECURSIVE
+       |tk AS (SELECT regexp_extract_all(lower(text), '[a-zA-Z]+') AS tks
+       |  FROM documents),
+       |wt AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(tks) AS w FROM tk) GROUP BY w),
+       |sub AS (SELECT substr(word, i, l) AS piece, sum(freq) AS cnt
+       |  FROM wt, unnest(range(1, length(word)+1)) AS a(i),
+       |    unnest(range(1, $maxLen+1)) AS b(l)
+       |  WHERE i + l - 1 <= length(word) GROUP BY 1),
+       |v0 AS (SELECT piece, cnt FROM sub WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (SELECT piece, cnt FROM sub
+       |    WHERE length(piece) >= 2 ORDER BY cnt DESC, piece LIMIT $v)),
+       |t0 AS (SELECT sum(cnt) AS tot FROM v0),
+       |n0 AS (SELECT piece, round(-ln(cnt * 1.0 / tot), 6) AS nll
+       |  FROM v0, t0),
+       |m0c AS (SELECT map(list(piece ORDER BY piece),
+       |  list(nll ORDER BY piece)) AS m FROM n0),
+       |${unigramDpSql("dp1", "m0c", maxLen)},
+       |dpf1 AS (SELECT word, freq, back FROM dp1 WHERE i = length(word)),
+       |${unigramWalkSql("wk1", "dpf1")},
+       |u1 AS (SELECT substr(word, back[pos+1]+1, pos - back[pos+1]) AS piece,
+       |  sum(freq) AS cnt FROM wk1 WHERE pos > 0 GROUP BY 1),
+       |t1 AS (SELECT sum(cnt) AS tot FROM u1),
+       |n1 AS (SELECT piece, round(-ln(cnt * 1.0 / tot), 6) AS nll
+       |  FROM u1, t1),
+       |m1c AS (SELECT map(list(piece ORDER BY piece),
+       |  list(nll ORDER BY piece)) AS m FROM n1),
+       |${unigramDpSql("dp2", "m1c", maxLen)},
+       |dpf2 AS (SELECT word, freq, back FROM dp2 WHERE i = length(word)),
+       |${unigramWalkSql("wk2", "dpf2")},
+       |u2 AS (SELECT substr(word, back[pos+1]+1, pos - back[pos+1]) AS piece,
+       |  CAST(sum(freq) AS BIGINT) AS n_used FROM wk2 WHERE pos > 0 GROUP BY 1)
+       |SELECT u2.piece, u2.n_used, n1.nll FROM u2 JOIN n1 USING (piece)
+       |ORDER BY piece""".stripMargin
 
   /** The 20 BPE merge stages unrolled as materialized CTEs (the tr01
     * unrolled-iteration pattern), ending with the winner tables b1..b20
