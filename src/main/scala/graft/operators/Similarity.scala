@@ -55,6 +55,40 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Hard-negative mining for contrastive embedding training (the DPR
+    * recipe, Karpukhin et al. 2020 §3.2): for each query vector, the
+    * top-k most similar vectors with a DIFFERENT label — the near-miss
+    * negatives that carry the strongest training signal. Candidates
+    * above `maxCos` are excluded as suspected false negatives
+    * (near-duplicates mislabeled across classes).
+    *
+    * Ranking and margin both act on the 6dp-rounded cosine (determinism
+    * pin, ties by neighbor id). This exact form rides the broadcast of
+    * the (bounded) query batch, like [[bruteForceTopK]]; at corpus
+    * scale the candidate set comes from the IVF/LSH paths instead and
+    * the label filter + margin + rank stages are unchanged.
+    *
+    * vecs/queries: (id, vec, label). Output: (query_id, rnk,
+    * neighbor_id, cosine).
+    */
+  def hardNegatives(vecs: DataFrame, queries: DataFrame, k: Int,
+      maxCos: Double): DataFrame = {
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"),
+      col("label").as("qlabel"), norm(col("vec")).as("qn"))
+    val v = vecs.select(col("id").as("neighbor_id"), col("vec").as("nv"),
+      col("label").as("nlabel"), norm(col("vec")).as("nn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cosine"), col("neighbor_id"))
+    v.crossJoin(broadcast(q))
+      .filter(col("qlabel") =!= col("nlabel"))
+      .withColumn("cosine",
+        round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6))
+      .filter(col("cosine") < maxCos)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
+  }
+
   /** Exact k-NN GRAPH with mutuality: every vector's top-k neighbor
     * edges, flagged `mutual` when both endpoints keep each other — the
     * structure semantic-dedup clustering and graph-based diversity

@@ -463,7 +463,35 @@ object SimilarityQueries extends QueryProvider {
             m = 4, subDim = 16, pqClusters = 4, pqIters = 2))
           .orderBy($"query_id")
       },
-      Some(s17OracleSql))
+      Some(s17OracleSql)),
+
+    // Hard-negative mining (Similarity.hardNegatives) — the DPR-style
+    // contrastive-training step: per query, the most-similar
+    // DIFFERENT-label vectors, with a cosine<0.99 margin dropping
+    // suspected false negatives. Rank and margin act on the 6dp-rounded
+    // cosine on both sides.
+    Q(
+      "s18_hard_negatives",
+      (s, dir) => {
+        import s.implicits._
+        val v = Tables.embeddings(s, dir)
+          .select($"vec_id".as("id"),
+            Similarity.toDouble($"embedding").as("vec"), $"label")
+        Similarity.hardNegatives(v, v.filter($"id" < 8), k = 10,
+          maxCos = 0.99)
+          .orderBy($"query_id", $"rnk")
+      },
+      Some("""WITH v AS (SELECT vec_id, label,
+             |  embedding::DOUBLE[] AS e FROM embeddings),
+             |q AS (SELECT vec_id, label, e FROM v WHERE vec_id < 8),
+             |p AS (SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+             |  round(list_cosine_similarity(q.e, v.e), 6) AS cosine
+             |  FROM v CROSS JOIN q WHERE v.label <> q.label),
+             |f AS (SELECT * FROM p WHERE cosine < 0.99),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+             |  ORDER BY cosine DESC, neighbor_id) AS rnk FROM f)
+             |SELECT query_id, rnk, neighbor_id, cosine FROM r
+             |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin))
   )
 
   /** s13 oracle: one shared per-plane sign-bit table, re-banded per
