@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Probabilistic record linkage — Fellegi & Sunter 1969 ("A Theory for
+  * Record Linkage", JASA 64) scoring over a blocked candidate-pair
+  * table. Entity resolution is the curation step that reconciles the
+  * same real-world entity across sources before dedup/canonicalization
+  * can treat them as one.
+  *
+  * The operator takes the PAIR table (already blocked — blocking is the
+  * scale lever and lives at the query site) with one boolean agreement
+  * column per compared field, plus per-field prior match probabilities
+  * m_f. The non-match agreement rates u_f are ESTIMATED FROM THE DATA
+  * as the field agreement frequency among known-non-matching blocked
+  * pairs (the classical u ~ random-agreement estimate; EM refinement is
+  * a documented non-goal). Each field contributes the log-likelihood
+  * ratio weight ln(m/u) on agreement and ln((1-m)/(1-u)) on
+  * disagreement; the pair score is their sum.
+  *
+  * Scale shape: u estimation is ONE aggregate over the pair table (3
+  * doubles to the driver via a broadcast crossJoin — no collect of
+  * data rows); scoring is a narrow map over pairs. The pair table
+  * itself is bounded by the blocking discipline upstream: block keys
+  * must keep per-block cardinality square-root-ish (nation-level blocks
+  * here at gate scale; production blocks add a name-prefix/sorted-
+  * neighborhood component, cf. d14).
+  *
+  * Determinism: u_f are exact (0/1 sums in doubles, then one division);
+  * weights are 6dp-rounded before summation; the sum is left-to-right
+  * in `agreeCols` order — identical IEEE arithmetic in the oracle.
+  */
+object RecordLinkage {
+
+  /** Score blocked pairs. `pairs` must carry the `agreeCols` boolean
+    * columns and whatever keys the caller needs; `nonMatch` selects the
+    * pairs used to estimate u_f (typically key_a != key_b).
+    * Adds a 6dp `score` column; u clamps to [1e-6, 0.999999] so fully
+    * (dis)agreeing fields cannot produce infinite weights.
+    */
+  def fellegiSunter(pairs: DataFrame, agreeCols: Seq[String],
+      m: Map[String, Double], nonMatch: Column): DataFrame = {
+    require(agreeCols.nonEmpty && agreeCols.forall(m.contains),
+      "every agreement column needs an m prior")
+    val uExprs = agreeCols.map(c =>
+      avg(col(c).cast("double")).as(s"u_$c"))
+    val u = pairs.filter(nonMatch).agg(uExprs.head, uExprs.tail: _*)
+    val score = agreeCols.map { c =>
+      val uc = least(greatest(col(s"u_$c"), lit(1e-6)), lit(0.999999))
+      val wAgree = round(log(lit(m(c)) / uc), 6)
+      val wDis = round(log((lit(1.0) - lit(m(c))) / (lit(1.0) - uc)), 6)
+      when(col(c), wAgree).otherwise(wDis)
+    }.reduce(_ + _)
+    pairs.crossJoin(broadcast(u))
+      .withColumn("score", round(score, 6))
+      .drop(agreeCols.map(c => s"u_$c"): _*)
+  }
+}

@@ -702,7 +702,78 @@ object DedupQueries extends QueryProvider {
              |    ELSE coalesce(a.head, '') || substr(d0.text, a.last_e + 1)
              |  END AS clean_text
              |FROM documents d0 LEFT JOIN agg a USING (doc_id)
-             |ORDER BY d0.doc_id""".stripMargin))
+             |ORDER BY d0.doc_id""".stripMargin)),
+
+    // Probabilistic record linkage (operators/RecordLinkage.scala,
+    // Fellegi-Sunter): match customers against a deterministically
+    // dirtied second source (name truncated to its 16-char prefix,
+    // balance coarsened to the nearest 100) — nation-blocked pairs,
+    // per-field agreement, u rates estimated from non-twin pairs,
+    // log-likelihood-ratio scores, best-candidate-per-record
+    // assignment. The oracle replays the dirtying, the u aggregate,
+    // the clamped ln weights and the ranked assignment.
+    Q(
+      "d21_record_linkage",
+      (s, dir) => {
+        import s.implicits._
+        val cust = Tables.customer(s, dir)
+        val a = cust.select($"c_custkey".as("a_key"), $"c_name",
+          $"c_nationkey", $"c_acctbal", $"c_mktsegment")
+        val b = cust.select($"c_custkey".as("b_key"),
+          substring($"c_name", 1, 16).as("nm16"),
+          $"c_nationkey", round($"c_acctbal", -2).as("bal100"),
+          $"c_mktsegment".as("segb"))
+        val pairs = a.join(b, Seq("c_nationkey"))
+          .select($"a_key", $"b_key",
+            (substring($"c_name", 1, 16) === $"nm16").as("agree_name"),
+            (abs($"c_acctbal" - $"bal100") <= 50.0).as("agree_bal"),
+            ($"c_mktsegment" === $"segb").as("agree_seg"))
+        val scored = graft.operators.RecordLinkage.fellegiSunter(
+          pairs, Seq("agree_name", "agree_bal", "agree_seg"),
+          Map("agree_name" -> 0.95, "agree_bal" -> 0.9,
+            "agree_seg" -> 0.95),
+          $"a_key" =!= $"b_key")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"a_key").orderBy($"score".desc, $"b_key")
+        scored.withColumn("rnk", row_number().over(w))
+          .filter($"rnk" === 1 && $"score" > 0)
+          .select($"a_key", $"b_key", $"agree_name", $"agree_bal",
+            $"agree_seg", $"score")
+          .orderBy($"a_key")
+      },
+      Some("""WITH a AS (SELECT c_custkey AS a_key, c_name, c_nationkey,
+             |  c_acctbal, c_mktsegment FROM customer),
+             |b AS (SELECT c_custkey AS b_key, substr(c_name, 1, 16) AS nm16,
+             |  c_nationkey, round(c_acctbal, -2) AS bal100,
+             |  c_mktsegment AS segb FROM customer),
+             |p AS (SELECT a_key, b_key,
+             |  substr(c_name, 1, 16) = nm16 AS agree_name,
+             |  abs(c_acctbal - bal100) <= 50.0 AS agree_bal,
+             |  c_mktsegment = segb AS agree_seg
+             |  FROM a JOIN b USING (c_nationkey)),
+             |u AS (SELECT avg(CAST(agree_name AS DOUBLE)) AS un,
+             |  avg(CAST(agree_bal AS DOUBLE)) AS ub,
+             |  avg(CAST(agree_seg AS DOUBLE)) AS us
+             |  FROM p WHERE a_key <> b_key),
+             |uc AS (SELECT least(greatest(un, 1e-6), 0.999999) AS un,
+             |  least(greatest(ub, 1e-6), 0.999999) AS ub,
+             |  least(greatest(us, 1e-6), 0.999999) AS us FROM u),
+             |w AS (SELECT a_key, b_key, agree_name, agree_bal, agree_seg,
+             |  round(
+             |    CASE WHEN agree_name THEN round(ln(0.95 / un), 6)
+             |      ELSE round(ln((CAST(1 AS DOUBLE) - 0.95)
+             |        / (CAST(1 AS DOUBLE) - un)), 6) END
+             |  + CASE WHEN agree_bal THEN round(ln(0.9 / ub), 6)
+             |      ELSE round(ln((CAST(1 AS DOUBLE) - 0.9)
+             |        / (CAST(1 AS DOUBLE) - ub)), 6) END
+             |  + CASE WHEN agree_seg THEN round(ln(0.95 / us), 6)
+             |      ELSE round(ln((CAST(1 AS DOUBLE) - 0.95)
+             |        / (CAST(1 AS DOUBLE) - us)), 6) END, 6) AS score
+             |  FROM p, uc),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY a_key
+             |  ORDER BY score DESC, b_key) AS rnk FROM w)
+             |SELECT a_key, b_key, agree_name, agree_bal, agree_seg, score
+             |FROM r WHERE rnk = 1 AND score > 0 ORDER BY a_key""".stripMargin))
   )
 
   /** d14 oracle: the same blocked sorted-neighborhood windows — leads
