@@ -120,14 +120,36 @@ object Unigram {
   def train(spark: SparkSession, wordFreq: DataFrame, vocabSize: Int,
       maxLen: Int): DataFrame = {
     val wf = wordFreq.persist()
-    val nll0 = collectScores(scores(seedVocab(wf, vocabSize, maxLen)))
-    val u1 = viterbiUsage(spark, wf, nll0, maxLen)
-      .withColumnRenamed("n_used", "cnt")
-    val nll1df = scores(u1).persist()
-    val nll1 = collectScores(nll1df)
-    val u2 = viterbiUsage(spark, wf, nll1, maxLen)
+    val nll1df = trainedScoresDF(spark, wf, vocabSize, maxLen).persist()
+    val u2 = viterbiUsage(spark, wf, collectScores(nll1df), maxLen)
     u2.join(nll1df, Seq("piece"))
       .select(col("piece"), col("n_used"), col("nll"))
+  }
+
+  /** The round-1 re-estimated score table (piece, nll) — the model the
+    * final Viterbi segments under.
+    */
+  def trainedScoresDF(spark: SparkSession, wordFreq: DataFrame,
+      vocabSize: Int, maxLen: Int): DataFrame = {
+    val nll0 = collectScores(scores(seedVocab(wordFreq, vocabSize, maxLen)))
+    scores(viterbiUsage(spark, wordFreq, nll0, maxLen)
+      .withColumnRenamed("n_used", "cnt"))
+  }
+
+  /** The trained tokenizer as an encode dictionary, (word, n_sub):
+    * pieces per word TYPE under the final model — the table fertility
+    * audits broadcast-join back onto the corpus (mirrors
+    * [[Bpe.subwordDict]] so the two tokenizers compare head-to-head).
+    */
+  def encodeDict(spark: SparkSession, wordFreq: DataFrame, vocabSize: Int,
+      maxLen: Int): DataFrame = {
+    import spark.implicits._
+    val wf = wordFreq.persist()
+    val nll1 = collectScores(trainedScoresDF(spark, wf, vocabSize, maxLen))
+    val bc = spark.sparkContext.broadcast(nll1)
+    wf.select(col("word")).as[String]
+      .map(w => (w, segment(w, bc.value, maxLen).length))
+      .toDF("word", "n_sub")
   }
 
   private def collectScores(df: DataFrame): Map[String, Double] =

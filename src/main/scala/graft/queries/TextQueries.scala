@@ -682,7 +682,50 @@ object TextQueries extends QueryProvider {
           vocabSize = 64, maxLen = 6)
           .orderBy($"piece")
       },
-      Some(unigramOracleSql(64, 6)))
+      Some(unigramOracleSql(64, 6))),
+
+    // Unigram-tokenizer fertility per language — the t20 BPE audit
+    // re-run under the t22 model, so the two tokenizers compare
+    // head-to-head on identical metrics (pieces per word, per-doc mean
+    // fertility). Corpus side is one broadcast dict join; the oracle
+    // re-derives the dict from the shared recursive segmentation chain.
+    Q(
+      "t23_unigram_fertility",
+      (s, dir) => {
+        import s.implicits._
+        val docs = graft.Par.fanOut(Tables.documents(s, dir))
+        val dict = graft.operators.Unigram.encodeDict(s,
+          graft.operators.Bpe.wordFrequencies(
+            docs.select(TF.tokenize($"text").as("tokens")), "tokens"),
+          vocabSize = 64, maxLen = 6)
+        docs.select($"doc_id", $"lang",
+            explode(TF.tokenize($"text")).as("word"))
+          .join(broadcast(dict), "word")
+          .groupBy($"doc_id", $"lang")
+          .agg(count(lit(1)).as("nw"), sum($"n_sub").cast("long").as("ns"))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"nw").cast("long").as("n_words"),
+            sum($"ns").cast("long").as("n_subwords"),
+            round(sum(($"ns" * 1.0 / $"nw").cast("decimal(38,18)"))
+              .cast("double") / count(lit(1)), 6).as("uni_fertility"))
+          .orderBy($"lang")
+      },
+      Some(s"""${unigramCtesSql(64, 6)},
+              |dict AS (SELECT word, count(*) AS n_sub FROM wk2
+              |  WHERE pos > 0 GROUP BY word),
+              |dw AS (SELECT doc_id, lang,
+              |  unnest(regexp_extract_all(lower(text), '[a-zA-Z]+')) AS word
+              |  FROM documents),
+              |pd AS (SELECT doc_id, lang, count(*) AS nw,
+              |  CAST(sum(n_sub) AS BIGINT) AS ns
+              |  FROM dw JOIN dict USING (word) GROUP BY doc_id, lang)
+              |SELECT lang, count(*) AS n_docs,
+              |  CAST(sum(nw) AS BIGINT) AS n_words,
+              |  CAST(sum(ns) AS BIGINT) AS n_subwords,
+              |  round(CAST(sum(CAST(ns * 1.0 / nw AS DECIMAL(38,18))) AS DOUBLE)
+              |    / count(*), 6) AS uni_fertility
+              |FROM pd GROUP BY lang ORDER BY lang""".stripMargin))
   )
 
   /** One Viterbi DP pass as a recursive CTE: per word type, carry the
@@ -715,6 +758,17 @@ object TextQueries extends QueryProvider {
        |  SELECT word, freq, back[pos+1], back FROM $name WHERE pos > 0)""".stripMargin
 
   private def unigramOracleSql(v: Int, maxLen: Int): String =
+    s"""${unigramCtesSql(v, maxLen)},
+       |u2 AS (SELECT substr(word, back[pos+1]+1, pos - back[pos+1]) AS piece,
+       |  CAST(sum(freq) AS BIGINT) AS n_used FROM wk2 WHERE pos > 0 GROUP BY 1)
+       |SELECT u2.piece, u2.n_used, n1.nll FROM u2 JOIN n1 USING (piece)
+       |ORDER BY piece""".stripMargin
+
+  /** The shared unigram-tokenizer CTE chain: word types -> seed vocab ->
+    * round-1 DP + walk -> usage re-estimate (n1) -> round-2 DP + walk
+    * (wk2, the final segmentation).
+    */
+  private def unigramCtesSql(v: Int, maxLen: Int): String =
     s"""WITH RECURSIVE
        |tk AS (SELECT regexp_extract_all(lower(text), '[a-zA-Z]+') AS tks
        |  FROM documents),
@@ -745,11 +799,7 @@ object TextQueries extends QueryProvider {
        |  list(nll ORDER BY piece)) AS m FROM n1),
        |${unigramDpSql("dp2", "m1c", maxLen)},
        |dpf2 AS (SELECT word, freq, back FROM dp2 WHERE i = length(word)),
-       |${unigramWalkSql("wk2", "dpf2")},
-       |u2 AS (SELECT substr(word, back[pos+1]+1, pos - back[pos+1]) AS piece,
-       |  CAST(sum(freq) AS BIGINT) AS n_used FROM wk2 WHERE pos > 0 GROUP BY 1)
-       |SELECT u2.piece, u2.n_used, n1.nll FROM u2 JOIN n1 USING (piece)
-       |ORDER BY piece""".stripMargin
+       |${unigramWalkSql("wk2", "dpf2")}""".stripMargin
 
   /** The 20 BPE merge stages unrolled as materialized CTEs (the tr01
     * unrolled-iteration pattern), ending with the winner tables b1..b20
