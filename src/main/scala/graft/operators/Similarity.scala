@@ -646,6 +646,45 @@ object Similarity {
         round(col("n_hit") * 1.0 / col("n_exact"), 6).as("recall"))
   }
 
+  /** NDCG@k of a retrieval run against exact-ranking truth — the
+    * rank-AWARE companion to [[recallAtK]]: recall says the right
+    * neighbors came back, NDCG says they came back in the right ORDER.
+    * Graded relevance is derived from the truth ranking itself
+    * (rel = k+1-rank, so truth rank 1 carries grade k), gains are the
+    * standard (2^rel - 1)/log2(pos + 1), and IDCG is computed per
+    * query from its own truth list (short lists normalize correctly).
+    *
+    * Both legs are per-(query, position) narrow maps plus one
+    * per-query aggregate; gain terms pass through DECIMAL(38,18)
+    * before summation so the 10-term sums are partition-order-free.
+    *
+    * truth/run: (query_id, rank, neighbor_id). Output:
+    * (query_id, n_hits, ndcg).
+    */
+  def ndcgAtK(truth: DataFrame, run: DataFrame, k: Int): DataFrame = {
+    def gain(rel: Column, pos: Column): Column =
+      ((pow(lit(2.0), rel) - 1.0) / log2(pos.cast("double") + 1.0))
+        .cast("decimal(38,18)")
+    val rels = truth.select(col("query_id"), col("neighbor_id"),
+      (lit(k + 1) - col("rank")).cast("double").as("rel"))
+    val idcg = truth.select(col("query_id"),
+        gain(lit(k + 1) - col("rank"), col("rank")).as("g"))
+      .groupBy(col("query_id")).agg(sum(col("g")).as("idcg"))
+    val dcg = run.select(col("query_id"), col("rank"), col("neighbor_id"))
+      .join(rels, Seq("query_id", "neighbor_id"), "left")
+      .select(col("query_id"),
+        when(col("rel").isNull, lit(java.math.BigDecimal.ZERO)
+            .cast("decimal(38,18)"))
+          .otherwise(gain(col("rel"), col("rank"))).as("g"),
+        when(col("rel").isNull, 0L).otherwise(1L).as("hit"))
+      .groupBy(col("query_id"))
+      .agg(sum(col("g")).as("dcg"), sum(col("hit")).as("n_hits"))
+    dcg.join(idcg, Seq("query_id"))
+      .select(col("query_id"), col("n_hits"),
+        round((col("dcg").cast("double") / col("idcg").cast("double")), 6)
+          .as("ndcg"))
+  }
+
   /** Cluster-balanced diversity sampling (the SemDeDup/DataComp
     * follow-on): assign every vector to its deterministic Lloyd
     * cluster, keep a fixed per-cluster quota in FNV-hash order — a

@@ -491,8 +491,82 @@ object SimilarityQueries extends QueryProvider {
              |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
              |  ORDER BY cosine DESC, neighbor_id) AS rnk FROM f)
              |SELECT query_id, rnk, neighbor_id, cosine FROM r
-             |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin))
+             |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin)),
+
+    // NDCG@10 of the s02 LSH run against exact-cosine truth
+    // (Similarity.ndcgAtK) — the rank-AWARE companion to s12's recall:
+    // graded relevance k+1-rank from the truth ordering, standard
+    // (2^rel-1)/log2(pos+1) gains, per-query IDCG. The oracle replays
+    // both retrieval legs (shared with s12) plus the decimal-summed
+    // gain arithmetic.
+    Q(
+      "s19_ann_ndcg",
+      (s, dir) => {
+        import s.implicits._
+        val v = vecs(s, dir)
+        val q = v.filter($"id" < 20)
+        Similarity.ndcgAtK(
+          Similarity.bruteForceTopK(v, q, 10),
+          Similarity.lshTopK(v, q, 10, bands = 8, rowsPerBand = 4,
+            seed = 42L, dim = 64),
+          k = 10)
+          .orderBy($"query_id")
+      },
+      Some(s19OracleSql))
   )
+
+  /** s19: the s12 truth + LSH legs (rnk columns retained) feeding the
+    * NDCG gain/IDCG arithmetic — decimal-cast terms, one divide, 6dp.
+    */
+  private lazy val s19OracleSql: String = {
+    val planes = Similarity.hyperplanes(32, 64, 42L)
+    val planesSql = planes.map(_.map(_.toString).mkString("[", ",", "]"))
+      .mkString("[", ",\n", "]")
+    s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings),
+       |q AS (SELECT id, e FROM v WHERE id < 20),
+       |px AS (SELECT q.id AS query_id, v.id AS neighbor_id,
+       |    round(list_cosine_similarity(q.e, v.e), 6) AS cosine
+       |  FROM v CROSS JOIN q WHERE q.id <> v.id),
+       |rx AS (SELECT query_id, neighbor_id, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+       |  FROM px),
+       |relt AS (SELECT query_id, neighbor_id,
+       |  CAST(11 - rnk AS DOUBLE) AS rel, rnk FROM rx WHERE rnk <= 10),
+       |idcg AS (SELECT query_id,
+       |  sum(CAST((pow(2.0, rel) - 1) / log2(CAST(rnk AS DOUBLE) + 1.0)
+       |    AS DECIMAL(38,18))) AS idcg
+       |  FROM relt GROUP BY query_id),
+       |pl AS (SELECT unnest(range(32)) AS pi, unnest($planesSql) AS pv),
+       |bits AS (SELECT id, pi // 4 AS band,
+       |    string_agg(CASE WHEN list_inner_product(e, pv) >= 0
+       |      THEN '1' ELSE '0' END, '' ORDER BY pi) AS key
+       |  FROM v CROSS JOIN pl GROUP BY id, pi // 4),
+       |cand AS (SELECT DISTINCT qb.id AS query_id, vb.id AS neighbor_id
+       |  FROM bits qb JOIN bits vb ON qb.band = vb.band AND qb.key = vb.key
+       |  WHERE qb.id < 20 AND qb.id <> vb.id),
+       |sc AS (SELECT c.query_id, c.neighbor_id,
+       |    round(list_cosine_similarity(qv.e, nv.e), 6) AS cosine
+       |  FROM cand c JOIN v qv ON qv.id = c.query_id
+       |  JOIN v nv ON nv.id = c.neighbor_id),
+       |rl AS (SELECT query_id, neighbor_id, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+       |  FROM sc),
+       |runl AS (SELECT query_id, neighbor_id, rnk FROM rl WHERE rnk <= 10),
+       |dcg AS (SELECT runl.query_id,
+       |  sum(CASE WHEN relt.rel IS NULL THEN CAST(0 AS DECIMAL(38,18))
+       |    ELSE CAST((pow(2.0, relt.rel) - 1)
+       |      / log2(CAST(runl.rnk AS DOUBLE) + 1.0) AS DECIMAL(38,18)) END)
+       |    AS dcg,
+       |  CAST(sum(CASE WHEN relt.rel IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+       |    AS n_hits
+       |  FROM runl LEFT JOIN relt ON relt.query_id = runl.query_id
+       |    AND relt.neighbor_id = runl.neighbor_id
+       |  GROUP BY runl.query_id)
+       |SELECT dcg.query_id, dcg.n_hits,
+       |  round(CAST(dcg.dcg AS DOUBLE) / CAST(idcg.idcg AS DOUBLE), 6)
+       |    AS ndcg
+       |FROM dcg JOIN idcg USING (query_id) ORDER BY query_id""".stripMargin
+  }
 
   /** s13 oracle: one shared per-plane sign-bit table, re-banded per
     * config (pi // rows), each joined to the shared exact truth and
