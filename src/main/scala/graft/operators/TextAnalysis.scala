@@ -164,4 +164,37 @@ object TextAnalysis {
           .as("n_match"))
       .select(col("doc_id"), col("doc_lang"), col("n_sent"), col("n_match"),
         round(col("n_match") * 1.0 / col("n_sent"), 6).as("purity"))
+
+  /** LZ78 phrase count over the first `prefixLen` characters — the
+    * compression-ratio quality signal (the Gopher/RefinedWeb rules use
+    * compressibility as a repetition proxy: boilerplate and template
+    * spam parse into FEW long phrases, natural prose into many short
+    * ones). Classic LZ78 incremental parse: grow the current phrase
+    * while (phrase + next char) is already in the dictionary, else
+    * emit + add it and restart.
+    *
+    * One row-local `aggregate` fold over the char array — integer and
+    * string ops only (bit-identical across engines), codegen'd, no
+    * shuffle; the prefix bound caps the quadratic dictionary scan at
+    * prefixLen^2 steps per document regardless of document size.
+    * Returns the phrase count (the unterminated tail phrase counts as
+    * one).
+    */
+  def lzPhrases(textCol: String, prefixLen: Int): Column = {
+    val t = s"`$textCol`"
+    // sequence(1, 0) would run DESCENDING on an empty prefix — guard it
+    expr(
+      s"""if(length(substring($t, 1, $prefixLen)) = 0, 0, aggregate(
+         |  transform(sequence(1, length(substring($t, 1, $prefixLen))),
+         |    i -> substring(substring($t, 1, $prefixLen), i, 1)),
+         |  named_struct('dict', cast(array() as array<string>),
+         |    'cur', '', 'cnt', 0),
+         |  (acc, ch) -> if(array_contains(acc.dict, concat(acc.cur, ch)),
+         |    named_struct('dict', acc.dict,
+         |      'cur', concat(acc.cur, ch), 'cnt', acc.cnt),
+         |    named_struct('dict', concat(acc.dict,
+         |        array(concat(acc.cur, ch))),
+         |      'cur', '', 'cnt', acc.cnt + 1)),
+         |  acc -> acc.cnt + if(acc.cur = '', 0, 1)))""".stripMargin)
+  }
 }

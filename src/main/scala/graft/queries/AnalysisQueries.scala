@@ -1705,7 +1705,49 @@ object AnalysisQueries extends QueryProvider {
         val m = graft.operators.QualityModel.train(raw)
         graft.operators.QualityModel.scored(raw, m).orderBy($"doc_id")
       },
-      Some(lrQualityOracle))
+      Some(lrQualityOracle)),
+
+    // LZ78 compressibility signal (TextAnalysis.lzPhrases): phrase
+    // count of the incremental parse over each document's first 200
+    // chars — the compression-ratio quality rule (repetitive template
+    // text compresses into few long phrases; low lz_ratio flags it).
+    // Integer/string arithmetic only, so both engines agree exactly;
+    // the oracle replays the parse as a recursive CTE carrying the
+    // (dict, cur, cnt) state per document.
+    Q(
+      "a31_lz_complexity",
+      (s, dir) => {
+        import s.implicits._
+        graft.Par.fanOut(Tables.documents(s, dir))
+          .select($"doc_id",
+            length(substring($"text", 1, 200)).cast("long")
+              .as("prefix_len"),
+            TA.lzPhrases("text", 200).cast("long").as("n_phrases"))
+          .withColumn("lz_ratio",
+            round($"n_phrases" * 1.0 / greatest($"prefix_len", lit(1L)), 6))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH RECURSIVE lz AS (
+             |  SELECT doc_id, substr(text, 1, 200) AS p, 0 AS i,
+             |    CAST([] AS VARCHAR[]) AS dict, '' AS cur, 0 AS cnt
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT doc_id, p, i + 1,
+             |    CASE WHEN list_contains(dict, cur || substr(p, i+1, 1))
+             |      THEN dict
+             |      ELSE list_append(dict, cur || substr(p, i+1, 1)) END,
+             |    CASE WHEN list_contains(dict, cur || substr(p, i+1, 1))
+             |      THEN cur || substr(p, i+1, 1) ELSE '' END,
+             |    CASE WHEN list_contains(dict, cur || substr(p, i+1, 1))
+             |      THEN cnt ELSE cnt + 1 END
+             |  FROM lz WHERE i < length(p)),
+             |f AS (SELECT doc_id, length(p) AS prefix_len,
+             |  cnt + CASE WHEN cur = '' THEN 0 ELSE 1 END AS n_phrases
+             |  FROM lz WHERE i = length(p))
+             |SELECT doc_id, CAST(prefix_len AS BIGINT) AS prefix_len,
+             |  CAST(n_phrases AS BIGINT) AS n_phrases,
+             |  round(n_phrases * 1.0 / greatest(prefix_len, 1), 6) AS lz_ratio
+             |FROM f ORDER BY doc_id""".stripMargin))
   )
 
   /** Fixed GD round count / learning rate — the oracle replays exactly

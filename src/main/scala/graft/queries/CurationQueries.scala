@@ -1207,7 +1207,70 @@ object CurationQueries extends QueryProvider {
              |  FROM rec c JOIN pos p
              |    ON p.shard = c.shard AND p.pos = c.pos + 1)
              |SELECT doc_id, shard, pos, seq AS seq_id, nt
-             |FROM rec ORDER BY doc_id""".stripMargin))
+             |FROM rec ORDER BY doc_id""".stripMargin)),
+
+    // Corpus snapshot diff — the dataset-versioning audit run between
+    // two corpus releases: added / removed / content-changed /
+    // unchanged document counts and character deltas per source,
+    // from ONE full-outer join on doc_id with content-hash compare.
+    // Snapshots derive deterministically from the documents table
+    // (A drops doc_id%10==9, B drops %10==0 and rewrites %7==3), so
+    // both engines build identical releases. At 100 TB this is a
+    // hash-bucketed join of two manifests carrying (id, md5, nchars)
+    // only — document text never crosses the wire.
+    Q(
+      "c29_snapshot_diff",
+      (s, dir) => {
+        import s.implicits._
+        val d = Tables.documents(s, dir)
+          .select($"doc_id", $"source", $"text")
+        val snapA = d.filter($"doc_id" % 10 =!= 9)
+          .select($"doc_id", $"source", md5($"text").as("ha"),
+            length($"text").cast("long").as("ca"))
+        val snapB = d.filter($"doc_id" % 10 =!= 0)
+          .select($"doc_id", $"source",
+            when($"doc_id" % 7 === 3, concat($"text", lit(" [rev2]")))
+              .otherwise($"text").as("t2"))
+          .select($"doc_id", $"source", md5($"t2").as("hb"),
+            length($"t2").cast("long").as("cb"))
+        snapA.join(snapB, Seq("doc_id", "source"), "full_outer")
+          .groupBy($"source")
+          .agg(
+            count(when($"ha".isNull, 1)).as("n_added"),
+            count(when($"hb".isNull, 1)).as("n_removed"),
+            count(when($"ha".isNotNull && $"hb".isNotNull &&
+              $"ha" =!= $"hb", 1)).as("n_changed"),
+            count(when($"ha" === $"hb", 1)).as("n_unchanged"),
+            coalesce(sum(when($"ha".isNull, $"cb")), lit(0L))
+              .as("chars_added"),
+            coalesce(sum(when($"hb".isNull, $"ca")), lit(0L))
+              .as("chars_removed"))
+          .orderBy($"source")
+      },
+      Some("""WITH a AS (SELECT doc_id, source, md5(text) AS ha,
+             |  CAST(length(text) AS BIGINT) AS ca
+             |  FROM documents WHERE doc_id % 10 <> 9),
+             |b AS (SELECT doc_id, source, md5(t2) AS hb,
+             |  CAST(length(t2) AS BIGINT) AS cb
+             |  FROM (SELECT doc_id, source,
+             |    CASE WHEN doc_id % 7 = 3 THEN text || ' [rev2]'
+             |      ELSE text END AS t2
+             |    FROM documents WHERE doc_id % 10 <> 0)),
+             |j AS (SELECT coalesce(a.source, b.source) AS source,
+             |  ha, hb, ca, cb
+             |  FROM a FULL OUTER JOIN b
+             |    ON a.doc_id = b.doc_id AND a.source = b.source)
+             |SELECT source,
+             |  count(CASE WHEN ha IS NULL THEN 1 END) AS n_added,
+             |  count(CASE WHEN hb IS NULL THEN 1 END) AS n_removed,
+             |  count(CASE WHEN ha IS NOT NULL AND hb IS NOT NULL
+             |    AND ha <> hb THEN 1 END) AS n_changed,
+             |  count(CASE WHEN ha = hb THEN 1 END) AS n_unchanged,
+             |  coalesce(sum(CASE WHEN ha IS NULL THEN cb END), 0)
+             |    AS chars_added,
+             |  coalesce(sum(CASE WHEN hb IS NULL THEN ca END), 0)
+             |    AS chars_removed
+             |FROM j GROUP BY source ORDER BY source""".stripMargin))
   )
 
 }
