@@ -57,7 +57,14 @@ object Stress {
     // topic mixture (W side), DoReMi domain weights (a24-shaped LM
     // chain), skew audit, k-anonymity, no-split packing
     "ls11_topic_mixture", "c27_doremi_weights", "q52_skew_audit",
-    "a30_k_anonymity", "c28_nosplit_pack")
+    "a30_k_anonymity", "c28_nosplit_pack",
+    // late-round-6 batch: exact-substring span removal, unigram
+    // tokenizer train + fertility, hard negatives, ANN NDCG, snapshot
+    // diff, LZ78 compressibility, Fellegi-Sunter linkage (customer is
+    // copied 1x — linkage stresses pair-table shape, not replica size)
+    "d20_span_removal", "t22_unigram_train", "t23_unigram_fertility",
+    "s18_hard_negatives", "s19_ann_ndcg", "c29_snapshot_diff",
+    "a31_lz_complexity", "d21_record_linkage")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/graft_sf1")

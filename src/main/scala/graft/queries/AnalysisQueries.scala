@@ -1747,7 +1747,72 @@ object AnalysisQueries extends QueryProvider {
              |SELECT doc_id, CAST(prefix_len AS BIGINT) AS prefix_len,
              |  CAST(n_phrases AS BIGINT) AS n_phrases,
              |  round(n_phrases * 1.0 / greatest(prefix_len, 1), 6) AS lz_ratio
-             |FROM f ORDER BY doc_id""".stripMargin))
+             |FROM f ORDER BY doc_id""".stripMargin)),
+
+    // Source keyness — Dunning 1993 log-likelihood (G²): per source,
+    // the terms most OVERREPRESENTED vs the rest of the corpus (the
+    // corpus-linguistics "what makes this domain's vocabulary
+    // distinctive" audit; a17 tracks drift over time, this contrasts
+    // sources). One (source, word) hash agg (map-side combined), word
+    // and source totals derived from it (both vocabulary-/source-
+    // bounded, broadcast), a per-source top-5 window. The 2·Σ O·ln(O/E)
+    // terms are spelled in identical operation order on both sides and
+    // 6dp-rounded before ranking.
+    Q(
+      "a32_source_keyness",
+      (s, dir) => {
+        import s.implicits._
+        val sw = graft.Par.fanOut(Tables.documents(s, dir))
+          .select($"source", explode(TF.tokenize($"text")).as("word"))
+          .groupBy($"source", $"word").agg(count(lit(1)).as("o11"))
+          .persist() // feeds word totals, source totals AND the probe
+        val wt = sw.groupBy($"word").agg(sum($"o11").as("wtot"))
+        val st = sw.groupBy($"source").agg(sum($"o11").as("r1"))
+        val n = sw.agg(sum($"o11").as("n"))
+        val scored = sw
+          .join(broadcast(wt), "word").join(broadcast(st), "source")
+          .crossJoin(broadcast(n))
+          .withColumn("o12", $"wtot" - $"o11")
+          .withColumn("r2", $"n" - $"r1")
+          .withColumn("e11", $"r1" * $"wtot" / $"n")
+          .withColumn("e12", $"r2" * $"wtot" / $"n")
+          .withColumn("g2", round(lit(2.0) *
+            (when($"o11" > 0, $"o11" * log($"o11" / $"e11"))
+              .otherwise(lit(0.0)) +
+             when($"o12" > 0, $"o12" * log($"o12" / $"e12"))
+              .otherwise(lit(0.0))), 6))
+          .filter($"o11" / $"r1" > $"o12" / $"r2") // overrepresented only
+        val w = Window.partitionBy($"source")
+          .orderBy($"g2".desc, $"word")
+        scored.withColumn("rnk", row_number().over(w))
+          .filter($"rnk" <= 5)
+          .select($"source", $"rnk", $"word", $"o11", $"g2")
+          .orderBy($"source", $"rnk")
+      },
+      Some("""WITH sw AS (SELECT source, w AS word,
+             |  CAST(count(*) AS BIGINT) AS o11
+             |  FROM (SELECT source,
+             |    unnest(regexp_extract_all(lower(text), '[a-zA-Z]+')) AS w
+             |    FROM documents) GROUP BY source, w),
+             |wt AS (SELECT word, sum(o11) AS wtot FROM sw GROUP BY word),
+             |st AS (SELECT source, sum(o11) AS r1 FROM sw GROUP BY source),
+             |n AS (SELECT sum(o11) AS n FROM sw),
+             |sc AS (SELECT sw.source, sw.word, sw.o11,
+             |  wt.wtot - sw.o11 AS o12, n.n - st.r1 AS r2,
+             |  st.r1 * wt.wtot / n.n AS e11,
+             |  (n.n - st.r1) * wt.wtot / n.n AS e12, st.r1, n.n
+             |  FROM sw JOIN wt USING (word) JOIN st USING (source)
+             |  CROSS JOIN n),
+             |g AS (SELECT source, word, o11,
+             |  round(2.0 * (CASE WHEN o11 > 0
+             |      THEN o11 * ln(o11 / e11) ELSE 0.0 END
+             |    + CASE WHEN o12 > 0
+             |      THEN o12 * ln(o12 / e12) ELSE 0.0 END), 6) AS g2
+             |  FROM sc WHERE o11 * 1.0 / r1 > o12 * 1.0 / r2),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY source
+             |  ORDER BY g2 DESC, word) AS rnk FROM g)
+             |SELECT source, rnk, word, o11, g2 FROM r WHERE rnk <= 5
+             |ORDER BY source, rnk""".stripMargin))
   )
 
   /** Fixed GD round count / learning rate — the oracle replays exactly
