@@ -717,8 +717,12 @@ object DedupQueries extends QueryProvider {
       (s, dir) => {
         import s.implicits._
         val cust = Tables.customer(s, dir)
-        val a = cust.select($"c_custkey".as("a_key"), $"c_name",
-          $"c_nationkey", $"c_acctbal", $"c_mktsegment")
+        // fanOut the probe side: the blocked join multiplies each row
+        // ~|block|-fold; a one-row-group scan would pin the whole pair
+        // expansion onto a single task
+        val a = graft.Par.fanOut(cust)
+          .select($"c_custkey".as("a_key"), $"c_name",
+            $"c_nationkey", $"c_acctbal", $"c_mktsegment")
         val b = cust.select($"c_custkey".as("b_key"),
           substring($"c_name", 1, 16).as("nm16"),
           $"c_nationkey", round($"c_acctbal", -2).as("bal100"),
@@ -733,12 +737,18 @@ object DedupQueries extends QueryProvider {
           Map("agree_name" -> 0.95, "agree_bal" -> 0.9,
             "agree_seg" -> 0.95),
           $"a_key" =!= $"b_key")
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy($"a_key").orderBy($"score".desc, $"b_key")
-        scored.withColumn("rnk", row_number().over(w))
-          .filter($"rnk" === 1 && $"score" > 0)
-          .select($"a_key", $"b_key", $"agree_name", $"agree_bal",
-            $"agree_seg", $"score")
+        // best candidate per record as ONE hash aggregate (map-side
+        // combinable max over struct(score, -b_key, ...)) — no
+        // pairs-sized window shuffle+sort; picks the same winner as
+        // the oracle's row_number (score DESC, b_key ASC)
+        scored.groupBy($"a_key")
+          .agg(max(struct($"score", (-$"b_key").as("nb"), $"b_key",
+            $"agree_name", $"agree_bal", $"agree_seg")).as("m"))
+          .filter($"m.score" > 0)
+          .select($"a_key", $"m.b_key".as("b_key"),
+            $"m.agree_name".as("agree_name"),
+            $"m.agree_bal".as("agree_bal"),
+            $"m.agree_seg".as("agree_seg"), $"m.score".as("score"))
           .orderBy($"a_key")
       },
       Some("""WITH a AS (SELECT c_custkey AS a_key, c_name, c_nationkey,
