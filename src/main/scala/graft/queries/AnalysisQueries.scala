@@ -545,6 +545,70 @@ object AnalysisQueries extends QueryProvider {
              |    AS voiced_ratio
              |FROM w GROUP BY id ORDER BY id""".stripMargin)),
 
+    // VAD-style segmentation over mm05's energy windows: consecutive
+    // voiced frames merge into speech segments with a one-frame
+    // hangover (a gap of one unvoiced window bridges; >= 2 splits) —
+    // the temporal-segmentation step a speech pipeline runs between
+    // energy scoring and transcription batching. Same fold shape as
+    // d20's interval merge: per-id sorted voiced-window list ->
+    // one row-local `aggregate`, no corpus-wide window function. The
+    // oracle replays it as gaps-and-islands with a lag window.
+    Q(
+      "mm11_vad_segments",
+      (s, dir) => {
+        import s.implicits._
+        val wins = Multimodal.audioEnergyStub(
+          Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text"))
+          .filter($"modality" === "audio")
+        val voiced = wins.filter($"sumsq" >= lit(9000L) * $"n")
+          .groupBy($"id")
+          .agg(sort_array(collect_list($"win")).as("ws"))
+        val segs = expr(
+          """aggregate(ws, cast(array() as array<struct<s:int,e:int>>),
+            |  (acc, w) -> if(size(acc) = 0 or w > element_at(acc, -1).e + 2,
+            |    concat(acc, array(named_struct('s', w, 'e', w))),
+            |    concat(slice(acc, 1, size(acc) - 1),
+            |      array(named_struct('s', element_at(acc, -1).s,
+            |        'e', w)))))""".stripMargin)
+        voiced.withColumn("segs", segs)
+          .select($"id",
+            size($"ws").cast("long").as("n_voiced"),
+            size($"segs").cast("long").as("n_segments"),
+            expr("aggregate(segs, 0, (a, sp) -> greatest(a, sp.e - sp.s + 1))")
+              .cast("long").as("max_seg_len"),
+            round(expr("aggregate(segs, 0L, (a, sp) -> a + sp.e - sp.s + 1)")
+              / size($"segs"), 6).as("mean_seg_len"))
+          .orderBy($"id")
+      },
+      Some("""WITH m AS (SELECT doc_id AS id,
+             |  hex(encode(coalesce(text,''))) AS hx,
+             |  octet_length(encode(coalesce(text,''))) AS nb
+             |  FROM documents WHERE doc_id % 3 = 1),
+             |v AS (SELECT id, i // 160 AS win,
+             |  (strpos('0123456789ABCDEF', hx[2*i+1])-1)*16 +
+             |  (strpos('0123456789ABCDEF', hx[2*i+2])-1) AS x
+             |  FROM m, unnest(range(nb)) AS t(i)),
+             |w AS (SELECT id, win, count(*) AS n,
+             |  CAST(sum(x * x) AS BIGINT) AS sumsq FROM v GROUP BY id, win),
+             |vo AS (SELECT id, win FROM w WHERE sumsq >= 9000 * n),
+             |st AS (SELECT id, win,
+             |  CASE WHEN win > coalesce(lag(win) OVER (PARTITION BY id
+             |    ORDER BY win), -3) + 2 THEN 1 ELSE 0 END AS new_seg
+             |  FROM vo),
+             |isl AS (SELECT id, win,
+             |  sum(new_seg) OVER (PARTITION BY id ORDER BY win) AS grp
+             |  FROM st),
+             |sg AS (SELECT id, grp, min(win) AS s, max(win) AS e
+             |  FROM isl GROUP BY id, grp),
+             |vc AS (SELECT id, CAST(count(*) AS BIGINT) AS n_voiced
+             |  FROM vo GROUP BY id)
+             |SELECT sg.id, vc.n_voiced,
+             |  CAST(count(*) AS BIGINT) AS n_segments,
+             |  CAST(max(e - s + 1) AS BIGINT) AS max_seg_len,
+             |  round(sum(e - s + 1) * 1.0 / count(*), 6) AS mean_seg_len
+             |FROM sg JOIN vc USING (id)
+             |GROUP BY sg.id, vc.n_voiced ORDER BY sg.id""".stripMargin)),
+
     // Long→wide pivot with an EXPLICIT value list: one partial-agg
     // shuffle, no extra values-discovery job (an implicit pivot first
     // runs a distinct scan to learn the columns — a full extra pass at
