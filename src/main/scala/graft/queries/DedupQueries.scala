@@ -783,7 +783,72 @@ object DedupQueries extends QueryProvider {
              |r AS (SELECT *, row_number() OVER (PARTITION BY a_key
              |  ORDER BY score DESC, b_key) AS rnk FROM w)
              |SELECT a_key, b_key, agree_name, agree_bal, agree_seg, score
-             |FROM r WHERE rnk = 1 AND score > 0 ORDER BY a_key""".stripMargin))
+             |FROM r WHERE rnk = 1 AND score > 0 ORDER BY a_key""".stripMargin)),
+
+    // Triangle census over the near-dup pair graph — the structural
+    // diagnostic between pairs (d03) and components (d18): a clique-y
+    // neighborhood (clustering coeff -> 1) is a true duplicate SET
+    // where keep-one-per-component is safe; a chain (coeff -> 0) is
+    // lexical drift where transitive merging over-deletes. Triangles
+    // enumerate via two equi-joins of the a<b edge list (x<y<z once
+    // each); per-node counts from one explode. At 100 TB the edge list
+    // comes from the LSH candidate path and the joins get the standard
+    // degree-orientation bound — the join shape below is unchanged.
+    Q(
+      "d22_triangle_census",
+      (s, dir) => {
+        import s.implicits._
+        val toks = graft.Par.fanOut(
+            Tables.documents(s, dir).filter($"doc_id" < 1000))
+          .select($"doc_id".as("id"), TF.tokenize($"text").as("tokens"))
+        val e = Dedup.bruteForceJaccardPairs(toks, 3, 0.02)
+          .select($"a", $"b").persist() // feeds degree + 3 join legs
+        val deg = e.select($"a".as("v"))
+          .unionByName(e.select($"b".as("v")))
+          .groupBy($"v").agg(count(lit(1)).as("degree"))
+        val paths = e.as("e1").join(e.as("e2"), $"e1.b" === $"e2.a")
+          .select($"e1.a".as("x"), $"e1.b".as("y"), $"e2.b".as("z"))
+        val tri = paths.join(e.as("e3"),
+          $"x" === $"e3.a" && $"z" === $"e3.b")
+        val perNode = tri
+          .select(explode(array($"x", $"y", $"z")).as("v"))
+          .groupBy($"v").agg(count(lit(1)).as("n_tri"))
+        deg.join(perNode, Seq("v"), "left")
+          .select($"v".as("doc_id"), $"degree",
+            coalesce($"n_tri", lit(0L)).as("n_tri"))
+          .withColumn("clustering", round(
+            when($"degree" >= 2,
+              lit(2.0) * $"n_tri" / ($"degree" * ($"degree" - 1)))
+              .otherwise(lit(0.0)), 6))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |  regexp_extract_all(lower(text),'[a-zA-Z]+') AS tk
+             |  FROM documents WHERE doc_id < 1000),
+             |s AS (SELECT doc_id,
+             |  list_distinct(list_transform(range(1, len(tk)-1),
+             |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+             |  FROM t WHERE len(tk) >= 3),
+             |e AS (SELECT a.doc_id AS a, b.doc_id AS b
+             |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+             |  WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+             |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.02),
+             |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS degree FROM
+             |  (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v),
+             |tr AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+             |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+             |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+             |pn AS (SELECT v, CAST(count(*) AS BIGINT) AS n_tri FROM
+             |  (SELECT x AS v FROM tr UNION ALL SELECT y FROM tr
+             |   UNION ALL SELECT z FROM tr) GROUP BY v)
+             |SELECT deg.v AS doc_id, deg.degree,
+             |  coalesce(pn.n_tri, 0) AS n_tri,
+             |  round(CASE WHEN deg.degree >= 2
+             |    THEN 2.0 * coalesce(pn.n_tri, 0)
+             |      / (deg.degree * (deg.degree - 1))
+             |    ELSE 0.0 END, 6) AS clustering
+             |FROM deg LEFT JOIN pn ON pn.v = deg.v
+             |ORDER BY doc_id""".stripMargin))
   )
 
   /** d14 oracle: the same blocked sorted-neighborhood windows — leads
