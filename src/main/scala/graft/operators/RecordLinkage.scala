@@ -61,4 +61,36 @@ object RecordLinkage {
       .withColumn("score", round(score, 6))
       .drop(agreeCols.map(c => s"u_$c"): _*)
   }
+
+  /** The per-field (agreeWeight, disagreeWeight) pairs as DRIVER
+    * literals — the offline-estimate/online-score split (sm18): u is
+    * estimated in batch exactly as [[fellegiSunter]] does (same
+    * expressions, so the collected doubles are bit-identical to the
+    * in-plan path), then a record STREAM scores against the weights as
+    * broadcast literals. The collect is 2·|fields| doubles.
+    */
+  def weightLiterals(pairs: DataFrame, agreeCols: Seq[String],
+      m: Map[String, Double], nonMatch: Column): Map[String, (Double, Double)] = {
+    val uExprs = agreeCols.map(c => avg(col(c).cast("double")).as(s"u_$c"))
+    val u = pairs.filter(nonMatch).agg(uExprs.head, uExprs.tail: _*)
+    val wExprs = agreeCols.flatMap { c =>
+      val uc = least(greatest(col(s"u_$c"), lit(1e-6)), lit(0.999999))
+      Seq(round(log(lit(m(c)) / uc), 6).as(s"wa_$c"),
+        round(log((lit(1.0) - lit(m(c))) / (lit(1.0) - uc)), 6).as(s"wd_$c"))
+    }
+    val row = u.select(wExprs: _*).collect().head
+    agreeCols.map(c => c -> ((row.getAs[Double](s"wa_$c"),
+      row.getAs[Double](s"wd_$c")))).toMap
+  }
+
+  /** Score a (possibly streaming) pair table with pre-estimated weight
+    * literals; same 6dp-rounded left-to-right sum as [[fellegiSunter]].
+    */
+  def scoreWithWeights(pairs: DataFrame, agreeCols: Seq[String],
+      w: Map[String, (Double, Double)]): DataFrame = {
+    val score = agreeCols.map { c =>
+      when(col(c), lit(w(c)._1)).otherwise(lit(w(c)._2))
+    }.reduce(_ + _)
+    pairs.withColumn("score", round(score, 6))
+  }
 }

@@ -751,39 +751,8 @@ object DedupQueries extends QueryProvider {
             $"m.agree_seg".as("agree_seg"), $"m.score".as("score"))
           .orderBy($"a_key")
       },
-      Some("""WITH a AS (SELECT c_custkey AS a_key, c_name, c_nationkey,
-             |  c_acctbal, c_mktsegment FROM customer),
-             |b AS (SELECT c_custkey AS b_key, substr(c_name, 1, 16) AS nm16,
-             |  c_nationkey, round(c_acctbal, -2) AS bal100,
-             |  c_mktsegment AS segb FROM customer),
-             |p AS (SELECT a_key, b_key,
-             |  substr(c_name, 1, 16) = nm16 AS agree_name,
-             |  abs(c_acctbal - bal100) <= 50.0 AS agree_bal,
-             |  c_mktsegment = segb AS agree_seg
-             |  FROM a JOIN b USING (c_nationkey)),
-             |u AS (SELECT avg(CAST(agree_name AS DOUBLE)) AS un,
-             |  avg(CAST(agree_bal AS DOUBLE)) AS ub,
-             |  avg(CAST(agree_seg AS DOUBLE)) AS us
-             |  FROM p WHERE a_key <> b_key),
-             |uc AS (SELECT least(greatest(un, 1e-6), 0.999999) AS un,
-             |  least(greatest(ub, 1e-6), 0.999999) AS ub,
-             |  least(greatest(us, 1e-6), 0.999999) AS us FROM u),
-             |w AS (SELECT a_key, b_key, agree_name, agree_bal, agree_seg,
-             |  round(
-             |    CASE WHEN agree_name THEN round(ln(0.95 / un), 6)
-             |      ELSE round(ln((CAST(1 AS DOUBLE) - 0.95)
-             |        / (CAST(1 AS DOUBLE) - un)), 6) END
-             |  + CASE WHEN agree_bal THEN round(ln(0.9 / ub), 6)
-             |      ELSE round(ln((CAST(1 AS DOUBLE) - 0.9)
-             |        / (CAST(1 AS DOUBLE) - ub)), 6) END
-             |  + CASE WHEN agree_seg THEN round(ln(0.95 / us), 6)
-             |      ELSE round(ln((CAST(1 AS DOUBLE) - 0.95)
-             |        / (CAST(1 AS DOUBLE) - us)), 6) END, 6) AS score
-             |  FROM p, uc),
-             |r AS (SELECT *, row_number() OVER (PARTITION BY a_key
-             |  ORDER BY score DESC, b_key) AS rnk FROM w)
-             |SELECT a_key, b_key, agree_name, agree_bal, agree_seg, score
-             |FROM r WHERE rnk = 1 AND score > 0 ORDER BY a_key""".stripMargin)),
+      Some(linkageOracleSql)),
+
 
     // Triangle census over the near-dup pair graph — the structural
     // diagnostic between pairs (d03) and components (d18): a clique-y
@@ -850,6 +819,45 @@ object DedupQueries extends QueryProvider {
              |FROM deg LEFT JOIN pn ON pn.v = deg.v
              |ORDER BY doc_id""".stripMargin))
   )
+
+  /** d21 + sm18 shared oracle: the Fellegi-Sunter linkage replay —
+    * both the batch query and the stream-scored topology must produce
+    * exactly this table.
+    */
+  private[queries] lazy val linkageOracleSql: String =
+    """WITH a AS (SELECT c_custkey AS a_key, c_name, c_nationkey,
+      |  c_acctbal, c_mktsegment FROM customer),
+      |b AS (SELECT c_custkey AS b_key, substr(c_name, 1, 16) AS nm16,
+      |  c_nationkey, round(c_acctbal, -2) AS bal100,
+      |  c_mktsegment AS segb FROM customer),
+      |p AS (SELECT a_key, b_key,
+      |  substr(c_name, 1, 16) = nm16 AS agree_name,
+      |  abs(c_acctbal - bal100) <= 50.0 AS agree_bal,
+      |  c_mktsegment = segb AS agree_seg
+      |  FROM a JOIN b USING (c_nationkey)),
+      |u AS (SELECT avg(CAST(agree_name AS DOUBLE)) AS un,
+      |  avg(CAST(agree_bal AS DOUBLE)) AS ub,
+      |  avg(CAST(agree_seg AS DOUBLE)) AS us
+      |  FROM p WHERE a_key <> b_key),
+      |uc AS (SELECT least(greatest(un, 1e-6), 0.999999) AS un,
+      |  least(greatest(ub, 1e-6), 0.999999) AS ub,
+      |  least(greatest(us, 1e-6), 0.999999) AS us FROM u),
+      |w AS (SELECT a_key, b_key, agree_name, agree_bal, agree_seg,
+      |  round(
+      |    CASE WHEN agree_name THEN round(ln(0.95 / un), 6)
+      |      ELSE round(ln((CAST(1 AS DOUBLE) - 0.95)
+      |        / (CAST(1 AS DOUBLE) - un)), 6) END
+      |  + CASE WHEN agree_bal THEN round(ln(0.9 / ub), 6)
+      |      ELSE round(ln((CAST(1 AS DOUBLE) - 0.9)
+      |        / (CAST(1 AS DOUBLE) - ub)), 6) END
+      |  + CASE WHEN agree_seg THEN round(ln(0.95 / us), 6)
+      |      ELSE round(ln((CAST(1 AS DOUBLE) - 0.95)
+      |        / (CAST(1 AS DOUBLE) - us)), 6) END, 6) AS score
+      |  FROM p, uc),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY a_key
+      |  ORDER BY score DESC, b_key) AS rnk FROM w)
+      |SELECT a_key, b_key, agree_name, agree_bal, agree_seg, score
+      |FROM r WHERE rnk = 1 AND score > 0 ORDER BY a_key""".stripMargin
 
   /** d14 oracle: the same blocked sorted-neighborhood windows — leads
     * 1..5 over (block, skey-sorted) order, stacked and thresholded on

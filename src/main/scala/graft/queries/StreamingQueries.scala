@@ -992,6 +992,67 @@ object StreamingQueries extends QueryProvider {
           .select($"doc_id", $"label", $"score", $"pred")
           .orderBy($"doc_id")
       },
-      Some(AnalysisQueries.lrQualityOracle))
+      Some(AnalysisQueries.lrQualityOracle)),
+
+    // Stream-static record linkage — d21's Fellegi-Sunter split into
+    // the sm17 topology: u rates and log-likelihood weights are
+    // ESTIMATED IN BATCH (RecordLinkage.weightLiterals — the same
+    // expressions, collected as 2x3 doubles), then the record STREAM
+    // scores against the broadcast dirty-source candidates and keeps
+    // the best match per record via a streaming max(struct) aggregate.
+    // Whatever the micro-batching, the result must hash-equal the
+    // batch query — the oracle IS d21's.
+    Q(
+      "sm18_stream_linkage",
+      (s, dir) => {
+        import s.implicits._
+        val cust = Tables.customer(s, dir)
+        def aSide(df: org.apache.spark.sql.DataFrame) =
+          df.select($"c_custkey".as("a_key"), $"c_name",
+            $"c_nationkey", $"c_acctbal", $"c_mktsegment")
+        val b = cust.select($"c_custkey".as("b_key"),
+          substring($"c_name", 1, 16).as("nm16"),
+          $"c_nationkey", round($"c_acctbal", -2).as("bal100"),
+          $"c_mktsegment".as("segb"))
+        def pairsOf(a: org.apache.spark.sql.DataFrame) =
+          a.join(broadcast(b), Seq("c_nationkey"))
+            .select($"a_key", $"b_key",
+              (substring($"c_name", 1, 16) === $"nm16").as("agree_name"),
+              (abs($"c_acctbal" - $"bal100") <= 50.0).as("agree_bal"),
+              ($"c_mktsegment" === $"segb").as("agree_seg"))
+        val cols = Seq("agree_name", "agree_bal", "agree_seg")
+        val ms = Map("agree_name" -> 0.95, "agree_bal" -> 0.9,
+          "agree_seg" -> 0.95)
+        val wts = graft.operators.RecordLinkage.weightLiterals(
+          pairsOf(aSide(graft.Par.fanOut(cust))), cols, ms,
+          $"a_key" =!= $"b_key")
+        val sink = s"sm18_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val stage = Files.createTempDirectory("sm18_cust")
+        var q: org.apache.spark.sql.streaming.StreamingQuery = null
+        try {
+          stageParquet(s"$dir/customer.parquet", stage, "customer")
+          val stream = s.readStream.schema(cust.schema)
+            .parquet(stage.toString)
+          q = graft.operators.RecordLinkage
+            .scoreWithWeights(pairsOf(aSide(stream)), cols, wts)
+            .groupBy($"a_key")
+            .agg(max(struct($"score", (-$"b_key").as("nb"), $"b_key",
+              $"agree_name", $"agree_bal", $"agree_seg")).as("m"))
+            .writeStream.outputMode("complete")
+            .format("memory").queryName(sink).start()
+          q.processAllAvailable()
+        } finally {
+          if (q != null) q.stop()
+          rmStage(stage)
+        }
+        s.table(sink)
+          .filter($"m.score" > 0)
+          .select($"a_key", $"m.b_key".as("b_key"),
+            $"m.agree_name".as("agree_name"),
+            $"m.agree_bal".as("agree_bal"),
+            $"m.agree_seg".as("agree_seg"), $"m.score".as("score"))
+          .orderBy($"a_key")
+      },
+      Some(DedupQueries.linkageOracleSql))
   )
 }
