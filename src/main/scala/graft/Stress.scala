@@ -64,7 +64,8 @@ object Stress {
     // copied 1x — linkage stresses pair-table shape, not replica size)
     "d20_span_removal", "t22_unigram_train", "t23_unigram_fertility",
     "s18_hard_negatives", "s19_ann_ndcg", "c29_snapshot_diff",
-    "a31_lz_complexity", "d21_record_linkage", "a32_source_keyness")
+    "a31_lz_complexity", "d21_record_linkage", "a32_source_keyness",
+    "d22_triangle_census", "mm11_vad_segments", "sm18_stream_linkage")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/graft_sf1")

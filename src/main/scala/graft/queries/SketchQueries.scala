@@ -460,7 +460,82 @@ object SketchQueries extends QueryProvider {
              |SELECT e.source, x.n, e.m,
              |  est_p25, est_p50, est_p75, ex_p25, ex_p50, ex_p75
              |FROM est e JOIN ex x ON e.source = x.source
-             |ORDER BY e.source""".stripMargin))
+             |ORDER BY e.source""".stripMargin)),
+
+    // HLL precision sweep — the sk-family analog of s13's band sweep
+    // and d17's threshold sweep: the SAME distinct stream sketched at
+    // p = 4/6/8 (m = 16/64/256 registers), each estimate scored
+    // against the exact distinct count. This is the tuning run that
+    // picks a register budget before a corpus-scale rollup; the sweep
+    // costs one distinct pass per p over the (group, value) table and
+    // the oracle replays every register grid and harmonic estimate.
+    Q(
+      "sk11_hll_precision_sweep",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, dir)
+        val exact = li.groupBy($"l_returnflag".as("grp"))
+          .agg(countDistinct($"l_partkey").as("exact"))
+        val legs = Seq(4, 6, 8).map { p =>
+          HllSketch.estimates(
+            HllSketch.registerTable(li, "l_returnflag", $"l_partkey", p), p)
+            .select($"grp", lit(p).as("p"), $"est")
+        }
+        legs.reduce(_ unionByName _)
+          .join(broadcast(exact), Seq("grp"))
+          .select($"grp", $"p", $"est", $"exact",
+            round(abs($"est" - $"exact") / $"exact", 6).as("rel_err"))
+          .orderBy($"grp", $"p")
+      },
+      Some(hllSweepOracleSql(Seq(4, 6, 8))))
   )
+
+  /** sk11: per-precision register grid + harmonic estimate CTEs over
+    * one shared hashed distinct stream, unioned and error-scored.
+    */
+  private def hllSweepOracleSql(ps: Seq[Int]): String = {
+    val perP = ps.map { p =>
+      val m = 1 << p
+      val scale = 64 - p + 1
+      val numer = HllSketch.alphaM2(p) * math.pow(2.0, scale)
+      s"""rr$p AS (SELECT grp, v, (hu % $m::HUGEINT) AS reg,
+         |  CAST(hu // $m::HUGEINT AS BIGINT) AS w FROM h),
+         |rho$p AS (SELECT r.grp, r.v, r.reg,
+         |  CASE WHEN r.w = 0 THEN ${65 - p} ELSE max(pw.i) + 1 END AS rho
+         |  FROM rr$p r LEFT JOIN pows pw ON pw.pv = (r.w & (-r.w))::HUGEINT
+         |  GROUP BY r.grp, r.v, r.reg, r.w),
+         |obs$p AS (SELECT grp, reg, max(rho) AS maxrho
+         |  FROM rho$p GROUP BY grp, reg),
+         |grid$p AS (SELECT g.grp, rg.reg,
+         |  CAST(coalesce(o.maxrho, 0) AS INTEGER) AS maxrho
+         |  FROM grps g CROSS JOIN (SELECT unnest(range($m)) AS reg) rg
+         |  LEFT JOIN obs$p o ON o.grp = g.grp AND o.reg = rg.reg),
+         |agg$p AS (SELECT grp,
+         |  CAST(sum(CASE WHEN maxrho = 0 THEN 1 ELSE 0 END) AS INTEGER)
+         |    AS zeros,
+         |  sum(((1::BIGINT << ($scale - maxrho))::HUGEINT)) AS sscaled
+         |  FROM grid$p GROUP BY grp),
+         |est$p AS (SELECT grp, CAST($p AS INTEGER) AS p,
+         |  round(CASE WHEN ($numer / sscaled::DOUBLE) <= ${2.5 * m}
+         |      AND zeros > 0
+         |    THEN ${m.toDouble} * ln(${m.toDouble} / zeros)
+         |    ELSE ($numer / sscaled::DOUBLE) END, 3) AS est
+         |  FROM agg$p)""".stripMargin
+    }.mkString(",\n")
+    val union = ps.map(p => s"SELECT * FROM est$p").mkString("\n  UNION ALL ")
+    s"""WITH vals AS (SELECT DISTINCT l_returnflag AS grp, l_partkey AS v
+       |  FROM lineitem),
+       |h AS (SELECT grp, v, ${FnvSql.ofString("(v::VARCHAR)")} AS hu FROM vals),
+       |$powsSql,
+       |grps AS (SELECT DISTINCT l_returnflag AS grp FROM lineitem),
+       |$perP,
+       |ex AS (SELECT l_returnflag AS grp,
+       |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact
+       |  FROM lineitem GROUP BY 1),
+       |u AS ($union)
+       |SELECT u.grp, u.p, u.est, ex.exact,
+       |  round(abs(u.est - ex.exact) / ex.exact, 6) AS rel_err
+       |FROM u JOIN ex USING (grp) ORDER BY grp, p""".stripMargin
+  }
 
 }
