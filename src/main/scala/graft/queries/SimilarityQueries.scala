@@ -493,6 +493,51 @@ object SimilarityQueries extends QueryProvider {
              |SELECT query_id, rnk, neighbor_id, cosine FROM r
              |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin)),
 
+    // Filtered vector search (s20) — the vector-DB capability every
+    // RAG stack needs: top-k under a metadata predicate (same label as
+    // the query). Truth = PRE-filter exact ranking; the approximate
+    // leg POST-filters an over-fetched (4k) LSH run — the classic
+    // trade-off where a selective predicate starves the candidate set.
+    // Output is per-query recall of post-filter vs pre-filter, i.e.
+    // the number this harness exists to measure before choosing
+    // pre-filtered per-label indexes at corpus scale.
+    Q(
+      "s20_filtered_ann",
+      (s, dir) => {
+        import s.implicits._
+        val v = Tables.embeddings(s, dir)
+          .select($"vec_id".as("id"),
+            Similarity.toDouble($"embedding").as("vec"), $"label")
+        val q = v.filter($"id" < 20)
+        val labels = v.select($"id".as("neighbor_id"),
+          $"label".as("nlabel"))
+        val qlabels = q.select($"id".as("query_id"),
+          $"label".as("qlabel"))
+        // pre-filter truth: exact same-label ranking
+        val truthPairs = v.crossJoin(
+            broadcast(q.select($"id".as("query_id"), $"vec".as("qv"),
+              $"label".as("qlabel"), Similarity.norm($"vec").as("qn"))))
+          .filter($"label" === $"qlabel" && $"id" =!= $"query_id")
+          .select($"query_id", $"id".as("neighbor_id"),
+            round(Similarity.dot($"vec", $"qv")
+              / (Similarity.norm($"vec") * $"qn"), 6).as("cosine"))
+        val wT = org.apache.spark.sql.expressions.Window
+          .partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
+        val truth = truthPairs.withColumn("rnk", row_number().over(wT))
+          .filter($"rnk" <= 10).select($"query_id", $"neighbor_id")
+        // post-filter leg: over-fetched LSH run, then the label filter
+        val post = Similarity.lshTopK(v.select($"id", $"vec"),
+            q.select($"id", $"vec"), 40,
+            bands = 8, rowsPerBand = 4, seed = 42L, dim = 64)
+          .join(broadcast(labels), Seq("neighbor_id"))
+          .join(broadcast(qlabels), Seq("query_id"))
+          .filter($"nlabel" === $"qlabel")
+          .withColumn("rnk2", row_number().over(wT))
+          .filter($"rnk2" <= 10).select($"query_id", $"neighbor_id")
+        Similarity.recallAtK(truth, post).orderBy($"query_id")
+      },
+      Some(s20OracleSql)),
+
     // NDCG@10 of the s02 LSH run against exact-cosine truth
     // (Similarity.ndcgAtK) — the rank-AWARE companion to s12's recall:
     // graded relevance k+1-rank from the truth ordering, standard
@@ -514,6 +559,56 @@ object SimilarityQueries extends QueryProvider {
       },
       Some(s19OracleSql))
   )
+
+  /** s20: pre-filter exact truth (same-label cosine ranking) vs the
+    * post-filtered over-fetched LSH leg, recall-scored per query.
+    */
+  private lazy val s20OracleSql: String = {
+    val planes = Similarity.hyperplanes(32, 64, 42L)
+    val planesSql = planes.map(_.map(_.toString).mkString("[", ",", "]"))
+      .mkString("[", ",\n", "]")
+    s"""WITH v AS (SELECT vec_id AS id, label,
+       |  embedding::DOUBLE[] AS e FROM embeddings),
+       |q AS (SELECT id, label, e FROM v WHERE id < 20),
+       |px AS (SELECT q.id AS query_id, v.id AS neighbor_id,
+       |    round(list_cosine_similarity(q.e, v.e), 6) AS cosine
+       |  FROM v CROSS JOIN q
+       |  WHERE q.id <> v.id AND v.label = q.label),
+       |rx AS (SELECT query_id, neighbor_id, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+       |  FROM px),
+       |ex AS (SELECT query_id, neighbor_id FROM rx WHERE rnk <= 10),
+       |pl AS (SELECT unnest(range(32)) AS pi, unnest($planesSql) AS pv),
+       |bits AS (SELECT id, pi // 4 AS band,
+       |    string_agg(CASE WHEN list_inner_product(e, pv) >= 0
+       |      THEN '1' ELSE '0' END, '' ORDER BY pi) AS key
+       |  FROM v CROSS JOIN pl GROUP BY id, pi // 4),
+       |cand AS (SELECT DISTINCT qb.id AS query_id, vb.id AS neighbor_id
+       |  FROM bits qb JOIN bits vb ON qb.band = vb.band AND qb.key = vb.key
+       |  WHERE qb.id < 20 AND qb.id <> vb.id),
+       |sc AS (SELECT c.query_id, c.neighbor_id,
+       |    round(list_cosine_similarity(qv.e, nv.e), 6) AS cosine
+       |  FROM cand c JOIN v qv ON qv.id = c.query_id
+       |  JOIN v nv ON nv.id = c.neighbor_id),
+       |rl AS (SELECT query_id, neighbor_id, cosine, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+       |  FROM sc),
+       |fetched AS (SELECT query_id, neighbor_id, cosine
+       |  FROM rl WHERE rnk <= 40),
+       |pf AS (SELECT f.query_id, f.neighbor_id, f.cosine
+       |  FROM fetched f JOIN v nv ON nv.id = f.neighbor_id
+       |  JOIN q ON q.id = f.query_id
+       |  WHERE nv.label = q.label),
+       |pr AS (SELECT query_id, neighbor_id, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+       |  FROM pf),
+       |al AS (SELECT query_id, neighbor_id, 1 AS hit FROM pr WHERE rnk <= 10)
+       |SELECT ex.query_id, count(*) AS n_exact,
+       |  CAST(coalesce(sum(al.hit), 0) AS BIGINT) AS n_hit,
+       |  round(coalesce(sum(al.hit), 0) * 1.0 / count(*), 6) AS recall
+       |FROM ex LEFT JOIN al USING (query_id, neighbor_id)
+       |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
+  }
 
   /** s19: the s12 truth + LSH legs (rnk columns retained) feeding the
     * NDCG gain/IDCG arithmetic — decimal-cast terms, one divide, 6dp.
