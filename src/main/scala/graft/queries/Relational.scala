@@ -1005,7 +1005,80 @@ object Relational extends QueryProvider {
              |round(last_value(v IGNORE NULLS) OVER (
              |  PARTITION BY event_type ORDER BY hour
              |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS filled
-             |FROM g ORDER BY event_type, hour""".stripMargin))
+             |FROM g ORDER BY event_type, hour""".stripMargin)),
+
+    // TPC-H Q17 semantics (small-quantity revenue): lineitems whose
+    // quantity falls below 20% of their part's average, summed per
+    // brand. The correlated scalar subquery becomes ONE per-part
+    // aggregate joined back — the per-part avg table is |parts|-sized
+    // and co-partitions with the fact on l_partkey; the brand dim
+    // broadcasts. DECIMAL-exact sum so partition order cannot flip
+    // the money total.
+    Q(
+      "q53_small_qty_revenue",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, dir)
+        // exact decimal sum / count, cast late: a double avg would be
+        // partition-order-dependent at the 0.2*aq filter boundary
+        val avgQ = li.groupBy($"l_partkey")
+          .agg((sum($"l_quantity".cast("decimal(14,2)")).cast("double")
+            / count(lit(1))).as("aq"))
+        li.join(avgQ, Seq("l_partkey"))
+          .filter($"l_quantity" < lit(0.2) * $"aq")
+          .join(broadcast(Tables.part(s, dir)
+            .select($"p_partkey", $"p_brand")),
+            $"l_partkey" === $"p_partkey")
+          .groupBy($"p_brand")
+          .agg(count(lit(1)).as("n_items"),
+            round(sum($"l_extendedprice".cast("decimal(14,2)"))
+              .cast("double") / 7.0, 2).as("avg_yearly"))
+          .orderBy($"p_brand")
+      },
+      Some("""WITH aq AS (SELECT l_partkey,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE)
+             |    / count(*) AS aq
+             |  FROM lineitem GROUP BY l_partkey)
+             |SELECT p_brand, count(*) AS n_items,
+             |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)))
+             |    AS DOUBLE) / 7.0, 2) AS avg_yearly
+             |FROM lineitem
+             |JOIN aq USING (l_partkey)
+             |JOIN part ON p_partkey = l_partkey
+             |WHERE l_quantity < 0.2 * aq
+             |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
+    // TPC-H Q18 semantics (large-volume orders): orders whose total
+    // line quantity exceeds a threshold, with customer recovery. The
+    // HAVING-subquery becomes one fact aggregate -> selective
+    // semi-side, then two key joins; at scale the aggregate output is
+    // the small side and broadcasts into the recovery joins.
+    Q(
+      "q54_large_orders",
+      (s, dir) => {
+        import s.implicits._
+        val big = Tables.lineitem(s, dir)
+          .groupBy($"l_orderkey")
+          .agg(sum($"l_quantity".cast("decimal(14,2)")).as("total_qty"))
+          .filter($"total_qty" > 180)
+        Tables.orders(s, dir)
+          .join(big, $"o_orderkey" === $"l_orderkey")
+          .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+          .select($"c_custkey", $"c_name", $"o_orderkey",
+            $"o_orderdate", $"o_totalprice",
+            $"total_qty".cast("double").as("total_qty"))
+          .orderBy($"o_totalprice".desc, $"o_orderkey")
+      },
+      Some("""WITH big AS (SELECT l_orderkey,
+             |  sum(CAST(l_quantity AS DECIMAL(14,2))) AS total_qty
+             |  FROM lineitem GROUP BY l_orderkey
+             |  HAVING sum(CAST(l_quantity AS DECIMAL(14,2))) > 180)
+             |SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+             |  o_totalprice, CAST(total_qty AS DOUBLE) AS total_qty
+             |FROM orders
+             |JOIN big ON o_orderkey = l_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin))
   )
 
   /** q37 oracle: the 32-term Morton interleave with literal power-of-
