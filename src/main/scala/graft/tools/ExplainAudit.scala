@@ -36,7 +36,16 @@ object ExplainAudit {
         // single narrow project (model as literals), and every IVFADC
         // codebook/LUT join must broadcast — the code table may never
         // be on the build side of a shuffle
-        "a29_lr_quality", "s15_ivfadc", "ls10_nmf_topics")
+        "a29_lr_quality", "s15_ivfadc", "ls10_nmf_topics",
+        // late-round-6 batch: d20's gram diamond must reuse its
+        // persisted table (one scan+fanout, not three), d21/d22 must
+        // broadcast the dim/edge sides, s18/s20 must broadcast the
+        // query batch, a32's totals must broadcast into the scored
+        // table, q53's per-part avg must co-partition with the fact
+        "d20_span_removal", "d21_record_linkage", "d22_triangle_census",
+        "s18_hard_negatives", "s20_filtered_ann", "a32_source_keyness",
+        "q53_small_qty_revenue", "q54_large_orders",
+        "sk11_hll_precision_sweep", "t22_unigram_train")
     // (mm10_phash is an RDD-kernel query — no Catalyst plan to audit)
     val spark = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
