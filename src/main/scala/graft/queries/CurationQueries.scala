@@ -1270,7 +1270,56 @@ object CurationQueries extends QueryProvider {
              |    AS chars_added,
              |  coalesce(sum(CASE WHEN hb IS NULL THEN ca END), 0)
              |    AS chars_removed
-             |FROM j GROUP BY source ORDER BY source""".stripMargin))
+             |FROM j GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Removal ledger — the per-document AUDIT TRAIL of the c01
+    // pipeline: every doc gets its decision with a reason code in
+    // fixed precedence (quality fail > language mismatch > exact-dup
+    // loser > kept). Curation teams ship this ledger with a corpus
+    // release so every exclusion is attributable; it is one scan +
+    // one hash-keyed keeper aggregate joined back (no second pass
+    // over text). The oracle rides the SAME CTE fragments as
+    // c01/c02, so the gate proves the ledger agrees with the corpus
+    // the pipeline actually kept.
+    Q(
+      "c30_removal_ledger",
+      (s, dir) => {
+        import s.implicits._
+        val tok = TF.tokenize($"text")
+        val scored = graft.Par.fanOut(Tables.documents(s, dir))
+          .select($"doc_id", $"lang",
+            TA.wsTokenCount($"text").cast("long").as("ws_tokens"),
+            round(TA.qualityScore($"text", tok), 6).as("quality"),
+            TA.languageId($"text").as("guessed"),
+            md5(Dedup.normalized($"text")).as("content_hash"))
+        val keepers = scored
+          .filter($"quality" >= MinQuality && $"guessed" === $"lang")
+          .groupBy($"content_hash").agg(min($"doc_id").as("keeper"))
+        scored.join(keepers, Seq("content_hash"), "left")
+          .select($"doc_id",
+            when($"quality" < MinQuality, "quality")
+              .when($"guessed" =!= $"lang", "lang_mismatch")
+              .when($"doc_id" =!= $"keeper", "exact_dup")
+              .otherwise("kept").as("reason"),
+            $"quality", $"ws_tokens")
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH $curatedSql,
+              |sc AS (SELECT doc_id, lang, quality, ws_tokens, guessed,
+              |  md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+              |    AS content_hash
+              |  FROM g),
+              |k AS (SELECT content_hash, min(doc_id) AS keeper FROM sc
+              |  WHERE quality >= $MinQuality AND guessed = lang
+              |  GROUP BY content_hash)
+              |SELECT doc_id,
+              |  CASE WHEN quality < $MinQuality THEN 'quality'
+              |    WHEN guessed <> lang THEN 'lang_mismatch'
+              |    WHEN doc_id <> keeper THEN 'exact_dup'
+              |    ELSE 'kept' END AS reason,
+              |  quality, ws_tokens
+              |FROM sc LEFT JOIN k USING (content_hash)
+              |ORDER BY doc_id""".stripMargin))
   )
 
 }
