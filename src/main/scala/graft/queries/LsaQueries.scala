@@ -278,8 +278,68 @@ object LsaQueries extends QueryProvider {
           rounds = NmfRounds)
         graft.operators.Nmf.topicMixture(w).orderBy($"doc_id")
       },
-      Some(nmfMixtureOracleSql))
+      Some(nmfMixtureOracleSql)),
+
+    // Spectral energy curve — the "how many concepts" model-selection
+    // harness (the LSA analog of sk11/s13's parameter sweeps): per
+    // concept j, σⱼ and the cumulative Σσᵢ²/‖A‖²_F captured-energy
+    // fraction, from the SAME k-concept power-deflation chain ls01
+    // rides. One extra pass computes the Frobenius total as an exact
+    // decimal sum; the 4-row cumulative window is decimal-summed in
+    // concept order so both engines agree bit-for-bit.
+    Q(
+      "ls12_energy_curve",
+      (s, dir) => {
+        import s.implicits._
+        val cells = powerCells(s, dir).persist()
+        val fro = cells.agg(
+          sum(($"a" * $"a").cast("decimal(38,12)")).cast("double")
+            .as("fro2"))
+        val conc = PowerLsa.kConcepts(cells, k = 4, PowerIters)
+          .select($"concept", $"singular_value")
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy($"concept")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        conc.crossJoin(broadcast(fro))
+          .withColumn("cum2",
+            sum(($"singular_value" * $"singular_value")
+              .cast("decimal(38,12)")).over(w).cast("double"))
+          .select($"concept", $"singular_value",
+            round($"cum2" / $"fro2", 6).as("energy_frac"))
+          .orderBy($"concept")
+      },
+      Some(energyCurveOracleSql))
   )
+
+  /** ls12: the PowerKSql 4-concept chain (g = '' constant) plus the
+    * exact-decimal Frobenius total and the cumulative energy window.
+    */
+  private def energyCurveOracleSql: String = {
+    // kConcepts numbers concepts 0-based; sg CTEs are 1-based
+    val sigUnion = (1 to 4).map(j =>
+      s"SELECT ${j - 1} AS concept, round(sigma, 4) AS singular_value FROM sg$j")
+      .mkString("\n  UNION ALL ")
+    s"""WITH tok AS (SELECT doc_id, unnest(${TextQueries.tokSql()}) AS token
+       |  FROM documents),
+       |tf AS (SELECT doc_id, token, count(*) AS tf
+       |  FROM tok GROUP BY doc_id, token),
+       |d AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |cells AS MATERIALIZED (SELECT '' AS g, doc_id AS id, tf.token,
+       |    round(tf.tf * log10(n.n * 1.0 / d.df), 6) AS a
+       |  FROM tf JOIN d USING (token) CROSS JOIN n),
+       |${PowerKSql.chain(4, PowerIters)},
+       |fro AS (SELECT CAST(sum(CAST(a * a AS DECIMAL(38,12))) AS DOUBLE)
+       |  AS fro2 FROM cells),
+       |sig AS ($sigUnion),
+       |cum AS (SELECT concept, singular_value,
+       |  CAST(sum(CAST(singular_value * singular_value AS DECIMAL(38,12)))
+       |    OVER (ORDER BY concept ROWS BETWEEN UNBOUNDED PRECEDING AND
+       |    CURRENT ROW) AS DOUBLE) AS cum2 FROM sig)
+       |SELECT concept, singular_value, round(cum2 / fro2, 6) AS energy_frac
+       |FROM cum CROSS JOIN fro ORDER BY concept""".stripMargin
+  }
 
   private final val NmfK = 4
   private final val NmfRounds = 4
