@@ -259,7 +259,45 @@ object EmbeddingQueries extends QueryProvider {
            |  max(CASE WHEN j = 6 THEN pv END) AS p6,
            |  max(CASE WHEN j = 7 THEN pv END) AS p7
            |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin
-      })
+      }),
+
+    // Embedding outlier audit — the vector-QA pass run before an index
+    // build or a SemDeDup round: per-vector squared z-norm under the
+    // per-dimension corpus moments (e01/e02 machinery), global top-20.
+    // A fat-tailed z-norm marks corrupt rows, wrong-model embeddings
+    // or modality mixups. Ranking acts on the 6dp-rounded norm (ties
+    // by id); top-k plans as TakeOrderedAndProject, no global sort.
+    Q(
+      "e09_outliers",
+      (s, dir) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy($"z_norm2".desc, $"vec_id")
+        graft.operators.EmbeddingStats
+          .standardize(vecs(s, dir), "vec_id", "vec")
+          .select($"vec_id",
+            round(graft.operators.EmbeddingStats.arraySumSq($"z"), 6)
+              .as("z_norm2"))
+          .orderBy($"z_norm2".desc, $"vec_id").limit(20)
+          .withColumn("rnk", row_number().over(w))
+          .select($"rnk", $"vec_id", $"z_norm2")
+          .orderBy($"rnk")
+      },
+      Some("""WITH e AS (SELECT vec_id,
+             |  unnest(embedding::DOUBLE[]) AS x,
+             |  unnest(range(len(embedding))) AS dim
+             |  FROM embeddings),
+             |s AS (SELECT dim, avg(x) AS m, stddev_pop(x) AS sd
+             |  FROM e GROUP BY dim),
+             |z AS (SELECT vec_id, dim,
+             |  CASE WHEN sd = 0 THEN 0.0 ELSE (x - m) / sd END AS z
+             |  FROM e JOIN s USING (dim)),
+             |nrm AS (SELECT vec_id, round(sum(z * z), 6) AS z_norm2
+             |  FROM z GROUP BY vec_id),
+             |r AS (SELECT *, row_number() OVER
+             |  (ORDER BY z_norm2 DESC, vec_id) AS rnk FROM nrm)
+             |SELECT rnk, vec_id, z_norm2 FROM r WHERE rnk <= 20
+             |ORDER BY rnk""".stripMargin))
   )
 
   /** e04 oracle: four prefixed Lloyd chains (one per 16-dim slice) +
