@@ -65,7 +65,10 @@ object Stress {
     "d20_span_removal", "t22_unigram_train", "t23_unigram_fertility",
     "s18_hard_negatives", "s19_ann_ndcg", "c29_snapshot_diff",
     "a31_lz_complexity", "d21_record_linkage", "a32_source_keyness",
-    "d22_triangle_census", "mm11_vad_segments", "sm18_stream_linkage")
+    "d22_triangle_census", "mm11_vad_segments", "sm18_stream_linkage",
+    "sk11_hll_precision_sweep", "s20_filtered_ann", "q53_small_qty_revenue",
+    "q54_large_orders", "c30_removal_ledger", "ls12_energy_curve",
+    "e09_outliers")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/graft_sf1")
