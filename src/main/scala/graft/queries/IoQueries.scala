@@ -352,7 +352,49 @@ object IoQueries extends QueryProvider {
              |  CAST(sum(((${FnvSql.toSigned(FnvSql.ofString("line"))}
              |      % 1000000007) + 1000000007) % 1000000007)
              |    FILTER (WHERE bad) AS BIGINT) AS quarantine_fnv
-             |FROM c""".stripMargin))
+             |FROM c""".stripMargin)),
+
+    // Release manifest — the artifact c29's snapshot diff consumes:
+    // after a lang-partitioned write, one row per partition directory
+    // with row count, file count and an ORDER-FREE content checksum
+    // (sum of per-row FNV(doc_id:md5(text)) mod p — commutative, so
+    // whatever task order wrote the files, the checksum is stable).
+    // The repartition-by-key write pins one file per directory (each
+    // lang's rows land in exactly one task), which the read-back
+    // verifies via input_file_name(); the oracle recomputes the
+    // manifest from the original table, proving the staged release
+    // carries exactly the corpus content.
+    Q(
+      "io11_release_manifest",
+      (s, dir) => {
+        import s.implicits._
+        val stage = stageDir("graft_io11")
+        Tables.documents(s, dir)
+          .repartition($"lang")
+          .write.mode("overwrite").partitionBy("lang").parquet(stage)
+        s.read.parquet(stage)
+          // materialize the file name per row FIRST (an aggregate may
+          // not wrap the non-deterministic expression directly)
+          .withColumn("fname", input_file_name())
+          .localCheckpoint()
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct($"fname").cast("long").as("n_files"),
+            sum(pmod(graft.functions.Fnv.fnv1a64(
+              concat($"doc_id".cast("string"), lit(":"), md5($"text"))),
+              lit(1000000007L))).as("checksum"))
+          .orderBy($"lang")
+          .localCheckpoint()
+      },
+      Some(s"""WITH c AS (SELECT lang,
+             |  (((${FnvSql.toSigned(FnvSql.ofString(
+                  "(doc_id::VARCHAR || ':' || md5(text))"))}
+             |    % 1000000007) + 1000000007) % 1000000007) AS h
+             |  FROM documents)
+             |SELECT lang, count(*) AS n_rows,
+             |  CAST(1 AS BIGINT) AS n_files,
+             |  CAST(sum(h) AS BIGINT) AS checksum
+             |FROM c GROUP BY lang ORDER BY lang""".stripMargin))
   )
 
   private def deleteRecursively(f: java.io.File): Unit = {
