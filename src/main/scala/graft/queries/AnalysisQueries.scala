@@ -1876,7 +1876,48 @@ object AnalysisQueries extends QueryProvider {
              |r AS (SELECT *, row_number() OVER (PARTITION BY source
              |  ORDER BY g2 DESC, word) AS rnk FROM g)
              |SELECT source, rnk, word, o11, g2 FROM r WHERE rnk <= 5
-             |ORDER BY source, rnk""".stripMargin))
+             |ORDER BY source, rnk""".stripMargin)),
+
+    // Blocklist gate — the C4 §2.2 badwords mechanism as a
+    // configurable term-list filter: per document, occurrences of
+    // blocklisted terms, their token fraction, the strict C4 rule
+    // (any hit drops the doc) AND the fraction-threshold variant the
+    // softer pipelines use. The list here is a neutral placeholder
+    // (the corpus is synthetic); production swaps the literal array.
+    // One narrow codegen'd filter-count per row, no shuffle beyond
+    // the ordered output.
+    Q(
+      "a33_blocklist_gate",
+      (s, dir) => {
+        import s.implicits._
+        val blocked = Seq("slow", "dup", "spam")
+        val hits = size(filter(TF.tokenize($"text"),
+          x => array_contains(lit(blocked.toArray), x)))
+        graft.Par.fanOut(Tables.documents(s, dir))
+          .select($"doc_id",
+            size(TF.tokenize($"text")).cast("long").as("n_tokens"),
+            hits.cast("long").as("n_blocked"))
+          .withColumn("blocked_frac",
+            round($"n_blocked" * 1.0 / greatest($"n_tokens", lit(1L)), 6))
+          .withColumn("pass_strict", $"n_blocked" === 0L)
+          .withColumn("pass_soft", $"blocked_frac" <= 0.05)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |  regexp_extract_all(lower(text), '[a-zA-Z]+') AS tk
+             |  FROM documents),
+             |c AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+             |  CAST(len(list_filter(tk,
+             |    x -> list_contains(['slow','dup','spam'], x))) AS BIGINT)
+             |    AS n_blocked
+             |  FROM t)
+             |SELECT doc_id, n_tokens, n_blocked,
+             |  round(n_blocked * 1.0 / greatest(n_tokens, 1), 6)
+             |    AS blocked_frac,
+             |  n_blocked = 0 AS pass_strict,
+             |  round(n_blocked * 1.0 / greatest(n_tokens, 1), 6) <= 0.05
+             |    AS pass_soft
+             |FROM c ORDER BY doc_id""".stripMargin))
   )
 
   /** Fixed GD round count / learning rate — the oracle replays exactly
