@@ -297,7 +297,59 @@ object EmbeddingQueries extends QueryProvider {
              |r AS (SELECT *, row_number() OVER
              |  (ORDER BY z_norm2 DESC, vec_id) AS rnk FROM nrm)
              |SELECT rnk, vec_id, z_norm2 FROM r WHERE rnk <= 20
-             |ORDER BY rnk""".stripMargin))
+             |ORDER BY rnk""".stripMargin)),
+
+    // Equal-byte-budget codec error audit — the serving-codec decision
+    // s05 (int8) and e03 (matryoshka truncation) each leave implicit:
+    // at 64 bytes per vector, int8 keeps all 64 dims at 8-bit while
+    // fp32 keeps the first 16 dims exactly. Per vector, the squared
+    // reconstruction error of each codec and the winner. Error terms
+    // pass through DECIMAL(38,18) so the per-vector sums are exact and
+    // order-free; everything is a narrow row-local fold, no shuffle.
+    Q(
+      "e10_codec_error",
+      (s, dir) => {
+        import s.implicits._
+        val e = transform($"embedding", x => x.cast("double"))
+        val ma = greatest(array_max(transform(e, x => abs(x))), lit(1e-12))
+        val base = Tables.embeddings(s, dir)
+          .select($"vec_id", e.as("e"), ma.as("ma"))
+        base.select($"vec_id",
+            round(expr(
+              """cast(aggregate(e, cast(0 as decimal(38,18)),
+                |  (acc, x) -> cast(acc + cast(
+                |    (x - floor(x * 127.0 / ma + 0.5) * ma / 127.0)
+                |    * (x - floor(x * 127.0 / ma + 0.5) * ma / 127.0)
+                |    as decimal(38,18)) as decimal(38,18))) as double)""".stripMargin), 6)
+              .as("sse_int8"),
+            round(expr(
+              """cast(aggregate(slice(e, 17, size(e) - 16),
+                |  cast(0 as decimal(38,18)),
+                |  (acc, x) -> cast(acc + cast(x * x as decimal(38,18))
+                |    as decimal(38,18)))
+                |  as double)""".stripMargin), 6).as("sse_trunc16"))
+          .withColumn("winner",
+            when($"sse_int8" <= $"sse_trunc16", "int8").otherwise("trunc16"))
+          .orderBy($"vec_id")
+      },
+      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+             |  FROM embeddings),
+             |m AS (SELECT vec_id, e,
+             |  greatest(list_max(list_transform(e, x -> abs(x))), 1e-12)
+             |    AS ma FROM v),
+             |s AS (SELECT vec_id,
+             |  round(CAST(list_sum(list_transform(e, x ->
+             |    CAST((x - floor(x * 127.0 / ma + 0.5) * ma / 127.0)
+             |      * (x - floor(x * 127.0 / ma + 0.5) * ma / 127.0)
+             |      AS DECIMAL(38,18)))) AS DOUBLE), 6) AS sse_int8,
+             |  round(CAST(list_sum(list_transform(e[17:],
+             |    x -> CAST(x * x AS DECIMAL(38,18)))) AS DOUBLE), 6)
+             |    AS sse_trunc16
+             |  FROM m)
+             |SELECT vec_id, sse_int8, sse_trunc16,
+             |  CASE WHEN sse_int8 <= sse_trunc16 THEN 'int8'
+             |    ELSE 'trunc16' END AS winner
+             |FROM s ORDER BY vec_id""".stripMargin))
   )
 
   /** e04 oracle: four prefixed Lloyd chains (one per 16-dim slice) +
