@@ -711,7 +711,82 @@ object TextQueries extends QueryProvider {
               .cast("double") / count(lit(1)), 6).as("uni_fertility"))
           .orderBy($"lang")
       },
-      Some(s"""${unigramCtesSql(64, 6)},
+      Some(unigramFertilityOracleSql)),
+
+    // Posting-list compression audit (t24) — the index-layout decision
+    // behind t09: per term, the doc-id d-gaps, the frame-of-reference
+    // bitwidth the max gap forces, and the varint byte cost, against
+    // the raw 8-byte/id baseline. All integer arithmetic (bitwidths
+    // via explicit threshold ladders, not float log2 — engine-exact);
+    // gaps are a row-local indexed transform over each term's sorted
+    // posting array, one agg shuffle total.
+    Q(
+      "t24_posting_compression",
+      (s, dir) => {
+        import s.implicits._
+        val lim = 20
+        def ladder(c: String): String =
+          (1 to lim).map(b => s"WHEN $c < ${1L << b} THEN $b")
+            .mkString("CASE ", " ", s" ELSE ${lim + 1} END")
+        def vladder(c: String): String =
+          (1 to lim).map(b =>
+            s"WHEN $c < ${1L << b} THEN CAST(ceil($b / 7.0) AS INT)")
+            .mkString("CASE ", " ", s" ELSE ${(lim + 7) / 7 + 1} END")
+        graft.Par.fanOut(Tables.documents(s, dir))
+          .select($"doc_id",
+            explode(array_distinct(TF.lsaTokens($"text", lemma = false)))
+              .as("term"))
+          .groupBy($"term")
+          .agg(sort_array(collect_set($"doc_id")).as("ids"))
+          .filter(size($"ids") >= 3)
+          .withColumn("gaps", expr(
+            "transform(ids, (x, i) -> IF(i = 0, x + 1, x - element_at(ids, i)))"))
+          .select($"term",
+            size($"ids").cast("long").as("n_docs"),
+            expr("array_max(gaps)").cast("long").as("max_gap"),
+            expr(s"${ladder("array_max(gaps)")}").cast("long").as("for_bits"),
+            expr(s"aggregate(gaps, 0L, (a, g) -> a + (${vladder("g")}))")
+              .as("varint_bytes_raw"))
+          .select($"term", $"n_docs", $"max_gap", $"for_bits",
+            (($"n_docs" * $"for_bits" + 7) / 8).cast("long").as("for_bytes"),
+            $"varint_bytes_raw".cast("long").as("varint_bytes"),
+            round($"varint_bytes_raw" * 1.0 / ($"n_docs" * 8), 6)
+              .as("ratio_vs_raw"))
+          .orderBy($"term")
+      },
+      Some(t24OracleSql))
+  )
+
+  private def t24OracleSql: String = {
+    val lim = 20
+    def ladder(c: String): String =
+      (1 to lim).map(b => s"WHEN $c < ${1L << b} THEN $b")
+        .mkString("CASE ", " ", s" ELSE ${lim + 1} END")
+    def vladder(c: String): String =
+      (1 to lim).map(b =>
+        s"WHEN $c < ${1L << b} THEN CAST(ceil($b / 7.0) AS INT)")
+        .mkString("CASE ", " ", s" ELSE ${(lim + 7) / 7 + 1} END")
+    s"""WITH tok AS (SELECT doc_id,
+       |  unnest(list_distinct(${tokSql()})) AS term FROM documents),
+       |p AS (SELECT term, list_sort(list(doc_id)) AS ids
+       |  FROM tok GROUP BY term HAVING count(*) >= 3),
+       |g AS (SELECT term, ids, list_transform(range(1, len(ids) + 1),
+       |  i -> CASE WHEN i = 1 THEN ids[1] + 1
+       |    ELSE ids[i] - ids[i - 1] END) AS gaps FROM p)
+       |SELECT term, CAST(len(ids) AS BIGINT) AS n_docs,
+       |  CAST(list_max(gaps) AS BIGINT) AS max_gap,
+       |  CAST((${ladder("list_max(gaps)")}) AS BIGINT) AS for_bits,
+       |  CAST((len(ids) * (${ladder("list_max(gaps)")}) + 7) // 8
+       |    AS BIGINT) AS for_bytes,
+       |  CAST(list_sum(list_transform(gaps, g -> ${vladder("g")}))
+       |    AS BIGINT) AS varint_bytes,
+       |  round(list_sum(list_transform(gaps, g -> ${vladder("g")}))
+       |    * 1.0 / (len(ids) * 8), 6) AS ratio_vs_raw
+       |FROM g ORDER BY term""".stripMargin
+  }
+
+  private def unigramFertilityOracleSql: String =
+    s"""${unigramCtesSql(64, 6)},
               |dict AS (SELECT word, count(*) AS n_sub FROM wk2
               |  WHERE pos > 0 GROUP BY word),
               |dw AS (SELECT doc_id, lang,
@@ -725,8 +800,7 @@ object TextQueries extends QueryProvider {
               |  CAST(sum(ns) AS BIGINT) AS n_subwords,
               |  round(CAST(sum(CAST(ns * 1.0 / nw AS DECIMAL(38,18))) AS DOUBLE)
               |    / count(*), 6) AS uni_fertility
-              |FROM pd GROUP BY lang ORDER BY lang""".stripMargin))
-  )
+              |FROM pd GROUP BY lang ORDER BY lang""".stripMargin
 
   /** One Viterbi DP pass as a recursive CTE: per word type, carry the
     * (best, back) arrays one character at a time; candidate costs come
