@@ -309,7 +309,47 @@ object LsaQueries extends QueryProvider {
             round($"cum2" / $"fro2", 6).as("energy_frac"))
           .orderBy($"concept")
       },
-      Some(energyCurveOracleSql))
+      Some(energyCurveOracleSql)),
+
+    // UMass topic coherence (Mimno et al. 2011) over the ls10 NMF
+    // topics — the intrinsic eval that says whether the factorization
+    // found TOPICS or noise: per topic, Σ over ordered top-word pairs
+    // of ln((D(wi,wj)+1)/D(wj)) from document co-occurrence counts.
+    // The pair table is topics×10 rows (broadcast); co-occurrence is
+    // two joins against the distinct (doc, term) table; the sum
+    // passes through DECIMAL so partition order is unobservable.
+    Q(
+      "ls13_topic_coherence",
+      (s, dir) => {
+        import s.implicits._
+        val docs = graft.Par.fanOut(Tables.documents(s, dir))
+        val v = graft.operators.Nmf.tfidf(docs, maxDfFrac = 0.9)
+        val (_, h) = graft.operators.Nmf.factorize(v, k = NmfK,
+          rounds = NmfRounds)
+        val top5 = graft.operators.Nmf.topTerms(h, 5)
+          .select($"topic", $"rnk", $"term")
+        val pt = top5.as("a").join(top5.as("b"),
+            $"a.topic" === $"b.topic" && $"a.rnk" > $"b.rnk")
+          .select($"a.topic".as("topic"), $"a.term".as("ti"),
+            $"b.term".as("tj"))
+        val dt = docs.select($"doc_id",
+          explode(array_distinct(TF.tokenize($"text"))).as("term"))
+          .persist() // feeds dj AND both legs of the co-occurrence join
+        val dj = dt.groupBy($"term").agg(count(lit(1)).as("d"))
+        val dij = broadcast(pt)
+          .join(dt.as("x"), $"x.term" === $"ti", "left")
+          .join(dt.as("y"),
+            $"y.term" === $"tj" && $"y.doc_id" === $"x.doc_id", "left")
+          .groupBy($"topic", $"ti", $"tj")
+          .agg(count($"y.doc_id").as("d2"))
+        dij.join(broadcast(dj), $"term" === $"tj")
+          .groupBy($"topic")
+          .agg(count(lit(1)).as("n_pairs"),
+            round(sum(log(($"d2" + 1) * lit(1.0) / $"d")
+              .cast("decimal(38,18)")).cast("double"), 6).as("coherence"))
+          .orderBy($"topic")
+      },
+      Some(coherenceOracleSql))
   )
 
   /** ls12: the PowerKSql 4-concept chain (g = '' constant) plus the
@@ -340,6 +380,35 @@ object LsaQueries extends QueryProvider {
        |SELECT concept, singular_value, round(cum2 / fro2, 6) AS energy_frac
        |FROM cum CROSS JOIN fro ORDER BY concept""".stripMargin
   }
+
+  /** ls13: UMass coherence per NMF topic — the nmf chain's top-5 terms
+    * per topic, pairwise (higher-rank, lower-rank) doc co-occurrence
+    * counts, Σ ln((D(wi,wj)+1)/D(wj)) DECIMAL-summed.
+    */
+  private lazy val coherenceOracleSql: String =
+    s"""WITH $nmfChainSql,
+       |top5 AS (SELECT topic, term, rnk FROM (
+       |  SELECT topic, term, row_number() OVER
+       |    (PARTITION BY topic ORDER BY h DESC, term) AS rnk
+       |  FROM h$NmfRounds) WHERE rnk <= 5),
+       |pt AS (SELECT a.topic, a.term AS ti, b.term AS tj
+       |  FROM top5 a JOIN top5 b
+       |    ON a.topic = b.topic AND a.rnk > b.rnk),
+       |dt AS (SELECT DISTINCT doc_id,
+       |  unnest(regexp_extract_all(lower(text), '[a-zA-Z]+')) AS term
+       |  FROM documents),
+       |dj AS (SELECT term, count(*) AS d FROM dt GROUP BY term),
+       |dij AS (SELECT p.topic, p.ti, p.tj, count(y.doc_id) AS d2
+       |  FROM pt p
+       |  LEFT JOIN dt x ON x.term = p.ti
+       |  LEFT JOIN dt y ON y.term = p.tj AND y.doc_id = x.doc_id
+       |  GROUP BY p.topic, p.ti, p.tj)
+       |SELECT CAST(d0.topic AS INTEGER) AS topic,
+       |  CAST(count(*) AS BIGINT) AS n_pairs,
+       |  round(CAST(sum(CAST(ln((d0.d2 + 1) * 1.0 / dj.d)
+       |    AS DECIMAL(38,18))) AS DOUBLE), 6) AS coherence
+       |FROM dij d0 JOIN dj ON dj.term = d0.tj
+       |GROUP BY d0.topic ORDER BY topic""".stripMargin
 
   private final val NmfK = 4
   private final val NmfRounds = 4
