@@ -68,7 +68,9 @@ object Stress {
     "d22_triangle_census", "mm11_vad_segments", "sm18_stream_linkage",
     "sk11_hll_precision_sweep", "s20_filtered_ann", "q53_small_qty_revenue",
     "q54_large_orders", "c30_removal_ledger", "ls12_energy_curve",
-    "e09_outliers", "c31_split_repair")
+    "e09_outliers", "c31_split_repair", "a33_blocklist_gate",
+    "e10_codec_error", "t24_posting_compression", "ls13_topic_coherence",
+    "io11_release_manifest")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/graft_sf1")
