@@ -817,7 +817,58 @@ object DedupQueries extends QueryProvider {
              |      / (deg.degree * (deg.degree - 1))
              |    ELSE 0.0 END, 6) AS clustering
              |FROM deg LEFT JOIN pn ON pn.v = deg.v
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Dedup-pipeline EVAL on planted duplicates — the d-family analog
+    // of s12's ANN recall: every doc_id < 200 gets a planted near-copy
+    // (id + 100000, one appended token), the d04 MinHash-LSH pipeline
+    // runs over the union corpus, and the harness scores how many
+    // planted pairs the banding recovered plus how many non-planted
+    // pairs fired (original-corpus dups are legitimate hits, reported
+    // separately). This is the acceptance test run before trusting an
+    // LSH config corpus-wide — recall on KNOWN duplicates, not just
+    // agreement with a threshold. Oracle: the full minhash chain
+    // replayed over the SAME planted union.
+    Q(
+      "d23_dedup_eval",
+      (s, dir) => {
+        import s.implicits._
+        val base = Tables.documents(s, dir).select($"doc_id", $"text")
+        val planted = base.filter($"doc_id" < 200)
+          .select(($"doc_id" + 100000L).as("doc_id"),
+            concat($"text", lit(" plantedcopy")).as("text"))
+        val toks = graft.Par.fanOut(base.unionByName(planted))
+          .select($"doc_id".as("id"), TF.tokenize($"text").as("tokens"))
+        val pairs = Dedup.minhashNearDuplicates(toks, shingleN = 3,
+          numHashes = 32, bands = 8, threshold = 0.3)
+        val isPlanted = $"b" === $"a" + 100000L && $"a" < 200
+        pairs.agg(
+            count(when(isPlanted, 1)).as("planted_found"),
+            count(when(!isPlanted, 1)).as("other_pairs"))
+          .select(lit(200L).as("planted_total"),
+            $"planted_found", $"other_pairs",
+            round($"planted_found" / 200.0, 6).as("recall"))
+      },
+      Some {
+        val plantedChain = DedupQueries.minhashPairCtes.replace(
+          "FROM documents)",
+          "FROM pl)")
+        s"""WITH pl AS (SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 100000, text || ' plantedcopy'
+           |  FROM documents WHERE doc_id < 200),
+           |$plantedChain,
+           |f AS (SELECT a, b, (b = a + 100000 AND a < 200) AS planted
+           |  FROM jac WHERE j >= 0.3)
+           |SELECT CAST(200 AS BIGINT) AS planted_total,
+           |  CAST(count(CASE WHEN planted THEN 1 END) AS BIGINT)
+           |    AS planted_found,
+           |  CAST(count(CASE WHEN NOT planted THEN 1 END) AS BIGINT)
+           |    AS other_pairs,
+           |  round(count(CASE WHEN planted THEN 1 END) / 200.0, 6)
+           |    AS recall
+           |FROM f""".stripMargin
+      })
   )
 
   /** d21 + sm18 shared oracle: the Fellegi-Sunter linkage replay —
