@@ -645,15 +645,29 @@ object Dedup {
       k: Int): DataFrame = {
     require(k >= 2, "k-gram length must be >= 2")
     val base = docs.select(col(idCol).as("id"), col(textCol).as("t"))
-    val grams = graft.Par.fanOut(base)
+    val grams = gramPositions(base, k).persist()
+    val dupHashes = grams.groupBy(col("gh"))
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2).select("gh")
+    cutSpansWith(base, grams, dupHashes, k)
+  }
+
+  /** (id, i, gh) k-gram position table of (id, t) docs. */
+  def gramPositions(base: DataFrame, k: Int): DataFrame =
+    graft.Par.fanOut(base)
       .filter(length(col("t")) >= k)
       .select(col("id"),
         explode(sequence(lit(1), length(col("t")) - (k - 1))).as("i"),
         col("t"))
       .select(col("id"), col("i"), md5(expr(s"substr(t, i, $k)")).as("gh"))
-      .persist()
-    val dupHashes = grams.groupBy(col("gh"))
-      .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2).select("gh")
+
+  /** The cut stage against a PRE-BUILT duplicated-hash set — split out
+    * so a STREAM of documents can be cut at ingest against a
+    * batch-derived set (sm19): per-doc dup positions, interval merge,
+    * segment stitch. `base` = (id, t), `grams` its position table,
+    * `dupHashes` = (gh).
+    */
+  def cutSpansWith(base: DataFrame, grams: DataFrame, dupHashes: DataFrame,
+      k: Int): DataFrame = {
     val perDoc = grams.join(dupHashes, Seq("gh"))
       .groupBy(col("id"))
       .agg(sort_array(collect_list(col("i"))).as("ps"))

@@ -672,37 +672,7 @@ object DedupQueries extends QueryProvider {
           .withColumnRenamed("id", "doc_id")
           .orderBy($"doc_id")
       },
-      Some("""WITH g AS (SELECT doc_id, i, md5(substr(text, i, 40)) AS gh
-             |  FROM documents, unnest(range(1, length(text)-38)) AS t(i)
-             |  WHERE length(text) >= 40),
-             |c AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
-             |d AS (SELECT doc_id, i FROM g JOIN c USING (gh)),
-             |m AS (SELECT doc_id, i,
-             |  CASE WHEN i > coalesce(lag(i) OVER (PARTITION BY doc_id
-             |    ORDER BY i), -39) + 39 THEN 1 ELSE 0 END AS st FROM d),
-             |isl AS (SELECT doc_id, i,
-             |  sum(st) OVER (PARTITION BY doc_id ORDER BY i) AS grp FROM m),
-             |sp AS (SELECT doc_id, min(i) AS s, max(i) + 39 AS e
-             |  FROM isl GROUP BY doc_id, grp),
-             |seg AS (SELECT doc_id, s, e,
-             |  coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0)
-             |    AS pe FROM sp),
-             |agg AS (SELECT seg.doc_id,
-             |  string_agg(substr(t.text, seg.pe + 1, seg.s - seg.pe - 1),
-             |    '' ORDER BY seg.s) AS head,
-             |  max(seg.e) AS last_e,
-             |  CAST(count(*) AS BIGINT) AS n_spans,
-             |  CAST(sum(seg.e - seg.s + 1) AS BIGINT) AS n_cut
-             |  FROM seg JOIN documents t USING (doc_id)
-             |  GROUP BY seg.doc_id)
-             |SELECT d0.doc_id,
-             |  coalesce(a.n_spans, 0) AS n_spans,
-             |  coalesce(a.n_cut, 0) AS n_cut,
-             |  CASE WHEN a.doc_id IS NULL THEN d0.text
-             |    ELSE coalesce(a.head, '') || substr(d0.text, a.last_e + 1)
-             |  END AS clean_text
-             |FROM documents d0 LEFT JOIN agg a USING (doc_id)
-             |ORDER BY d0.doc_id""".stripMargin)),
+      Some(spanRemovalOracleSql)),
 
     // Probabilistic record linkage (operators/RecordLinkage.scala,
     // Fellegi-Sunter): match customers against a deterministically
@@ -870,6 +840,43 @@ object DedupQueries extends QueryProvider {
            |FROM f""".stripMargin
       })
   )
+
+  /** d20 + sm19 shared oracle: the exact-substring cut replay —
+    * the batch query and the stream-cut topology must produce
+    * exactly this table.
+    */
+  private[queries] lazy val spanRemovalOracleSql: String =
+    """WITH g AS (SELECT doc_id, i, md5(substr(text, i, 40)) AS gh
+      |  FROM documents, unnest(range(1, length(text)-38)) AS t(i)
+      |  WHERE length(text) >= 40),
+      |c AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+      |d AS (SELECT doc_id, i FROM g JOIN c USING (gh)),
+      |m AS (SELECT doc_id, i,
+      |  CASE WHEN i > coalesce(lag(i) OVER (PARTITION BY doc_id
+      |    ORDER BY i), -39) + 39 THEN 1 ELSE 0 END AS st FROM d),
+      |isl AS (SELECT doc_id, i,
+      |  sum(st) OVER (PARTITION BY doc_id ORDER BY i) AS grp FROM m),
+      |sp AS (SELECT doc_id, min(i) AS s, max(i) + 39 AS e
+      |  FROM isl GROUP BY doc_id, grp),
+      |seg AS (SELECT doc_id, s, e,
+      |  coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0)
+      |    AS pe FROM sp),
+      |agg AS (SELECT seg.doc_id,
+      |  string_agg(substr(t.text, seg.pe + 1, seg.s - seg.pe - 1),
+      |    '' ORDER BY seg.s) AS head,
+      |  max(seg.e) AS last_e,
+      |  CAST(count(*) AS BIGINT) AS n_spans,
+      |  CAST(sum(seg.e - seg.s + 1) AS BIGINT) AS n_cut
+      |  FROM seg JOIN documents t USING (doc_id)
+      |  GROUP BY seg.doc_id)
+      |SELECT d0.doc_id,
+      |  coalesce(a.n_spans, 0) AS n_spans,
+      |  coalesce(a.n_cut, 0) AS n_cut,
+      |  CASE WHEN a.doc_id IS NULL THEN d0.text
+      |    ELSE coalesce(a.head, '') || substr(d0.text, a.last_e + 1)
+      |  END AS clean_text
+      |FROM documents d0 LEFT JOIN agg a USING (doc_id)
+      |ORDER BY d0.doc_id""".stripMargin
 
   /** d21 + sm18 shared oracle: the Fellegi-Sunter linkage replay —
     * both the batch query and the stream-scored topology must produce

@@ -1053,6 +1053,57 @@ object StreamingQueries extends QueryProvider {
             $"m.agree_seg".as("agree_seg"), $"m.score".as("score"))
           .orderBy($"a_key")
       },
-      Some(DedupQueries.linkageOracleSql))
+      Some(DedupQueries.linkageOracleSql)),
+
+    // Decontamination AT INGEST — d20's exact-substring cut run as a
+    // streaming topology: the duplicated-gram set is derived in batch
+    // from the corpus, then the document STREAM is cut per micro-batch
+    // against that static set inside foreachBatch (a doc's grams all
+    // live in its own input row, so the cut is batch-local and the
+    // pipeline keeps zero cross-batch state). Because the dup set
+    // covers the same corpus the stream replays, the streamed output
+    // must hash-equal the batch d20 — the oracle IS d20's.
+    Q(
+      "sm19_stream_span_cut",
+      (s, dir) => {
+        import s.implicits._
+        val k = 40
+        val docSchema = Tables.documents(s, dir).schema
+        val base = Tables.documents(s, dir)
+          .select($"doc_id".as("id"), $"text".as("t"))
+        val dupHashes = graft.operators.Dedup.gramPositions(base, k)
+          .groupBy($"gh").agg(count(lit(1)).as("cnt"))
+          .filter($"cnt" >= 2).select($"gh").persist()
+        dupHashes.count() // materialize before the stream starts
+        val stage = Files.createTempDirectory("sm19_docs")
+        val sinkRoot = Files.createTempDirectory("sm19_sink")
+        val dataDir = sinkRoot.resolve("data").toString
+        var q: org.apache.spark.sql.streaming.StreamingQuery = null
+        try {
+          stageParquet(s"$dir/documents.parquet", stage, "documents")
+          val stream = s.readStream.schema(docSchema)
+            .parquet(stage.toString)
+          q = stream.writeStream.outputMode("append")
+            .foreachBatch {
+              (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+                val b = batch.select(col("doc_id").as("id"),
+                  col("text").as("t"))
+                graft.operators.Dedup.cutSpansWith(b,
+                    graft.operators.Dedup.gramPositions(b, k),
+                    dupHashes, k)
+                  .write.mode("append").parquet(dataDir)
+            }
+            .start()
+          q.processAllAvailable()
+        } finally {
+          if (q != null) q.stop()
+          rmStage(stage)
+        }
+        s.read.parquet(dataDir)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy($"doc_id")
+          .localCheckpoint()
+      },
+      Some(DedupQueries.spanRemovalOracleSql))
   )
 }
