@@ -1385,7 +1385,76 @@ object CurationQueries extends QueryProvider {
            |  CAST(count(*) - count(v.doc_id) AS BIGINT) AS n_kept
            |FROM ds LEFT JOIN v USING (doc_id)
            |GROUP BY split ORDER BY split""".stripMargin
-      })
+      }),
+
+    // DSIR importance RESAMPLING (c32) — a26's weights put to work:
+    // Gumbel-top-k selection ∝ exp(importance), with the "randomness"
+    // the deterministic FNV low-20-bit uniform both engines replay
+    // (c12's recipe). log10 weights are rescaled by ln(10) so the
+    // softmax base matches the Gumbel's natural log — selection is
+    // exactly ∝ the importance weight. Global top-50 plans as
+    // TakeOrderedAndProject; the weight chain is a26's linear LM.
+    Q(
+      "c32_dsir_resample",
+      (s, dir) => {
+        import s.implicits._
+        val words = graft.Par.fanOut(Tables.documents(s, dir))
+          .select($"doc_id", $"lang", explode(TF.tokenize($"text")).as("w"))
+        val src = words.groupBy($"w").agg(count(lit(1)).as("cs"))
+        val tgt = words.where($"lang" === "en")
+          .groupBy($"w").agg(count(lit(1)).as("ct"))
+        val totals = src.agg(sum($"cs").as("ns"), count(lit(1)).as("v"))
+        val tTotal = tgt.agg(coalesce(sum($"ct"), lit(0L)).as("nt"))
+        val lm = src.join(tgt, Seq("w"), "left")
+          .select($"w", $"cs", coalesce($"ct", lit(0L)).as("ct"))
+          .crossJoin(broadcast(totals)).crossJoin(broadcast(tTotal))
+          .select($"w", round(log10(
+            (($"ct" + lit(1.0)) / ($"nt" + $"v")) /
+              (($"cs" + lit(1.0)) / ($"ns" + $"v"))), 6)
+            .cast("decimal(18,6)").as("llr"))
+        val perDoc = words
+          .join(broadcast(lm), Seq("w"))
+          .groupBy($"doc_id")
+          .agg(round(sum($"llr").cast("double"), 6).as("log_weight"))
+        val u = (pmod(graft.functions.Fnv.fnv1a64($"doc_id".cast("string")),
+          lit(1048576L)) + 1).cast("double") / 1048576.0
+        val key = round($"log_weight" * 2.302585092994046 +
+          (-log(-log(u))), 9)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy($"gkey".desc, $"doc_id")
+        perDoc.withColumn("gkey", key)
+          .orderBy($"gkey".desc, $"doc_id").limit(50)
+          .withColumn("rn", row_number().over(w))
+          .select($"rn", $"doc_id", $"log_weight", $"gkey")
+          .orderBy($"rn")
+      },
+      Some(s"""WITH base AS (SELECT doc_id, lang,
+             |  regexp_extract_all(lower(text),'[a-zA-Z]+') AS t FROM documents),
+             |words AS (SELECT doc_id, lang, unnest(t) AS w FROM base),
+             |src AS (SELECT w, count(*) AS cs FROM words GROUP BY w),
+             |tgt AS (SELECT w, count(*) AS ct FROM words
+             |  WHERE lang = 'en' GROUP BY w),
+             |tot AS (SELECT CAST(sum(cs) AS BIGINT) AS ns, count(*) AS v
+             |  FROM src),
+             |tt AS (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS nt
+             |  FROM tgt),
+             |lm AS (SELECT w,
+             |    CAST(round(log10(
+             |      ((coalesce(ct, 0) + 1.0) / (nt + v)) /
+             |      ((cs + 1.0) / (ns + v))), 6) AS DECIMAL(18,6)) AS llr
+             |  FROM src LEFT JOIN tgt USING (w) CROSS JOIN tot CROSS JOIN tt),
+             |pd AS (SELECT doc_id,
+             |    round(CAST(sum(llr) AS DOUBLE), 6) AS log_weight
+             |  FROM words JOIN lm USING (w) GROUP BY doc_id),
+             |g AS (SELECT doc_id, log_weight,
+             |  round(log_weight * 2.302585092994046 +
+             |    (-ln(-ln(((${FnvSql.ofString("(doc_id::VARCHAR)")})
+             |      % 1048576 + 1)::DOUBLE / 1048576.0))), 9) AS gkey
+             |  FROM pd),
+             |r AS (SELECT *, row_number() OVER
+             |  (ORDER BY gkey DESC, doc_id) AS rn FROM g)
+             |SELECT CAST(rn AS INTEGER) AS rn, doc_id, log_weight, gkey
+             |FROM r WHERE rn <= 50 ORDER BY rn""".stripMargin))
   )
 
 }
