@@ -70,7 +70,8 @@ object Stress {
     "q54_large_orders", "c30_removal_ledger", "ls12_energy_curve",
     "e09_outliers", "c31_split_repair", "a33_blocklist_gate",
     "e10_codec_error", "t24_posting_compression", "ls13_topic_coherence",
-    "io11_release_manifest", "d23_dedup_eval", "sm19_stream_span_cut")
+    "io11_release_manifest", "d23_dedup_eval", "sm19_stream_span_cut",
+    "c32_dsir_resample")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/graft_sf1")
