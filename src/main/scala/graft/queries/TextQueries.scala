@@ -754,8 +754,51 @@ object TextQueries extends QueryProvider {
               .as("ratio_vs_raw"))
           .orderBy($"term")
       },
-      Some(t24OracleSql))
+      Some(t24OracleSql)),
+
+    // Tokenizer diff audit (t25) — where BPE and the unigram model
+    // disagree: per word type, both token counts (BPE's end-marker
+    // symbol excluded so the comparison is honest) and the delta,
+    // restricted to disagreeing words, heaviest first. The table a
+    // tokenizer migration reviews before swapping models. Oracle
+    // stitches the two already-green chains (BPE's 20 merge stages +
+    // the unigram recursive DP) into one statement.
+    Q(
+      "t25_tokenizer_diff",
+      (s, dir) => {
+        import s.implicits._
+        val toks = graft.Par.fanOut(Tables.documents(s, dir))
+          .select(TF.tokenize($"text").as("tokens"))
+        val wf = graft.operators.Bpe.wordFrequencies(toks, "tokens")
+          .persist()
+        val bd = graft.operators.Bpe.subwordDict(s, wf, numMerges = 20)
+          .select($"word", ($"n_sub" - 1).cast("long").as("bpe_ntok"))
+        val ud = graft.operators.Unigram.encodeDict(s, wf,
+            vocabSize = 64, maxLen = 6)
+          .select($"word", $"n_sub".cast("long").as("uni_ntok"))
+        wf.join(bd, Seq("word")).join(ud, Seq("word"))
+          .filter($"bpe_ntok" =!= $"uni_ntok")
+          .select($"word", $"freq", $"bpe_ntok", $"uni_ntok",
+            ($"bpe_ntok" - $"uni_ntok").as("delta"))
+          .orderBy($"freq".desc, $"word")
+      },
+      Some(t25OracleSql))
   )
+
+  private lazy val t25OracleSql: String =
+    s"""WITH RECURSIVE
+       |${bpeCtesSql.stripPrefix("WITH ")},
+       |${unigramCtesSql(64, 6).stripPrefix("WITH RECURSIVE\n")},
+       |bdict AS (SELECT word,
+       |  CAST(len(string_split(repr, chr(31))) - 1 AS BIGINT) AS bpe_ntok
+       |  FROM r20),
+       |udict AS (SELECT word, CAST(count(*) AS BIGINT) AS uni_ntok
+       |  FROM wk2 WHERE pos > 0 GROUP BY word)
+       |SELECT w.word, w.freq, b.bpe_ntok, u.uni_ntok,
+       |  b.bpe_ntok - u.uni_ntok AS delta
+       |FROM wf w JOIN bdict b USING (word) JOIN udict u USING (word)
+       |WHERE b.bpe_ntok <> u.uni_ntok
+       |ORDER BY w.freq DESC, w.word""".stripMargin
 
   private def t24OracleSql: String = {
     val lim = 20
