@@ -1813,6 +1813,59 @@ object AnalysisQueries extends QueryProvider {
              |  round(n_phrases * 1.0 / greatest(prefix_len, 1), 6) AS lz_ratio
              |FROM f ORDER BY doc_id""".stripMargin)),
 
+    // SSIM verification of dHash candidates (mm12) — the second-stage
+    // metric a perceptual-dedup pipeline runs on banded candidates
+    // before acting: global SSIM (Wang et al. 2004, single-window
+    // form) between the two candidates' REAL decoded 8×8 grids
+    // (mm08's area-average resize). Pair stats are DECIMAL-exact
+    // 64-cell sums; the formula is spelled in identical operation
+    // order on both engines. Candidates are the mm04 banded pairs —
+    // bucketed generation, quadratic work only within buckets.
+    Q(
+      "mm12_ssim_verify",
+      (s, dir) => {
+        import s.implicits._
+        val media = Multimodal.asMedia(Tables.documents(s, dir),
+          "doc_id", "text")
+        val h = Multimodal.dHashStub(media).select($"id", $"dhash")
+        val bands = h.select($"id", $"dhash",
+          explode(array((0 until 4).map(j =>
+            struct(lit(j).as("bno"),
+              shiftright($"dhash", 15 * j).bitwiseAND(lit(32767L))
+                .as("bv"))): _*)).as("bd"))
+          .select($"id", $"dhash", $"bd.bno".as("bno"), $"bd.bv".as("bv"))
+        val pairs = bands
+          .select($"bno", $"bv", $"id".as("a"), $"dhash".as("ha"))
+          .join(bands.select($"bno", $"bv", $"id".as("b"),
+            $"dhash".as("hb")), Seq("bno", "bv"))
+          .filter($"a" < $"b")
+          .select($"a", $"b", $"ha", $"hb").distinct()
+          .filter(bit_count($"ha".bitwiseXOR($"hb")) <= 3)
+          .select($"a", $"b")
+        val grid = Multimodal.resizeGrid(
+            Multimodal.grayImagePayload(media), gridW = 8, gridH = 8)
+          .select($"id", $"cell", $"v")
+        def dsum(c: org.apache.spark.sql.Column) =
+          sum(c.cast("decimal(38,12)")).cast("double") / 64
+        pairs
+          .join(grid.as("gx"), $"gx.id" === $"a")
+          .join(grid.as("gy"),
+            $"gy.id" === $"b" && $"gy.cell" === $"gx.cell")
+          .groupBy($"a", $"b")
+          .agg(dsum($"gx.v").as("mux"), dsum($"gy.v").as("muy"),
+            dsum($"gx.v" * $"gx.v").as("sxx"),
+            dsum($"gy.v" * $"gy.v").as("syy"),
+            dsum($"gx.v" * $"gy.v").as("sxy"))
+          .select($"a", $"b", round(
+            ((lit(2) * $"mux" * $"muy" + 6.5025) *
+              (lit(2) * ($"sxy" - $"mux" * $"muy") + 58.5225)) /
+            (($"mux" * $"mux" + $"muy" * $"muy" + 6.5025) *
+              (($"sxx" - $"mux" * $"mux") +
+                ($"syy" - $"muy" * $"muy") + 58.5225)), 6).as("ssim"))
+          .orderBy($"a", $"b")
+      },
+      Some(mm12OracleSql)),
+
     // Source keyness — Dunning 1993 log-likelihood (G²): per source,
     // the terms most OVERREPRESENTED vs the rest of the corpus (the
     // corpus-linguistics "what makes this domain's vocabulary
@@ -2089,6 +2142,60 @@ object AnalysisQueries extends QueryProvider {
     * filter — equivalent to the Spark plan's banded join because 4
     * bands give complete recall at Hamming ≤ 3 (pigeonhole).
     */
+  /** mm12: the mm04 candidate chain + the mm08 grid chain (prefixed
+    * g*) + per-pair SSIM stats. Grid cell values are round-6 means, so
+    * the DECIMAL(38,12) pair sums are exact; the SSIM formula is
+    * spelled in the identical operation order on both engines.
+    */
+  private lazy val mm12OracleSql: String = {
+    val dhTerms = (0 until 60).map(i =>
+      s"(CASE WHEN coalesce(bytes[${i + 2}], 0) > coalesce(bytes[${i + 1}], 0)" +
+        s" THEN ${1L << i} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH b AS (SELECT doc_id AS id, hex(encode(coalesce(text,''))) AS hx,
+       |  octet_length(encode(coalesce(text,''))) AS n FROM documents),
+       |by2 AS (SELECT id, list_transform(range(n), i ->
+       |    (strpos('0123456789ABCDEF', hx[2*i+1])-1)*16 +
+       |    (strpos('0123456789ABCDEF', hx[2*i+2])-1)) AS bytes FROM b),
+       |dh AS (SELECT id, CAST($dhTerms AS BIGINT) AS dhash FROM by2),
+       |p AS (SELECT a.id AS a, b.id AS b
+       |  FROM dh a JOIN dh b ON a.id < b.id
+       |  WHERE bit_count(xor(a.dhash, b.dhash)) <= 3),
+       |gby2 AS (SELECT id, greatest(1, (n + 31) // 32) AS h,
+       |    list_concat(
+       |      list_transform(range(n), i ->
+       |        (strpos('0123456789ABCDEF', hx[2*i+1])-1)*16 +
+       |        (strpos('0123456789ABCDEF', hx[2*i+2])-1)),
+       |      list_transform(range(greatest(1, (n + 31) // 32) * 32 - n),
+       |        i -> 0)) AS px
+       |  FROM b),
+       |gpxr AS (SELECT id, h, unnest(range(h * 32)) AS pp, unnest(px) AS v
+       |  FROM gby2),
+       |gagg AS (SELECT id,
+       |  ((pp // 32) * 8 // h) * 8 + (pp % 32) // 4 AS cell,
+       |  round(sum(v) * 1.0 / count(*), 6) AS av
+       |  FROM gpxr GROUP BY id, ((pp // 32) * 8 // h) * 8 + (pp % 32) // 4),
+       |grid AS (SELECT s.id, CAST(s.cell AS INTEGER) AS cell,
+       |  coalesce(a.av, 0.0) AS v
+       |  FROM (SELECT id, unnest(range(64)) AS cell FROM b) s
+       |  LEFT JOIN gagg a ON a.id = s.id AND a.cell = s.cell),
+       |st AS (SELECT p.a, p.b,
+       |  CAST(sum(CAST(gx.v AS DECIMAL(38,12))) AS DOUBLE) / 64 AS mux,
+       |  CAST(sum(CAST(gy.v AS DECIMAL(38,12))) AS DOUBLE) / 64 AS muy,
+       |  CAST(sum(CAST(gx.v * gx.v AS DECIMAL(38,12))) AS DOUBLE) / 64 AS sxx,
+       |  CAST(sum(CAST(gy.v * gy.v AS DECIMAL(38,12))) AS DOUBLE) / 64 AS syy,
+       |  CAST(sum(CAST(gx.v * gy.v AS DECIMAL(38,12))) AS DOUBLE) / 64 AS sxy
+       |  FROM p JOIN grid gx ON gx.id = p.a
+       |  JOIN grid gy ON gy.id = p.b AND gy.cell = gx.cell
+       |  GROUP BY p.a, p.b)
+       |SELECT a, b, round(
+       |  ((2 * mux * muy + 6.5025) * (2 * (sxy - mux * muy) + 58.5225))
+       |  / ((mux * mux + muy * muy + 6.5025)
+       |     * ((sxx - mux * mux) + (syy - muy * muy) + 58.5225)), 6)
+       |  AS ssim
+       |FROM st ORDER BY a, b""".stripMargin
+  }
+
   private lazy val mm04OracleSql: String = {
     val dhTerms = (0 until 60).map(i =>
       s"(CASE WHEN coalesce(bytes[${i + 2}], 0) > coalesce(bytes[${i + 1}], 0)" +
