@@ -170,6 +170,38 @@ object PowerLsa {
     val spark = cells.sparkSession
     import spark.implicits._
     val c = cells.select(col("id"), col("token"), col("a")).persist()
+    val done = kFactors(c, k, iters)
+    val out = done.zipWithIndex.map { case ((vj, sigma, av), i) =>
+      val flRow = vj.orderBy(abs(col("v")).desc, col("token")).limit(1)
+        .select(col("v")).head()
+      val fl = if (flRow.getDouble(0) < 0) -1.0 else 1.0
+      val kw = vj.select(col("token"), (lit(fl) * col("v")).as("sv"))
+        .orderBy(desc("sv"), col("token")).limit(nKeywords)
+        .select(col("token")).as[String].collect().mkString(" ")
+      val dc = av.select(col("id"),
+          (if (sigma == 0.0) lit(0.0)
+           else lit(fl) * (col("av") / lit(sigma))).as("su"))
+        .orderBy(desc("su"), col("id")).limit(nDocs)
+        .select(col("id").cast("long")).as[Long].collect().mkString(" ")
+      ConceptRow(i, round4(sigma), kw, dc)
+    }
+    // `out` holds plain local rows now — every (v, av) checkpoint is dead.
+    done.foreach { case (vj, _, av) =>
+      releaseCheckpoint(vj); releaseCheckpoint(av)
+    }
+    c.unpersist()
+    spark.createDataFrame(spark.sparkContext.parallelize(out.toSeq, 1))
+  }
+
+  /** The k-concept power-deflation loop itself, returning the LIVE
+    * factors — per concept j: (v_j (token, v), σ_j, Av_j (id, av)).
+    * Callers own the returned checkpoints (release via
+    * [[releaseCheckpoint]] when done); `c` = persisted (id, token, a)
+    * cells. This is the surface ls14's LSI fold-in consumes; the ls01
+    * concept emission above is one consumer of it.
+    */
+  def kFactors(c: DataFrame, k: Int,
+      iters: Int): Seq[(DataFrame, Double, DataFrame)] = {
     val nv = c.select(col("token")).distinct().count()
     val c0 = 1.0 / math.sqrt(nv.toDouble)
     // (v_j DataFrame(token, v), sigma_j, av_j DataFrame(id, av))
@@ -230,26 +262,7 @@ object PowerLsa {
       done += ((q, sigma, av))
       j += 1
     }
-    val out = done.zipWithIndex.map { case ((vj, sigma, av), i) =>
-      val flRow = vj.orderBy(abs(col("v")).desc, col("token")).limit(1)
-        .select(col("v")).head()
-      val fl = if (flRow.getDouble(0) < 0) -1.0 else 1.0
-      val kw = vj.select(col("token"), (lit(fl) * col("v")).as("sv"))
-        .orderBy(desc("sv"), col("token")).limit(nKeywords)
-        .select(col("token")).as[String].collect().mkString(" ")
-      val dc = av.select(col("id"),
-          (if (sigma == 0.0) lit(0.0)
-           else lit(fl) * (col("av") / lit(sigma))).as("su"))
-        .orderBy(desc("su"), col("id")).limit(nDocs)
-        .select(col("id").cast("long")).as[Long].collect().mkString(" ")
-      ConceptRow(i, round4(sigma), kw, dc)
-    }
-    // `out` holds plain local rows now — every (v, av) checkpoint is dead.
-    done.foreach { case (vj, _, av) =>
-      releaseCheckpoint(vj); releaseCheckpoint(av)
-    }
-    c.unpersist()
-    spark.createDataFrame(spark.sparkContext.parallelize(out.toSeq, 1))
+    done.toSeq
   }
 
   /** Free the block storage behind a localCheckpoint'd DataFrame. The

@@ -349,8 +349,101 @@ object LsaQueries extends QueryProvider {
               .cast("decimal(38,18)")).cast("double"), 6).as("coherence"))
           .orderBy($"topic")
       },
-      Some(coherenceOracleSql))
+      Some(coherenceOracleSql)),
+
+    // LSI retrieval (ls14) — the fold-in that closes the LSA loop
+    // (Deerwester et al. 1990 §4): queries project into concept space
+    // as q̂_j = Σ_t q_t·v_j(t)/σ_j, documents are their Av_j/σ_j rows,
+    // and ranking is the 4-dim concept-space cosine — the latent
+    // matching that lexical TF-IDF (t05/t13) cannot do. Queries here
+    // are docs 0-4 (each must rank itself #1 — a built-in sanity
+    // property the hash check pins). Factors come LIVE from
+    // PowerLsa.kFactors (the exact-decimal deflation loop ls01 rides);
+    // all concept-space sums are DECIMAL-exact in concept order.
+    Q(
+      "ls14_lsi_retrieval",
+      (s, dir) => {
+        import s.implicits._
+        val DecT = "decimal(38,18)"
+        val cells = powerCells(s, dir)
+          .select($"id", $"token", $"a").persist()
+        val factors = PowerLsa.kFactors(cells, k = 4, PowerIters)
+        val qp = factors.zipWithIndex.map { case ((vj, sigma, _), j) =>
+          cells.filter($"id" < 5)
+            .join(vj, Seq("token"))
+            .groupBy($"id")
+            .agg(sum(($"a" * $"v").cast(DecT)).cast("double").as("num"))
+            .select($"id".as("qid"), lit(j).as("j"),
+              (if (sigma == 0.0) lit(0.0) else $"num" / sigma).as("qv"))
+        }.reduce(_ unionByName _)
+        val dp = factors.zipWithIndex.map { case ((_, sigma, av), j) =>
+          av.select($"id".as("did"), lit(j).as("j"),
+            (if (sigma == 0.0) lit(0.0) else $"av" / sigma).as("dv"))
+        }.reduce(_ unionByName _)
+        val qn = qp.groupBy($"qid")
+          .agg(sum(($"qv" * $"qv").cast(DecT)).cast("double").as("qq"))
+        val dn = dp.groupBy($"did")
+          .agg(sum(($"dv" * $"dv").cast(DecT)).cast("double").as("dd"))
+        val num = broadcast(qp).join(dp, Seq("j"))
+          .groupBy($"qid", $"did")
+          .agg(sum(($"qv" * $"dv").cast(DecT)).cast("double").as("nm"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"qid").orderBy($"cos".desc, $"did")
+        num.join(broadcast(qn), Seq("qid")).join(dn, Seq("did"))
+          .withColumn("cos",
+            round($"nm" / (sqrt($"qq") * sqrt($"dd")), 6))
+          .withColumn("rnk", row_number().over(w))
+          .filter($"rnk" <= 5)
+          .select($"qid", $"rnk", $"did", $"cos")
+          .orderBy($"qid", $"rnk")
+      },
+      Some(lsiRetrievalOracleSql))
   )
+
+  /** ls14: the 4-concept chain + fold-in projections, concept-space
+    * cosine, top-5 per query.
+    */
+  private def lsiRetrievalOracleSql: String = {
+    val qpU = (1 to 4).map(j =>
+      s"""SELECT c.id AS qid, ${j - 1} AS j,
+         |  CASE WHEN s.sigma = 0 THEN 0.0
+         |    ELSE CAST(sum(CAST(c.a * v.v AS DECIMAL(38,18))) AS DOUBLE)
+         |      / s.sigma END AS qv
+         |  FROM qcells c JOIN cv$j v USING (token) CROSS JOIN sg$j s
+         |  GROUP BY c.id, s.sigma""".stripMargin)
+      .mkString("\n  UNION ALL ")
+    val dpU = (1 to 4).map(j =>
+      s"""SELECT a.id AS did, ${j - 1} AS j,
+         |  CASE WHEN s.sigma = 0 THEN 0.0 ELSE a.av / s.sigma END AS dv
+         |  FROM av$j a CROSS JOIN sg$j s""".stripMargin)
+      .mkString("\n  UNION ALL ")
+    s"""WITH tok AS (SELECT doc_id, unnest(${TextQueries.tokSql()}) AS token
+       |  FROM documents),
+       |tf AS (SELECT doc_id, token, count(*) AS tf
+       |  FROM tok GROUP BY doc_id, token),
+       |d AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |cells AS MATERIALIZED (SELECT '' AS g, doc_id AS id, tf.token,
+       |    round(tf.tf * log10(n.n * 1.0 / d.df), 6) AS a
+       |  FROM tf JOIN d USING (token) CROSS JOIN n),
+       |${PowerKSql.chain(4, PowerIters)},
+       |qcells AS (SELECT id, token, a FROM cells WHERE id < 5),
+       |qp AS ($qpU),
+       |dp AS ($dpU),
+       |qn AS (SELECT qid, CAST(sum(CAST(qv * qv AS DECIMAL(38,18)))
+       |  AS DOUBLE) AS qq FROM qp GROUP BY qid),
+       |dn AS (SELECT did, CAST(sum(CAST(dv * dv AS DECIMAL(38,18)))
+       |  AS DOUBLE) AS dd FROM dp GROUP BY did),
+       |nm AS (SELECT qid, did, CAST(sum(CAST(qv * dv AS DECIMAL(38,18)))
+       |  AS DOUBLE) AS nm FROM qp JOIN dp USING (j) GROUP BY qid, did),
+       |sc AS (SELECT nm.qid, nm.did,
+       |  round(nm.nm / (sqrt(qn.qq) * sqrt(dn.dd)), 6) AS cos
+       |  FROM nm JOIN qn USING (qid) JOIN dn USING (did)),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+       |  ORDER BY cos DESC, did) AS rnk FROM sc)
+       |SELECT qid, rnk, did, cos FROM r WHERE rnk <= 5
+       |ORDER BY qid, rnk""".stripMargin
+  }
 
   /** ls12: the PowerKSql 4-concept chain (g = '' constant) plus the
     * exact-decimal Frobenius total and the cumulative energy window.
