@@ -71,7 +71,8 @@ object Stress {
     "e09_outliers", "c31_split_repair", "a33_blocklist_gate",
     "e10_codec_error", "t24_posting_compression", "ls13_topic_coherence",
     "io11_release_manifest", "d23_dedup_eval", "sm19_stream_span_cut",
-    "c32_dsir_resample")
+    "c32_dsir_resample", "t25_tokenizer_diff", "mm12_ssim_verify",
+    "ls14_lsi_retrieval")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/graft_sf1")
