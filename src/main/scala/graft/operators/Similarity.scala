@@ -280,7 +280,7 @@ object Similarity {
     * summation order as the DuckDB oracle's `list_reduce`, so distances
     * (and therefore argmin assignments) are bit-identical cross-engine.
     */
-  private def sqDist(a: Column, b: Column): Column =
+  def sqDist(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)
 

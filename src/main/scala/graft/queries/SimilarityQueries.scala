@@ -465,6 +465,45 @@ object SimilarityQueries extends QueryProvider {
       },
       Some(s17OracleSql)),
 
+    // IVF cluster-balance audit (s21) — the index-health check run
+    // before committing an (nClusters, nProbe) config: per cluster,
+    // its population share and mean squared distance to the final
+    // centroid of the SAME deterministic Lloyd quantizer s03 searches
+    // with. Skewed shares mean hot inverted lists (probe latency) and
+    // starving tails (recall); the oracle recomputes the full
+    // clustering chain plus the distance aggregate.
+    Q(
+      "s21_cluster_balance",
+      (s, dir) => {
+        import s.implicits._
+        val (cents, af) = Similarity.lloydClusters(
+          vecs(s, dir), nClusters = 16, lloydIters = 2)
+        val d = af.join(broadcast(cents), Seq("cluster"))
+          .select($"cluster",
+            Similarity.sqDist($"vec", $"cv").as("dist"))
+        val g = d.groupBy($"cluster")
+          .agg(count(lit(1)).as("n"),
+            round(sum($"dist".cast("decimal(38,12)")).cast("double")
+              / count(lit(1)), 6).as("mean_sqdist"))
+        val tot = g.agg(sum($"n").as("tot"))
+        g.crossJoin(broadcast(tot))
+          .select($"cluster", $"n",
+            round($"n" * 1.0 / $"tot", 6).as("share"), $"mean_sqdist")
+          .orderBy($"cluster")
+      },
+      Some(s"""WITH ${LloydSql.ctes(16, 2)},
+              |dd AS (SELECT af.cluster,
+              |  ${LloydSql.dist("af.e", "c.cv")} AS dist
+              |  FROM af JOIN ${LloydSql.finalCentroids(2)} c USING (cluster)),
+              |g AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+              |  round(CAST(sum(CAST(dist AS DECIMAL(38,12))) AS DOUBLE)
+              |    / count(*), 6) AS mean_sqdist
+              |  FROM dd GROUP BY cluster),
+              |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM g)
+              |SELECT cluster, n, round(n * 1.0 / tot, 6) AS share,
+              |  mean_sqdist
+              |FROM g CROSS JOIN t ORDER BY cluster""".stripMargin)),
+
     // Hard-negative mining (Similarity.hardNegatives) — the DPR-style
     // contrastive-training step: per query, the most-similar
     // DIFFERENT-label vectors, with a cosine<0.99 margin dropping
