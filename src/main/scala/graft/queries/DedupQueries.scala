@@ -838,6 +838,78 @@ object DedupQueries extends QueryProvider {
            |  round(count(CASE WHEN planted THEN 1 END) / 200.0, 6)
            |    AS recall
            |FROM f""".stripMargin
+      }),
+
+    // LSH noise-sensitivity curve (d24) — d23 swept across mutation
+    // strength: docs 0-99 get planted copies at THREE noise levels
+    // (1 / 8 / 24 appended per-doc-unique junk tokens, Jaccard ~0.95 /
+    // ~0.84 / ~0.67), one LSH run over the union, recall per level.
+    // This is the curve that says where the (32,8,4) banding config
+    // stops seeing mutated duplicates — the counterpart of s13's
+    // band-layout sweep on the similarity axis. Junk tokens embed the
+    // doc id so planted copies never share shingles with each other.
+    Q(
+      "d24_noise_recall_curve",
+      (s, dir) => {
+        import s.implicits._
+        val base = Tables.documents(s, dir).select($"doc_id", $"text")
+        // junk must be ALPHABETIC (the [a-zA-Z]+ tokenizer drops
+        // digits): encode ids as letters via translate
+        def letters(c: org.apache.spark.sql.Column) =
+          translate(c.cast("string"), "0123456789", "abcdefghij")
+        def junk(level: Int) = array_join(
+          transform(sequence(lit(1), lit(level)),
+            i => concat(lit("zq"), letters($"doc_id"), lit("n"),
+              letters(i))), " ")
+        val planted = Seq(1, 8, 24).zipWithIndex.map { case (lv, ix) =>
+          // junk FIRST, shift SECOND: a one-step select would let
+          // Spark's lateral-column-alias resolution point junk's
+          // doc_id at the SHIFTED alias (DuckDB's unaliased select
+          // reads the original column — silent divergence, observed)
+          base.filter($"doc_id" < 100)
+            .select($"doc_id", concat($"text", lit(" "), junk(lv))
+              .as("text"))
+            .select(($"doc_id" + lit(100000L) * (ix + 1)).as("doc_id"),
+              $"text")
+        }.reduce(_ unionByName _)
+        val toks = graft.Par.fanOut(base.unionByName(planted))
+          .select($"doc_id".as("id"), TF.tokenize($"text").as("tokens"))
+        val pairs = Dedup.minhashNearDuplicates(toks, shingleN = 3,
+          numHashes = 32, bands = 8, threshold = 0.3)
+        val lvls = s.createDataFrame(Seq((1, 1), (2, 8), (3, 24)))
+          .toDF("ix", "noise_tokens")
+        broadcast(lvls).join(pairs,
+            $"b" === $"a" + lit(100000L) * $"ix" && $"a" < 100, "left")
+          .groupBy($"ix", $"noise_tokens")
+          .agg(count($"a").as("found"))
+          .select($"noise_tokens", lit(100L).as("planted"), $"found",
+            round($"found" / 100.0, 6).as("recall"))
+          .orderBy($"noise_tokens")
+      },
+      Some {
+        val junkSql = (lv: Int, ix: Int) =>
+          s"""SELECT doc_id + ${100000L * ix}, text || ' ' ||
+             |  array_to_string(list_transform(range(1, ${lv + 1}), i ->
+             |    'zq' || translate(doc_id::VARCHAR, '0123456789',
+             |    'abcdefghij') || 'n' || translate(i::VARCHAR,
+             |    '0123456789', 'abcdefghij')), ' ')
+             |FROM documents WHERE doc_id < 100""".stripMargin
+        val plantedChain = DedupQueries.minhashPairCtes.replace(
+          "FROM documents)", "FROM pl)")
+        s"""WITH pl AS (SELECT doc_id, text FROM documents
+           |  UNION ALL ${junkSql(1, 1)}
+           |  UNION ALL ${junkSql(8, 2)}
+           |  UNION ALL ${junkSql(24, 3)}),
+           |$plantedChain,
+           |f AS (SELECT a, b FROM jac WHERE j >= 0.3),
+           |lv AS (SELECT unnest([1, 2, 3]) AS ix,
+           |  unnest([1, 8, 24]) AS noise_tokens)
+           |SELECT lv.noise_tokens, CAST(100 AS BIGINT) AS planted,
+           |  CAST(count(f.a) AS BIGINT) AS found,
+           |  round(count(f.a) / 100.0, 6) AS recall
+           |FROM lv LEFT JOIN f
+           |  ON f.b = f.a + 100000 * lv.ix AND f.a < 100
+           |GROUP BY lv.noise_tokens ORDER BY lv.noise_tokens""".stripMargin
       })
   )
 
