@@ -27,7 +27,7 @@ object SketchQueries extends QueryProvider {
   private val M = 1 << P
 
   /** Powers-of-two CTE (exact HUGEINT values for i in [0, 63]). */
-  private val powsSql: String =
+  private[queries] val powsSql: String =
     """pows AS (SELECT i, CASE WHEN i < 63 THEN (1::BIGINT << i)::HUGEINT
       |  ELSE 9223372036854775808::HUGEINT END AS pv
       |  FROM (SELECT unnest(range(64)) AS i))""".stripMargin

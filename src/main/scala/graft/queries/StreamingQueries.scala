@@ -1104,6 +1104,89 @@ object StreamingQueries extends QueryProvider {
           .orderBy($"doc_id")
           .localCheckpoint()
       },
-      Some(DedupQueries.spanRemovalOracleSql))
+      Some(DedupQueries.spanRemovalOracleSql)),
+
+    // Streaming per-window approximate distinct users (sm21) — the
+    // mergeable-sketch streaming story: each micro-batch contributes
+    // (hour, register, ρ) rows and the streaming aggregate keeps
+    // max(ρ) per register, which IS the HLL merge — max is
+    // batch-order-invariant, so the streamed registers (and therefore
+    // the estimate) equal the batch sketch bit-for-bit however the
+    // files are micro-batched. State per window is m = 64 registers,
+    // never the user set. The oracle replays the sk02 chain per hour
+    // over the same events.
+    Q(
+      "sm21_stream_hll_users",
+      (s, dir) => {
+        import s.implicits._
+        val fileSchema = Tables.eventsFileSchema(s, dir)
+        val sink = s"sm21_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val stage = Files.createTempDirectory("sm21_events")
+        var q: org.apache.spark.sql.streaming.StreamingQuery = null
+        try {
+          stageParquet(s"$dir/events.parquet", stage, "events")
+          val stream = Tables.normalizeEventTs(
+            s.readStream.schema(fileSchema).parquet(stage.toString))
+          val h = graft.functions.Fnv.fnv1a64($"user_id".cast("string"))
+          q = stream
+            .select(date_trunc("hour", $"ts").as("grp"),
+              h.bitwiseAND(lit(63L)).cast("int").as("reg"),
+              least(graft.functions.BitExprs.ntz_plus1(
+                shiftrightunsigned(h, 6)), lit(59)).as("rho"))
+            .groupBy($"grp", $"reg").agg(max($"rho").as("maxrho"))
+            .writeStream.outputMode("complete")
+            .format("memory").queryName(sink).start()
+          q.processAllAvailable()
+        } finally {
+          if (q != null) q.stop()
+          rmStage(stage)
+        }
+        // the memory-sink view keeps one set of expr-ids: self-joining
+        // it trips conflicting-reference resolution — cut the plan
+        val observed = s.table(sink).localCheckpoint()
+        val grid = observed.select($"grp").distinct()
+          .select($"grp", explode(sequence(lit(0), lit(63))).as("reg"))
+        val regs = grid.join(observed, Seq("grp", "reg"), "left")
+          .select($"grp", $"reg",
+            coalesce($"maxrho", lit(0)).cast("int").as("maxrho"))
+        graft.operators.HllSketch.estimates(regs, 6)
+          .select($"grp".as("window_start"), $"zeros", $"est")
+          .orderBy($"window_start")
+      },
+      Some {
+        val scale = 64 - 6 + 1
+        val numer = graft.operators.HllSketch.alphaM2(6) *
+          math.pow(2.0, scale)
+        s"""WITH vals AS (SELECT DISTINCT date_trunc('hour', ts) AS grp,
+           |  user_id AS v FROM events),
+           |h AS (SELECT grp, v, ${FnvSql.ofString("(v::VARCHAR)")} AS hu
+           |  FROM vals),
+           |${SketchQueries.powsSql},
+           |rr AS (SELECT grp, v, (hu % 64::HUGEINT) AS reg,
+           |  CAST(hu // 64::HUGEINT AS BIGINT) AS w FROM h),
+           |rho AS (SELECT r.grp, r.v, r.reg,
+           |  CASE WHEN r.w = 0 THEN 59 ELSE max(p.i) + 1 END AS rho
+           |  FROM rr r LEFT JOIN pows p ON p.pv = (r.w & (-r.w))::HUGEINT
+           |  GROUP BY r.grp, r.v, r.reg, r.w),
+           |obs AS (SELECT grp, reg, max(rho) AS maxrho
+           |  FROM rho GROUP BY grp, reg),
+           |grid AS (SELECT g.grp, rg.reg,
+           |  CAST(coalesce(o.maxrho, 0) AS INTEGER) AS maxrho
+           |  FROM (SELECT DISTINCT date_trunc('hour', ts) AS grp
+           |    FROM events) g
+           |  CROSS JOIN (SELECT unnest(range(64)) AS reg) rg
+           |  LEFT JOIN obs o ON o.grp = g.grp AND o.reg = rg.reg),
+           |agg AS (SELECT grp,
+           |  CAST(sum(CASE WHEN maxrho = 0 THEN 1 ELSE 0 END) AS INTEGER)
+           |    AS zeros,
+           |  sum(((1::BIGINT << ($scale - maxrho))::HUGEINT)) AS sscaled
+           |  FROM grid GROUP BY grp)
+           |SELECT grp AS window_start, zeros,
+           |round(CASE WHEN ($numer / sscaled::DOUBLE) <= ${2.5 * 64}
+           |    AND zeros > 0
+           |  THEN ${64.0} * ln(${64.0} / zeros)
+           |  ELSE ($numer / sscaled::DOUBLE) END, 3) AS est
+           |FROM agg ORDER BY window_start""".stripMargin
+      })
   )
 }
