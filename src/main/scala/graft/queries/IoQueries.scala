@@ -394,7 +394,55 @@ object IoQueries extends QueryProvider {
              |SELECT lang, count(*) AS n_rows,
              |  CAST(1 AS BIGINT) AS n_files,
              |  CAST(sum(h) AS BIGINT) AS checksum
-             |FROM c GROUP BY lang ORDER BY lang""".stripMargin))
+             |FROM c GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Federated-format union (io12) — the lake reality of one logical
+    // dataset living in three physical formats: the corpus staged as
+    // parquet, JSONL and CSV, read back through each connector with
+    // one explicit schema, unioned with a format lineage column. Every
+    // format row reports the same count/idsum/content checksum — the
+    // gate proves all three round-trips are LOSSLESS byte-for-byte on
+    // content (the checksum hashes doc_id:md5(text)), so the oracle is
+    // the documents table replicated per format label.
+    Q(
+      "io12_federated_union",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+          .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+        val stage = stageDir("graft_io12")
+        docs.write.mode("overwrite").parquet(s"$stage/p")
+        docs.write.mode("overwrite").json(s"$stage/j")
+        docs.write.mode("overwrite").option("header", "true")
+          .option("quoteAll", "true").csv(s"$stage/c")
+        val schema = docs.schema
+        val back = Seq(
+          s.read.schema(schema).parquet(s"$stage/p")
+            .withColumn("fmt", lit("parquet")),
+          s.read.schema(schema).json(s"$stage/j")
+            .withColumn("fmt", lit("jsonl")),
+          s.read.schema(schema).option("header", "true")
+            .csv(s"$stage/c").withColumn("fmt", lit("csv"))
+        ).reduce(_ unionByName _)
+        back.groupBy($"fmt")
+          .agg(count(lit(1)).as("n_rows"),
+            sum($"doc_id").as("idsum"),
+            sum(pmod(graft.functions.Fnv.fnv1a64(
+              concat($"doc_id".cast("string"), lit(":"), md5($"text"))),
+              lit(1000000007L))).as("checksum"))
+          .orderBy($"fmt")
+          .localCheckpoint()
+      },
+      Some(s"""WITH c AS (SELECT doc_id,
+             |  (((${FnvSql.toSigned(FnvSql.ofString(
+                  "(doc_id::VARCHAR || ':' || md5(text))"))}
+             |    % 1000000007) + 1000000007) % 1000000007) AS h
+             |  FROM documents),
+             |f AS (SELECT unnest(['csv', 'jsonl', 'parquet']) AS fmt)
+             |SELECT fmt, (SELECT count(*) FROM c) AS n_rows,
+             |  (SELECT CAST(sum(doc_id) AS BIGINT) FROM c) AS idsum,
+             |  (SELECT CAST(sum(h) AS BIGINT) FROM c) AS checksum
+             |FROM f ORDER BY fmt""".stripMargin))
   )
 
   private def deleteRecursively(f: java.io.File): Unit = {
