@@ -72,7 +72,8 @@ object Stress {
     "e10_codec_error", "t24_posting_compression", "ls13_topic_coherence",
     "io11_release_manifest", "d23_dedup_eval", "sm19_stream_span_cut",
     "c32_dsir_resample", "t25_tokenizer_diff", "mm12_ssim_verify",
-    "ls14_lsi_retrieval", "s21_cluster_balance", "d24_noise_recall_curve")
+    "ls14_lsi_retrieval", "s21_cluster_balance", "d24_noise_recall_curve",
+    "sm21_stream_hll_users", "io12_federated_union")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/graft_sf1")
