@@ -1454,7 +1454,57 @@ object CurationQueries extends QueryProvider {
              |r AS (SELECT *, row_number() OVER
              |  (ORDER BY gkey DESC, doc_id) AS rn FROM g)
              |SELECT CAST(rn AS INTEGER) AS rn, doc_id, log_weight, gkey
-             |FROM r WHERE rn <= 50 ORDER BY rn""".stripMargin))
+             |FROM r WHERE rn <= 50 ORDER BY rn""".stripMargin)),
+
+    // Packing budget sweep (c33) — c06's stream-cut packing costed at
+    // three context budgets without running the pack: under stream
+    // cutting only each shard's LAST sequence pads, so sequences and
+    // waste derive from the 8 per-shard token totals alone. This is
+    // the budget-selection table read next to c20's per-bucket waste
+    // report; shards match c06's FNV assignment exactly.
+    Q(
+      "c33_packing_budget_sweep",
+      (s, dir) => {
+        import s.implicits._
+        val sh = graft.Par.fanOut(Tables.documents(s, dir))
+          .select(pmod(graft.functions.Fnv.fnv1a64(
+            $"doc_id".cast("string")), lit(8L)).cast("int").as("shard"),
+            TA.wsTokenCount($"text").cast("long").as("nt"))
+          .groupBy($"shard").agg(sum($"nt").as("tot"))
+        val budgets = s.createDataFrame(
+            Seq(512L, 2048L, 8192L).map(Tuple1(_))).toDF("ctx")
+        broadcast(budgets).join(sh)
+          .groupBy($"ctx")
+          .agg(sum(ceil($"tot" * lit(1.0) / $"ctx").cast("long"))
+            .as("n_seqs"),
+            sum($"tot").as("total_tokens"))
+          .select($"ctx", $"n_seqs", $"total_tokens",
+            ($"n_seqs" * $"ctx" - $"total_tokens").as("padding"),
+            round(($"n_seqs" * $"ctx" - $"total_tokens") * 1.0 /
+              ($"n_seqs" * $"ctx"), 6).as("waste_frac"))
+          .orderBy($"ctx")
+      },
+      Some(s"""WITH h0 AS (SELECT doc_id,
+              |  CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+              |    AS BIGINT) AS nt,
+              |  ${FnvSql.toSigned(FnvSql.ofString("(doc_id::VARCHAR)"))} AS hs
+              |  FROM documents),
+              |sh AS (SELECT CAST(((hs % 8) + 8) % 8 AS INTEGER) AS shard,
+              |  CAST(sum(nt) AS BIGINT) AS tot
+              |  FROM h0 GROUP BY 1),
+              |b AS (SELECT unnest([512, 2048, 8192]) AS ctx)
+              |SELECT CAST(b.ctx AS BIGINT) AS ctx,
+              |  CAST(sum(CAST(ceil(sh.tot * 1.0 / b.ctx) AS BIGINT))
+              |    AS BIGINT) AS n_seqs,
+              |  CAST(sum(sh.tot) AS BIGINT) AS total_tokens,
+              |  CAST(sum(CAST(ceil(sh.tot * 1.0 / b.ctx) AS BIGINT))
+              |    * b.ctx - sum(sh.tot) AS BIGINT) AS padding,
+              |  round((sum(CAST(ceil(sh.tot * 1.0 / b.ctx) AS BIGINT))
+              |    * b.ctx - sum(sh.tot)) * 1.0 /
+              |    (sum(CAST(ceil(sh.tot * 1.0 / b.ctx) AS BIGINT))
+              |      * b.ctx), 6) AS waste_frac
+              |FROM b CROSS JOIN sh
+              |GROUP BY b.ctx ORDER BY ctx""".stripMargin))
   )
 
 }

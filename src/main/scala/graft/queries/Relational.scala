@@ -1078,7 +1078,41 @@ object Relational extends QueryProvider {
              |FROM orders
              |JOIN big ON o_orderkey = l_orderkey
              |JOIN customer ON o_custkey = c_custkey
-             |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin))
+             |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin)),
+
+    // TPC-H Q4 semantics (order-priority checking): orders in one
+    // quarter with at least one LATE lineitem (shipped more than 90
+    // days after the order date — the schema's proxy for commit <
+    // receipt), counted per priority. The EXISTS becomes a LEFT SEMI
+    // join whose condition mixes the equi key with a cross-table date
+    // inequality — the key still drives the shuffle, the inequality
+    // evaluates post-match, so the plan stays a hash semi-join.
+    Q(
+      "q55_priority_late_orders",
+      (s, dir) => {
+        import s.implicits._
+        val ord = Tables.orders(s, dir)
+          .filter($"o_orderdate" >= lit("1998-01-01 00:00:00")
+            .cast("timestamp") &&
+            $"o_orderdate" < lit("1998-04-01 00:00:00").cast("timestamp"))
+        val li = Tables.lineitem(s, dir)
+          .select($"l_orderkey", $"l_shipdate")
+        ord.join(li, $"o_orderkey" === $"l_orderkey" &&
+            $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 90 DAYS"),
+            "left_semi")
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+             |AND o_orderdate < TIMESTAMP '1998-04-01 00:00:00'
+             |AND EXISTS (SELECT 1 FROM lineitem
+             |  WHERE l_orderkey = o_orderkey
+             |  AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin))
   )
 
   /** q37 oracle: the 32-term Morton interleave with literal power-of-

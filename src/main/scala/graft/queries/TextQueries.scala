@@ -782,7 +782,51 @@ object TextQueries extends QueryProvider {
             ($"bpe_ntok" - $"uni_ntok").as("delta"))
           .orderBy($"freq".desc, $"word")
       },
-      Some(t25OracleSql))
+      Some(t25OracleSql)),
+
+    // Zipf coverage curve (t26) — cumulative token coverage of the
+    // top-k vocabulary at k = 1..32: the vocabulary-budget selection
+    // curve (how much of the token stream a k-entry dictionary
+    // explains). One vocabulary-sized aggregate + a 6-row broadcast
+    // grid; the cumulative sums are integers, engine-exact.
+    Q(
+      "t26_vocab_coverage",
+      (s, dir) => {
+        import s.implicits._
+        val wf = graft.operators.Bpe.wordFrequencies(
+          graft.Par.fanOut(Tables.documents(s, dir))
+            .select(TF.tokenize($"text").as("tokens")), "tokens")
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy($"freq".desc, $"word")
+        val ranked = wf.withColumn("rn", row_number().over(w))
+        val tot = wf.agg(sum($"freq").as("tot"),
+          count(lit(1)).as("v"))
+        val ks = s.createDataFrame(
+            Seq(1, 2, 4, 8, 16, 32).map(Tuple1(_))).toDF("k")
+        broadcast(ks).join(ranked, $"rn" <= $"k")
+          .crossJoin(broadcast(tot))
+          .groupBy($"k", $"v", $"tot")
+          .agg(sum($"freq").as("covered"))
+          .select($"k", least($"k".cast("long"), $"v").as("vocab_used"),
+            $"covered",
+            round($"covered" * 1.0 / $"tot", 6).as("coverage"))
+          .orderBy($"k")
+      },
+      Some("""WITH tok AS (SELECT
+             |  unnest(regexp_extract_all(lower(text),'[a-zA-Z]+')) AS word
+             |  FROM documents),
+             |wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+             |  FROM tok GROUP BY word),
+             |r AS (SELECT word, freq, row_number() OVER
+             |  (ORDER BY freq DESC, word) AS rn FROM wf),
+             |t AS (SELECT CAST(sum(freq) AS BIGINT) AS tot,
+             |  CAST(count(*) AS BIGINT) AS v FROM wf),
+             |ks AS (SELECT unnest([1, 2, 4, 8, 16, 32]) AS k)
+             |SELECT ks.k, least(CAST(ks.k AS BIGINT), t.v) AS vocab_used,
+             |  CAST(sum(r.freq) AS BIGINT) AS covered,
+             |  round(sum(r.freq) * 1.0 / t.tot, 6) AS coverage
+             |FROM ks JOIN r ON r.rn <= ks.k CROSS JOIN t
+             |GROUP BY ks.k, t.v, t.tot ORDER BY ks.k""".stripMargin))
   )
 
   private lazy val t25OracleSql: String =
