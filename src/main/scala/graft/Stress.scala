@@ -73,7 +73,9 @@ object Stress {
     "io11_release_manifest", "d23_dedup_eval", "sm19_stream_span_cut",
     "c32_dsir_resample", "t25_tokenizer_diff", "mm12_ssim_verify",
     "ls14_lsi_retrieval", "s21_cluster_balance", "d24_noise_recall_curve",
-    "sm21_stream_hll_users", "io12_federated_union")
+    "sm21_stream_hll_users", "io12_federated_union",
+    "q55_priority_late_orders", "t26_vocab_coverage",
+    "c33_packing_budget_sweep")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/graft_sf1")
