@@ -910,6 +910,80 @@ object DedupQueries extends QueryProvider {
            |FROM lv LEFT JOIN f
            |  ON f.b = f.a + 100000 * lv.ix AND f.a < 100
            |GROUP BY lv.noise_tokens ORDER BY lv.noise_tokens""".stripMargin
+      }),
+
+    // Medoid survivor selection (d25) — the SemDeDup-grade alternative
+    // to c09's keep-min-id: within each near-dup cluster (the d07
+    // propagation over d04 pairs), keep the most TYPICAL member — the
+    // one maximizing summed Jaccard to its cluster-mates (ties to the
+    // lower id). Pairwise work is quadratic only WITHIN clusters,
+    // which the banding already bounded. Typicality sums 6dp-rounded
+    // jaccards through DECIMAL so partition order is unobservable;
+    // the oracle replays pairs, propagation rounds, within-cluster
+    // jaccard and the argmax.
+    Q(
+      "d25_medoid_survivor",
+      (s, dir) => {
+        import s.implicits._
+        val toks = graft.Par.fanOut(Tables.documents(s, dir))
+          .select($"doc_id".as("id"), TF.tokenize($"text").as("tokens"))
+        val pairs = Dedup.minhashNearDuplicates(toks, shingleN = 3,
+          numHashes = 32, bands = 8, threshold = 0.3)
+        val clusters = Dedup.labelPropagationClusters(pairs, iterations = 3)
+        val sh = toks.select($"id",
+            array_distinct(Dedup.shingles($"tokens", 3)).as("sh"))
+          .filter(size($"sh") > 0)
+        val m = clusters.join(sh, Seq("id")).persist()
+        val pw = m.as("x").join(m.as("y"),
+            $"x.cluster" === $"y.cluster" && $"x.id" =!= $"y.id")
+          .select($"x.cluster".as("cluster"), $"x.id".as("id"),
+            round(Dedup.jaccard($"x.sh", $"y.sh"), 6).as("j"))
+        val typ = pw.groupBy($"cluster", $"id")
+          .agg(sum($"j".cast("decimal(38,6)")).cast("double").as("typ"),
+            count(lit(1)).as("n_others"))
+        typ.groupBy($"cluster")
+          .agg(max(struct($"typ", (-$"id").as("nid"), $"id",
+            $"n_others")).as("m"),
+            (count(lit(1))).as("n_members"))
+          .select($"cluster", $"m.id".as("medoid_id"), $"n_members",
+            round($"m.typ", 6).as("typicality"))
+          .orderBy($"cluster")
+      },
+      Some {
+        val rounds = (1 to 3).map { k =>
+          s"""l$k AS (SELECT n.id, least(n.lbl, coalesce(min(l.lbl), n.lbl)) AS lbl
+             |  FROM l${k - 1} n
+             |  LEFT JOIN e2 ON e2.dst = n.id
+             |  LEFT JOIN l${k - 1} l ON l.id = e2.src
+             |  GROUP BY n.id, n.lbl)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $minhashPairCtes,
+           |p2 AS (SELECT a, b FROM jac WHERE j >= 0.3),
+           |e2 AS (SELECT a AS src, b AS dst FROM p2
+           |  UNION ALL SELECT b AS src, a AS dst FROM p2),
+           |l0 AS (SELECT DISTINCT dst AS id, dst AS lbl FROM e2),
+           |$rounds,
+           |cl AS (SELECT id, lbl AS cluster FROM l3),
+           |mm AS (SELECT cl.id, cl.cluster, s.sh
+           |  FROM cl JOIN s ON s.id = cl.id),
+           |pw AS (SELECT x.cluster, x.id,
+           |  round(len(list_intersect(x.sh, y.sh)) * 1.0 /
+           |    (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))),
+           |    6) AS j
+           |  FROM mm x JOIN mm y
+           |    ON x.cluster = y.cluster AND x.id <> y.id),
+           |typ AS (SELECT cluster, id,
+           |  CAST(sum(CAST(j AS DECIMAL(38,6))) AS DOUBLE) AS typ,
+           |  count(*) AS n_others
+           |  FROM pw GROUP BY cluster, id),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY cluster
+           |  ORDER BY typ DESC, id) AS rn,
+           |  count(*) OVER (PARTITION BY cluster) AS n_members
+           |  FROM typ)
+           |SELECT cluster, id AS medoid_id,
+           |  CAST(n_members AS BIGINT) AS n_members,
+           |  round(typ, 6) AS typicality
+           |FROM r WHERE rn = 1 ORDER BY cluster""".stripMargin
       })
   )
 
