@@ -1504,7 +1504,62 @@ object CurationQueries extends QueryProvider {
               |    (sum(CAST(ceil(sh.tot * 1.0 / b.ctx) AS BIGINT))
               |      * b.ctx), 6) AS waste_frac
               |FROM b CROSS JOIN sh
-              |GROUP BY b.ctx ORDER BY ctx""".stripMargin))
+              |GROUP BY b.ctx ORDER BY ctx""".stripMargin)),
+
+    // Dedup-then-pack composition (c34) — the two heavy pipeline
+    // stages END TO END: d20's exact-substring cut rewrites the
+    // corpus, the cleaned texts are re-tokenized, and the packing cost
+    // at a 2048-token context is computed from the cleaned shard
+    // totals (c33's math) — one row reporting how many tokens dedup
+    // reclaimed and what the packed corpus costs after. The oracle
+    // nests the full d20 replay as a CTE and composes the counting on
+    // top, so the gate proves the STAGES COMPOSE.
+    Q(
+      "c34_dedup_pack_pipeline",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir).select($"doc_id", $"text")
+        val clean = Dedup.removeRepeatedSpans(docs, "doc_id", "text",
+            k = 40)
+          .select($"id".as("doc_id"), $"clean_text")
+        val before = docs.agg(
+          sum(TA.wsTokenCount($"text").cast("long")).as("before_tokens"))
+        val sh = clean.select(
+            pmod(graft.functions.Fnv.fnv1a64($"doc_id".cast("string")),
+              lit(8L)).cast("int").as("shard"),
+            TA.wsTokenCount($"clean_text").cast("long").as("nt"))
+          .groupBy($"shard").agg(sum($"nt").as("tot"))
+        val after = sh.agg(
+          sum($"tot").as("after_tokens"),
+          sum(ceil($"tot" * lit(1.0) / 2048).cast("long")).as("n_seqs"))
+        broadcast(before).crossJoin(after)
+          .select($"before_tokens", $"after_tokens",
+            ($"before_tokens" - $"after_tokens").as("tokens_removed"),
+            $"n_seqs",
+            ($"n_seqs" * 2048 - $"after_tokens").as("padding"),
+            round(($"n_seqs" * 2048 - $"after_tokens") * 1.0 /
+              ($"n_seqs" * 2048), 6).as("waste_frac"))
+      },
+      Some(s"""WITH cleaned AS (${DedupQueries.spanRemovalOracleSql}),
+              |bt AS (SELECT CAST(sum(
+              |  len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+              |  AS before_tokens FROM documents),
+              |sh AS (SELECT
+              |  CAST(((${FnvSql.toSigned(FnvSql.ofString(
+                   "(doc_id::VARCHAR)"))} % 8) + 8) % 8 AS INTEGER) AS shard,
+              |  CAST(sum(len(regexp_split_to_array(trim(clean_text),
+              |    '\\s+'))) AS BIGINT) AS tot
+              |  FROM cleaned GROUP BY 1),
+              |aft AS (SELECT CAST(sum(tot) AS BIGINT) AS after_tokens,
+              |  CAST(sum(CAST(ceil(tot * 1.0 / 2048) AS BIGINT)) AS BIGINT)
+              |    AS n_seqs FROM sh)
+              |SELECT bt.before_tokens, aft.after_tokens,
+              |  bt.before_tokens - aft.after_tokens AS tokens_removed,
+              |  aft.n_seqs,
+              |  aft.n_seqs * 2048 - aft.after_tokens AS padding,
+              |  round((aft.n_seqs * 2048 - aft.after_tokens) * 1.0 /
+              |    (aft.n_seqs * 2048), 6) AS waste_frac
+              |FROM bt CROSS JOIN aft""".stripMargin))
   )
 
 }
