@@ -75,7 +75,8 @@ object Stress {
     "ls14_lsi_retrieval", "s21_cluster_balance", "d24_noise_recall_curve",
     "sm21_stream_hll_users", "io12_federated_union",
     "q55_priority_late_orders", "t26_vocab_coverage",
-    "c33_packing_budget_sweep")
+    "c33_packing_budget_sweep", "d25_medoid_survivor",
+    "c34_dedup_pack_pipeline")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/graft_sf1")
