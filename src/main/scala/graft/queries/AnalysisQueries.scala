@@ -1970,7 +1970,54 @@ object AnalysisQueries extends QueryProvider {
              |  n_blocked = 0 AS pass_strict,
              |  round(n_blocked * 1.0 / greatest(n_tokens, 1), 6) <= 0.05
              |    AS pass_soft
-             |FROM c ORDER BY doc_id""".stripMargin))
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // Hill tail-index of the per-source length distribution (a34) —
+    // the heavy-tail characterization a14's histogram only eyeballs:
+    // per source, the Hill estimator over the top-10 order statistics,
+    // α̂ = 1 / mean(ln(xᵢ/x₁₁)) — small α̂ = fat tail (a few huge docs
+    // dominate bytes; shard and truncation policy follows from this
+    // number). Order statistics pick deterministically (length DESC,
+    // doc_id), the 10 log terms DECIMAL-sum, one bounded window per
+    // source.
+    Q(
+      "a34_length_tail_index",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"source")
+          .orderBy($"n_chars".desc, $"doc_id")
+        val ranked = Tables.documents(s, dir)
+          .select($"source", $"doc_id", $"n_chars")
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 11)
+        val xk = ranked.filter($"rn" === 11)
+          .select($"source", $"n_chars".as("x11"))
+        ranked.filter($"rn" <= 10)
+          .join(xk, Seq("source"))
+          .groupBy($"source", $"x11")
+          .agg(count(lit(1)).as("k"),
+            sum(log($"n_chars" * lit(1.0) / $"x11")
+              .cast("decimal(38,18)")).cast("double").as("slog"))
+          .select($"source", $"k", $"x11",
+            round(when($"slog" > 0, $"k" / $"slog").otherwise(lit(0.0)), 6)
+              .as("hill_alpha"))
+          .orderBy($"source")
+      },
+      Some("""WITH r AS (SELECT source, doc_id, n_chars,
+             |  row_number() OVER (PARTITION BY source
+             |    ORDER BY n_chars DESC, doc_id) AS rn
+             |  FROM documents),
+             |xk AS (SELECT source, n_chars AS x11 FROM r WHERE rn = 11),
+             |g AS (SELECT r.source, xk.x11,
+             |  CAST(count(*) AS BIGINT) AS k,
+             |  CAST(sum(CAST(ln(r.n_chars * 1.0 / xk.x11)
+             |    AS DECIMAL(38,18))) AS DOUBLE) AS slog
+             |  FROM r JOIN xk USING (source) WHERE rn <= 10
+             |  GROUP BY r.source, xk.x11)
+             |SELECT source, k, x11,
+             |  round(CASE WHEN slog > 0 THEN k / slog ELSE 0.0 END, 6)
+             |    AS hill_alpha
+             |FROM g ORDER BY source""".stripMargin))
   )
 
   /** Fixed GD round count / learning rate — the oracle replays exactly
