@@ -76,7 +76,8 @@ object Stress {
     "sm21_stream_hll_users", "io12_federated_union",
     "q55_priority_late_orders", "t26_vocab_coverage",
     "c33_packing_budget_sweep", "d25_medoid_survivor",
-    "c34_dedup_pack_pipeline", "a34_length_tail_index")
+    "c34_dedup_pack_pipeline", "a34_length_tail_index",
+    "q56_above_nation_avg")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/graft_sf1")

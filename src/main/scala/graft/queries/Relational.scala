@@ -1112,7 +1112,43 @@ object Relational extends QueryProvider {
              |  WHERE l_orderkey = o_orderkey
              |  AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
              |GROUP BY o_orderpriority
-             |ORDER BY o_orderpriority""".stripMargin))
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // Correlated above-group-average (q56) — the classic decorrelation
+    // shape: customers richer than their own nation's mean balance.
+    // The correlated scalar subquery becomes ONE per-nation aggregate
+    // (exact decimal sum / count — a double avg would be
+    // partition-order-dependent at the comparison boundary) broadcast
+    // back into the filter; reported per nation.
+    Q(
+      "q56_above_nation_avg",
+      (s, dir) => {
+        import s.implicits._
+        val cust = Tables.customer(s, dir)
+        val na = cust.groupBy($"c_nationkey")
+          .agg((sum($"c_acctbal".cast("decimal(14,2)")).cast("double")
+            / count(lit(1))).as("nav"))
+        cust.join(broadcast(na), Seq("c_nationkey"))
+          .groupBy($"c_nationkey")
+          .agg(count(lit(1)).as("n_total"),
+            count(when($"c_acctbal" > $"nav", 1)).as("n_above"),
+            round(max($"nav"), 4).as("nation_avg"))
+          .select($"c_nationkey", $"n_total", $"n_above", $"nation_avg",
+            round($"n_above" * 1.0 / $"n_total", 6).as("frac_above"))
+          .orderBy($"c_nationkey")
+      },
+      Some("""WITH na AS (SELECT c_nationkey,
+             |  CAST(sum(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE)
+             |    / count(*) AS nav
+             |  FROM customer GROUP BY c_nationkey)
+             |SELECT c.c_nationkey, count(*) AS n_total,
+             |  CAST(count(CASE WHEN c.c_acctbal > na.nav THEN 1 END)
+             |    AS BIGINT) AS n_above,
+             |  round(max(na.nav), 4) AS nation_avg,
+             |  round(count(CASE WHEN c.c_acctbal > na.nav THEN 1 END)
+             |    * 1.0 / count(*), 6) AS frac_above
+             |FROM customer c JOIN na USING (c_nationkey)
+             |GROUP BY c.c_nationkey ORDER BY c.c_nationkey""".stripMargin))
   )
 
   /** q37 oracle: the 32-term Morton interleave with literal power-of-
