@@ -1,8 +1,20 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+import java.util.concurrent.{Executors, TimeUnit}
+import java.util.concurrent.atomic.AtomicInteger
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * The query loop runs on a fixed thread pool (SPARK_GRAFT_VERIFY_PAR,
+  * default 8): queries are independent, write to disjoint out dirs, and
+  * Spark schedules concurrent jobs from multiple threads natively, so the
+  * driver-side planning latency of ~300 queries overlaps instead of
+  * serializing. Numeric determinism is untouched — per-query partitioning
+  * (master local[N], shuffle.partitions=N) is exactly what the sequential
+  * loop used; only job *submission* overlaps. FAIR scheduling keeps one
+  * slow solver from head-of-line-blocking the cheap relational queries.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
@@ -17,17 +29,46 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+    val t0 = System.nanoTime()
+    val work = SparkEntry.queries.toSeq.filter(kv => keep(kv._1)).sortBy(_._1)
+    val par = sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "8").toInt.max(1)
+    val pool = Executors.newFixedThreadPool(par)
+    val done = new AtomicInteger(0)
+    work.foreach { case (name, fn) =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          val tq = System.nanoTime()
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
+          val sec = (System.nanoTime() - tq) / 1e9
+          val n = done.incrementAndGet()
+          System.err.println(
+            f"[verify] $n%3d/${work.size} $name%-28s ${sec}%6.2fs")
+          // Periodically drop accumulated DataFrame caches: query-local
+          // persist()s (grams/perDoc/cells diamonds) register in the
+          // session CacheManager and would otherwise pile up across a
+          // ~300-query single-session gate. Cached plans are evictable
+          // AND deterministic to recompute, so clearing mid-flight only
+          // costs an occasional cache miss for the handful of concurrent
+          // queries; localCheckpoint blocks (PowerLsa factors memo,
+          // iteration lineage cuts) live outside the CacheManager and
+          // are untouched.
+          if (n % 64 == 0) spark.catalog.clearCache()
+        }
+      })
     }
+    pool.shutdown()
+    pool.awaitTermination(24, TimeUnit.HOURS)
+    System.err.println(
+      f"[verify] total wall ${(System.nanoTime() - t0) / 1e9}%.1fs for ${work.size} queries (par=$par)")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

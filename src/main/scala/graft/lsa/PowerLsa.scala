@@ -193,6 +193,110 @@ object PowerLsa {
     spark.createDataFrame(spark.sparkContext.parallelize(out.toSeq, 1))
   }
 
+  /** Bounded-collect twin of [[kFactors]]: run the IDENTICAL
+    * exact-decimal recurrence on primitive arrays ([[PowerCore]] — the
+    * kConceptsLocal route, spec-pinned bit-equal to the DF route) and
+    * re-emit the factors as small local DataFrames in the kFactors
+    * shape. At gate scale this removes k×iters shuffled-matvec rounds
+    * of per-job overhead from every factor consumer (ls14 dropped from
+    * ~60 s to seconds in the r7 gate); above the local budget callers
+    * route to [[kFactors]] via [[kFactorsAuto]].
+    */
+  def kFactorsLocal(cells: DataFrame, k: Int,
+      iters: Int): Seq[(DataFrame, Double, DataFrame)] = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val rows = cells.select(col("id").cast("long"), col("token"),
+      col("a").cast("double")).as[(Long, String, Double)].collect()
+    val toks = rows.map(_._2).distinct.sorted
+    val ids = rows.map(_._1).distinct.sorted
+    val tokIdx = toks.zipWithIndex.toMap
+    val idIdx = ids.zipWithIndex.toMap
+    val factors = PowerCore.factorize(ids.length, toks.length,
+      rows.map(r => idIdx(r._1)), rows.map(r => tokIdx(r._2)),
+      rows.map(_._3), k, iters)
+    factors.map { f =>
+      val vj = toks.indices.map(t => (toks(t), f.v(t))).toDF("token", "v")
+      val av = ids.indices.map(d => (ids(d), f.av(d))).toDF("id", "av")
+      (vj, f.sigma, av)
+    }
+  }
+
+  /** [[kFactorsLocal]] under the kConcepts size budget, [[kFactors]]
+    * (persisting/unpersisting the cells around the loop) above it.
+    * Either way the caller owns the returned factors.
+    */
+  def kFactorsAuto(cells: DataFrame, k: Int, iters: Int,
+      maxLocalNnz: Long = 2000000L,
+      maxLocalIds: Long = 500000L): Seq[(DataFrame, Double, DataFrame)] = {
+    val c = cells.select(col("id"), col("token"), col("a")).persist()
+    val probe = c.agg(count(lit(1)), count_distinct(col("id"))).head()
+    val (nnz, nIds) = (probe.getLong(0), probe.getLong(1))
+    val out =
+      if (nnz <= maxLocalNnz && nIds <= maxLocalIds) kFactorsLocal(c, k, iters)
+      else kFactors(c, k, iters)
+    // factors are materialized (collected locally or localCheckpoint'd),
+    // so the cells cache is dead either way
+    c.unpersist()
+    out
+  }
+
+  /** Session-lifetime memo over [[kFactorsAuto]] — the ls-family
+    * amortization: ls01/ls09 (lemma'd cells) and ls12/ls14 (raw cells)
+    * each re-run the SAME k-concept deflation chain; in a one-session
+    * 300-query gate (or a stress replica) the chain now runs once per
+    * distinct (session, corpus, k, iters) key. Retained factor storage
+    * is bounded: k vectors of vocabulary + row cardinality per key
+    * (NOT corpus-scale cells — those unpersist inside kFactorsAuto),
+    * the price of never re-running k×iters matvec rounds.
+    *
+    * `key` must encode session identity + corpus provenance (the
+    * LsaQueries caller uses identityHashCode(session) + dir + lemma).
+    */
+  private val factorsMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(DataFrame, Double, DataFrame)]]()
+
+  def kFactorsShared(cells: => DataFrame, key: String, k: Int,
+      iters: Int): Seq[(DataFrame, Double, DataFrame)] =
+    factorsMemo.computeIfAbsent(s"$key:$k:$iters",
+      _ => kFactorsAuto(cells, k, iters))
+
+  /** Concept emission from precomputed factors (the tail of
+    * [[kConceptsDF]] without the factor loop): sign convention, top
+    * keywords/doc ids, round-4 σ. Does NOT release the factors —
+    * the caller (or the memo) owns them.
+    */
+  def kConceptsFromFactors(done: Seq[(DataFrame, Double, DataFrame)],
+      spark: org.apache.spark.sql.SparkSession,
+      nKeywords: Int, nDocs: Int): DataFrame = {
+    import spark.implicits._
+    val out = done.zipWithIndex.map { case ((vj, sigma, av), i) =>
+      val flRow = vj.orderBy(abs(col("v")).desc, col("token")).limit(1)
+        .select(col("v")).head()
+      val fl = if (flRow.getDouble(0) < 0) -1.0 else 1.0
+      val kw = vj.select(col("token"), (lit(fl) * col("v")).as("sv"))
+        .orderBy(desc("sv"), col("token")).limit(nKeywords)
+        .select(col("token")).as[String].collect().mkString(" ")
+      val dc = av.select(col("id"),
+          (if (sigma == 0.0) lit(0.0)
+           else lit(fl) * (col("av") / lit(sigma))).as("su"))
+        .orderBy(desc("su"), col("id")).limit(nDocs)
+        .select(col("id").cast("long")).as[Long].collect().mkString(" ")
+      ConceptRow(i, round4(sigma), kw, dc)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(out, 1))
+  }
+
+  /** [[kConcepts]] semantics through the [[kFactorsShared]] memo: the
+    * factor chain runs once per (session, corpus, k, iters); emission
+    * (a handful of bounded top-k collects) runs per call.
+    */
+  def kConceptsShared(cells: => DataFrame, key: String, k: Int, iters: Int,
+      nKeywords: Int = 3, nDocs: Int = 3): DataFrame = {
+    val done = kFactorsShared(cells, key, k, iters)
+    kConceptsFromFactors(done, done.head._1.sparkSession, nKeywords, nDocs)
+  }
+
   /** The k-concept power-deflation loop itself, returning the LIVE
     * factors — per concept j: (v_j (token, v), σ_j, Av_j (id, av)).
     * Callers own the returned checkpoints (release via

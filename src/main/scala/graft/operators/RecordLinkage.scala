@@ -48,8 +48,11 @@ object RecordLinkage {
     // produces it is cheaper to replay than a pairs-sized cache
     // (measured at sf0.1: persist 24.9 s vs replay 17.3 s), and at
     // corpus scale a pairs-sized cache is exactly what must not exist
+    // degenerate blocking (zero non-match pairs) makes avg() null, and
+    // null would flow through the clamp into every score: fall back to
+    // the uninformative u=0.5 (agreement carries no evidence) instead
     val uExprs = agreeCols.map(c =>
-      avg(col(c).cast("double")).as(s"u_$c"))
+      coalesce(avg(col(c).cast("double")), lit(0.5)).as(s"u_$c"))
     val u = pairs.filter(nonMatch).agg(uExprs.head, uExprs.tail: _*)
     val score = agreeCols.map { c =>
       val uc = least(greatest(col(s"u_$c"), lit(1e-6)), lit(0.999999))
@@ -71,7 +74,10 @@ object RecordLinkage {
     */
   def weightLiterals(pairs: DataFrame, agreeCols: Seq[String],
       m: Map[String, Double], nonMatch: Column): Map[String, (Double, Double)] = {
-    val uExprs = agreeCols.map(c => avg(col(c).cast("double")).as(s"u_$c"))
+    // same u=0.5 fallback as fellegiSunter: the two paths must stay
+    // bit-identical, degenerate blocking included
+    val uExprs = agreeCols.map(c =>
+      coalesce(avg(col(c).cast("double")), lit(0.5)).as(s"u_$c"))
     val u = pairs.filter(nonMatch).agg(uExprs.head, uExprs.tail: _*)
     val wExprs = agreeCols.flatMap { c =>
       val uc = least(greatest(col(s"u_$c"), lit(1e-6)), lit(0.999999))

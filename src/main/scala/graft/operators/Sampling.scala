@@ -41,4 +41,50 @@ object Sampling {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
   }
+
+  /** CCNet sampled-cutoff terciles — the 100 TB route past a27's exact
+    * per-group rank windows (whose parallelism is bounded by the group
+    * count): estimate each group's head/middle tercile CUTOFF VALUES
+    * from a deterministic bottom-k-by-hash sample (the sk10 recipe —
+    * k smallest FNV permutation hashes per group, computed map-side by
+    * Spark's WindowGroupLimit partial top-k, never sorting a group),
+    * then bucket the full table by broadcast-joined thresholds: one
+    * narrow per-row CASE, no global sort, no rank over the corpus.
+    *
+    * Cutoffs are order statistics of the ≤k-row sample: cut_head at
+    * 1-based rank ⌈m/3⌉, cut_middle at ⌈2m/3⌉ (m = sample size), ties
+    * at a cutoff all falling to the LOWER bucket — a deterministic
+    * value rule both engines can replay, unlike the exact route's
+    * rank rule (which needs the global ordinal). Agreement with exact
+    * terciles is within standard bottom-k sampling error
+    * (CcnetSampledSpec pins ≥90% doc agreement at k=64 on the gate
+    * corpus).
+    *
+    * @return `scored` + (cut_head, cut_middle, bucket)
+    */
+  def sampledTerciles(scored: DataFrame, idCol: String, groupCol: String,
+      valueCol: String, k: Int): DataFrame = {
+    require(k > 0, s"sample size must be positive, got $k")
+    val wH = Window.partitionBy(col(groupCol)).orderBy(col("hv_"), col(idCol))
+    val samp = scored.select(col(groupCol), col(idCol), col(valueCol))
+      .withColumn("hv_", Fnv.fnv1a_perm(lit(1), col(idCol)))
+      .withColumn("rk_", row_number().over(wH))
+      .filter(col("rk_") <= k)
+    val wS = Window.partitionBy(col(groupCol))
+      .orderBy(col(valueCol), col(idCol))
+    val cuts = samp
+      .withColumn("r_", row_number().over(wS))
+      .withColumn("m_", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+      .groupBy(col(groupCol))
+      .agg(
+        max(when(col("r_") === expr("(m_ + 2) div 3"), col(valueCol)))
+          .as("cut_head"),
+        max(when(col("r_") === expr("(2 * m_ + 2) div 3"), col(valueCol)))
+          .as("cut_middle"))
+    scored.join(broadcast(cuts), Seq(groupCol))
+      .withColumn("bucket",
+        when(col(valueCol) <= col("cut_head"), "head")
+          .when(col(valueCol) <= col("cut_middle"), "middle")
+          .otherwise("tail"))
+  }
 }

@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Greedy NO-SPLIT sequence packing: pack whole documents into
   * fixed-budget training sequences without ever cutting a document —
@@ -14,12 +15,16 @@ import org.apache.spark.sql.functions._
   * sequence of its own. What this trades for the no-split guarantee is
   * padding waste — exactly what c20_padding_waste measures.
   *
-  * Scale shape: one hash shuffle, then each shard packs independently
-  * inside an `aggregate` HOF over its ordered token-count array — the
-  * same state a sequence-writer task holds anyway. `shards` scales
-  * with the writer fleet, bounding per-task state; no window over
-  * documents, no driver state. A SQL oracle replays the greedy fold as
-  * a recursive CTE over dense per-shard positions.
+  * Scale shape: one hash shuffle on the shard key, a spillable external
+  * sort within partitions on (shard, hash-order), then ONE linear
+  * iterator pass per partition carrying only (shard, pos, seq, used) —
+  * the sessionizeBatch pattern. A shard's documents never materialize
+  * as a single in-memory array (the r6 `aggregate`-HOF shape built its
+  * per-shard assignment with `concat(acc.out, ...)`, an immutable array
+  * copy per element = O(n²) per shard; this pass is O(n) and
+  * sort-spill-bounded). `shards` scales with the writer fleet; no
+  * window over documents, no driver state. A SQL oracle replays the
+  * greedy recurrence as a recursive CTE over dense per-shard positions.
   */
 object SentenceChunks {
 
@@ -34,29 +39,39 @@ object SentenceChunks {
     val h = graft.functions.Fnv.fnv1a64(col("doc_id").cast("string"))
     val base = docs.select(col("doc_id"), nTokens.cast("long").as("nt"),
       h.bitwiseAND(lit(shards - 1L)).cast("int").as("shard"), h.as("hord"))
-    val packed = base.groupBy(col("shard"))
-      .agg(array_sort(collect_list(struct(col("hord"), col("doc_id"),
-        col("nt")))).as("ds"))
-      .withColumn("seqs", aggregate(
-        transform(col("ds"), e => e.getField("nt")),
-        struct(lit(0L).as("seq"), lit(0L).as("used"),
-          array().cast("array<long>").as("out")),
-        (acc, nt) => {
-          val over = acc.getField("used") > 0L &&
-            acc.getField("used") + nt > budget
-          struct(
-            when(over, acc.getField("seq") + 1L)
-              .otherwise(acc.getField("seq")).as("seq"),
-            when(over, nt).otherwise(acc.getField("used") + nt).as("used"),
-            concat(acc.getField("out"),
-              array(when(over, acc.getField("seq") + 1L)
-                .otherwise(acc.getField("seq")))).as("out"))
-        },
-        acc => acc.getField("out")))
-    packed.select(col("shard"),
-        posexplode(arrays_zip(col("ds"), col("seqs"))).as(Seq("pos", "z")))
-      .select(col("z.ds.doc_id").as("doc_id"), col("shard"),
-        col("pos").cast("int").as("pos"), col("z.seqs").as("seq_id"),
-        col("z.ds.nt").as("nt"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", base.schema("doc_id").dataType),
+      StructField("shard", IntegerType, nullable = false),
+      StructField("pos", IntegerType, nullable = false),
+      StructField("seq_id", LongType, nullable = false),
+      StructField("nt", LongType, nullable = false)))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] = Encoders.row(outSchema)
+    base
+      .repartition(col("shard"))
+      // (hord, doc_id) = the exact order the r6 array_sort(struct(hord,
+      // doc_id, nt)) used (doc_id breaks fnv ties); shard leads so the
+      // boundary reset below sees each shard contiguously.
+      .sortWithinPartitions(col("shard"), col("hord"), col("doc_id"))
+      .mapPartitions { it =>
+        var curShard = Int.MinValue
+        var pos = -1
+        var seq = 0L
+        var used = 0L
+        it.map { r =>
+          val sh = r.getInt(2)
+          val nt = r.getLong(1)
+          if (sh != curShard) {
+            curShard = sh; pos = 0; seq = 0L; used = nt
+          } else {
+            pos += 1
+            // greedy: break ONLY when the open sequence has content and
+            // no room; an oversized doc on an empty sequence stays alone
+            if (used > 0L && used + nt > budget) { seq += 1L; used = nt }
+            else used += nt
+          }
+          Row(r.get(0), sh, pos, seq, nt)
+        }
+      }
+      .toDF()
   }
 }

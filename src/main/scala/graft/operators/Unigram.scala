@@ -51,7 +51,9 @@ object Unigram {
     * Returns (piece, cnt).
     */
   def seedVocab(wordFreq: DataFrame, vocabSize: Int, maxLen: Int): DataFrame = {
-    val subs = substringCounts(wordFreq, maxLen).persist()
+    // no persist here: a one-shot consumer (one collect) gains nothing
+    // from caching, and trainedScoresDF manages its own releasable cache
+    val subs = substringCounts(wordFreq, maxLen)
     val singles = subs.filter(length(col("piece")) === 1)
     val multis = subs.filter(length(col("piece")) >= 2)
       .orderBy(col("cnt").desc, col("piece")).limit(vocabSize)
@@ -119,7 +121,7 @@ object Unigram {
     */
   def train(spark: SparkSession, wordFreq: DataFrame, vocabSize: Int,
       maxLen: Int): DataFrame = {
-    val wf = wordFreq.persist()
+    val wf = ensureCached(wordFreq)
     val nll1df = trainedScoresDF(spark, wf, vocabSize, maxLen).persist()
     val u2 = viterbiUsage(spark, wf, collectScores(nll1df), maxLen)
     u2.join(nll1df, Seq("piece"))
@@ -131,7 +133,16 @@ object Unigram {
     */
   def trainedScoresDF(spark: SparkSession, wordFreq: DataFrame,
       vocabSize: Int, maxLen: Int): DataFrame = {
-    val nll0 = collectScores(scores(seedVocab(wordFreq, vocabSize, maxLen)))
+    // inline seedVocab so the substring-count cache can be RELEASED the
+    // moment the seed scores are collected (nll0 is a local map; the
+    // vocabulary-scale subs table has no further consumer) — seedVocab
+    // itself stays persist-free for one-shot callers
+    val subs = substringCounts(wordFreq, maxLen).persist()
+    val singles = subs.filter(length(col("piece")) === 1)
+    val multis = subs.filter(length(col("piece")) >= 2)
+      .orderBy(col("cnt").desc, col("piece")).limit(vocabSize)
+    val nll0 = collectScores(scores(singles.unionByName(multis)))
+    subs.unpersist()
     scores(viterbiUsage(spark, wordFreq, nll0, maxLen)
       .withColumnRenamed("n_used", "cnt"))
   }
@@ -144,7 +155,7 @@ object Unigram {
   def encodeDict(spark: SparkSession, wordFreq: DataFrame, vocabSize: Int,
       maxLen: Int): DataFrame = {
     import spark.implicits._
-    val wf = wordFreq.persist()
+    val wf = ensureCached(wordFreq)
     val nll1 = collectScores(trainedScoresDF(spark, wf, vocabSize, maxLen))
     val bc = spark.sparkContext.broadcast(nll1)
     wf.select(col("word")).as[String]
@@ -154,4 +165,13 @@ object Unigram {
 
   private def collectScores(df: DataFrame): Map[String, Double] =
     df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+  /** persist() only if the caller hasn't already — a double persist is
+    * a no-op plus a CacheManager warning per call (t25 passes an
+    * already-cached word table into both tokenizers).
+    */
+  private def ensureCached(df: DataFrame): DataFrame =
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist()
+    else df
 }

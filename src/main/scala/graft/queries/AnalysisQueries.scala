@@ -1489,9 +1489,9 @@ object AnalysisQueries extends QueryProvider {
     // integer arithmetic on (row_number, count) so both engines agree
     // bit-for-bit; per-bucket means are 6dp values summed in DECIMAL.
     // Scale note: the per-language rank window is exact-tercile gate
-    // semantics; a 100 TB run computes the two cutoffs from a sample
-    // (or t-digest) and buckets by broadcast thresholds — same output
-    // contract, no global sort.
+    // semantics; the 100 TB route — cutoffs from a bottom-k sample,
+    // broadcast thresholds, no global sort — is a CODE PATH:
+    // Sampling.sampledTerciles, gated as a35_ccnet_sampled below.
     Q(
       "a27_ccnet_buckets",
       (s, dir) => {
@@ -2017,7 +2017,68 @@ object AnalysisQueries extends QueryProvider {
              |SELECT source, k, x11,
              |  round(CASE WHEN slog > 0 THEN k / slog ELSE 0.0 END, 6)
              |    AS hill_alpha
-             |FROM g ORDER BY source""".stripMargin))
+             |FROM g ORDER BY source""".stripMargin)),
+
+    // a27's 100 TB route, as CODE (Sampling.sampledTerciles): the
+    // per-language head/middle surprisal CUTOFFS come from a
+    // deterministic bottom-64-by-hash sample (sk10's recipe — map-side
+    // partial top-k, no per-language sort), broadcast as literals, and
+    // the corpus buckets by one narrow per-row CASE. Same output
+    // contract as a27 (per lang×bucket counts + surprisal stats, plus
+    // the two cutoffs), value-threshold tie rule instead of a27's
+    // global-ordinal rank rule — the trade that removes the exact
+    // route's language-count-bounded rank window. CcnetSampledSpec
+    // pins ≥90% per-doc bucket agreement with the exact terciles.
+    Q(
+      "a35_ccnet_sampled",
+      (s, dir) => {
+        import s.implicits._
+        val scored = lmSurprisalPerDoc(s, dir)
+          .join(Tables.documents(s, dir).select($"doc_id", $"lang"), "doc_id")
+        graft.operators.Sampling
+          .sampledTerciles(scored, "doc_id", "lang", "surprisal", k = 64)
+          .groupBy($"lang", $"bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            round(sum($"surprisal".cast("decimal(18,6)")).cast("double") /
+              count(lit(1)), 6).as("mean_surprisal"),
+            min($"surprisal").as("min_surprisal"),
+            max($"surprisal").as("max_surprisal"),
+            max($"cut_head").as("cut_head"),
+            max($"cut_middle").as("cut_middle"))
+          .orderBy($"lang", $"bucket")
+      },
+      Some(s"""WITH $lmSurprisalCtes,
+              |j AS (SELECT pd.doc_id, d.lang, pd.surprisal
+              |  FROM pd JOIN documents d USING (doc_id)),
+              |samp AS (SELECT lang, doc_id, surprisal FROM (
+              |  SELECT lang, doc_id, surprisal,
+              |    ${FnvSql.toSigned(FnvSql.perm("1", "doc_id::HUGEINT"))} AS hv
+              |  FROM j)
+              |  QUALIFY row_number() OVER (PARTITION BY lang
+              |    ORDER BY hv, doc_id) <= 64),
+              |ss AS (SELECT lang, surprisal,
+              |  row_number() OVER (PARTITION BY lang
+              |    ORDER BY surprisal, doc_id) AS r,
+              |  count(*) OVER (PARTITION BY lang) AS m FROM samp),
+              |cuts AS (SELECT lang,
+              |  max(CASE WHEN r = (m + 2) // 3 THEN surprisal END) AS cut_head,
+              |  max(CASE WHEN r = (2 * m + 2) // 3 THEN surprisal END)
+              |    AS cut_middle
+              |  FROM ss GROUP BY lang),
+              |b AS (SELECT j.lang, j.surprisal, c.cut_head, c.cut_middle,
+              |  CASE WHEN j.surprisal <= c.cut_head THEN 'head'
+              |    WHEN j.surprisal <= c.cut_middle THEN 'middle'
+              |    ELSE 'tail' END AS bucket
+              |  FROM j JOIN cuts c USING (lang))
+              |SELECT lang, bucket, count(*) AS n_docs,
+              |  round(CAST(sum(CAST(surprisal AS DECIMAL(18,6))) AS DOUBLE)
+              |    / count(*), 6) AS mean_surprisal,
+              |  min(surprisal) AS min_surprisal,
+              |  max(surprisal) AS max_surprisal,
+              |  max(cut_head) AS cut_head,
+              |  max(cut_middle) AS cut_middle
+              |FROM b GROUP BY lang, bucket
+              |ORDER BY lang, bucket""".stripMargin))
   )
 
   /** Fixed GD round count / learning rate — the oracle replays exactly

@@ -1323,10 +1323,16 @@ object CurationQueries extends QueryProvider {
 
     // Split-leakage REPAIR — the fix for what c14 only audits: every
     // near-dup pair crossing split boundaries drops its lower-priority
-    // member (train > val > test — eval sets are the ones being
-    // protected, and train keeps its data). One victims set from the
-    // same LSH pair table, one anti-membership count per split. The
-    // oracle rides c14's full minhash chain plus the victim rule.
+    // member (train > val > test), i.e. the EVAL-side copy — the
+    // train-set-preserving policy (training data is immutable once a
+    // run is budgeted; eval sets shrink slightly instead). This is the
+    // OPPOSITE of the Lee et al. 2022 decontamination convention (drop
+    // the train member so held-out sets stay intact) — that
+    // conventional rule ships as c35_split_repair_droptrain below, so
+    // a pipeline picks which side of the leak to sacrifice. One
+    // victims set from the same LSH pair table, one anti-membership
+    // count per split. The oracle rides c14's full minhash chain plus
+    // the victim rule.
     Q(
       "c31_split_repair",
       (s, dir) => {
@@ -1374,6 +1380,73 @@ object CurationQueries extends QueryProvider {
            |  CASE WHEN bb < 80 THEN 3 WHEN bb < 90 THEN 2 ELSE 1 END AS pb
            |  FROM f),
            |v AS (SELECT DISTINCT CASE WHEN pa < pb THEN a ELSE b END
+           |  AS doc_id FROM pr WHERE pa <> pb),
+           |ds AS (SELECT doc_id,
+           |  CASE WHEN ${bucketOf("(doc_id::VARCHAR)")} < 80 THEN 'train'
+           |    WHEN ${bucketOf("(doc_id::VARCHAR)")} < 90 THEN 'val'
+           |    ELSE 'test' END AS split
+           |  FROM documents)
+           |SELECT split, count(*) AS n_docs,
+           |  CAST(count(v.doc_id) AS BIGINT) AS n_dropped,
+           |  CAST(count(*) - count(v.doc_id) AS BIGINT) AS n_kept
+           |FROM ds LEFT JOIN v USING (doc_id)
+           |GROUP BY split ORDER BY split""".stripMargin
+      }),
+
+    // The CONVENTIONAL decontamination rule (Lee et al. 2022 §5;
+    // GPT-3/PaLM-style eval protection): for every cross-split
+    // near-dup pair, drop the LESS-protected member — the train copy
+    // of a train↔eval leak (and the val copy of a val↔test leak) — so
+    // held-out sets stay intact and benchmark numbers stay honest.
+    // Identical LSH pair table and plan shape as c31; only the victim
+    // CASE flips (higher split priority = victim).
+    Q(
+      "c35_split_repair_droptrain",
+      (s, dir) => {
+        import s.implicits._
+        def bucketOf(c: org.apache.spark.sql.Column) =
+          pmod(graft.functions.Fnv.fnv1a64(c.cast("string")), lit(100L))
+        def splitOf(c: org.apache.spark.sql.Column) = {
+          val b = bucketOf(c)
+          when(b < 80, "train").when(b < 90, "val").otherwise("test")
+        }
+        def prioOf(c: org.apache.spark.sql.Column) = {
+          val b = bucketOf(c)
+          when(b < 80, 3).when(b < 90, 2).otherwise(1)
+        }
+        val toks = graft.Par.fanOut(Tables.documents(s, dir))
+          .select($"doc_id".as("id"), TF.tokenize($"text").as("tokens"))
+        val leaks = Dedup.minhashNearDuplicates(toks, shingleN = 3,
+            numHashes = 32, bands = 8, threshold = 0.3)
+          .filter(splitOf($"a") =!= splitOf($"b"))
+        val victims = leaks
+          .select(when(prioOf($"a") > prioOf($"b"), $"a").otherwise($"b")
+            .as("doc_id"))
+          .distinct()
+          .withColumn("dropped", lit(1L))
+        Tables.documents(s, dir)
+          .select($"doc_id", splitOf($"doc_id").as("split"))
+          .join(victims, Seq("doc_id"), "left")
+          .groupBy($"split")
+          .agg(count(lit(1)).as("n_docs"),
+            coalesce(sum($"dropped"), lit(0L)).as("n_dropped"),
+            (count(lit(1)) - coalesce(sum($"dropped"), lit(0L)))
+              .as("n_kept"))
+          .orderBy($"split")
+      },
+      Some {
+        def bucketOf(e: String) =
+          s"(((${FnvSql.toSigned(FnvSql.ofString(e))} % 100) + 100) % 100)"
+        s"""WITH ${DedupQueries.minhashPairCtes},
+           |f AS (SELECT a, b,
+           |  ${bucketOf("(a::VARCHAR)")} AS ba,
+           |  ${bucketOf("(b::VARCHAR)")} AS bb
+           |  FROM jac WHERE j >= 0.3),
+           |pr AS (SELECT a, b,
+           |  CASE WHEN ba < 80 THEN 3 WHEN ba < 90 THEN 2 ELSE 1 END AS pa,
+           |  CASE WHEN bb < 80 THEN 3 WHEN bb < 90 THEN 2 ELSE 1 END AS pb
+           |  FROM f),
+           |v AS (SELECT DISTINCT CASE WHEN pa > pb THEN a ELSE b END
            |  AS doc_id FROM pr WHERE pa <> pb),
            |ds AS (SELECT doc_id,
            |  CASE WHEN ${bucketOf("(doc_id::VARCHAR)")} < 80 THEN 'train'

@@ -47,8 +47,8 @@ object LsaQueries extends QueryProvider {
       "ls01_concepts",
       (s, dir) => {
         import s.implicits._
-        PowerLsa.kConcepts(powerCells(s, dir, lemma = true), K, PowerIters,
-            NKw, NDoc)
+        PowerLsa.kConceptsShared(powerCells(s, dir, lemma = true),
+            factorsKey(s, dir, lemma = true), K, PowerIters, NKw, NDoc)
           .orderBy($"concept")
       },
       Some(ls01OracleSql)),
@@ -211,8 +211,9 @@ object LsaQueries extends QueryProvider {
       "ls09_concept_report",
       (s, dir) => {
         import s.implicits._
-        val concepts = PowerLsa.kConcepts(powerCells(s, dir, lemma = true),
-            K, PowerIters, NKw, NDoc)
+        val concepts = PowerLsa.kConceptsShared(
+            powerCells(s, dir, lemma = true),
+            factorsKey(s, dir, lemma = true), K, PowerIters, NKw, NDoc)
           .withColumnRenamed("doc_ids", "sentence_ids")
         graft.pipeline.Pipelines.conceptReport(concepts).orderBy($"concept")
       },
@@ -291,11 +292,12 @@ object LsaQueries extends QueryProvider {
       "ls12_energy_curve",
       (s, dir) => {
         import s.implicits._
-        val cells = powerCells(s, dir).persist()
+        val cells = powerCells(s, dir)
         val fro = cells.agg(
           sum(($"a" * $"a").cast("decimal(38,12)")).cast("double")
             .as("fro2"))
-        val conc = PowerLsa.kConcepts(cells, k = 4, PowerIters)
+        val conc = PowerLsa.kConceptsShared(cells,
+            factorsKey(s, dir, lemma = false), k = 4, PowerIters)
           .select($"concept", $"singular_value")
         val w = org.apache.spark.sql.expressions.Window
           .orderBy($"concept")
@@ -365,11 +367,14 @@ object LsaQueries extends QueryProvider {
       (s, dir) => {
         import s.implicits._
         val DecT = "decimal(38,18)"
-        val cells = powerCells(s, dir)
-          .select($"id", $"token", $"a").persist()
-        val factors = PowerLsa.kFactors(cells, k = 4, PowerIters)
+        val cells = powerCells(s, dir).select($"id", $"token", $"a")
+        // factors come from the shared memo (same chain as ls12) through
+        // the local-budget auto route; only the tiny query slice persists
+        val factors = PowerLsa.kFactorsShared(cells,
+          factorsKey(s, dir, lemma = false), k = 4, PowerIters)
+        val qcells = cells.filter($"id" < 5).persist()
         val qp = factors.zipWithIndex.map { case ((vj, sigma, _), j) =>
-          cells.filter($"id" < 5)
+          qcells
             .join(vj, Seq("token"))
             .groupBy($"id")
             .agg(sum(($"a" * $"v").cast(DecT)).cast("double").as("num"))
@@ -803,6 +808,16 @@ object LsaQueries extends QueryProvider {
        |${PowerKSql.ozsoyScoreCtes(OzsoyTopics)},
        |scall AS (SELECT s.sid, coalesce(sct.score, 0.0) AS score
        |  FROM sents s LEFT JOIN sct ON sct.sid = s.sid)""".stripMargin
+
+  /** Memo key for [[PowerLsa.kFactorsShared]]: session identity + the
+    * corpus dir + file state (mtime+length invalidates on an in-place
+    * rewrite, the Tables.eventsFileSchema pattern) + token pipeline.
+    */
+  private def factorsKey(s: org.apache.spark.sql.SparkSession, dir: String,
+      lemma: Boolean): String = {
+    val f = new java.io.File(s"$dir/documents.parquet")
+    s"${System.identityHashCode(s)}:$dir:${f.lastModified}:${f.length}:lemma=$lemma"
+  }
 
   /** The t05-style TF-IDF cell matrix the power queries factor (ls06/
     * ls07 take the raw-token form; ls01 the lemma'd LSA pipeline).

@@ -167,14 +167,25 @@ object Relational extends QueryProvider {
           .agg(
             count(lit(1)).as("n_cust"),
             countDistinct($"c_nationkey").as("n_nations"),
-            round(sum($"c_acctbal"), 2).as("sum_bal"),
-            round(avg($"c_acctbal"), 4).as("avg_bal"))
+            // acctbal is a 2dp quantity: sum in DECIMAL so partition
+            // order is unobservable, and derive avg from the exact
+            // decimal quotient — a double avg() here landed EXACTLY on
+            // the .5 grid boundary (167633.53/40 = 4190.83825) and the
+            // 4th decimal flipped with summation order
+            sum($"c_acctbal".cast("decimal(18,2)")).cast("double")
+              .as("sum_bal"),
+            // quotient taken in DOUBLE on both engines (DuckDB coerces
+            // decimal division to double) so the rounding input is the
+            // SAME bit pattern on both sides
+            round(sum($"c_acctbal".cast("decimal(18,2)")).cast("double") /
+              count(lit(1)), 4).as("avg_bal"))
           .orderBy($"c_mktsegment")
       },
       Some("""SELECT c_mktsegment, count(*) AS n_cust,
              |count(DISTINCT c_nationkey) AS n_nations,
-             |round(sum(c_acctbal),2) AS sum_bal,
-             |round(avg(c_acctbal),4) AS avg_bal
+             |CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+             |CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))) / count(*), 4)
+             |  AS DOUBLE) AS avg_bal
              |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
 
     // ---- Window functions: per-group ranking (extension of O3 shape) ----

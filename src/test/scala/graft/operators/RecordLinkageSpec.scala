@@ -36,6 +36,25 @@ class RecordLinkageSpec extends SparkSpec {
     assert(math.abs(twin - (rareOnly + commonOnly)) < 1e-4)
   }
 
+  test("degenerate blocking (zero non-match pairs) falls back to u=0.5, " +
+    "never null scores") {
+    // every pair is a self-pair -> the nonMatch filter selects nothing
+    val selfOnly = Seq((1L, 1L, true), (2L, 2L, false))
+      .toDF("a_key", "b_key", "ag")
+    val out = RecordLinkage.fellegiSunter(selfOnly, Seq("ag"),
+      Map("ag" -> 0.9), $"a_key" =!= $"b_key")
+      .select($"a_key", $"ag", $"score").collect()
+    assert(out.forall(r => !r.isNullAt(2)))
+    // u=0.5: agree weight ln(0.9/0.5), disagree ln(0.1/0.5)
+    val byKey = out.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(math.abs(byKey(1L) - math.log(0.9 / 0.5)) < 1e-4)
+    assert(math.abs(byKey(2L) - math.log(0.1 / 0.5)) < 1e-4)
+    // the literal-weights path takes the same fallback
+    val w = RecordLinkage.weightLiterals(selfOnly, Seq("ag"),
+      Map("ag" -> 0.9), $"a_key" =!= $"b_key")
+    assert(math.abs(w("ag")._1 - math.log(0.9 / 0.5)) < 1e-4)
+  }
+
   test("clamping keeps fully-agreeing estimation fields finite") {
     val all = Seq((1L, 2L, true), (2L, 1L, true)).toDF("a_key", "b_key", "ag")
     val out = RecordLinkage.fellegiSunter(all, Seq("ag"),

@@ -1,27 +1,34 @@
 #!/usr/bin/env python3
 """Local mimic of the driver's DuckDB-oracle correctness gate.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [nameRegex]
 
 Reads each <outDir>/<name> parquet (written by graft.Verify), runs the
 matching oracle SQL from <outDir>/oracle_sql.json in DuckDB with views
 over <sfDir>/*.parquet, sorts columns by name and rows by all columns,
 and compares values. Exit 1 on any mismatch.
+
+Runs oracles on a process pool (GATE_PAR env, default 8) and prints a
+per-oracle timing table (slowest first) so the gate's own cost can be
+profiled and budgeted.
 """
-import sys, json, glob, os
-import duckdb
-import pandas as pd
-import numpy as np
+import sys, json, glob, os, re, time
+from concurrent.futures import ProcessPoolExecutor
 
 TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
 
-def canon(df: pd.DataFrame) -> pd.DataFrame:
+SF_DIR = None
+OUT_DIR = None
+
+def canon(df):
     df = df.reindex(sorted(df.columns), axis=1)
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
 def compare(name, spark_df, duck_df):
+    import pandas as pd
+    import numpy as np
     a, b = canon(spark_df), canon(duck_df)
     if list(a.columns) != list(b.columns):
         return f"SCHEMA cols {list(a.columns)} vs {list(b.columns)}"
@@ -48,44 +55,69 @@ def compare(name, spark_df, duck_df):
                 return f"VALUE col={c} row={i}: {av[i]!r} vs {bv[i]!r}"
     return None
 
-def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+def run_one(task):
+    """Worker: (name, sql_or_None, dir_or_None) -> (name, status, detail, secs)."""
+    name, sql, d = task
+    import pandas as pd
+    t0 = time.time()
+    if d is None:
+        return (name, "FAIL", "no verify output written", 0.0)
+    files = sorted(glob.glob(f"{d}/*.parquet"))
+    spark_df = (pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+                if files else pd.DataFrame())
+    if sql is None:
+        return (name, "SKIP", f"rows-only: {len(spark_df)} rows", time.time() - t0)
+    import duckdb
     con = duckdb.connect()
+    # bound per-worker DuckDB threads so GATE_PAR workers don't
+    # oversubscribe the box (DuckDB defaults to all cores per process)
+    con.sql(f"SET threads={max(1, os.cpu_count() // int(os.environ.get('GATE_PAR', '8')))}")
     for t in TABLES:
-        p = f"{sf_dir}/{t}.parquet"
+        p = f"{SF_DIR}/{t}.parquet"
         if os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
-    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = n_skip = 0
+    try:
+        duck_df = con.sql(sql).df()
+    except Exception as e:
+        return (name, "FAIL", f"oracle SQL error: {e}", time.time() - t0)
+    err = compare(name, spark_df, duck_df)
+    secs = time.time() - t0
+    if err:
+        return (name, "FAIL", err, secs)
+    return (name, "PASS", f"{len(spark_df)} rows", secs)
+
+def main():
+    global SF_DIR, OUT_DIR
+    SF_DIR, OUT_DIR = sys.argv[1], sys.argv[2]
+    name_re = re.compile(sys.argv[3]) if len(sys.argv) > 3 else None
+    oracles = json.load(open(f"{OUT_DIR}/oracle_sql.json"))
     dirs = {os.path.basename(d.rstrip("/")): d
-            for d in sorted(glob.glob(f"{out_dir}/*/"))}
-    for name in sorted(set(dirs) | set(oracles)):
-        if name not in dirs:
-            print(f"FAIL  {name}: no verify output written")
-            n_fail += 1
-            continue
-        d = dirs[name]
-        spark_df = pd.concat(
-            [pd.read_parquet(f) for f in sorted(glob.glob(f"{d}/*.parquet"))],
-            ignore_index=True) if glob.glob(f"{d}/*.parquet") else pd.DataFrame()
-        if name not in oracles:
-            print(f"SKIP  {name} (rows-only: {len(spark_df)} rows)")
-            n_skip += 1
-            continue
-        try:
-            duck_df = con.sql(oracles[name]).df()
-        except Exception as e:
-            print(f"FAIL  {name}: oracle SQL error: {e}")
-            n_fail += 1
-            continue
-        err = compare(name, spark_df, duck_df)
-        if err:
-            print(f"FAIL  {name}: {err}")
-            n_fail += 1
-        else:
-            print(f"PASS  {name} ({len(spark_df)} rows)")
+            for d in sorted(glob.glob(f"{OUT_DIR}/*/"))}
+    names = sorted(set(dirs) | set(oracles))
+    if name_re:
+        names = [n for n in names if name_re.search(n)]
+    tasks = [(n, oracles.get(n), dirs.get(n)) for n in names]
+    par = int(os.environ.get("GATE_PAR", "8"))
+    t0 = time.time()
+    with ProcessPoolExecutor(max_workers=par) as ex:
+        results = list(ex.map(run_one, tasks))
+    n_pass = n_fail = n_skip = 0
+    for name, status, detail, secs in results:
+        if status == "PASS":
             n_pass += 1
-    print(f"== {n_pass} pass, {n_fail} fail, {n_skip} rows-only ==")
+            print(f"PASS  {name} ({detail}) [{secs:.1f}s]")
+        elif status == "SKIP":
+            n_skip += 1
+            print(f"SKIP  {name} ({detail})")
+        else:
+            n_fail += 1
+            print(f"FAIL  {name}: {detail}")
+    slow = sorted(results, key=lambda r: -r[3])[:15]
+    print("== slowest oracles ==")
+    for name, _, _, secs in slow:
+        print(f"  {secs:7.1f}s  {name}")
+    print(f"== {n_pass} pass, {n_fail} fail, {n_skip} rows-only "
+          f"(wall {time.time()-t0:.1f}s, cpu-sum {sum(r[3] for r in results):.1f}s, par={par}) ==")
     sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":
