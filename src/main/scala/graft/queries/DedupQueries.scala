@@ -15,10 +15,16 @@ import graft.text.{TextFunctions => TF}
   */
 object DedupQueries extends QueryProvider {
 
-  /** d04's full MinHash pipeline as CTEs ending in `jac(a, b, j)` —
-    * shared by the d04 gate query and d07's clustering oracle.
+  /** The MinHash chain through `bands(id, band, key)` — the prefix
+    * shared by band-level consumers (sm13's index compare) that must
+    * not pay for the pair tail: DuckDB evaluates MATERIALIZED CTEs
+    * eagerly even when unreferenced, so the candidate/jaccard stages
+    * live only in [[minhashPairCtes]]. MATERIALIZED placement here is
+    * deliberate: `sig` feeds `bands` AND d10's direct signature
+    * compares; permutations compute once per distinct gram hash (they
+    * never depended on the doc), and the doc-level min re-joins hv.
     */
-  private[queries] val minhashPairCtes: String =
+  private[queries] val minhashBandCtes: String =
     s"""t AS (SELECT doc_id AS id, regexp_extract_all(lower(text),'[a-zA-Z]+') AS tk FROM documents),
        |s AS (SELECT id, list_distinct(list_transform(range(1, len(tk)-1),
        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
@@ -27,19 +33,31 @@ object DedupQueries extends QueryProvider {
        |voc AS (SELECT DISTINCT g FROM shr),
        |gh AS (SELECT g, ${FnvSql.ofString("g")} AS hu FROM voc),
        |hv AS (SELECT DISTINCT id, hu FROM shr JOIN gh USING (g)),
-       |perm AS (SELECT id, r.i, ${FnvSql.perm("r.i", "hu")} AS p
-       |  FROM hv CROSS JOIN (SELECT unnest(range(32)) AS i) r),
-       |sig AS (SELECT id, i, min(${FnvSql.toSigned("p")}) AS m
-       |  FROM perm GROUP BY id, i),
+       |permh AS (SELECT hu, r.i, ${FnvSql.toSigned(FnvSql.perm("r.i", "hu"))} AS ps
+       |  FROM (SELECT DISTINCT hu FROM hv) h
+       |  CROSS JOIN (SELECT unnest(range(32)) AS i) r),
+       |sig AS MATERIALIZED (SELECT id, i, min(ps) AS m
+       |  FROM hv JOIN permh USING (hu) GROUP BY id, i),
        |bands AS (SELECT id, i // 4 AS band,
        |    string_agg(m::VARCHAR, ',' ORDER BY i) AS key
-       |  FROM sig GROUP BY id, i // 4),
-       |sized AS (SELECT * FROM (SELECT id, band, key,
+       |  FROM sig GROUP BY id, i // 4)""".stripMargin
+
+  /** d04's full MinHash pipeline as CTEs ending in `jac(a, b, j)` —
+    * shared by the d04 gate query, d07/d18/d25's clustering oracles and
+    * the c14/c31/c35 leakage family. The multiply-referenced stages are
+    * MATERIALIZED: DuckDB 1.x inlines CTEs per reference, and the
+    * label-propagation / closure consumers reference their predecessors
+    * twice per round — without materialization the chain re-evaluates
+    * 2^rounds times (measured: d07 196 s → 6 s at sf0.001).
+    */
+  private[queries] val minhashPairCtes: String =
+    s"""$minhashBandCtes,
+       |sized AS MATERIALIZED (SELECT * FROM (SELECT id, band, key,
        |    count(*) OVER (PARTITION BY band, key) AS bn FROM bands)
        |  WHERE bn <= 1000),
-       |cand AS (SELECT DISTINCT l.id AS a, r.id AS b
+       |cand AS MATERIALIZED (SELECT DISTINCT l.id AS a, r.id AS b
        |  FROM sized l JOIN sized r ON l.band = r.band AND l.key = r.key AND l.id < r.id),
-       |jac AS (SELECT c.a, c.b,
+       |jac AS MATERIALIZED (SELECT c.a, c.b,
        |    len(list_intersect(sa.sh, sb.sh)) * 1.0 /
        |      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS j
        |  FROM cand c JOIN s sa ON sa.id = c.a JOIN s sb ON sb.id = c.b)""".stripMargin
@@ -768,7 +786,7 @@ object DedupQueries extends QueryProvider {
              |  list_distinct(list_transform(range(1, len(tk)-1),
              |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
              |  FROM t WHERE len(tk) >= 3),
-             |e AS (SELECT a.doc_id AS a, b.doc_id AS b
+             |e AS MATERIALIZED (SELECT a.doc_id AS a, b.doc_id AS b
              |  FROM s a JOIN s b ON a.doc_id < b.doc_id
              |  WHERE len(list_intersect(a.sh, b.sh)) * 1.0
              |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.02),

@@ -659,7 +659,7 @@ object LsaQueries extends QueryProvider {
        |  row_number() OVER (PARTITION BY g ORDER BY rid) AS sid
        |  FROM ord WHERE len(string_split(text, ' ')) >= 5),
        |stok AS (SELECT g, sid, unnest(${TextQueries.tokSql()}) AS tok FROM sided),
-       |toks AS (SELECT DISTINCT tok FROM stok),
+       |toks AS MATERIALIZED (SELECT DISTINCT tok FROM stok),
        |${MorphySql.ctes},
        |slt AS (SELECT s.g, s.sid, l.lemma AS token
        |  FROM stok s JOIN lem l ON l.tok = s.tok),
@@ -856,7 +856,7 @@ object LsaQueries extends QueryProvider {
     s"""WITH RECURSIVE
        |d0 AS (SELECT doc_id, ${TextQueries.tokSql()} AS t0 FROM documents),
        |tokrows AS (SELECT doc_id, unnest(t0) AS tok FROM d0),
-       |toks AS (SELECT DISTINCT tok FROM tokrows),
+       |toks AS MATERIALIZED (SELECT DISTINCT tok FROM tokrows),
        |${MorphySql.ctes},
        |ltok AS (SELECT tr.doc_id, l.lemma AS token
        |  FROM tokrows tr JOIN lem l ON l.tok = tr.tok),

@@ -33,7 +33,7 @@ private[queries] object MorphySql {
     * `WITH RECURSIVE` (the candidate generator recurses).
     */
   lazy val ctes: String =
-    s"""lex AS (SELECT unnest($lexSql) AS w),
+    s"""lex AS MATERIALIZED (SELECT unnest($lexSql) AS w),
        |exc(form, cand, ord) AS (SELECT * FROM (VALUES $excSql) t(form, cand, ord)),
        |rules(r, suf, rep) AS (SELECT * FROM (VALUES
        |  (1,'s',''),(2,'ses','s'),(3,'ves','f'),(4,'xes','x'),(5,'zes','z'),
@@ -48,7 +48,7 @@ private[queries] object MorphySql {
        |    c.c[1:len(c.c)-len(r.suf)] || r.rep
        |  FROM cands c JOIN rules r ON ends_with(c.c, r.suf)
        |  WHERE c.lvl < 7),
-       |known AS (
+       |known AS MATERIALIZED (
        |  SELECT t.tok, 1 AS bucket, 0::BIGINT AS lvl, 0::BIGINT AS ord,
        |    t.tok AS c, len(t.tok) AS l
        |  FROM toks t JOIN lex ON lex.w = t.tok WHERE len(t.tok) >= 3
@@ -58,8 +58,8 @@ private[queries] object MorphySql {
        |pick AS (SELECT tok, c,
        |    row_number() OVER (PARTITION BY tok ORDER BY bucket, l, lvl, ord) AS rn
        |  FROM known),
-       |gen AS (SELECT tok, c AS lemma FROM pick WHERE rn = 1),
-       |exc_known AS (
+       |gen AS MATERIALIZED (SELECT tok, c AS lemma FROM pick WHERE rn = 1),
+       |exc_known AS MATERIALIZED (
        |  SELECT e.form, e.cand AS c, e.ord, len(e.cand) AS l
        |  FROM exc e JOIN lex ON lex.w = e.cand
        |  UNION ALL
@@ -68,11 +68,11 @@ private[queries] object MorphySql {
        |exc_pick AS (SELECT form, c,
        |    row_number() OVER (PARTITION BY form ORDER BY l, ord) AS rn
        |  FROM exc_known),
-       |exc_res AS (
+       |exc_res AS MATERIALIZED (
        |  SELECT e1.form, coalesce(p.c, e1.cand) AS lemma
        |  FROM (SELECT form, cand FROM exc WHERE ord = 1) e1
        |  LEFT JOIN (SELECT form, c FROM exc_pick WHERE rn = 1) p USING (form)),
-       |lem AS (
+       |lem AS MATERIALIZED (
        |  SELECT t.tok,
        |    CASE WHEN len(t.tok) < 3 THEN t.tok
        |      WHEN er.lemma IS NOT NULL THEN er.lemma

@@ -737,7 +737,7 @@ object StreamingQueries extends QueryProvider {
       },
       // d04's minhash CTE chain, read at the `bands` stage: the index
       // contents must equal the batch banding of the same corpus.
-      Some(s"""WITH ${DedupQueries.minhashPairCtes}
+      Some(s"""WITH ${DedupQueries.minhashBandCtes}
               |SELECT CAST(band AS BIGINT) AS band, key,
               |  min(id) AS canonical, count(*) AS n_docs
               |FROM bands GROUP BY band, key HAVING count(*) > 1

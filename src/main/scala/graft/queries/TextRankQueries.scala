@@ -27,12 +27,12 @@ object TextRankQueries extends QueryProvider {
     */
   private def propagateCtes(iterations: Int): String = {
     val iters = (1 to iterations).map { i =>
-      s"""r$i AS (SELECT en.dst AS id, 0.15 + 0.85 * sum(r${i - 1}.rnk * en.wn) AS rnk
+      s"""r$i AS MATERIALIZED (SELECT en.dst AS id, 0.15 + 0.85 * sum(r${i - 1}.rnk * en.wn) AS rnk
          |FROM en JOIN r${i - 1} ON en.src = r${i - 1}.id GROUP BY en.dst)""".stripMargin
     }.mkString(",\n")
-    s"""o AS (SELECT src, sum(w) AS ow FROM e GROUP BY src),
-       |en AS (SELECT e.src, e.dst, e.w / o.ow AS wn FROM e JOIN o ON e.src = o.src),
-       |r0 AS (SELECT DISTINCT src AS id, 0.15 AS rnk FROM e),
+    s"""o AS MATERIALIZED (SELECT src, sum(w) AS ow FROM e GROUP BY src),
+       |en AS MATERIALIZED (SELECT e.src, e.dst, e.w / o.ow AS wn FROM e JOIN o ON e.src = o.src),
+       |r0 AS MATERIALIZED (SELECT DISTINCT src AS id, 0.15 AS rnk FROM e),
        |$iters""".stripMargin
   }
 
@@ -53,7 +53,7 @@ object TextRankQueries extends QueryProvider {
     * list. `v` must be defined as (id, toks, n).
     */
   private def rankSql(iterations: Int, topK: Option[Int]): String =
-    s"""e AS (
+    s"""e AS MATERIALIZED (
        |SELECT a.id AS src, b.id AS dst,
        |len(list_intersect(list_distinct(a.toks), list_distinct(b.toks))) * 1.0
        |  / (log2(a.n) + log2(b.n) + 1) AS w
@@ -86,7 +86,7 @@ object TextRankQueries extends QueryProvider {
        |WHERE len(string_split(text,' ')) > 10 AND len(string_split(text,' ')) < 30),
        |tokrows AS (SELECT doc_id, unnest(range(len(t0))) AS pos,
        |  unnest(t0) AS tok FROM d0),
-       |toks AS (SELECT DISTINCT tok FROM tokrows),
+       |toks AS MATERIALIZED (SELECT DISTINCT tok FROM tokrows),
        |${MorphySql.ctes},
        |lemtok AS (SELECT tr.doc_id, tr.pos, l.lemma
        |  FROM tokrows tr JOIN lem l ON l.tok = tr.tok
@@ -181,19 +181,20 @@ object TextRankQueries extends QueryProvider {
            |voc AS (SELECT DISTINCT g FROM dtr),
            |gh AS (SELECT g, ${FnvSql.ofString("g")} AS hu FROM voc),
            |hv AS (SELECT DISTINCT id, hu FROM dtr JOIN gh USING (g)),
-           |perm AS (SELECT id, r.i, ${FnvSql.perm("r.i", "hu")} AS p
-           |  FROM hv CROSS JOIN (SELECT unnest(range(128)) AS i) r),
-           |sig AS (SELECT id, i, min(${FnvSql.toSigned("p")}) AS m
-           |  FROM perm GROUP BY id, i),
+           |permh AS (SELECT hu, r.i, ${FnvSql.toSigned(FnvSql.perm("r.i", "hu"))} AS ps
+           |  FROM (SELECT DISTINCT hu FROM hv) h
+           |  CROSS JOIN (SELECT unnest(range(128)) AS i) r),
+           |sig AS MATERIALIZED (SELECT id, i, min(ps) AS m
+           |  FROM hv JOIN permh USING (hu) GROUP BY id, i),
            |bnd AS (SELECT id, i // 2 AS band,
            |    string_agg(m::VARCHAR, ',' ORDER BY i) AS key
            |  FROM sig GROUP BY id, i // 2),
-           |sized AS (SELECT * FROM (SELECT id, band, key,
+           |sized AS MATERIALIZED (SELECT * FROM (SELECT id, band, key,
            |    count(*) OVER (PARTITION BY band, key) AS bn FROM bnd)
            |  WHERE bn <= 10000),
-           |cand AS (SELECT DISTINCT l.id AS a, r.id AS b
+           |cand AS MATERIALIZED (SELECT DISTINCT l.id AS a, r.id AS b
            |  FROM sized l JOIN sized r ON l.band = r.band AND l.key = r.key AND l.id < r.id),
-           |e0 AS (SELECT c.a AS src, c.b AS dst,
+           |e0 AS MATERIALIZED (SELECT c.a AS src, c.b AS dst,
            |    len(list_intersect(va.dt, vb.dt)) * 1.0
            |      / (log2(va.n) + log2(vb.n) + 1) AS w
            |  FROM cand c JOIN vd va ON va.id = c.a JOIN vd vb ON vb.id = c.b
@@ -217,7 +218,7 @@ object TextRankQueries extends QueryProvider {
       },
       Some {
         val iters = (1 to 5).map { i =>
-          s"""r$i AS (SELECT en.grp, en.dst AS id, 0.15 + 0.85 * sum(r${i - 1}.rnk * en.wn) AS rnk
+          s"""r$i AS MATERIALIZED (SELECT en.grp, en.dst AS id, 0.15 + 0.85 * sum(r${i - 1}.rnk * en.wn) AS rnk
              |FROM en JOIN r${i - 1} ON en.grp = r${i - 1}.grp AND en.src = r${i - 1}.id
              |GROUP BY en.grp, en.dst)""".stripMargin
         }.mkString(",\n")
@@ -228,14 +229,14 @@ object TextRankQueries extends QueryProvider {
            |FROM documents
            |WHERE len(string_split(text,' ')) > 10 AND len(string_split(text,' ')) < 30),
            |v AS (SELECT grp, id, toks, len(toks) AS n FROM v0 WHERE len(toks) > 0),
-           |e AS (
+           |e AS MATERIALIZED (
            |SELECT a.grp, a.id AS src, b.id AS dst,
            |len(list_intersect(list_distinct(a.toks), list_distinct(b.toks))) * 1.0
            |  / (log2(a.n) + log2(b.n) + 1) AS w
            |FROM v a JOIN v b ON a.grp = b.grp AND a.id <> b.id
            |WHERE len(list_intersect(list_distinct(a.toks), list_distinct(b.toks))) > 0),
-           |o AS (SELECT grp, src, sum(w) AS ow FROM e GROUP BY grp, src),
-           |en AS (SELECT e.grp, e.src, e.dst, e.w / o.ow AS wn
+           |o AS MATERIALIZED (SELECT grp, src, sum(w) AS ow FROM e GROUP BY grp, src),
+           |en AS MATERIALIZED (SELECT e.grp, e.src, e.dst, e.w / o.ow AS wn
            |  FROM e JOIN o ON e.grp = o.grp AND e.src = o.src),
            |r0 AS (SELECT DISTINCT grp, src AS id, 0.15 AS rnk FROM e),
            |$iters
@@ -288,7 +289,7 @@ object TextRankQueries extends QueryProvider {
            |pp AS (SELECT least(p[1], p[2]) AS s, greatest(p[1], p[2]) AS d
            |  FROM (SELECT p FROM p1 UNION ALL SELECT p FROM p2) u
            |  WHERE p[1] <> p[2]),
-           |c AS (SELECT s, d, count(*) AS c FROM pp GROUP BY s, d),
+           |c AS MATERIALIZED (SELECT s, d, count(*) AS c FROM pp GROUP BY s, d),
            |e AS (SELECT s AS src, d AS dst, c * 1.0 AS w FROM c
            |  UNION ALL SELECT d AS src, s AS dst, c * 1.0 AS w FROM c),
            |${propagateCtes(5)}
