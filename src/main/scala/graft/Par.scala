@@ -46,4 +46,19 @@ object Par {
       if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
     }
   }
+
+  /** persist() only if an equivalent plan isn't already cached.
+    *
+    * `Dataset.storageLevel` is a CacheManager lookup by canonicalized
+    * plan, so this also de-dups cross-query: two queries in one session
+    * that persist the SAME subtree (e.g. t13/t15 both caching the word
+    * frequency table) share one cache entry instead of logging "Asked to
+    * cache already cached data" per call. Returns the df plus whether
+    * THIS call created the cache — only an owner should unpersist, or it
+    * would yank a sibling query's cache out from under it.
+    */
+  def cacheIfNew(df: DataFrame): (DataFrame, Boolean) =
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      (df.persist(), true)
+    else (df, false)
 }

@@ -102,13 +102,13 @@ object Bpe {
   def mergesAndVocab(spark: SparkSession, wordFreq: DataFrame,
       numMerges: Int, maxLocalTypes: Long = 2000000L): (DataFrame, DataFrame) = {
     require(numMerges >= 1, "numMerges must be >= 1")
-    val wf = wordFreq.select(col("word"),
-      col("freq").cast("long").as("freq")).persist()
+    val (wf, owned) = graft.Par.cacheIfNew(wordFreq.select(col("word"),
+      col("freq").cast("long").as("freq")))
     val nTypes = wf.count()
     val out =
       if (nTypes <= maxLocalTypes) mergesAndVocabLocal(spark, wf, numMerges)
       else mergesAndVocabDF(spark, wf, numMerges)
-    wf.unpersist()
+    if (owned) wf.unpersist()
     out
   }
 

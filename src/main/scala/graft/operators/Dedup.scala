@@ -122,8 +122,9 @@ object Dedup {
       // unpersist hook (the result is a lazy plan that still references
       // it); entries are MEMORY_AND_DISK and LRU-evicted, so repeated
       // calls in one session are bounded by the storage region, not
-      // leaked unboundedly.
-      .persist()
+      // leaked unboundedly. Guarded: a plan-equal sibling may have
+      // cached the identical subtree already (d04/d05 share it).
+      .transform(df => graft.Par.cacheIfNew(df)._1)
     // Materialize the hash array as its own column BEFORE the signature
     // transform: referencing the expression inside the outer lambda would
     // re-evaluate shingle hashing numHashes times per row.
@@ -138,6 +139,141 @@ object Dedup {
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** Incremental (delta-vs-base) MinHash-LSH near-dup probe — the
+    * steady-state ingest shape at 100 TB: the BASE corpus's band index
+    * is built once (in production: stored bucketed by (band, key) and
+    * only appended to) and each new shard probes it. Per ingest, only
+    * the delta's shingles/signatures are computed and shuffled; the
+    * probe join's output is bounded by the delta's bucket hits, never
+    * by |base| or |base|². Overfull base buckets (> maxBucket members)
+    * are skipped — the same skew cap the batch path uses, applied on
+    * the index side where the skew lives.
+    *
+    * Returns one row per delta doc that has any shingles:
+    * (id, n_matches, best_base, best_j) where matches are base docs
+    * with exact Jaccard >= threshold; best = max Jaccard, ties -> min
+    * base id; zero-match docs keep nulls.
+    */
+  def incrementalNearDuplicates(baseToks: DataFrame, deltaToks: DataFrame,
+      shingleN: Int, numHashes: Int, bands: Int, threshold: Double,
+      maxBucket: Int = 1000): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    def prep(toks0: DataFrame): DataFrame =
+      graft.Par.fanOut(toks0).select(col("id"),
+          array_distinct(shingles(col("tokens"), shingleN)).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .transform(df => graft.Par.cacheIfNew(df)._1)
+    def banded(sh: DataFrame): DataFrame =
+      sh.withColumn("hv", shingleHashes(col("sh")))
+        .withColumn("sig", minhashSignature(col("hv"), numHashes))
+        .select(col("id"),
+          posexplode(bandKeyArray(col("sig"), bands, rowsPerBand)))
+        .toDF("id", "band", "key")
+    val bSh = prep(baseToks)
+    val dSh = prep(deltaToks)
+    val capped = banded(bSh)
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("key"))))
+      .filter(col("bucket_n") <= maxBucket)
+      .select(col("band"), col("key"), col("id").as("bid"))
+    val cand = banded(dSh).select(col("band"), col("key"), col("id").as("did"))
+      .join(capped, Seq("band", "key"))
+      .select(col("did"), col("bid")).distinct()
+    val hits = cand
+      .join(dSh.select(col("id").as("did"), col("sh").as("sh_d")), "did")
+      .join(bSh.select(col("id").as("bid"), col("sh").as("sh_b")), "bid")
+      .withColumn("j", jaccard(col("sh_d"), col("sh_b")))
+      .filter(col("j") >= threshold)
+      .select(col("did"), col("bid"), col("j"))
+      .transform(df => graft.Par.cacheIfNew(df)._1)
+    // best = max j, ties -> min base id — mirrored by the oracle as a
+    // max(j) join-back (each engine compares only its own doubles, so
+    // the tie test is self-consistent per engine)
+    val agg = hits.groupBy(col("did"))
+      .agg(count(lit(1)).as("n_matches"), max(col("j")).as("bj"))
+    val best = hits.join(agg, "did")
+      .filter(col("j") === col("bj"))
+      .groupBy(col("did"), col("n_matches"), col("bj"))
+      .agg(min(col("bid")).as("best_base"))
+    dSh.select(col("id"))
+      .join(best.select(col("did").as("id"), col("n_matches"),
+        col("best_base"), round(col("bj"), 6).as("best_j")), Seq("id"), "left")
+      .withColumn("n_matches",
+        coalesce(col("n_matches"), lit(0L)))
+  }
+
+  /** Content-defined chunking (CDC) + chunk-level dedup — the
+    * storage-layer dedup primitive (LBFS/FastCDC family): a chunk
+    * boundary falls AFTER every window whose rolling fingerprint is
+    * ≡ 0 (mod mask+1), so boundaries survive insertions/deletions that
+    * shift byte offsets (unlike fixed-size blocks). The memoryless
+    * fingerprint is FNV-1a of the last `window` chars — every position
+    * is tested independently, so the whole boundary pass is one
+    * narrow per-row expression chain (no shuffle); the only shuffle in
+    * the operator is the corpus-wide chunk-hash groupBy, which is
+    * linear in total chunk count. pmod (not %) on the Spark side: the
+    * signed two's-complement fnv and the oracle's unsigned HUGEINT
+    * agree under positive mod because 2^64 ≡ 0 (mod 64).
+    *
+    * Returns (id, n_chunks, dup_chunks, dup_chars, dup_frac) per doc:
+    * chunks whose md5 occurs >= 2 times corpus-wide are "duplicated",
+    * dup_frac = duplicated chars / total chars.
+    */
+  def cdcChunkDedup(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 8, mask: Int = 63): DataFrame = {
+    require(window >= 2 && mask >= 1)
+    val w = window
+    val m = mask + 1
+    val base = graft.Par.fanOut(docs)
+      .select(col(idCol).as("id"), col(textCol).as("t"))
+      .filter(length(col("t")) >= 1)
+    // chunk END positions: i + w - 1 for each window start i whose
+    // fingerprint ≡ 0; the doc end is always a boundary
+    // (array_distinct folds the last-window-already-cut case). A doc
+    // shorter than the window is one chunk.
+    val t = col("t")
+    // pure Column API (the CASE branches stay lazy, so the descending
+    // sequence / 0-index never evaluate) — no SQL-registry dependence
+    val withEnds = base.withColumn("ends",
+      array_sort(array_distinct(concat(
+        when(length(t) >= w,
+          filter(
+            transform(sequence(lit(1), length(t) - lit(w - 1)),
+              p => when(pmod(graft.functions.Fnv.fnv1a64(
+                substring(t, p, lit(w))), lit(m.toLong)) === 0,
+                p + lit(w - 1))),
+            x => x.isNotNull))
+          .otherwise(array().cast("array<int>")),
+        array(length(t))))))
+    // chunk k spans (ends[k-1]+1 .. ends[k]); one explode, then the
+    // operator's only shuffle: the corpus-wide chunk-hash groupBy
+    val chunks = withEnds.select(col("id"), col("t"), col("ends"),
+        posexplode(col("ends")).as(Seq("k", "e")))
+      // posexplode's k is 0-based: chunk 0 starts at 1, chunk k at
+      // ends[k]+1 (element_at is 1-based, so ends[k] IS the previous
+      // end; the CASE keeps the invalid 0 index unevaluated)
+      .withColumn("s0", when(col("k") === 0, lit(1))
+        .otherwise(element_at(col("ends"), col("k")) + 1))
+      .select(col("id"), col("k"),
+        substring(col("t"), col("s0"),
+          col("e") - col("s0") + lit(1)).as("chunk"))
+      .withColumn("clen", length(col("chunk")))
+      .withColumn("ch", md5(col("chunk")))
+      .transform(df => graft.Par.cacheIfNew(df)._1)
+    val dupSet = chunks.groupBy(col("ch"))
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2).select("ch")
+    chunks.join(dupSet.withColumn("dup", lit(1)), Seq("ch"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("dup").isNotNull, 1L).otherwise(0L)).as("dup_chunks"),
+        sum(when(col("dup").isNotNull, col("clen").cast("long"))
+          .otherwise(0L)).as("dup_chars"),
+        sum(col("clen").cast("long")).as("n_chars"))
+      .select(col("id"), col("n_chunks"), col("dup_chunks"), col("dup_chars"),
+        round(col("dup_chars") * 1.0 / col("n_chars"), 6).as("dup_frac"))
   }
 
   /** Brute-force n-gram Jaccard pairs over a bounded slice (the verify
@@ -645,7 +781,7 @@ object Dedup {
       k: Int): DataFrame = {
     require(k >= 2, "k-gram length must be >= 2")
     val base = docs.select(col(idCol).as("id"), col(textCol).as("t"))
-    val grams = gramPositions(base, k).persist()
+    val grams = graft.Par.cacheIfNew(gramPositions(base, k))._1
     val dupHashes = grams.groupBy(col("gh"))
       .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2).select("gh")
     cutSpansWith(base, grams, dupHashes, k)
@@ -708,7 +844,7 @@ object Dedup {
         explode(col("sh")).as("g"))
       .groupBy(col("doc_id"), col("n_grams"), col("g"))
       .agg(count(lit(1)).as("cnt"))
-      .persist()
+      .transform(df => graft.Par.cacheIfNew(df)._1)
     // gram document frequency: perDoc is already distinct per doc
     val df = perDoc.groupBy(col("g")).agg(count(lit(1)).as("ndocs"))
     perDoc.join(df, Seq("g"))

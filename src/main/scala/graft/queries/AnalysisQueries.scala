@@ -1508,8 +1508,9 @@ object AnalysisQueries extends QueryProvider {
               .otherwise("tail"))
           .groupBy($"lang", $"bucket")
           .agg(count(lit(1)).as("n_docs"),
-            round(sum($"surprisal".cast("decimal(18,6)")).cast("double") /
-              count(lit(1)), 6).as("mean_surprisal"),
+            (expr("(2*cast(sum(cast(round(surprisal*1000000) as bigint)) as bigint)"
+              + " + count(1)) DIV (2*count(1))").cast("double")
+              / 1e6).as("mean_surprisal"),
             min($"surprisal").as("min_surprisal"),
             max($"surprisal").as("max_surprisal"))
           .orderBy($"lang", $"bucket")
@@ -1528,8 +1529,8 @@ object AnalysisQueries extends QueryProvider {
               |      ELSE 'tail' END AS bucket
               |  FROM r)
               |SELECT lang, bucket, count(*) AS n_docs,
-              |  round(CAST(sum(CAST(surprisal AS DECIMAL(18,6))) AS DOUBLE)
-              |    / count(*), 6) AS mean_surprisal,
+              |  ((2 * CAST(sum(CAST(round(surprisal * 1000000) AS BIGINT)) AS BIGINT)
+              |    + count(*)) // (2 * count(*))) / 1000000.0 AS mean_surprisal,
               |  min(surprisal) AS min_surprisal,
               |  max(surprisal) AS max_surprisal
               |FROM b GROUP BY lang, bucket
@@ -2039,8 +2040,9 @@ object AnalysisQueries extends QueryProvider {
           .sampledTerciles(scored, "doc_id", "lang", "surprisal", k = 64)
           .groupBy($"lang", $"bucket")
           .agg(count(lit(1)).as("n_docs"),
-            round(sum($"surprisal".cast("decimal(18,6)")).cast("double") /
-              count(lit(1)), 6).as("mean_surprisal"),
+            (expr("(2*cast(sum(cast(round(surprisal*1000000) as bigint)) as bigint)"
+              + " + count(1)) DIV (2*count(1))").cast("double")
+              / 1e6).as("mean_surprisal"),
             min($"surprisal").as("min_surprisal"),
             max($"surprisal").as("max_surprisal"),
             max($"cut_head").as("cut_head"),
@@ -2071,8 +2073,8 @@ object AnalysisQueries extends QueryProvider {
               |    ELSE 'tail' END AS bucket
               |  FROM j JOIN cuts c USING (lang))
               |SELECT lang, bucket, count(*) AS n_docs,
-              |  round(CAST(sum(CAST(surprisal AS DECIMAL(18,6))) AS DOUBLE)
-              |    / count(*), 6) AS mean_surprisal,
+              |  ((2 * CAST(sum(CAST(round(surprisal * 1000000) AS BIGINT)) AS BIGINT)
+              |    + count(*)) // (2 * count(*))) / 1000000.0 AS mean_surprisal,
               |  min(surprisal) AS min_surprisal,
               |  max(surprisal) AS max_surprisal,
               |  max(cut_head) AS cut_head,
@@ -2180,7 +2182,15 @@ object AnalysisQueries extends QueryProvider {
           .cast("decimal(18,6)"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
-        round(sum($"nlp").cast("double") / count(lit(1)), 6).as("surprisal"))
+        // exact decimal mean, rounded half-up in INTEGER micro-units:
+        // each nlp is an exact 6-dp decimal, so sum*1e6 is an exact
+        // long and (2*sm + n) DIV (2*n) is round-half-up(sm/n) — the
+        // old round(double_sum/n, 6) differed from DuckDB by 1 ulp
+        // when the quotient sat exactly on a 5e-7 boundary (sf0.1 a24)
+        sum(($"nlp" * 1000000).cast("long")).as("sm"))
+      .select($"doc_id", $"n_bigrams",
+        (expr("(2*sm + n_bigrams) DIV (2*n_bigrams)").cast("double")
+          / 1e6).as("surprisal"))
   }
 
   /** The DuckDB replay of [[lmSurprisalPerDoc]], ending in `pd`
@@ -2203,7 +2213,8 @@ object AnalysisQueries extends QueryProvider {
       |  FROM bg2 JOIN bc USING (w1, w2) JOIN u ON bg2.w1 = u.w
       |  CROSS JOIN v),
       |pd AS (SELECT doc_id, count(*) AS n_bigrams,
-      |    round(CAST(sum(nlp) AS DOUBLE) / count(*), 6) AS surprisal
+      |    ((2 * CAST(sum(CAST(nlp * 1000000 AS BIGINT)) AS BIGINT)
+      |      + count(*)) // (2 * count(*))) / 1000000.0 AS surprisal
       |  FROM sc GROUP BY doc_id)""".stripMargin
 
   /** mm03's byte-exact frame chain (`b, by2, fr, sl, hs` — hs holds

@@ -1002,6 +1002,99 @@ object DedupQueries extends QueryProvider {
            |  CAST(n_members AS BIGINT) AS n_members,
            |  round(typ, 6) AS typicality
            |FROM r WHERE rn = 1 ORDER BY cluster""".stripMargin
+      }),
+
+    // Incremental delta-vs-base LSH probe — the steady-state ingest
+    // shape: every 7th doc arrives as the "delta" shard and probes the
+    // band index of the rest. Only the delta shuffles per ingest.
+    // Oracle: the shared band chain (per-doc signatures are independent
+    // of the corpus split — the FNV gram hash never depended on the
+    // vocabulary), split AFTER banding by the same id rule.
+    Q(
+      "d26_incremental_lsh",
+      (s, dir) => {
+        import s.implicits._
+        val toks = graft.Par.fanOut(Tables.documents(s, dir))
+          .select($"doc_id".as("id"), TF.tokenize($"text").as("tokens"))
+        Dedup.incrementalNearDuplicates(
+          baseToks = toks.filter($"id" % 7 =!= 0),
+          deltaToks = toks.filter($"id" % 7 === 0),
+          shingleN = 3, numHashes = 32, bands = 8, threshold = 0.3)
+          .orderBy($"id")
+      },
+      Some(
+        s"""WITH $minhashBandCtes,
+           |baseb AS MATERIALIZED (SELECT * FROM bands WHERE id % 7 <> 0),
+           |deltab AS (SELECT * FROM bands WHERE id % 7 = 0),
+           |sizedb AS (SELECT id, band, key FROM (SELECT id, band, key,
+           |    count(*) OVER (PARTITION BY band, key) AS bn FROM baseb)
+           |  WHERE bn <= 1000),
+           |cand AS MATERIALIZED (SELECT DISTINCT d.id AS did, b.id AS bid
+           |  FROM deltab d JOIN sizedb b
+           |    ON d.band = b.band AND d.key = b.key),
+           |hits AS MATERIALIZED (SELECT did, bid, j FROM (
+           |  SELECT c.did, c.bid,
+           |    len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+           |      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS j
+           |  FROM cand c JOIN s sa ON sa.id = c.did JOIN s sb ON sb.id = c.bid)
+           |  WHERE j >= 0.3),
+           |agg AS (SELECT did, count(*) AS n_matches, max(j) AS bj
+           |  FROM hits GROUP BY did),
+           |best AS (SELECT h.did, a.n_matches, min(h.bid) AS best_base,
+           |    round(a.bj, 6) AS best_j
+           |  FROM hits h JOIN agg a ON h.did = a.did AND h.j = a.bj
+           |  GROUP BY h.did, a.n_matches, a.bj)
+           |SELECT s.id, coalesce(b.n_matches, 0) AS n_matches,
+           |  b.best_base, b.best_j
+           |FROM s LEFT JOIN best b ON b.did = s.id
+           |WHERE s.id % 7 = 0 ORDER BY s.id""".stripMargin)),
+
+    // Content-defined chunking + chunk-level dedup (LBFS/FastCDC
+    // family): boundaries after every 8-char window with
+    // fnv1a64 % 64 == 0 — offset-shift-proof, memoryless, hash-for-hash
+    // replayed in SQL. Bounded to a doc slice at gate scale (the
+    // per-char fingerprint replay is the oracle's cost, not the
+    // operator's — the Spark path is one narrow expression chain plus
+    // a linear chunk-hash groupBy and runs unbounded in the stress
+    // tier).
+    Q(
+      "d27_cdc_chunks",
+      (s, dir) => {
+        import s.implicits._
+        Dedup.cdcChunkDedup(
+          Tables.documents(s, dir).filter($"doc_id" < 300),
+          "doc_id", "text", window = 8, mask = 63)
+          .orderBy($"id")
+      },
+      Some {
+        // NOTE the fingerprint lambda var must not be `i`: FnvSql's
+        // inner byte loop binds `i` itself and would shadow it.
+        val fp = FnvSql.ofString("substr(t, p, 8)")
+        s"""WITH d AS (SELECT doc_id AS id, text AS t FROM documents
+           |  WHERE doc_id < 300 AND length(text) >= 1),
+           |ends AS (SELECT id, t, list_sort(list_distinct(list_concat(
+           |    CASE WHEN length(t) >= 8 THEN
+           |      list_filter(list_transform(range(1, length(t) - 6),
+           |        p -> CASE WHEN ($fp) % 64 = 0 THEN p + 7 END),
+           |        x -> x IS NOT NULL)
+           |    ELSE [] END,
+           |    [length(t)]))) AS es FROM d),
+           |src AS (SELECT id, unnest(list_transform(range(1, len(es) + 1),
+           |    k -> struct_pack(
+           |      ch := md5(substr(t, CASE WHEN k = 1 THEN 1 ELSE es[k-1] + 1 END,
+           |        es[k] - (CASE WHEN k = 1 THEN 1 ELSE es[k-1] + 1 END) + 1)),
+           |      clen := es[k] - (CASE WHEN k = 1 THEN 1 ELSE es[k-1] + 1 END) + 1)))
+           |  AS u FROM ends),
+           |ch AS MATERIALIZED (SELECT id, u.ch AS ch, u.clen AS clen FROM src),
+           |dup AS (SELECT ch FROM (SELECT ch, count(*) AS cnt FROM ch
+           |  GROUP BY ch) WHERE cnt >= 2)
+           |SELECT c.id, count(*) AS n_chunks,
+           |  CAST(sum(CASE WHEN d.ch IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+           |  CAST(sum(CASE WHEN d.ch IS NOT NULL THEN c.clen ELSE 0 END) AS BIGINT) AS dup_chars,
+           |  round(sum(CASE WHEN d.ch IS NOT NULL THEN c.clen ELSE 0 END)
+           |    * 1.0 / sum(c.clen), 6) AS dup_frac
+           |FROM ch c LEFT JOIN dup d USING (ch)
+           |GROUP BY c.id ORDER BY c.id""".stripMargin
       })
   )
 
