@@ -487,8 +487,134 @@ object SketchQueries extends QueryProvider {
             round(abs($"est" - $"exact") / $"exact", 6).as("rel_err"))
           .orderBy($"grp", $"p")
       },
-      Some(hllSweepOracleSql(Seq(4, 6, 8))))
+      Some(hllSweepOracleSql(Seq(4, 6, 8)))),
+
+    // KMV ("theta") sketch set operations over two sources' bigram
+    // vocabularies — corpus-overlap estimation without inclusion-
+    // exclusion: the union sketch's threshold θ prices every retained
+    // hash at 2^64/θ distinct values, so union, intersection AND
+    // difference read directly off the ≤k retained hashes. Mergeable
+    // (bottom-k of union = bottom-k of per-shard bottom-k's — the
+    // rank filter compiles to map-side WindowGroupLimit), so at 100 TB
+    // each shard ships O(k) rows. Hashes stay exact unsigned
+    // DECIMAL(20,0) until the single double division, replayed
+    // hash-for-hash in HUGEINT.
+    Q(
+      "sk12_theta_setops",
+      (s, dir) => {
+        import s.implicits._
+        val k = 128
+        val toks = graft.Par.fanOut(Tables.documents(s, dir)
+            .filter($"source".isin("src0", "src1")))
+          .select($"source", TF.tokenize($"text").as("tk"))
+          .filter(size($"tk") >= 2)
+        val v = toks.select($"source", explode(expr(
+            "transform(sequence(0, size(tk)-2), i -> tk[i] || ' ' || tk[i+1])"))
+            .as("g"))
+          .distinct()
+          .transform(df => graft.Par.cacheIfNew(df)._1)
+        val gh = v.select($"g").distinct()
+          .withColumn("hu", graft.operators.ThetaSketch.unsignedHash($"g"))
+        val h = v.join(gh, "g").select($"source", $"hu")
+        val kk = graft.operators.ThetaSketch.bottomK(h, "source", k)
+          .transform(df => graft.Par.cacheIfNew(df)._1)
+        val ka = kk.filter($"source" === "src0").select($"hu")
+        val kb = kk.filter($"source" === "src1").select($"hu")
+        val ta = ka.agg(max($"hu").as("ta"))
+        val tb = kb.agg(max($"hu").as("tb"))
+        val th = kk.select($"hu").distinct()
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy($"hu")))
+          .filter($"rn" <= k)
+          .agg(max($"hu").as("theta"))
+        val ni = ka.join(kb, "hu").crossJoin(th)
+          .filter($"hu" < $"theta").agg(count(lit(1)).as("ni"))
+        val nd = ka.join(kb, Seq("hu"), "left_anti").crossJoin(th)
+          .filter($"hu" < $"theta").agg(count(lit(1)).as("nd"))
+        val ex = v.groupBy().agg(
+          countDistinct(when($"source" === "src0", $"g")).as("exact_a"),
+          countDistinct(when($"source" === "src1", $"g")).as("exact_b"),
+          countDistinct($"g").as("exact_union"))
+        val exInter = v.filter($"source" === "src0").select($"g")
+          .intersect(v.filter($"source" === "src1").select($"g"))
+          .agg(count(lit(1)).as("exact_inter"))
+        val two64 = lit(18446744073709551616.0)
+        th.crossJoin(ta).crossJoin(tb).crossJoin(ni).crossJoin(nd)
+          .crossJoin(ex).crossJoin(exInter)
+          .select(lit(k).as("k"),
+            round(lit(k - 1) * (two64 / $"ta".cast("double")), 3).as("est_a"),
+            round(lit(k - 1) * (two64 / $"tb".cast("double")), 3).as("est_b"),
+            round(lit(k - 1) * (two64 / $"theta".cast("double")), 3)
+              .as("est_union"),
+            round($"ni".cast("double") * (two64 / $"theta".cast("double")), 3)
+              .as("est_inter"),
+            round($"nd".cast("double") * (two64 / $"theta".cast("double")), 3)
+              .as("est_adiff"),
+            $"exact_a", $"exact_b", $"exact_union", $"exact_inter",
+            round(abs(lit(k - 1) * (two64 / $"theta".cast("double"))
+              - $"exact_union") / $"exact_union", 6).as("relerr_union"))
+      },
+      Some(thetaSetopsOracleSql(128)))
   )
+
+  /** sk12: the KMV chain in HUGEINT — distinct bigrams per source, FNV
+    * per distinct gram, per-source bottom-k, union θ, and the three
+    * estimates in the identical double op order.
+    */
+  private def thetaSetopsOracleSql(k: Int): String = {
+    val km1 = k - 1
+    s"""WITH t AS (SELECT source, regexp_extract_all(lower(text),'[a-zA-Z]+') AS tk
+       |  FROM documents WHERE source IN ('src0', 'src1')),
+       |v AS (SELECT DISTINCT source, unnest(list_transform(range(1, len(tk)),
+       |    i -> tk[i] || ' ' || tk[i+1])) AS g
+       |  FROM t WHERE len(tk) >= 2),
+       |gh0 AS (SELECT g, ${FnvSql.ofString("g")} AS h0
+       |  FROM (SELECT DISTINCT g FROM v)),
+       |gh AS MATERIALIZED (SELECT g, ${FnvSql.perm("0", "h0")} AS hu
+       |  FROM gh0),
+       |h AS (SELECT source, hu FROM v JOIN gh USING (g)),
+       |ka AS MATERIALIZED (SELECT hu FROM (SELECT hu,
+       |    row_number() OVER (ORDER BY hu) AS rn
+       |  FROM h WHERE source = 'src0') WHERE rn <= $k),
+       |kb AS MATERIALIZED (SELECT hu FROM (SELECT hu,
+       |    row_number() OVER (ORDER BY hu) AS rn
+       |  FROM h WHERE source = 'src1') WHERE rn <= $k),
+       |th AS (SELECT max(hu) AS theta FROM (SELECT hu,
+       |    row_number() OVER (ORDER BY hu) AS rn
+       |  FROM (SELECT DISTINCT hu FROM
+       |    (SELECT hu FROM ka UNION ALL SELECT hu FROM kb))) WHERE rn <= $k),
+       |tha AS (SELECT max(hu) AS ta FROM ka),
+       |thb AS (SELECT max(hu) AS tb FROM kb),
+       |ni AS (SELECT count(*) AS c FROM ka JOIN kb USING (hu)
+       |  CROSS JOIN th WHERE hu < theta),
+       |nd AS (SELECT count(*) AS c FROM ka CROSS JOIN th
+       |  WHERE hu < theta AND hu NOT IN (SELECT hu FROM kb)),
+       |ex AS (SELECT
+       |  (SELECT count(*) FROM (SELECT DISTINCT g FROM v WHERE source='src0'))
+       |    AS exact_a,
+       |  (SELECT count(*) FROM (SELECT DISTINCT g FROM v WHERE source='src1'))
+       |    AS exact_b,
+       |  (SELECT count(DISTINCT g) FROM v) AS exact_union,
+       |  (SELECT count(*) FROM (SELECT g FROM v WHERE source='src0'
+       |    INTERSECT SELECT g FROM v WHERE source='src1')) AS exact_inter)
+       |SELECT $k AS k,
+       |  round($km1 * (CAST(18446744073709551616 AS DOUBLE)
+       |    / CAST(ta AS DOUBLE)), 3) AS est_a,
+       |  round($km1 * (CAST(18446744073709551616 AS DOUBLE)
+       |    / CAST(tb AS DOUBLE)), 3) AS est_b,
+       |  round($km1 * (CAST(18446744073709551616 AS DOUBLE)
+       |    / CAST(theta AS DOUBLE)), 3) AS est_union,
+       |  round(CAST(ni.c AS DOUBLE) * (CAST(18446744073709551616 AS DOUBLE)
+       |    / CAST(theta AS DOUBLE)), 3) AS est_inter,
+       |  round(CAST(nd.c AS DOUBLE) * (CAST(18446744073709551616 AS DOUBLE)
+       |    / CAST(theta AS DOUBLE)), 3) AS est_adiff,
+       |  exact_a, exact_b, exact_union, exact_inter,
+       |  round(abs($km1 * (CAST(18446744073709551616 AS DOUBLE)
+       |    / CAST(theta AS DOUBLE)) - exact_union) / exact_union, 6)
+       |    AS relerr_union
+       |FROM th CROSS JOIN tha CROSS JOIN thb CROSS JOIN ni CROSS JOIN nd
+       |CROSS JOIN ex""".stripMargin
+  }
 
   /** sk11: per-precision register grid + harmonic estimate CTEs over
     * one shared hashed distinct stream, unioned and error-scored.
