@@ -77,7 +77,12 @@ object Stress {
     "q55_priority_late_orders", "t26_vocab_coverage",
     "c33_packing_budget_sweep", "d25_medoid_survivor",
     "c34_dedup_pack_pipeline", "a34_length_tail_index",
-    "q56_above_nation_avg")
+    "q56_above_nation_avg",
+    // round-7 additions: sampled-cutoff CCNet terciles, drop-train split
+    // repair, delta-vs-base incremental LSH, content-defined chunking,
+    // KMV theta set operations
+    "a35_ccnet_sampled", "c35_split_repair_droptrain",
+    "d26_incremental_lsh", "d27_cdc_chunks", "sk12_theta_setops")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/graft_sf1")

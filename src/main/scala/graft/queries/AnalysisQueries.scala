@@ -2080,7 +2080,117 @@ object AnalysisQueries extends QueryProvider {
               |  max(cut_head) AS cut_head,
               |  max(cut_middle) AS cut_middle
               |FROM b GROUP BY lang, bucket
-              |ORDER BY lang, bucket""".stripMargin))
+              |ORDER BY lang, bucket""".stripMargin)),
+
+    // Interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; Chen &
+    // Goodman 1999 eq. 4.26) beside a24's add-1 baseline: absolute
+    // discount D = n1/(n1 + 2 n2) estimated from the bigram
+    // count-of-counts, with the backoff mass routed to CONTINUATION
+    // probability (how many distinct left-contexts a word follows, not
+    // how often it occurs) — the smoothing KenLM ships and every
+    // published LM-based quality filter actually uses. Scoring both
+    // models in ONE joined pass makes the ranking shift directly
+    // measurable (addone_surprisal is bit-identical to a24's column).
+    // Scale shape: identical to a24 — the only additions are three
+    // vocabulary-bounded broadcast sides (fan = distinct successors per
+    // w1, cont = distinct predecessors per w2, and the 1-row discount)
+    // hanging off the same two linear corpus passes. Determinism: D is
+    // rounded to 6dp (an exact decimal in both engines), each bigram's
+    // -log10 P to 6dp, per-doc means in exact integer micro-units.
+    Q(
+      "a36_kneser_ney",
+      (s, dir) => {
+        import s.implicits._
+        val toks = graft.Par.fanOut(Tables.documents(s, dir))
+          .select($"doc_id", TF.tokenize($"text").as("t"))
+        val uni = toks.select(explode($"t").as("w"))
+          .groupBy($"w").agg(count(lit(1)).as("c1"))
+        val vocab = uni.agg(count(lit(1)).as("vocab"))
+        val bi = toks.where(size($"t") >= 2)
+          .select($"doc_id", explode(expr(
+            "transform(sequence(0, size(t)-2), i -> struct(t[i] AS w1, t[i+1] AS w2))"))
+            .as("bg"))
+          .select($"doc_id", $"bg.w1".as("w1"), $"bg.w2".as("w2"))
+        val bic = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("cb"))
+        // n1/n2 = bigram types seen once/twice; tt = total bigram types
+        // (the continuation-probability denominator). Degenerate
+        // corpora with no singletons or doubletons fall back to D=0.5.
+        val disc = bic.agg(
+            sum(when($"cb" === 1, 1L).otherwise(0L)).as("n1"),
+            sum(when($"cb" === 2, 1L).otherwise(0L)).as("n2"),
+            count(lit(1)).as("tt"))
+          .select(
+            when($"n1" + lit(2L) * $"n2" === 0L, lit(0.5))
+              .otherwise(round($"n1" / ($"n1" + lit(2.0) * $"n2"), 6))
+              .as("d"),
+            $"tt")
+        val fan = bic.groupBy($"w1").agg(count(lit(1)).as("nf"))
+        val cont = bic.groupBy($"w2").agg(count(lit(1)).as("cc"))
+        val pd = bi
+          .join(bic, Seq("w1", "w2"))
+          .join(broadcast(uni.withColumnRenamed("w", "w1")), Seq("w1"))
+          .join(broadcast(fan), Seq("w1"))
+          .join(broadcast(cont), Seq("w2"))
+          .crossJoin(broadcast(disc))
+          .crossJoin(broadcast(vocab))
+          .withColumn("nlp",
+            round(-log10(greatest($"cb" - $"d", lit(0.0)) / $"c1" +
+              ($"d" * $"nf" / $"c1") * ($"cc" / $"tt")), 6)
+              .cast("decimal(18,6)"))
+          .withColumn("nlp1",
+            round(-log10(($"cb" + lit(1.0)) / ($"c1" + $"vocab")), 6)
+              .cast("decimal(18,6)"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(($"nlp" * 1000000).cast("long")).as("sm"),
+            sum(($"nlp1" * 1000000).cast("long")).as("sm1"))
+          .select($"doc_id", $"n_bigrams",
+            (expr("(2*sm + n_bigrams) DIV (2*n_bigrams)").cast("double")
+              / 1e6).as("kn_surprisal"),
+            (expr("(2*sm1 + n_bigrams) DIV (2*n_bigrams)").cast("double")
+              / 1e6).as("addone_surprisal"))
+        Tables.documents(s, dir).select($"doc_id")
+          .join(pd, Seq("doc_id"), "left")
+          .select($"doc_id", coalesce($"n_bigrams", lit(0L)).as("n_bigrams"),
+            $"kn_surprisal", $"addone_surprisal")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH base AS (SELECT doc_id,
+             |  regexp_extract_all(lower(text),'[a-zA-Z]+') AS t FROM documents),
+             |u AS (SELECT w, count(*) AS c1
+             |  FROM (SELECT unnest(t) AS w FROM base) GROUP BY w),
+             |v AS (SELECT count(*) AS vocab FROM u),
+             |bg2 AS (SELECT doc_id, g.w1 AS w1, g.w2 AS w2
+             |  FROM (SELECT doc_id, unnest(list_transform(range(len(t)-1),
+             |      i -> struct_pack(w1 := t[i+1], w2 := t[i+2]))) AS g
+             |    FROM base WHERE len(t) >= 2) s),
+             |bc AS MATERIALIZED (SELECT w1, w2, count(*) AS cb
+             |  FROM bg2 GROUP BY w1, w2),
+             |dsc AS (SELECT CASE WHEN n1 + 2*n2 = 0 THEN 0.5
+             |    ELSE round(n1 / (n1 + 2.0*n2), 6) END AS d, tt
+             |  FROM (SELECT sum(CASE WHEN cb = 1 THEN 1 ELSE 0 END) AS n1,
+             |    sum(CASE WHEN cb = 2 THEN 1 ELSE 0 END) AS n2,
+             |    count(*) AS tt FROM bc)),
+             |fan AS (SELECT w1, count(*) AS nf FROM bc GROUP BY w1),
+             |cont AS (SELECT w2, count(*) AS cc FROM bc GROUP BY w2),
+             |sc AS (SELECT doc_id,
+             |    CAST(round(-log10(greatest(cb - d, 0.0) / c1 +
+             |      (d * nf / c1) * (cc / tt)), 6) AS DECIMAL(18,6)) AS nlp,
+             |    CAST(round(-log10((cb + 1.0) / (c1 + vocab)), 6)
+             |      AS DECIMAL(18,6)) AS nlp1
+             |  FROM bg2 JOIN bc USING (w1, w2) JOIN u ON bg2.w1 = u.w
+             |  JOIN fan USING (w1) JOIN cont USING (w2)
+             |  CROSS JOIN dsc CROSS JOIN v),
+             |pd AS (SELECT doc_id, count(*) AS n_bigrams,
+             |    ((2 * CAST(sum(CAST(nlp * 1000000 AS BIGINT)) AS BIGINT)
+             |      + count(*)) // (2 * count(*))) / 1000000.0 AS kn_surprisal,
+             |    ((2 * CAST(sum(CAST(nlp1 * 1000000 AS BIGINT)) AS BIGINT)
+             |      + count(*)) // (2 * count(*))) / 1000000.0 AS addone_surprisal
+             |  FROM sc GROUP BY doc_id)
+             |SELECT d.doc_id, coalesce(pd.n_bigrams, 0) AS n_bigrams,
+             |  pd.kn_surprisal, pd.addone_surprisal
+             |FROM documents d LEFT JOIN pd USING (doc_id)
+             |ORDER BY doc_id""".stripMargin))
   )
 
   /** Fixed GD round count / learning rate — the oracle replays exactly
