@@ -1632,7 +1632,94 @@ object CurationQueries extends QueryProvider {
               |  aft.n_seqs * 2048 - aft.after_tokens AS padding,
               |  round((aft.n_seqs * 2048 - aft.after_tokens) * 1.0 /
               |    (aft.n_seqs * 2048), 6) AS waste_frac
-              |FROM bt CROSS JOIN aft""".stripMargin))
+              |FROM bt CROSS JOIN aft""".stripMargin)),
+
+    // THREE-stage end-to-end curation pipeline, verified as one hash:
+    // quality gate (c26's g1∧g3: ≥20 tokens AND composite score ≥ 0.5)
+    // → MinHash-LSH NEAR-dup removal over the survivors (keep-first:
+    // drop the larger id of every verified pair with Jaccard ≥ 0.8 —
+    // where c26's g5 only catches EXACT hashes and c34 only cuts
+    // repeated spans) → fixed-budget packing summary. The oracle nests
+    // the full banded-minhash pair replay over the FILTERED set
+    // (minhashPairCtesFrom), so the gate proves the stages compose:
+    // the dedup stage genuinely sees only quality survivors.
+    // Scale shape: stage 1 is one narrow scan; stage 2 is d04's banded
+    // LSH (bucket-capped, candidates only); stage 3 is one hash agg.
+    // At 100 TB each stage boundary would be a checkpointed table —
+    // here the lineage stays lazy and the quality scan replays 3×
+    // (cheaper than materializing corpus+text at gate scale).
+    // Oracle note: qdocs is deliberately NOT MATERIALIZED — unlike the
+    // multiply-referenced pair CTEs (where materialization prevents
+    // 2^rounds re-evaluation), a materialized corpus-text CTE feeds the
+    // downstream shingle chain through a serial CTE scan and the sig
+    // stage went 8 s → 55 s at sf0.001; re-inlining the cheap quality
+    // filter per reference keeps the chain parallel.
+    Q(
+      "c36_quality_dedup_pack",
+      (s, dir) => {
+        import s.implicits._
+        val tok = TF.tokenize($"text")
+        val scored = graft.Par.fanOut(Tables.documents(s, dir))
+          .select($"doc_id", $"text",
+            size(tok).cast("long").as("ntok"),
+            round(TA.qualityScore($"text", tok), 6).as("q"))
+        val qdocs = scored.filter($"ntok" >= 20L && $"q" >= 0.5)
+          .select($"doc_id", $"text")
+        val toks = qdocs
+          .select($"doc_id".as("id"), TF.tokenize($"text").as("tokens"))
+        val dropped = Dedup.minhashNearDuplicates(toks, shingleN = 3,
+            numHashes = 32, bands = 8, threshold = 0.8)
+          .select($"b".as("doc_id")).distinct()
+        val kept = qdocs.join(dropped, Seq("doc_id"), "left_anti")
+        val sh = kept.select(
+            pmod(graft.functions.Fnv.fnv1a64($"doc_id".cast("string")),
+              lit(8L)).cast("int").as("shard"),
+            TA.wsTokenCount($"text").cast("long").as("nt"))
+          .groupBy($"shard").agg(sum($"nt").as("tot"))
+        val packed = sh.agg(sum($"tot").as("tokens_packed"),
+          sum(ceil($"tot" * lit(1.0) / 2048).cast("long")).as("n_seqs"))
+        val nRaw = Tables.documents(s, dir).agg(count(lit(1)).as("n_raw"))
+        val nQ = qdocs.agg(count(lit(1)).as("n_quality"))
+        val nK = kept.agg(count(lit(1)).as("n_unique"))
+        broadcast(nRaw).crossJoin(broadcast(nQ)).crossJoin(broadcast(nK))
+          .crossJoin(packed)
+          .select($"n_raw", $"n_quality", $"n_unique",
+            $"tokens_packed", $"n_seqs",
+            ($"n_seqs" * 2048 - $"tokens_packed").as("padding"),
+            round(($"n_seqs" * 2048 - $"tokens_packed") * 1.0 /
+              ($"n_seqs" * 2048), 6).as("waste_frac"))
+      },
+      Some(s"""WITH qbase AS (SELECT doc_id, text,
+              |  regexp_extract_all(lower(text),'[a-zA-Z]+') AS tok
+              |  FROM documents),
+              |qm AS (SELECT doc_id, text, len(tok) AS ntok,
+              |  ${TextSql.ratioItems}
+              |  FROM qbase),
+              |qdocs AS (SELECT doc_id, text FROM qm
+              |  WHERE ntok >= 20 AND ${TextSql.qualityExpr()} >= 0.5),
+              |${DedupQueries.minhashPairCtesFrom("qdocs")},
+              |drp AS (SELECT DISTINCT b AS doc_id FROM jac WHERE j >= 0.8),
+              |kept AS (SELECT q.doc_id, q.text FROM qdocs q
+              |  WHERE NOT EXISTS (SELECT 1 FROM drp WHERE drp.doc_id = q.doc_id)),
+              |shd AS (SELECT
+              |  CAST(((${FnvSql.toSigned(FnvSql.ofString(
+                   "(doc_id::VARCHAR)"))} % 8) + 8) % 8 AS INTEGER) AS shard,
+              |  CAST(sum(len(regexp_split_to_array(trim(text),
+              |    '\\s+'))) AS BIGINT) AS tot
+              |  FROM kept GROUP BY 1),
+              |pck AS (SELECT CAST(sum(tot) AS BIGINT) AS tokens_packed,
+              |  CAST(sum(CAST(ceil(tot * 1.0 / 2048) AS BIGINT)) AS BIGINT)
+              |    AS n_seqs FROM shd),
+              |cnt AS (SELECT
+              |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_raw,
+              |  (SELECT CAST(count(*) AS BIGINT) FROM qdocs) AS n_quality,
+              |  (SELECT CAST(count(*) AS BIGINT) FROM kept) AS n_unique)
+              |SELECT cnt.n_raw, cnt.n_quality, cnt.n_unique,
+              |  pck.tokens_packed, pck.n_seqs,
+              |  pck.n_seqs * 2048 - pck.tokens_packed AS padding,
+              |  round((pck.n_seqs * 2048 - pck.tokens_packed) * 1.0 /
+              |    (pck.n_seqs * 2048), 6) AS waste_frac
+              |FROM cnt CROSS JOIN pck""".stripMargin))
   )
 
 }

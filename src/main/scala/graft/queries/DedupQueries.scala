@@ -24,8 +24,12 @@ object DedupQueries extends QueryProvider {
     * compares; permutations compute once per distinct gram hash (they
     * never depended on the doc), and the doc-level min re-joins hv.
     */
-  private[queries] val minhashBandCtes: String =
-    s"""t AS (SELECT doc_id AS id, regexp_extract_all(lower(text),'[a-zA-Z]+') AS tk FROM documents),
+  /** [[minhashBandCtes]] over an arbitrary (doc_id, text) source CTE —
+    * lets pipeline oracles (c36) run the identical chain over a
+    * FILTERED document set instead of the raw table.
+    */
+  private[queries] def minhashBandCtesFrom(src: String): String =
+    s"""t AS (SELECT doc_id AS id, regexp_extract_all(lower(text),'[a-zA-Z]+') AS tk FROM $src),
        |s AS (SELECT id, list_distinct(list_transform(range(1, len(tk)-1),
        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
        |  FROM t WHERE len(tk) >= 3),
@@ -42,6 +46,8 @@ object DedupQueries extends QueryProvider {
        |    string_agg(m::VARCHAR, ',' ORDER BY i) AS key
        |  FROM sig GROUP BY id, i // 4)""".stripMargin
 
+  private[queries] val minhashBandCtes: String = minhashBandCtesFrom("documents")
+
   /** d04's full MinHash pipeline as CTEs ending in `jac(a, b, j)` —
     * shared by the d04 gate query, d07/d18/d25's clustering oracles and
     * the c14/c31/c35 leakage family. The multiply-referenced stages are
@@ -50,8 +56,8 @@ object DedupQueries extends QueryProvider {
     * twice per round — without materialization the chain re-evaluates
     * 2^rounds times (measured: d07 196 s → 6 s at sf0.001).
     */
-  private[queries] val minhashPairCtes: String =
-    s"""$minhashBandCtes,
+  private[queries] def minhashPairCtesFrom(src: String): String =
+    s"""${minhashBandCtesFrom(src)},
        |sized AS MATERIALIZED (SELECT * FROM (SELECT id, band, key,
        |    count(*) OVER (PARTITION BY band, key) AS bn FROM bands)
        |  WHERE bn <= 1000),
@@ -61,6 +67,8 @@ object DedupQueries extends QueryProvider {
        |    len(list_intersect(sa.sh, sb.sh)) * 1.0 /
        |      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS j
        |  FROM cand c JOIN s sa ON sa.id = c.a JOIN s sb ON sb.id = c.b)""".stripMargin
+
+  private[queries] val minhashPairCtes: String = minhashPairCtesFrom("documents")
 
   override val all: Seq[Q] = Seq(
 
