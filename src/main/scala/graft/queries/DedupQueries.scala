@@ -1103,7 +1103,59 @@ object DedupQueries extends QueryProvider {
            |    * 1.0 / sum(c.clen), 6) AS dup_frac
            |FROM ch c LEFT JOIN dup d USING (ch)
            |GROUP BY c.id ORDER BY c.id""".stripMargin
-      })
+      }),
+
+    // Winnowing fingerprint overlap (Schleimer et al. 2003 / MOSS):
+    // the PARTIAL-overlap detector — selected-minima fingerprints
+    // guarantee any shared run of >= w+k-1 = 15 normalized chars
+    // produces a shared fingerprint, at ~2/(w+1) retention. Pairs
+    // sharing >= 8 fingerprints (the planted-duplicate tail starts ~22
+    // at sf0.01; incidental 2-3-shared pairs are corpus noise and grow
+    // with SF), scored by containment-style overlap.
+    // The oracle replays gram hashing per DISTINCT gram (one FNV fold
+    // each), rebuilds the per-doc hash sequence, and runs the identical
+    // rightmost-min window scan as a list_reduce.
+    Q(
+      "d28_winnowing",
+      (s, dir) => {
+        import s.implicits._
+        val fp = graft.operators.Winnowing.fingerprints(
+          graft.Par.fanOut(Tables.documents(s, dir)), "doc_id", "text",
+          k = 8, w = 8)
+        graft.operators.Winnowing.overlapPairs(fp, minShared = 8, dfCap = 50)
+          .orderBy($"a", $"b")
+      },
+      Some(s"""WITH nd AS (SELECT doc_id AS id,
+              |  lower(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS nrm
+              |  FROM documents),
+              |nd2 AS (SELECT id, nrm FROM nd WHERE length(nrm) >= 15),
+              |g AS (SELECT id, i AS pos, substr(nrm, i + 1, 8) AS gr
+              |  FROM (SELECT id, nrm, unnest(range(length(nrm) - 7)) AS i
+              |    FROM nd2)),
+              |vg AS (SELECT DISTINCT gr FROM g),
+              |gh AS MATERIALIZED (SELECT gr,
+              |  ${FnvSql.toSigned(FnvSql.ofString("gr"))} AS h FROM vg),
+              |hsa AS MATERIALIZED (SELECT id, list(h ORDER BY pos) AS hs
+              |  FROM g JOIN gh USING (gr) GROUP BY id),
+              |sel AS (SELECT id, hs,
+              |  list_distinct(list_transform(range(len(hs) - 7), j ->
+              |    list_reduce(range(j, j + 8), (acc, i) ->
+              |      CASE WHEN hs[i + 1] <= hs[acc + 1] THEN i ELSE acc END)))
+              |    AS ps
+              |  FROM hsa),
+              |fp AS (SELECT DISTINCT id, hs[p + 1] AS h
+              |  FROM (SELECT id, hs, unnest(ps) AS p FROM sel)),
+              |hcnt AS (SELECT h, count(*) AS ndoc FROM fp GROUP BY h),
+              |capped AS (SELECT fp.id, fp.h FROM fp JOIN hcnt USING (h)
+              |  WHERE ndoc <= 50),
+              |nfp AS (SELECT id, count(*) AS nf FROM fp GROUP BY id),
+              |pr AS (SELECT x.id AS a, y.id AS b, count(*) AS n_shared
+              |  FROM capped x JOIN capped y ON x.h = y.h AND x.id < y.id
+              |  GROUP BY 1, 2)
+              |SELECT a, b, n_shared,
+              |  round(n_shared * 1.0 / least(na.nf, nb.nf), 6) AS overlap
+              |FROM pr JOIN nfp na ON na.id = a JOIN nfp nb ON nb.id = b
+              |WHERE n_shared >= 8 ORDER BY a, b""".stripMargin))
   )
 
   /** d20 + sm19 shared oracle: the exact-substring cut replay —
