@@ -596,7 +596,83 @@ object SimilarityQueries extends QueryProvider {
           k = 10)
           .orderBy($"query_id")
       },
-      Some(s19OracleSql))
+      Some(s19OracleSql)),
+
+    // Margin-based candidate mining (Artetxe & Schwenk 2019, the
+    // CCMatrix/LASER bitext-mining criterion): raw cosine over-selects
+    // hub vectors that are close to EVERYTHING, so each pair's score is
+    // normalized by both endpoints' average k-NN cosine —
+    // margin(x,y) = cos(x,y) / (avgNN_k(x)/2 + avgNN_k(y)/2). The
+    // corpus splits into src (even ids) / tgt (odd ids) to mimic the
+    // two-language shape; output = each pooled query's best tgt by
+    // margin. Scale shape: the query pool is bounded (the s12-style
+    // sampled harness); at 100 TB both NN legs ride the ANN index
+    // (s15's IVFADC) and the margin is pure post-processing on k+1
+    // cosines per query — the exact pooled version here is the
+    // oracle-able truth the index route is measured against.
+    // Determinism: cosines rounded to 6dp first; the top-4 penalty
+    // sums are exact DECIMAL adds; margin = (2k·cos)/(sq+st) in one
+    // fixed double op order, rounded to 6dp on both engines.
+    Q(
+      "s22_margin_mining",
+      (s, dir) => {
+        import s.implicits._
+        val v = vecs(s, dir)
+        val q = v.filter($"id" % 2 === 0 && $"id" < 200)
+          .select($"id".as("qid"), $"vec".as("qv"),
+            Similarity.norm($"vec").as("qn"))
+        val t = v.filter($"id" % 2 === 1)
+          .select($"id".as("tid"), $"vec".as("tv"),
+            Similarity.norm($"vec").as("tn"))
+        val p = t.crossJoin(broadcast(q))
+          .select($"qid", $"tid",
+            round(Similarity.dot($"qv", $"tv") / ($"qn" * $"tn"), 6)
+              .as("cos"))
+        val (pairs, owns) = graft.Par.cacheIfNew(p)
+        val wq = org.apache.spark.sql.expressions.Window.partitionBy($"qid").orderBy(desc("cos"), $"tid")
+        val wt = org.apache.spark.sql.expressions.Window.partitionBy($"tid").orderBy(desc("cos"), $"qid")
+        val kq = pairs.withColumn("rk", row_number().over(wq))
+          .filter($"rk" <= 4).groupBy($"qid")
+          .agg(sum($"cos".cast("decimal(18,6)")).as("sq"))
+        val kt = pairs.withColumn("rk", row_number().over(wt))
+          .filter($"rk" <= 4).groupBy($"tid")
+          .agg(sum($"cos".cast("decimal(18,6)")).as("st"))
+        val wbest = org.apache.spark.sql.expressions.Window.partitionBy($"qid")
+          .orderBy(desc("margin"), $"tid")
+        val out = pairs.join(kq, "qid").join(kt, "tid")
+          .withColumn("margin",
+            round((lit(8.0) * $"cos") / ($"sq" + $"st").cast("double"), 6))
+          .withColumn("rk", row_number().over(wbest))
+          .filter($"rk" === 1)
+          .select($"qid".as("query_id"), $"tid".as("match_id"),
+            $"cos".as("cosine"), $"margin")
+          .orderBy($"query_id")
+        // result is query-pool-sized: checkpoint it, release the pair cache
+        if (owns) { val cp = out.localCheckpoint(); pairs.unpersist(); cp }
+        else out
+      },
+      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             |q AS (SELECT vec_id AS qid, e FROM v
+             |  WHERE vec_id % 2 = 0 AND vec_id < 200),
+             |t AS (SELECT vec_id AS tid, e FROM v WHERE vec_id % 2 = 1),
+             |p AS MATERIALIZED (SELECT q.qid, t.tid,
+             |  round(list_cosine_similarity(q.e, t.e), 6) AS cos
+             |  FROM q CROSS JOIN t),
+             |kq AS (SELECT qid, sum(CAST(cos AS DECIMAL(18,6))) AS sq FROM (
+             |  SELECT qid, cos, row_number() OVER
+             |    (PARTITION BY qid ORDER BY cos DESC, tid) AS rk FROM p)
+             |  WHERE rk <= 4 GROUP BY qid),
+             |kt AS (SELECT tid, sum(CAST(cos AS DECIMAL(18,6))) AS st FROM (
+             |  SELECT tid, cos, row_number() OVER
+             |    (PARTITION BY tid ORDER BY cos DESC, qid) AS rk FROM p)
+             |  WHERE rk <= 4 GROUP BY tid),
+             |m AS (SELECT p.qid, p.tid, p.cos,
+             |  round((8.0 * p.cos) / CAST(kq.sq + kt.st AS DOUBLE), 6) AS margin
+             |  FROM p JOIN kq USING (qid) JOIN kt USING (tid)),
+             |b AS (SELECT *, row_number() OVER
+             |  (PARTITION BY qid ORDER BY margin DESC, tid) AS rk FROM m)
+             |SELECT qid AS query_id, tid AS match_id, cos AS cosine, margin
+             |FROM b WHERE rk = 1 ORDER BY query_id""".stripMargin))
   )
 
   /** s20: pre-filter exact truth (same-label cosine ranking) vs the
