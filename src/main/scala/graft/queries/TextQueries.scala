@@ -826,7 +826,62 @@ object TextQueries extends QueryProvider {
              |  CAST(sum(r.freq) AS BIGINT) AS covered,
              |  round(sum(r.freq) * 1.0 / t.tot, 6) AS coverage
              |FROM ks JOIN r ON r.rn <= ks.k CROSS JOIN t
-             |GROUP BY ks.k, t.v, t.tot ORDER BY ks.k""".stripMargin))
+             |GROUP BY ks.k, t.v, t.tot ORDER BY ks.k""".stripMargin)),
+
+    // Positional phrase search: the top-5 corpus trigrams (by count,
+    // phrase tiebreak) are searched the INVERTED-INDEX way — positional
+    // postings (token, doc, pos) filtered to the phrase vocabulary,
+    // then intersected with pos+1/pos+2 arithmetic — while the oracle
+    // counts the same occurrences by scanning exploded trigrams. The
+    // two routes agreeing is the claim: the index plan never rescans
+    // text, and the posting join is pruned by a broadcast token set
+    // BEFORE it shuffles (at 100 TB the postings are the stored index;
+    // a phrase probe moves only the query tokens' posting lists).
+    Q(
+      "t27_phrase_search",
+      (s, dir) => {
+        import s.implicits._
+        val toks = graft.Par.fanOut(Tables.documents(s, dir))
+          .select($"doc_id", TF.tokenize($"text").as("t"))
+        // phrase selection: top-5 trigrams
+        val tris = toks.where(size($"t") >= 3)
+          .select($"doc_id", explode(expr(
+            "transform(sequence(0, size(t)-3), " +
+              "i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))")).as("ph"))
+        val top = tris.groupBy($"ph").agg(count(lit(1)).as("cnt"))
+          .orderBy(desc("cnt"), $"ph").limit(5)
+          .select($"ph", split($"ph", " ").as("ws"))
+        // the index leg: positional postings pruned to phrase tokens
+        val post = toks
+          .select($"doc_id", posexplode($"t")).toDF("doc_id", "pos", "w")
+        val vocab = top.select(explode($"ws").as("w")).distinct()
+        val pruned = post.join(broadcast(vocab), "w")
+        val p1 = pruned.select($"w".as("w1"), $"doc_id", $"pos")
+        val p2 = pruned.select($"w".as("w2"), $"doc_id",
+          ($"pos" - 1).as("pos"))
+        val p3 = pruned.select($"w".as("w3"), $"doc_id",
+          ($"pos" - 2).as("pos"))
+        p1.join(p2, Seq("doc_id", "pos")).join(p3, Seq("doc_id", "pos"))
+          .join(broadcast(top.select($"ph",
+            $"ws"(0).as("w1"), $"ws"(1).as("w2"), $"ws"(2).as("w3"))),
+            Seq("w1", "w2", "w3"))
+          .groupBy($"ph", $"doc_id")
+          .agg(count(lit(1)).as("n_matches"))
+          .select($"ph".as("phrase"), $"doc_id", $"n_matches")
+          .orderBy($"phrase", $"doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+             |  regexp_extract_all(lower(text),'[a-zA-Z]+') AS t FROM documents),
+             |tri AS (SELECT doc_id, unnest(list_transform(range(len(t)-2),
+             |    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS ph
+             |  FROM tok WHERE len(t) >= 3),
+             |top5 AS (SELECT ph FROM (SELECT ph, count(*) AS cnt FROM tri
+             |  GROUP BY ph ORDER BY cnt DESC, ph LIMIT 5))
+             |SELECT tri.ph AS phrase, tri.doc_id,
+             |  count(*) AS n_matches
+             |FROM tri JOIN top5 USING (ph)
+             |GROUP BY tri.ph, tri.doc_id
+             |ORDER BY phrase, doc_id""".stripMargin))
   )
 
   private lazy val t25OracleSql: String =
