@@ -2190,7 +2190,122 @@ object AnalysisQueries extends QueryProvider {
              |SELECT d.doc_id, coalesce(pd.n_bigrams, 0) AS n_bigrams,
              |  pd.kn_surprisal, pd.addone_surprisal
              |FROM documents d LEFT JOIN pd USING (doc_id)
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Heaps'-law type-growth audit: V(N) ≈ K·N^β over word-TRIGRAM
+    // types (the unigram vocabulary of the synthetic corpus saturates
+    // in the first prefix — 31 words — while n-gram types keep
+    // growing, and n-gram type growth is the signal that actually
+    // prices BPE merge pressure and dedup index size). Eight id-range
+    // prefix checkpoints accumulate (docs, tokens, distinct trigrams
+    // first seen), then one log-log OLS fit yields (β, log10 K) — the
+    // exponent a data-scaling plan reads to predict how much NEW
+    // vocabulary another 10× of corpus buys. Scale shape: checkpoint
+    // index is a pure per-row formula on doc_id against broadcast
+    // min/max (no global rank window), so the whole audit is two hash
+    // aggregates (per-doc tokens, per-trigram first doc) + an 8-row
+    // cumulative. Determinism: log10 values rounded to 6dp, OLS
+    // moments summed as exact decimals, final divisions in one double
+    // op order.
+    Q(
+      "a37_heaps_law",
+      (s, dir) => {
+        import s.implicits._
+        val toks = graft.Par.fanOut(Tables.documents(s, dir))
+          .select($"doc_id", TF.tokenize($"text").as("t"))
+        val bounds = broadcast(toks.agg(
+          min($"doc_id").as("lo"),
+          (max($"doc_id") - min($"doc_id") + 1L).as("span")))
+        // integer div (Column./ on longs is DOUBLE division)
+        def ckpt(idExpr: String) =
+          expr(s"cast((($idExpr - lo) * 8) div span as int) + 1")
+        // per-doc token counts -> cumulative tokens/docs per checkpoint
+        val dstat = toks.select($"doc_id", size($"t").cast("long").as("nt"))
+          .crossJoin(bounds)
+          .groupBy(ckpt("doc_id").as("ck"))
+          .agg(count(lit(1)).as("d"), sum($"nt").as("n"))
+        // per-trigram first-occurrence doc -> cumulative type count
+        val wstat = toks.where(size($"t") >= 3)
+          .select($"doc_id", explode(expr(
+            "transform(sequence(0, size(t)-3), " +
+              "i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))")).as("w"))
+          .groupBy($"w").agg(min($"doc_id").as("fd"))
+          .crossJoin(bounds)
+          .groupBy(ckpt("fd").as("ck"))
+          .agg(count(lit(1)).as("v"))
+        val wcum = org.apache.spark.sql.expressions.Window
+          .orderBy($"ck").rowsBetween(Long.MinValue, 0)
+        val pts = dstat.join(wstat, Seq("ck"), "full")
+          .select($"ck", coalesce($"d", lit(0L)).as("d"),
+            coalesce($"n", lit(0L)).as("n"), coalesce($"v", lit(0L)).as("v"))
+          .select($"ck",
+            sum($"d").over(wcum).as("n_docs"),
+            sum($"n").over(wcum).as("n_tokens"),
+            sum($"v").over(wcum).as("vocab"))
+          .select($"ck", $"n_docs", $"n_tokens", $"vocab",
+            round(log10($"n_tokens"), 6).cast("decimal(18,6)").as("x"),
+            round(log10($"vocab"), 6).cast("decimal(18,6)").as("y"))
+        val fit = pts.agg(count(lit(1)).as("m"),
+            sum($"x").as("sx"), sum($"y").as("sy"),
+            sum(($"x" * $"y").cast("decimal(38,12)")).as("sxy"),
+            sum(($"x" * $"x").cast("decimal(38,12)")).as("sxx"))
+          .select(
+            round((($"m" * $"sxy" - $"sx" * $"sy").cast("double")) /
+              (($"m" * $"sxx" - $"sx" * $"sx").cast("double")), 6).as("beta"),
+            $"m", $"sx", $"sy", $"sxy", $"sxx")
+          .select($"beta",
+            round(($"sy".cast("double") - $"beta" * $"sx".cast("double"))
+              / $"m", 6).as("log10_k"))
+        pts.select($"ck", $"n_docs", $"n_tokens", $"vocab",
+            $"x".cast("double").as("log10_tokens"),
+            $"y".cast("double").as("log10_vocab"))
+          .crossJoin(broadcast(fit))
+          .orderBy($"ck")
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+             |  regexp_extract_all(lower(text),'[a-zA-Z]+') AS t FROM documents),
+             |bounds AS (SELECT min(doc_id) AS lo,
+             |  max(doc_id) - min(doc_id) + 1 AS span FROM tok),
+             |dstat AS (SELECT
+             |    CAST((doc_id - lo) * 8 // span AS INTEGER) + 1 AS ck,
+             |    count(*) AS d, CAST(sum(len(t)) AS BIGINT) AS n
+             |  FROM tok CROSS JOIN bounds GROUP BY 1),
+             |fw AS (SELECT w, min(doc_id) AS fd
+             |  FROM (SELECT doc_id, unnest(list_transform(range(len(t)-2),
+             |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS w
+             |    FROM tok WHERE len(t) >= 3) GROUP BY w),
+             |wstat AS (SELECT
+             |    CAST((fd - lo) * 8 // span AS INTEGER) + 1 AS ck,
+             |    count(*) AS v
+             |  FROM fw CROSS JOIN bounds GROUP BY 1),
+             |pts AS (SELECT ck,
+             |    sum(d) OVER wc AS n_docs,
+             |    sum(n) OVER wc AS n_tokens,
+             |    sum(v) OVER wc AS vocab
+             |  FROM (SELECT coalesce(ds.ck, ws.ck) AS ck,
+             |      coalesce(d, 0) AS d, coalesce(n, 0) AS n,
+             |      coalesce(v, 0) AS v
+             |    FROM dstat ds FULL JOIN wstat ws USING (ck))
+             |  WINDOW wc AS (ORDER BY ck ROWS UNBOUNDED PRECEDING)),
+             |pxy AS (SELECT ck, n_docs, n_tokens, vocab,
+             |    CAST(round(log10(n_tokens), 6) AS DECIMAL(18,6)) AS x,
+             |    CAST(round(log10(vocab), 6) AS DECIMAL(18,6)) AS y
+             |  FROM pts),
+             |fit AS (SELECT
+             |    round(CAST(m * sxy - sx * sy AS DOUBLE) /
+             |      CAST(m * sxx - sx * sx AS DOUBLE), 6) AS beta,
+             |    m, sx, sy FROM (SELECT count(*) AS m,
+             |      sum(x) AS sx, sum(y) AS sy,
+             |      sum(CAST(x * y AS DECIMAL(38,12))) AS sxy,
+             |      sum(CAST(x * x AS DECIMAL(38,12))) AS sxx FROM pxy)),
+             |fit2 AS (SELECT beta,
+             |    round((CAST(sy AS DOUBLE) - beta * CAST(sx AS DOUBLE)) / m, 6)
+             |      AS log10_k FROM fit)
+             |SELECT ck, n_docs, n_tokens, vocab,
+             |  CAST(x AS DOUBLE) AS log10_tokens,
+             |  CAST(y AS DOUBLE) AS log10_vocab,
+             |  beta, log10_k
+             |FROM pxy CROSS JOIN fit2 ORDER BY ck""".stripMargin))
   )
 
   /** Fixed GD round count / learning rate — the oracle replays exactly
