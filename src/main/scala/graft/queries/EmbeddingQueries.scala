@@ -349,7 +349,95 @@ object EmbeddingQueries extends QueryProvider {
              |SELECT vec_id, sse_int8, sse_trunc16,
              |  CASE WHEN sse_int8 <= sse_trunc16 THEN 'int8'
              |    ELSE 'trunc16' END AS winner
-             |FROM s ORDER BY vec_id""".stripMargin))
+             |FROM s ORDER BY vec_id""".stripMargin)),
+
+    // Isotropy audit (Mu & Viswanath 2018 "All-but-the-top";
+    // Ethayarajh 2019): anisotropic embeddings — a large common mean
+    // direction — inflate every cosine and crush retrieval contrast.
+    // The mean pairwise cosine over ALL n(n-1) pairs is computed
+    // EXACTLY in one pass via the closed form
+    //   Σ_{i≠j} uᵢ·uⱼ = ‖Σu‖² − Σ‖u‖² = ‖Σu‖² − n   (u unit-normalized)
+    // — no pair join, no sampling. A second pass re-measures after
+    // mean-centering + renormalizing (the all-but-the-top fix without
+    // the PCA step), so the row shows how much of the anisotropy the
+    // cheap correction removes. Scale shape: two linear passes + a
+    // dims-sized aggregate each; the mean vector broadcasts as one
+    // array row (e02's pattern). Determinism: per-dim sums and the
+    // broadcast mean are rounded to 6dp on both engines before any
+    // squaring.
+    Q(
+      "e11_isotropy",
+      (s, dir) => {
+        import s.implicits._
+        val u = vecs(s, dir).select($"vec_id",
+          expr("transform(vec, x -> x / sqrt(aggregate(vec, 0d, (a, y) -> a + y * y)))")
+            .as("u"))
+        val (uc, owns) = graft.Par.cacheIfNew(u)
+        val dsum = uc.select(posexplode($"u")).toDF("dim", "x")
+          .groupBy($"dim").agg(round(sum($"x"), 6).as("sd"))
+        val nrow = uc.agg(count(lit(1)).as("n"))
+        // mean vector as ONE dim-ordered array row, 6dp-pinned
+        val muRow = dsum.crossJoin(broadcast(nrow))
+          .select($"dim", round($"sd" / $"n", 6).as("mu"))
+          .agg(expr("transform(array_sort(collect_list(struct(dim, mu))), e -> e.mu)")
+            .as("muv"))
+        val pass1 = dsum.crossJoin(broadcast(nrow))
+          .agg(first($"n").as("n"),
+            round(sum($"sd" * $"sd"), 6).as("ssq"))
+          .select($"n",
+            round(($"ssq" - $"n") / ($"n" * ($"n" - 1L)), 6).as("avg_cos"))
+        val anis = muRow.select(
+          round(sqrt(expr("aggregate(muv, 0d, (a, y) -> a + y * y)")), 6)
+            .as("mean_norm"))
+        val w2 = uc.crossJoin(broadcast(muRow))
+          .select($"vec_id", expr(
+            """transform(zip_with(u, muv, (a, b) -> a - b),
+              |  x -> x / sqrt(aggregate(zip_with(u, muv, (a, b) -> a - b),
+              |    0d, (a, y) -> a + y * y)))""".stripMargin).as("w"))
+        val pass2 = w2.select(posexplode($"w")).toDF("dim", "x")
+          .groupBy($"dim").agg(round(sum($"x"), 6).as("td"))
+          .crossJoin(broadcast(nrow))
+          .agg(first($"n").as("n2"), round(sum($"td" * $"td"), 6).as("tsq"))
+          .select(round(($"tsq" - $"n2") / ($"n2" * ($"n2" - 1L)), 6)
+            .as("avg_cos_centered"))
+        val out = pass1.crossJoin(anis).crossJoin(pass2)
+          .select($"n", $"mean_norm", $"avg_cos", $"avg_cos_centered")
+        if (owns) { val cp = out.localCheckpoint(); uc.unpersist(); cp }
+        else out
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |u AS (SELECT vec_id,
+             |  list_transform(v, x -> x / sqrt(list_reduce(
+             |    list_prepend(0.0::DOUBLE, list_transform(v, y -> y * y)),
+             |    (a, b) -> a + b))) AS u FROM e),
+             |ex AS (SELECT vec_id, unnest(u) AS x,
+             |  unnest(range(len(u))) AS dim FROM u),
+             |ds AS (SELECT dim, round(sum(x), 6) AS sd FROM ex GROUP BY dim),
+             |nn AS (SELECT count(*) AS n FROM u),
+             |p1 AS (SELECT n, round(sum(sd * sd), 6) AS ssq
+             |  FROM ds CROSS JOIN nn GROUP BY n),
+             |mu AS (SELECT dim, round(sd / n, 6) AS mu
+             |  FROM ds CROSS JOIN nn),
+             |muv AS (SELECT list(mu ORDER BY dim) AS muv FROM mu),
+             |an AS (SELECT round(sqrt(list_reduce(
+             |    list_prepend(0.0::DOUBLE, list_transform(muv, y -> y * y)),
+             |    (a, b) -> a + b)), 6) AS mean_norm FROM muv),
+             |w2 AS (SELECT vec_id, list_transform(
+             |    list_transform(range(len(u)), i -> u[i+1] - muv[i+1]),
+             |    x -> x / sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+             |      list_transform(list_transform(range(len(u)),
+             |        i -> u[i+1] - muv[i+1]), y -> y * y)),
+             |      (a, b) -> a + b))) AS w
+             |  FROM u CROSS JOIN muv),
+             |ex2 AS (SELECT unnest(w) AS x, unnest(range(len(w))) AS dim
+             |  FROM w2),
+             |ts AS (SELECT dim, round(sum(x), 6) AS td FROM ex2 GROUP BY dim),
+             |p2 AS (SELECT round(sum(td * td), 6) AS tsq FROM ts)
+             |SELECT nn.n, an.mean_norm,
+             |  round((p1.ssq - nn.n) / (nn.n * (nn.n - 1)), 6) AS avg_cos,
+             |  round((p2.tsq - nn.n) / (nn.n * (nn.n - 1)), 6)
+             |    AS avg_cos_centered
+             |FROM p1 CROSS JOIN nn CROSS JOIN an CROSS JOIN p2""".stripMargin))
   )
 
   /** e04 oracle: four prefixed Lloyd chains (one per 16-dim slice) +
