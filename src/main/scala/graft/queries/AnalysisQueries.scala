@@ -2305,7 +2305,81 @@ object AnalysisQueries extends QueryProvider {
              |  CAST(x AS DOUBLE) AS log10_tokens,
              |  CAST(y AS DOUBLE) AS log10_vocab,
              |  beta, log10_k
-             |FROM pxy CROSS JOIN fit2 ORDER BY ck""".stripMargin))
+             |FROM pxy CROSS JOIN fit2 ORDER BY ck""".stripMargin)),
+
+    // Good-Turing frequency estimation per source (Gale & Sampson 1995
+    // "Simple Good-Turing"): the unseen-type mass P0 = n1/N — the
+    // probability the NEXT token drawn from this source is a type never
+    // seen before — plus the smoothed counts r* = (r+1)·n_{r+1}/n_r for
+    // r = 1..4. P0 is the per-source "novelty pressure" a mixture plan
+    // reads next to a37's Heaps exponent; a36's KN discount already
+    // consumes n1/n2, this exposes the whole low-count spectrum.
+    // Scale shape: word-type table (Heaps-bounded) -> count-of-counts
+    // (at most max-count rows per source) -> per-source arithmetic.
+    Q(
+      "a38_good_turing",
+      (s, dir) => {
+        import s.implicits._
+        // types = word trigrams (a37's reason: word vocab saturates)
+        val toks = graft.Par.fanOut(Tables.documents(s, dir))
+          .select($"source", TF.tokenize($"text").as("t"))
+        val wc = toks.where(size($"t") >= 3)
+          .select($"source", explode(expr(
+            "transform(sequence(0, size(t)-3), " +
+              "i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))")).as("w"))
+          .groupBy($"source", $"w").agg(count(lit(1)).as("r"))
+        val coc = wc.groupBy($"source", $"r")
+          .agg(count(lit(1)).as("nr"))
+        val tot = wc.groupBy($"source")
+          .agg(sum($"r").as("big_n"), count(lit(1)).as("n_types"))
+        def nrAt(i: Int) =
+          sum(when($"r" === i, $"nr").otherwise(0L)).as(s"n$i")
+        val piv = coc.groupBy($"source")
+          .agg(nrAt(1), nrAt(2), nrAt(3), nrAt(4), nrAt(5))
+        piv.join(tot, "source")
+          .select($"source", $"big_n", $"n_types",
+            $"n1", $"n2", $"n3", $"n4", $"n5",
+            round($"n1" / $"big_n".cast("double"), 6).as("p0_unseen"),
+            when($"n1" > 0, round(lit(2.0) * $"n2" / $"n1".cast("double"), 6))
+              .as("r1_star"),
+            when($"n2" > 0, round(lit(3.0) * $"n3" / $"n2".cast("double"), 6))
+              .as("r2_star"),
+            when($"n3" > 0, round(lit(4.0) * $"n4" / $"n3".cast("double"), 6))
+              .as("r3_star"),
+            when($"n4" > 0, round(lit(5.0) * $"n5" / $"n4".cast("double"), 6))
+              .as("r4_star"))
+          .orderBy($"source")
+      },
+      Some("""WITH tok AS (SELECT source,
+             |  regexp_extract_all(lower(text),'[a-zA-Z]+') AS t FROM documents),
+             |wc AS (SELECT source, w, count(*) AS r
+             |  FROM (SELECT source, unnest(list_transform(range(len(t)-2),
+             |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS w
+             |    FROM tok WHERE len(t) >= 3)
+             |  GROUP BY source, w),
+             |coc AS (SELECT source, r, count(*) AS nr FROM wc
+             |  GROUP BY source, r),
+             |tot AS (SELECT source, CAST(sum(r) AS BIGINT) AS big_n,
+             |  count(*) AS n_types FROM wc GROUP BY source),
+             |piv AS (SELECT source,
+             |  CAST(sum(CASE WHEN r = 1 THEN nr ELSE 0 END) AS BIGINT) AS n1,
+             |  CAST(sum(CASE WHEN r = 2 THEN nr ELSE 0 END) AS BIGINT) AS n2,
+             |  CAST(sum(CASE WHEN r = 3 THEN nr ELSE 0 END) AS BIGINT) AS n3,
+             |  CAST(sum(CASE WHEN r = 4 THEN nr ELSE 0 END) AS BIGINT) AS n4,
+             |  CAST(sum(CASE WHEN r = 5 THEN nr ELSE 0 END) AS BIGINT) AS n5
+             |  FROM coc GROUP BY source)
+             |SELECT p.source, t.big_n, t.n_types, p.n1, p.n2, p.n3, p.n4, p.n5,
+             |  round(p.n1 / CAST(t.big_n AS DOUBLE), 6) AS p0_unseen,
+             |  CASE WHEN p.n1 > 0
+             |    THEN round(2.0 * p.n2 / CAST(p.n1 AS DOUBLE), 6) END AS r1_star,
+             |  CASE WHEN p.n2 > 0
+             |    THEN round(3.0 * p.n3 / CAST(p.n2 AS DOUBLE), 6) END AS r2_star,
+             |  CASE WHEN p.n3 > 0
+             |    THEN round(4.0 * p.n4 / CAST(p.n3 AS DOUBLE), 6) END AS r3_star,
+             |  CASE WHEN p.n4 > 0
+             |    THEN round(5.0 * p.n5 / CAST(p.n4 AS DOUBLE), 6) END AS r4_star
+             |FROM piv p JOIN tot t USING (source)
+             |ORDER BY p.source""".stripMargin))
   )
 
   /** Fixed GD round count / learning rate — the oracle replays exactly
