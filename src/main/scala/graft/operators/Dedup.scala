@@ -384,6 +384,44 @@ object Dedup {
     labels.select(col("id"), col("lbl").as("cluster"))
   }
 
+  /** k-core peeling over an undirected pair graph (Seidman 1983;
+    * Batagelj & Zaveršnik 2003): each round drops every node whose
+    * degree among SURVIVING nodes is < k, for a fixed number of
+    * rounds. The k-core is the density skeleton of a near-dup graph —
+    * template/boilerplate families form cores, incidental one-off
+    * matches are peeled away — the structural complement of
+    * [[labelPropagationClusters]] (which answers "which component",
+    * not "how dense"). Fixed rounds keep the oracle an unrolled CTE
+    * chain; peeling converges when a round removes nothing (the spec
+    * pins convergence on bounded graphs; at the gate config 4 rounds
+    * suffice for the corpus pair graphs).
+    *
+    * Each round is one groupBy over surviving edges + one semi-join —
+    * edge-linear, lineage cut per round. Returns
+    * (id, degree0, in_core) for every node of the pair graph.
+    */
+  def kCore(pairs: DataFrame, k: Int = 2, rounds: Int = 4): DataFrame = {
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    val deg0 = edges.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("degree0"))
+    var alive = deg0.filter(col("degree0") >= k)
+      .select(col("id")).localCheckpoint()
+    (1 to rounds).foreach { _ =>
+      val live = edges
+        .join(alive.withColumnRenamed("id", "src"), Seq("src"))
+        .join(alive.withColumnRenamed("id", "dst"), Seq("dst"))
+      alive = live.groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("id"))
+        .localCheckpoint()
+    }
+    deg0.join(alive.withColumn("in_core", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("degree0"),
+        coalesce(col("in_core"), lit(false)).as("in_core"))
+  }
+
   /** CONVERGED connected components via alternating large-star /
     * small-star rounds (Kiveris et al. 2014, "Connected Components in
     * MapReduce and Beyond") — O(log n) rounds regardless of component

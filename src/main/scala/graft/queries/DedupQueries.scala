@@ -1155,7 +1155,44 @@ object DedupQueries extends QueryProvider {
               |SELECT a, b, n_shared,
               |  round(n_shared * 1.0 / least(na.nf, nb.nf), 6) AS overlap
               |FROM pr JOIN nfp na ON na.id = a JOIN nfp nb ON nb.id = b
-              |WHERE n_shared >= 8 ORDER BY a, b""".stripMargin))
+              |WHERE n_shared >= 8 ORDER BY a, b""".stripMargin)),
+
+    // 2-core of the d04 near-dup pair graph (Seidman 1983 k-core via
+    // Batagelj-Zaveršnik peeling, 4 fixed rounds): the density
+    // skeleton — template/boilerplate families survive the peel,
+    // incidental one-off matches don't. Complements d07/d18 (WHICH
+    // component) with HOW DENSE; a curation pass treats core members
+    // as systematic duplication worth a rule, peeled nodes as noise.
+    // Oracle: the shared minhash pair replay + 4 unrolled peel CTEs.
+    Q(
+      "d29_kcore",
+      (s, dir) => {
+        import s.implicits._
+        val toks = graft.Par.fanOut(Tables.documents(s, dir))
+          .select($"doc_id".as("id"), TF.tokenize($"text").as("tokens"))
+        val pairs = Dedup.minhashNearDuplicates(toks, shingleN = 3,
+          numHashes = 32, bands = 8, threshold = 0.3)
+        Dedup.kCore(pairs, k = 2, rounds = 4).orderBy($"id")
+      },
+      Some {
+        val rounds = (1 to 4).map { r =>
+          s"""a$r AS (SELECT ed.src AS id FROM ed
+             |  JOIN a${r - 1} ax ON ed.src = ax.id
+             |  JOIN a${r - 1} ay ON ed.dst = ay.id
+             |  GROUP BY ed.src HAVING count(*) >= 2)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $minhashPairCtes,
+           |pr AS (SELECT a, b FROM jac WHERE j >= 0.3),
+           |ed AS MATERIALIZED (SELECT a AS src, b AS dst FROM pr
+           |  UNION ALL SELECT b AS src, a AS dst FROM pr),
+           |d0 AS (SELECT src AS id, count(*) AS degree0 FROM ed
+           |  GROUP BY src),
+           |a0 AS (SELECT id FROM d0 WHERE degree0 >= 2),
+           |$rounds
+           |SELECT d0.id, d0.degree0, a4.id IS NOT NULL AS in_core
+           |FROM d0 LEFT JOIN a4 ON a4.id = d0.id
+           |ORDER BY d0.id""".stripMargin
+      })
   )
 
   /** d20 + sm19 shared oracle: the exact-substring cut replay —
