@@ -82,7 +82,13 @@ object Stress {
     // repair, delta-vs-base incremental LSH, content-defined chunking,
     // KMV theta set operations
     "a35_ccnet_sampled", "c35_split_repair_droptrain",
-    "d26_incremental_lsh", "d27_cdc_chunks", "sk12_theta_setops")
+    "d26_incremental_lsh", "d27_cdc_chunks", "sk12_theta_setops",
+    // round-7 session 2: KN bigram LM, 3-stage pipeline, winnowing,
+    // margin mining, phrase search, Heaps fit, Good-Turing, isotropy,
+    // k-core peel
+    "a36_kneser_ney", "c36_quality_dedup_pack", "d28_winnowing",
+    "s22_margin_mining", "t27_phrase_search", "a37_heaps_law",
+    "a38_good_turing", "e11_isotropy", "d29_kcore")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/graft_sf1")
