@@ -1719,7 +1719,83 @@ object CurationQueries extends QueryProvider {
               |  pck.n_seqs * 2048 - pck.tokens_packed AS padding,
               |  round((pck.n_seqs * 2048 - pck.tokens_packed) * 1.0 /
               |    (pck.n_seqs * 2048), 6) AS waste_frac
-              |FROM cnt CROSS JOIN pck""".stripMargin))
+              |FROM cnt CROSS JOIN pck""".stripMargin)),
+
+    // Length-bucketed batching sweep ("smart batching", the dynamic
+    // batching trick every embedding/finetune loader uses): pad-to-max
+    // batches of 32 docs waste tokens proportional to within-batch
+    // length VARIANCE; pre-sorting into B length buckets shrinks that
+    // variance, and this query measures the waste curve for
+    // B ∈ {1, 2, 4, 8} so a loader can pick its bucket count from
+    // data. Batches form per (bucket, shard) — the shard key keeps the
+    // rank window's parallelism at B×16 writer tasks, exactly how a
+    // distributed loader batches per task; bucket boundaries are
+    // VALUE-range (broadcast min/max), not global quantiles, so no
+    // global sort exists anywhere. Waste per batch =
+    // count·max(len) − sum(len) (the last partial batch pads to its
+    // own max, not the full 32).
+    Q(
+      "c37_length_buckets",
+      (s, dir) => {
+        import s.implicits._
+        val base = graft.Par.fanOut(Tables.documents(s, dir))
+          .select($"doc_id",
+            TA.wsTokenCount($"text").cast("long").as("nt"),
+            pmod(graft.functions.Fnv.fnv1a64($"doc_id".cast("string")),
+              lit(16L)).cast("int").as("shard"))
+        val bounds = broadcast(base.agg(min($"nt").as("lo"),
+          (max($"nt") - min($"nt") + 1L).as("span")))
+        val bs = s.createDataFrame(Seq(1, 2, 4, 8).map(Tuple1(_)))
+          .toDF("n_buckets")
+        val bucketed = base.crossJoin(bounds)
+          .crossJoin(broadcast(bs))
+          .select($"n_buckets", $"shard", $"doc_id", $"nt",
+            expr("cast(((nt - lo) * n_buckets) div span as int)").as("bucket"))
+        val w = Window.partitionBy($"n_buckets", $"bucket", $"shard")
+          .orderBy($"nt", $"doc_id")
+        val batches = bucketed
+          .withColumn("batch",
+            ((row_number().over(w) - 1) / lit(32)).cast("int"))
+          .groupBy($"n_buckets", $"bucket", $"shard", $"batch")
+          .agg(count(lit(1)).as("c"), max($"nt").as("mx"),
+            sum($"nt").as("tk"))
+        batches.groupBy($"n_buckets")
+          .agg(count(lit(1)).as("n_batches"),
+            sum($"c" * $"mx").as("padded_tokens"),
+            sum($"tk").as("real_tokens"))
+          .select($"n_buckets", $"n_batches", $"padded_tokens",
+            $"real_tokens",
+            round(($"padded_tokens" - $"real_tokens") * 1.0 /
+              $"padded_tokens", 6).as("waste_frac"))
+          .orderBy($"n_buckets")
+      },
+      Some(s"""WITH base AS (SELECT doc_id,
+              |  CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+              |    AS BIGINT) AS nt,
+              |  CAST(((${FnvSql.toSigned(FnvSql.ofString(
+                   "(doc_id::VARCHAR)"))} % 16) + 16) % 16 AS INTEGER)
+              |    AS shard
+              |  FROM documents),
+              |bounds AS (SELECT min(nt) AS lo,
+              |  max(nt) - min(nt) + 1 AS span FROM base),
+              |bs AS (SELECT unnest([1, 2, 4, 8]) AS n_buckets),
+              |bk AS (SELECT n_buckets, shard, doc_id, nt,
+              |  CAST((nt - lo) * n_buckets // span AS INTEGER) AS bucket
+              |  FROM base CROSS JOIN bounds CROSS JOIN bs),
+              |bt AS (SELECT n_buckets, bucket, shard,
+              |  (row_number() OVER (PARTITION BY n_buckets, bucket, shard
+              |    ORDER BY nt, doc_id) - 1) // 32 AS batch, nt
+              |  FROM bk),
+              |agg AS (SELECT n_buckets, bucket, shard, batch,
+              |  count(*) AS c, max(nt) AS mx, sum(nt) AS tk
+              |  FROM bt GROUP BY 1, 2, 3, 4)
+              |SELECT CAST(n_buckets AS INTEGER) AS n_buckets,
+              |  count(*) AS n_batches,
+              |  CAST(sum(c * mx) AS BIGINT) AS padded_tokens,
+              |  CAST(sum(tk) AS BIGINT) AS real_tokens,
+              |  round((sum(c * mx) - sum(tk)) * 1.0 / sum(c * mx), 6)
+              |    AS waste_frac
+              |FROM agg GROUP BY 1 ORDER BY n_buckets""".stripMargin))
   )
 
 }
