@@ -1795,7 +1795,74 @@ object CurationQueries extends QueryProvider {
               |  CAST(sum(tk) AS BIGINT) AS real_tokens,
               |  round((sum(c * mx) - sum(tk)) * 1.0 / sum(c * mx), 6)
               |    AS waste_frac
-              |FROM agg GROUP BY 1 ORDER BY n_buckets""".stripMargin))
+              |FROM agg GROUP BY 1 ORDER BY n_buckets""".stripMargin)),
+
+    // Water-filling token-budget allocation across sources: given a
+    // total budget T (here half the corpus), raise one common level L
+    // and give each source min(available, L) — the max-entropy mix
+    // subject to availability, the closed-form answer to "spread my
+    // token budget as evenly as sources allow". Small sources are
+    // taken whole (saturated); the rest share the remainder equally.
+    // The level solves sum(min(a_i, L)) = T: sort sources ascending by
+    // availability, and for j saturated sources L_j = (T − c_j)/(n−j)
+    // — the valid j is the largest with a_j ≤ L_j (prefix-sum window
+    // + one argmax, no iteration). Everything after the per-source
+    // token aggregate is source-count-sized (broadcast scale).
+    Q(
+      "c38_water_filling",
+      (s, dir) => {
+        import s.implicits._
+        val avail = graft.Par.fanOut(Tables.documents(s, dir))
+          .select($"source", TA.wsTokenCount($"text").cast("long").as("nt"))
+          .groupBy($"source").agg(sum($"nt").as("avail"))
+        val tot = avail.agg(sum($"avail").as("all_tokens"),
+          count(lit(1)).as("n"))
+        val wSort = Window.orderBy($"avail", $"source")
+        val ranked = avail.crossJoin(broadcast(tot))
+          .withColumn("t", expr("all_tokens div 2"))
+          .withColumn("j", row_number().over(wSort))
+          .withColumn("cj", sum($"avail").over(
+            wSort.rowsBetween(Window.unboundedPreceding, 0)))
+        // candidate level at row j saturates sources 1..j-1:
+        // L_j = (t - c_{j-1})/(n - j + 1). Feasible iff L_j <= a_j
+        // (source j really can sit at the level); feasible levels
+        // decrease with j, so the answer is the MAX feasible — and
+        // j = n is always feasible when t <= total, so one exists.
+        val lev = ranked
+          .withColumn("lj",
+            ($"t" - $"cj" + $"avail").cast("double") / ($"n" - $"j" + 1L))
+          .where($"lj" <= $"avail".cast("double"))
+          .agg(max($"lj").as("level"))
+        ranked.crossJoin(broadcast(lev))
+          .select($"source", $"avail", $"t".as("budget"),
+            round(lit(1.0) * least($"avail".cast("double"), $"level"), 6)
+              .as("allocated"),
+            ($"avail".cast("double") <= $"level").as("saturated"),
+            round($"level", 6).as("level"))
+          .orderBy($"source")
+      },
+      Some("""WITH avail AS (SELECT source,
+             |  CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+             |    AS BIGINT) AS avail
+             |  FROM documents GROUP BY source),
+             |tot AS (SELECT CAST(sum(avail) AS BIGINT) AS all_tokens,
+             |  count(*) AS n FROM avail),
+             |ranked AS (SELECT source, avail, all_tokens // 2 AS t, n,
+             |  row_number() OVER (ORDER BY avail, source) AS j,
+             |  sum(avail) OVER (ORDER BY avail, source
+             |    ROWS UNBOUNDED PRECEDING) AS cj
+             |  FROM avail CROSS JOIN tot),
+             |lev AS (SELECT max(lj) AS level
+             |  FROM (SELECT j, avail,
+             |    CAST(t - cj + avail AS DOUBLE) / (n - j + 1) AS lj
+             |    FROM ranked)
+             |  WHERE lj <= CAST(avail AS DOUBLE))
+             |SELECT r.source, r.avail, r.t AS budget,
+             |  round(1.0 * least(CAST(r.avail AS DOUBLE), lev.level), 6)
+             |    AS allocated,
+             |  CAST(r.avail AS DOUBLE) <= lev.level AS saturated,
+             |  round(lev.level, 6) AS level
+             |FROM ranked r CROSS JOIN lev ORDER BY r.source""".stripMargin))
   )
 
 }
