@@ -1187,6 +1187,72 @@ object StreamingQueries extends QueryProvider {
            |  THEN ${64.0} * ln(${64.0} / zeros)
            |  ELSE ($numer / sscaled::DOUBLE) END, 3) AS est
            |FROM agg ORDER BY window_start""".stripMargin
-      })
+      }),
+
+    // Streaming corpus-novelty monitor: incoming documents (odd ids,
+    // staged as arriving files) are trigram-exploded and checked
+    // against the STATIC base vocabulary (even ids) through a
+    // stream-static left join — the steady-state ingest signal that
+    // tells a pipeline "this feed is drifting into new territory"
+    // (the streaming counterpart of a38's Good-Turing P0). At 100 TB
+    // the base gram table is the stored dedup/vocab index, bucketed on
+    // the gram key; each micro-batch shuffles only its own grams.
+    // Whatever the micro-batching, per-source totals are
+    // batch-boundary-independent, so the result must hash-equal the
+    // batch replay — which IS the oracle.
+    Q(
+      "sm22_stream_novelty",
+      (s, dir) => {
+        import s.implicits._
+        import graft.text.{TextFunctions => TF}
+        def grams(df: org.apache.spark.sql.DataFrame) = df
+          .select($"doc_id", $"source", TF.tokenize($"text").as("t"))
+          .where(size($"t") >= 3)
+          .select($"doc_id", $"source", explode(expr(
+            "transform(sequence(0, size(t)-3), " +
+              "i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))")).as("g"))
+        val docSchema = Tables.documents(s, dir).schema
+        val base = grams(graft.Par.fanOut(
+            Tables.documents(s, dir).where($"doc_id" % 2 === 0)))
+          .select($"g").distinct().withColumn("seen", lit(1))
+        val sink = s"sm22_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val stage = Files.createTempDirectory("sm22_docs")
+        var q: org.apache.spark.sql.streaming.StreamingQuery = null
+        try {
+          stageParquet(s"$dir/documents.parquet", stage, "documents")
+          val stream = s.readStream.schema(docSchema)
+            .parquet(stage.toString).where($"doc_id" % 2 === 1)
+          q = grams(stream)
+            .join(base, Seq("g"), "left_outer")
+            .groupBy($"source")
+            .agg(count(lit(1)).as("n_grams"),
+              sum(when($"seen".isNull, 1L).otherwise(0L)).as("n_novel"))
+            .writeStream.outputMode("complete")
+            .format("memory").queryName(sink).start()
+          q.processAllAvailable()
+        } finally {
+          if (q != null) q.stop()
+          rmStage(stage)
+        }
+        s.table(sink)
+          .select($"source", $"n_grams", $"n_novel",
+            round($"n_novel" * 1.0 / $"n_grams", 6).as("novelty"))
+          .orderBy($"source")
+      },
+      Some("""WITH tok AS (SELECT doc_id, source,
+             |  regexp_extract_all(lower(text),'[a-zA-Z]+') AS t FROM documents),
+             |g AS (SELECT doc_id, source,
+             |  unnest(list_transform(range(len(t)-2),
+             |    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS g
+             |  FROM tok WHERE len(t) >= 3),
+             |base AS (SELECT DISTINCT g FROM g WHERE doc_id % 2 = 0),
+             |sg AS (SELECT source, g FROM g WHERE doc_id % 2 = 1)
+             |SELECT sg.source, count(*) AS n_grams,
+             |  CAST(sum(CASE WHEN b.g IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_novel,
+             |  round(sum(CASE WHEN b.g IS NULL THEN 1 ELSE 0 END) * 1.0
+             |    / count(*), 6) AS novelty
+             |FROM sg LEFT JOIN base b ON sg.g = b.g
+             |GROUP BY sg.source ORDER BY sg.source""".stripMargin))
   )
 }
