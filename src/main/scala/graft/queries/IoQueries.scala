@@ -442,7 +442,47 @@ object IoQueries extends QueryProvider {
              |SELECT fmt, (SELECT count(*) FROM c) AS n_rows,
              |  (SELECT CAST(sum(doc_id) AS BIGINT) FROM c) AS idsum,
              |  (SELECT CAST(sum(h) AS BIGINT) FROM c) AS checksum
-             |FROM f ORDER BY fmt""".stripMargin))
+             |FROM f ORDER BY fmt""".stripMargin)),
+
+    // Schema evolution via mergeSchema: a v1 slice written WITHOUT the
+    // nt column and a v2 slice WITH it are read back as one table —
+    // the append-only lakehouse reality where old files never get
+    // rewritten when a pipeline adds a column. The merged read must
+    // surface v1 rows with NULL nt (not 0, not an error), and the
+    // per-source aggregate pins exactly that. Schema-first merged read;
+    // at 100 TB mergeSchema=true costs one footer read per FILE, so
+    // production keeps the merged schema in a catalog — this query
+    // verifies the read SEMANTICS the catalog must reproduce.
+    Q(
+      "io13_schema_evolution",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val stage = stageDir("graft_io13")
+        docs.where($"doc_id" % 2 === 0)
+          .select($"doc_id", $"source")
+          .write.mode("overwrite").parquet(s"$stage/v1")
+        docs.where($"doc_id" % 2 === 1)
+          .select($"doc_id", $"source",
+            graft.operators.TextAnalysis.wsTokenCount($"text")
+              .cast("long").as("nt"))
+          .write.mode("overwrite").parquet(s"$stage/v2")
+        s.read.option("mergeSchema", "true")
+          .parquet(s"$stage/v1", s"$stage/v2")
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_rows"),
+            count($"nt").as("n_with_nt"),
+            coalesce(sum($"nt"), lit(0L)).as("nt_sum"))
+          .orderBy($"source")
+          .localCheckpoint()
+      },
+      Some("""SELECT source, count(*) AS n_rows,
+             |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_with_nt,
+             |  CAST(coalesce(sum(CASE WHEN doc_id % 2 = 1
+             |    THEN len(regexp_split_to_array(trim(text), '\s+'))
+             |    ELSE 0 END), 0) AS BIGINT) AS nt_sum
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin))
   )
 
   private def deleteRecursively(f: java.io.File): Unit = {
