@@ -88,7 +88,9 @@ object Stress {
     // k-core peel
     "a36_kneser_ney", "c36_quality_dedup_pack", "d28_winnowing",
     "s22_margin_mining", "t27_phrase_search", "a37_heaps_law",
-    "a38_good_turing", "e11_isotropy", "d29_kcore")
+    "a38_good_turing", "e11_isotropy", "d29_kcore",
+    "c37_length_buckets", "c38_water_filling", "sm22_stream_novelty",
+    "io13_schema_evolution")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/graft_sf1")

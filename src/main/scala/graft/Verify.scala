@@ -47,21 +47,20 @@ object Verify {
             .parquet(s"$outDir/$name")
           catch { case e: Throwable =>
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
+            e.printStackTrace()
           }
           val sec = (System.nanoTime() - tq) / 1e9
           val n = done.incrementAndGet()
           System.err.println(
             f"[verify] $n%3d/${work.size} $name%-28s ${sec}%6.2fs")
-          // Periodically drop accumulated DataFrame caches: query-local
-          // persist()s (grams/perDoc/cells diamonds) register in the
-          // session CacheManager and would otherwise pile up across a
-          // ~300-query single-session gate. Cached plans are evictable
-          // AND deterministic to recompute, so clearing mid-flight only
-          // costs an occasional cache miss for the handful of concurrent
-          // queries; localCheckpoint blocks (PowerLsa factors memo,
-          // iteration lineage cuts) live outside the CacheManager and
-          // are untouched.
-          if (n % 64 == 0) spark.catalog.clearCache()
+          // Deliberately NO periodic spark.catalog.clearCache() here: a
+          // clearCache racing a concurrent query's cache materialization
+          // can make a count() probe on that cache observe ZERO rows
+          // (seen once in a 304-query gate: PowerLsa's vocabulary probe
+          // read 0 and ANSI divide-by-zero killed ls06; the probes now
+          // fail fast on that). Accumulated caches are MEMORY_AND_DISK
+          // and block-manager-managed, so a single-session gate pays
+          // at most spill, never correctness.
         }
       })
     }

@@ -87,6 +87,12 @@ object PowerLsa {
     require(iters >= 1 && iters <= 32, s"iters $iters out of range")
     val c = cells.select(col("id"), col("token"), col("a")).persist()
     val nv = c.select(col("token")).distinct().count()
+    // fail fast on an impossible-empty vocabulary: a cache race
+    // could otherwise feed 0 into 1/sqrt(nv) (silent Inf or ANSI
+    // divide-by-zero deep in the chain — seen once under a
+    // concurrent-gate clearCache; see Verify's cache note)
+    require(nv > 0, s"empty vocabulary (nv=$nv) from non-empty cells - " +
+      "likely a cache/materialization race; retry the query")
     val out = emit(c, powerV(c, nv, iters))
     c.unpersist()
     out
@@ -307,6 +313,12 @@ object PowerLsa {
   def kFactors(c: DataFrame, k: Int,
       iters: Int): Seq[(DataFrame, Double, DataFrame)] = {
     val nv = c.select(col("token")).distinct().count()
+    // fail fast on an impossible-empty vocabulary: a cache race
+    // could otherwise feed 0 into 1/sqrt(nv) (silent Inf or ANSI
+    // divide-by-zero deep in the chain — seen once under a
+    // concurrent-gate clearCache; see Verify's cache note)
+    require(nv > 0, s"empty vocabulary (nv=$nv) from non-empty cells - " +
+      "likely a cache/materialization race; retry the query")
     val c0 = 1.0 / math.sqrt(nv.toDouble)
     // (v_j DataFrame(token, v), sigma_j, av_j DataFrame(id, av))
     val done = scala.collection.mutable.ArrayBuffer
@@ -417,6 +429,12 @@ object PowerLsa {
     require(iters >= 1 && iters <= 32, s"iters $iters out of range")
     val c = cells.select(col("id"), col("token"), col("a")).persist()
     val nv = c.select(col("token")).distinct().count()
+    // fail fast on an impossible-empty vocabulary: a cache race
+    // could otherwise feed 0 into 1/sqrt(nv) (silent Inf or ANSI
+    // divide-by-zero deep in the chain — seen once under a
+    // concurrent-gate clearCache; see Verify's cache note)
+    require(nv > 0, s"empty vocabulary (nv=$nv) from non-empty cells - " +
+      "likely a cache/materialization race; retry the query")
     val v1 = powerV(c, nv, iters)
     val av1 = matvecV(c, v1, "av")
     val sigma1 = av1.agg(
