@@ -1192,7 +1192,72 @@ object DedupQueries extends QueryProvider {
            |SELECT d0.id, d0.degree0, a4.id IS NOT NULL AS in_core
            |FROM d0 LEFT JOIN a4 ON a4.id = d0.id
            |ORDER BY d0.id""".stripMargin
-      })
+      }),
+
+    // Analytic LSH parameter planner: for every (bands b, rows r) split
+    // of the 32-hash signature, the collision S-curve is
+    // P(s) = 1 − (1 − s^r)^b; the planner integrates the false-positive
+    // area below the target threshold t=0.3 and the false-negative area
+    // above it (midpoint rule, 200 points — deterministic) and flags
+    // the split minimizing total error. The ANALYTIC side of s13's
+    // EMPIRICAL band-layout sweep: s13 measures recall on this corpus,
+    // d30 says what the theory picks before any data is scanned — at
+    // 100 TB you run d30 first and s13 on a sample to confirm.
+    Q(
+      "d30_lsh_plan",
+      (s, dir) => {
+        import s.implicits._
+        val confs = s.createDataFrame(Seq((32, 1), (16, 2), (8, 4),
+            (4, 8), (2, 16), (1, 32))).toDF("bands", "rows_per_band")
+        val t = 0.3
+        val scored = confs
+          .crossJoin(s.range(200).select(
+            (($"id" + lit(0.5)) / 200.0).as("s")))
+          .select($"bands", $"rows_per_band", $"s",
+            (lit(1.0) - pow(lit(1.0) - pow($"s", $"rows_per_band"),
+              $"bands")).as("p"))
+          .groupBy($"bands", $"rows_per_band")
+          .agg(
+            round(sum(when($"s" < t, $"p").otherwise(0.0)) / 200.0, 6)
+              .as("fp_area"),
+            round(sum(when($"s" >= t, lit(1.0) - $"p").otherwise(0.0))
+              / 200.0, 6).as("fn_area"))
+          .select($"bands", $"rows_per_band",
+            round(pow(lit(1.0) / $"bands",
+              lit(1.0) / $"rows_per_band"), 6).as("s_star"),
+            $"fp_area", $"fn_area",
+            round($"fp_area" + $"fn_area", 6).as("total_err"))
+        val best = scored.agg(min(struct($"total_err", $"bands")).as("m"))
+          .select($"m.total_err".as("be"), $"m.bands".as("bb"))
+        scored.crossJoin(broadcast(best))
+          .select($"bands", $"rows_per_band", $"s_star", $"fp_area",
+            $"fn_area", $"total_err",
+            ($"total_err" === $"be" && $"bands" === $"bb").as("chosen"))
+          .orderBy($"bands")
+      },
+      Some("""WITH confs AS (SELECT b.bands, 32 // b.bands AS rows_per_band
+             |  FROM (SELECT unnest([32, 16, 8, 4, 2, 1]) AS bands) b),
+             |pts AS (SELECT bands, rows_per_band,
+             |  (i + 0.5) / 200.0 AS s
+             |  FROM confs CROSS JOIN (SELECT unnest(range(200)) AS i)),
+             |pc AS (SELECT bands, rows_per_band, s,
+             |  1.0 - pow(1.0 - pow(s, rows_per_band), bands) AS p FROM pts),
+             |sc AS (SELECT bands, rows_per_band,
+             |  round(sum(CASE WHEN s < 0.3 THEN p ELSE 0.0 END) / 200.0, 6)
+             |    AS fp_area,
+             |  round(sum(CASE WHEN s >= 0.3 THEN 1.0 - p ELSE 0.0 END)
+             |    / 200.0, 6) AS fn_area
+             |  FROM pc GROUP BY bands, rows_per_band),
+             |sc2 AS (SELECT bands, rows_per_band,
+             |  round(pow(1.0 / bands, 1.0 / rows_per_band), 6) AS s_star,
+             |  fp_area, fn_area,
+             |  round(fp_area + fn_area, 6) AS total_err FROM sc),
+             |best AS (SELECT min(struct_pack(te := total_err, b := bands))
+             |  AS m FROM sc2)
+             |SELECT s.bands, s.rows_per_band, s.s_star, s.fp_area,
+             |  s.fn_area, s.total_err,
+             |  (s.total_err = best.m.te AND s.bands = best.m.b) AS chosen
+             |FROM sc2 s CROSS JOIN best ORDER BY s.bands""".stripMargin))
   )
 
   /** d20 + sm19 shared oracle: the exact-substring cut replay —
