@@ -24,7 +24,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = SparkEntry.benchNames
-    val qmap = SparkEntry.queries
+    val qmap = SparkEntry.allQueries
     // Standard warmup-then-measure methodology: the first execution of a
     // plan pays one-off Janino codegen compilation + JVM JIT of the
     // generated classes (3-6x the steady-state time for the HOF-heavy text
@@ -60,15 +60,25 @@ object Bench {
       // report min on success, max on failure — and PRINT the same
       // number the JSON records, so logs and artifacts reconcile
       val dt = if (ok) math.min(dt1, dt2) else math.max(dt1, dt2)
-      System.err.println(f"[bench] $name: $dt%.2f s" + (if (ok) "" else " (FAILED)"))
-      (name, if (ok) dt else -dt)
+      val spread = if (ok && math.min(dt1, dt2) > 0)
+        math.max(dt1, dt2) / math.min(dt1, dt2) - 1.0 else 0.0
+      System.err.println(f"[bench] $name: $dt%.2f s (spread ${spread * 100}%.0f%%)"
+        + (if (ok) "" else " (FAILED)"))
+      (name, if (ok) dt else -dt, spread)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val failed = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // Ambient-noise gauge for round-over-round comparison: the median
+    // run1-vs-run2 spread across queries. A whole-suite delta smaller
+    // than this is box noise, not a plan change (the r7 uniform x1.2
+    // shift). Protocol: per-query adjacent warmup, then min of two
+    // timed full executions.
+    val spreads = results.map(_._3).sorted
+    val noise = if (spreads.isEmpty) 0.0 else spreads(spreads.length / 2)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"protocol":"warmup+min-of-2","median_run_spread":$noise,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

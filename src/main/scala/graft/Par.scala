@@ -57,8 +57,18 @@ object Par {
     * THIS call created the cache — only an owner should unpersist, or it
     * would yank a sibling query's cache out from under it.
     */
-  def cacheIfNew(df: DataFrame): (DataFrame, Boolean) =
+  def cacheIfNew(df: DataFrame): (DataFrame, Boolean) = cacheLock.synchronized {
+    // The check-then-persist must be atomic: under the 8-thread Verify
+    // gate, two queries building plan-equal subtrees could both observe
+    // NONE, both claim ownership, and the first finisher's unpersist
+    // would evict the cache while the sibling's jobs still reference it
+    // (correctness survives via lineage recompute, but the sibling pays
+    // a full recompute). persist() only registers with the CacheManager
+    // — no job runs under the lock.
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       (df.persist(), true)
     else (df, false)
+  }
+
+  private val cacheLock = new Object
 }

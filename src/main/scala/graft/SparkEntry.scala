@@ -37,8 +37,19 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("tr02_top5")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2 — the driver's
+    * correctness-gate set. Every entry here has a DuckDB oracle (or a
+    * deliberate rows-only check); in-process-verified solver queries that
+    * no SQL engine can replay (Q.gate = false, e.g. ls08's ARPACK path)
+    * live in [[allQueries]] and are exercised by Bench/Stress instead.
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
+    providers.flatMap(_.all).filter(_.gate).map(q => q.name -> q.run).toMap
+
+  /** Every registered query, including bench/stress-only (gate=false)
+    * entries — what Bench, Stress, Profile, and ExplainAudit resolve from.
+    */
+  def allQueries: Map[String, (SparkSession, String) => DataFrame] =
     providers.flatMap(_.all).map(q => q.name -> q.run).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

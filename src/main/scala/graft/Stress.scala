@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.Stress [outDir] [queryRegex]
   */
 object Stress {
-  private val Targets = Seq(
+  val Targets = Seq(
     "d15_tfidf_cosine", "d16_repeated_spans", "t13_bm25", "t15_bpe_merges",
     "s08_pq_adc", "mm04_dhash_neardup", "c06_context_packing",
     "q41_hourly_gapfill", "q44_hourly_locf", "sk06_bloom_bits",
@@ -145,7 +145,7 @@ object Stress {
     }
 
     // ---- wall-time the targets ----
-    val qmap = SparkEntry.queries
+    val qmap = SparkEntry.allQueries
     val results = Targets
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .map { name =>

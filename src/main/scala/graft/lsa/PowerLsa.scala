@@ -256,16 +256,28 @@ object PowerLsa {
     * (NOT corpus-scale cells — those unpersist inside kFactorsAuto),
     * the price of never re-running k×iters matvec rounds.
     *
-    * `key` must encode session identity + corpus provenance (the
-    * LsaQueries caller uses identityHashCode(session) + dir + lemma).
+    * The outer map is keyed on the SparkSession OBJECT and swept for
+    * stopped sessions on every access: a test JVM that creates many
+    * sessions would otherwise pin each retired session's
+    * localCheckpoint'd factors (and their blocks) for the JVM lifetime
+    * — and a stopped session's checkpoint blocks are gone anyway, so
+    * its memo entries are dangerous as well as dead. `key` encodes
+    * corpus provenance (the LsaQueries caller uses dir + mtime + lemma).
     */
   private val factorsMemo = new java.util.concurrent.ConcurrentHashMap[
-    String, Seq[(DataFrame, Double, DataFrame)]]()
+    org.apache.spark.sql.SparkSession,
+    java.util.concurrent.ConcurrentHashMap[
+      String, Seq[(DataFrame, Double, DataFrame)]]]()
 
-  def kFactorsShared(cells: => DataFrame, key: String, k: Int,
-      iters: Int): Seq[(DataFrame, Double, DataFrame)] =
-    factorsMemo.computeIfAbsent(s"$key:$k:$iters",
-      _ => kFactorsAuto(cells, k, iters))
+  def kFactorsShared(session: org.apache.spark.sql.SparkSession,
+      cells: => DataFrame, key: String, k: Int,
+      iters: Int): Seq[(DataFrame, Double, DataFrame)] = {
+    val it = factorsMemo.keySet.iterator
+    while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
+    factorsMemo
+      .computeIfAbsent(session, _ => new java.util.concurrent.ConcurrentHashMap)
+      .computeIfAbsent(s"$key:$k:$iters", _ => kFactorsAuto(cells, k, iters))
+  }
 
   /** Concept emission from precomputed factors (the tail of
     * [[kConceptsDF]] without the factor loop): sign convention, top
@@ -297,10 +309,11 @@ object PowerLsa {
     * factor chain runs once per (session, corpus, k, iters); emission
     * (a handful of bounded top-k collects) runs per call.
     */
-  def kConceptsShared(cells: => DataFrame, key: String, k: Int, iters: Int,
+  def kConceptsShared(session: org.apache.spark.sql.SparkSession,
+      cells: => DataFrame, key: String, k: Int, iters: Int,
       nKeywords: Int = 3, nDocs: Int = 3): DataFrame = {
-    val done = kFactorsShared(cells, key, k, iters)
-    kConceptsFromFactors(done, done.head._1.sparkSession, nKeywords, nDocs)
+    val done = kFactorsShared(session, cells, key, k, iters)
+    kConceptsFromFactors(done, session, nKeywords, nDocs)
   }
 
   /** The k-concept power-deflation loop itself, returning the LIVE

@@ -225,6 +225,10 @@ object Dedup {
   def cdcChunkDedup(docs: DataFrame, idCol: String, textCol: String,
       window: Int = 8, mask: Int = 63): DataFrame = {
     require(window >= 2 && mask >= 1)
+    // mask+1 must be a power of two: the signed-pmod / unsigned-HUGEINT-mod
+    // equivalence documented above only holds when mask+1 divides 2^64.
+    require(((mask.toLong + 1) & mask.toLong) == 0,
+      s"mask+1 must be a power of two (got mask=$mask)")
     val w = window
     val m = mask + 1
     val base = graft.Par.fanOut(docs)
@@ -888,6 +892,64 @@ object Dedup {
     perDoc.join(df, Seq("g"))
       .groupBy(col("doc_id"), col("n_grams"))
       .agg(sum(when(col("ndocs") >= 2, col("cnt")).otherwise(lit(0L)))
+        .as("dup_occ"))
+      .select(col("doc_id"), col("n_grams"), col("dup_occ"),
+        round(col("dup_occ") * 1.0 / col("n_grams"), 6).as("dup_frac"))
+  }
+
+  /** [[dupGramRate]] with the exact gram-df side swapped for a count-min
+    * sketch — the 100 TB route the d19 docs promised (and the same
+    * docs-only-gap closure a35 gave a27): the exact route shuffles the
+    * full doc-gram table TWICE (the df groupBy, then the gram-keyed join
+    * back), both proportional to corpus gram volume; here the second
+    * shuffle disappears entirely. One hash-aggregate folds the doc-gram
+    * stream into a depth × width counter grid ([[CmsSketch.sketchTable]]
+    * — map-side combine IS the sketch merge, so at most depth × width
+    * rows leave any partition), the grid collapses to a ONE-ROW
+    * broadcast array, and the duplicated-gram test becomes a narrow
+    * per-row expression (least over depth counters), so the probe side
+    * never shuffles on gram at all.
+    *
+    * Estimate semantics (spec-pinned in DupGramSketchSpec): CMS point
+    * estimates only OVERCOUNT, so `dup_occ_est >= dup_occ` exact,
+    * row-for-row one-sided — a gram is misclassified only when all
+    * `depth` of its counters collide with other grams' mass (expected
+    * overhang per probe ≤ (e·N/width)^depth for N distinct grams).
+    * Width large enough for the corpus ⇒ bit-identical to the exact
+    * route; undersized ⇒ a bounded upward bias on a quality SIGNAL
+    * (dup_frac feeds threshold decisions, not the dedup keep-set).
+    */
+  def dupGramRateSketch(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, depth: Int = 4, width: Int = 8192): DataFrame = {
+    val sh = graft.Par.fanOut(docs)
+      .select(col(idCol).as("doc_id"),
+        shingles(graft.text.TextFunctions.tokenize(col(textCol)), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val perDoc = sh
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_grams"),
+        explode(col("sh")).as("g"))
+      .groupBy(col("doc_id"), col("n_grams"), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .transform(df => graft.Par.cacheIfNew(df)._1)
+    // CMS over doc-distinct gram occurrences: one insert per (doc, gram),
+    // so a counter's value upper-bounds the gram's document frequency
+    val grid = CmsSketch.sketchTable(perDoc.select(col("g")), col("g"),
+      depth, width)
+    // grid -> one-row ordered counter array (depth*width longs; 4x8192 =
+    // 256 KB — broadcast-sized by construction, independent of corpus)
+    val counters = grid
+      .agg(transform(
+        array_sort(collect_list(struct(
+          (col("d") * width + col("bucket")).as("i"), col("cnt")))),
+        c => c.getField("cnt")).as("cs"))
+    val h = graft.functions.Fnv.fnv1a64(col("g").cast("string"))
+    val est = least((0 until depth).map(d =>
+      element_at(col("cs"), (graft.functions.Fnv.fnv1a_perm(lit(d), h)
+        .bitwiseAND(lit((width - 1).toLong)) + lit(d.toLong * width) + 1)
+        .cast("int"))): _*)
+    perDoc.crossJoin(broadcast(counters))
+      .groupBy(col("doc_id"), col("n_grams"))
+      .agg(sum(when(est >= 2, col("cnt")).otherwise(lit(0L)))
         .as("dup_occ"))
       .select(col("doc_id"), col("n_grams"), col("dup_occ"),
         round(col("dup_occ") * 1.0 / col("n_grams"), 6).as("dup_frac"))

@@ -2242,6 +2242,10 @@ object AnalysisQueries extends QueryProvider {
             sum($"d").over(wcum).as("n_docs"),
             sum($"n").over(wcum).as("n_tokens"),
             sum($"v").over(wcum).as("vocab"))
+          // Guard the log10: Spark returns NULL for log10(<=0) while
+          // DuckDB returns -inf, so a degenerate prefix (docs but zero
+          // trigram types yet) must be excluded identically on both sides.
+          .filter($"n_tokens" > 0 && $"vocab" > 0)
           .select($"ck", $"n_docs", $"n_tokens", $"vocab",
             round(log10($"n_tokens"), 6).cast("decimal(18,6)").as("x"),
             round(log10($"vocab"), 6).cast("decimal(18,6)").as("y"))
@@ -2279,9 +2283,9 @@ object AnalysisQueries extends QueryProvider {
              |    count(*) AS v
              |  FROM fw CROSS JOIN bounds GROUP BY 1),
              |pts AS (SELECT ck,
-             |    sum(d) OVER wc AS n_docs,
-             |    sum(n) OVER wc AS n_tokens,
-             |    sum(v) OVER wc AS vocab
+             |    CAST(sum(d) OVER wc AS BIGINT) AS n_docs,
+             |    CAST(sum(n) OVER wc AS BIGINT) AS n_tokens,
+             |    CAST(sum(v) OVER wc AS BIGINT) AS vocab
              |  FROM (SELECT coalesce(ds.ck, ws.ck) AS ck,
              |      coalesce(d, 0) AS d, coalesce(n, 0) AS n,
              |      coalesce(v, 0) AS v
@@ -2290,7 +2294,7 @@ object AnalysisQueries extends QueryProvider {
              |pxy AS (SELECT ck, n_docs, n_tokens, vocab,
              |    CAST(round(log10(n_tokens), 6) AS DECIMAL(18,6)) AS x,
              |    CAST(round(log10(vocab), 6) AS DECIMAL(18,6)) AS y
-             |  FROM pts),
+             |  FROM pts WHERE n_tokens > 0 AND vocab > 0),
              |fit AS (SELECT
              |    round(CAST(m * sxy - sx * sy AS DOUBLE) /
              |      CAST(m * sxx - sx * sx AS DOUBLE), 6) AS beta,

@@ -1024,7 +1024,7 @@ object CurationQueries extends QueryProvider {
               |k AS (SELECT source, doc_id, n_chars FROM h
               |  QUALIFY row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) <= 64),
               |kept AS (SELECT source, count(*) AS kept,
-              |  sum(n_chars) AS kept_chars FROM k GROUP BY source),
+              |  CAST(sum(n_chars) AS BIGINT) AS kept_chars FROM k GROUP BY source),
               |tot AS (SELECT source, count(*) AS n_docs FROM h GROUP BY source)
               |SELECT t.source, n_docs, kept, n_docs - kept AS dropped, kept_chars
               |FROM tot t JOIN kept USING (source)
@@ -1266,10 +1266,10 @@ object CurationQueries extends QueryProvider {
              |  count(CASE WHEN ha IS NOT NULL AND hb IS NOT NULL
              |    AND ha <> hb THEN 1 END) AS n_changed,
              |  count(CASE WHEN ha = hb THEN 1 END) AS n_unchanged,
-             |  coalesce(sum(CASE WHEN ha IS NULL THEN cb END), 0)
-             |    AS chars_added,
-             |  coalesce(sum(CASE WHEN hb IS NULL THEN ca END), 0)
-             |    AS chars_removed
+             |  CAST(coalesce(sum(CASE WHEN ha IS NULL THEN cb END), 0)
+             |    AS BIGINT) AS chars_added,
+             |  CAST(coalesce(sum(CASE WHEN hb IS NULL THEN ca END), 0)
+             |    AS BIGINT) AS chars_removed
              |FROM j GROUP BY source ORDER BY source""".stripMargin)),
 
     // Removal ledger — the per-document AUDIT TRAIL of the c01

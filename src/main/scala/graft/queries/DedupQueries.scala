@@ -656,6 +656,10 @@ object DedupQueries extends QueryProvider {
     // from a06 (within-doc repetition) and d09 (overlap vs a fixed
     // benchmark set). The oracle replays shingling, in-doc occurrence
     // counts, gram document frequency and the rate join in SQL.
+    // 100 TB route: Dedup.dupGramRateSketch swaps the exact gram-df
+    // join for a broadcast CMS probe (no gram-keyed shuffle of the
+    // probe side; one-sided overcount pinned by DupGramSketchSpec) —
+    // the gate stays on the exact route so the oracle stays exact.
     Q(
       "d19_dupgram_rate",
       (s, dir) => {

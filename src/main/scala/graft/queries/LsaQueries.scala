@@ -47,8 +47,8 @@ object LsaQueries extends QueryProvider {
       "ls01_concepts",
       (s, dir) => {
         import s.implicits._
-        PowerLsa.kConceptsShared(powerCells(s, dir, lemma = true),
-            factorsKey(s, dir, lemma = true), K, PowerIters, NKw, NDoc)
+        PowerLsa.kConceptsShared(s, powerCells(s, dir, lemma = true),
+            factorsKey(dir, lemma = true), K, PowerIters, NKw, NDoc)
           .orderBy($"concept")
       },
       Some(ls01OracleSql)),
@@ -107,7 +107,12 @@ object LsaQueries extends QueryProvider {
           .orderBy($"concept")
       },
       None,
-      bench = true),
+      bench = true,
+      // Bench/stress tier only: the ARPACK float internals are un-oracle-
+      // able by nature (the k=5 semantics are hash-gated via ls01's power
+      // twin; this entry is verified in-process by the eigen-residual gate
+      // at every scale plus the dense-LAPACK mirror below 2000 docs).
+      gate = false),
 
     // The pytldr-equivalent baseline (V1/H3) in its DuckDB-replayable
     // configuration: the Ozsoy cross-method over a PowerCore-factored
@@ -211,9 +216,9 @@ object LsaQueries extends QueryProvider {
       "ls09_concept_report",
       (s, dir) => {
         import s.implicits._
-        val concepts = PowerLsa.kConceptsShared(
+        val concepts = PowerLsa.kConceptsShared(s,
             powerCells(s, dir, lemma = true),
-            factorsKey(s, dir, lemma = true), K, PowerIters, NKw, NDoc)
+            factorsKey(dir, lemma = true), K, PowerIters, NKw, NDoc)
           .withColumnRenamed("doc_ids", "sentence_ids")
         graft.pipeline.Pipelines.conceptReport(concepts).orderBy($"concept")
       },
@@ -296,8 +301,8 @@ object LsaQueries extends QueryProvider {
         val fro = cells.agg(
           sum(($"a" * $"a").cast("decimal(38,12)")).cast("double")
             .as("fro2"))
-        val conc = PowerLsa.kConceptsShared(cells,
-            factorsKey(s, dir, lemma = false), k = 4, PowerIters)
+        val conc = PowerLsa.kConceptsShared(s, cells,
+            factorsKey(dir, lemma = false), k = 4, PowerIters)
           .select($"concept", $"singular_value")
         val w = org.apache.spark.sql.expressions.Window
           .orderBy($"concept")
@@ -370,8 +375,8 @@ object LsaQueries extends QueryProvider {
         val cells = powerCells(s, dir).select($"id", $"token", $"a")
         // factors come from the shared memo (same chain as ls12) through
         // the local-budget auto route; only the tiny query slice persists
-        val factors = PowerLsa.kFactorsShared(cells,
-          factorsKey(s, dir, lemma = false), k = 4, PowerIters)
+        val factors = PowerLsa.kFactorsShared(s, cells,
+          factorsKey(dir, lemma = false), k = 4, PowerIters)
         val qcells = cells.filter($"id" < 5).persist()
         val qp = factors.zipWithIndex.map { case ((vj, sigma, _), j) =>
           qcells
@@ -809,14 +814,14 @@ object LsaQueries extends QueryProvider {
        |scall AS (SELECT s.sid, coalesce(sct.score, 0.0) AS score
        |  FROM sents s LEFT JOIN sct ON sct.sid = s.sid)""".stripMargin
 
-  /** Memo key for [[PowerLsa.kFactorsShared]]: session identity + the
-    * corpus dir + file state (mtime+length invalidates on an in-place
-    * rewrite, the Tables.eventsFileSchema pattern) + token pipeline.
+  /** Memo key for [[PowerLsa.kFactorsShared]]: corpus dir + file state
+    * (mtime+length invalidates on an in-place rewrite, the
+    * Tables.eventsFileSchema pattern) + token pipeline. Session identity
+    * lives in PowerLsa's per-session memo map, not in this key.
     */
-  private def factorsKey(s: org.apache.spark.sql.SparkSession, dir: String,
-      lemma: Boolean): String = {
+  private def factorsKey(dir: String, lemma: Boolean): String = {
     val f = new java.io.File(s"$dir/documents.parquet")
-    s"${System.identityHashCode(s)}:$dir:${f.lastModified}:${f.length}:lemma=$lemma"
+    s"$dir:${f.lastModified}:${f.length}:lemma=$lemma"
   }
 
   /** The t05-style TF-IDF cell matrix the power queries factor (ls06/

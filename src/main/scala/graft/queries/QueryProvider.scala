@@ -17,7 +17,14 @@ final case class Q(
     run: (SparkSession, String) => DataFrame,
     oracle: Option[String],
     /** include in the per-round Bench headline set */
-    bench: Boolean = false)
+    bench: Boolean = false,
+    /** include in the driver's correctness gate (SparkEntry.queries).
+      * Set false for queries that are verifiable only in-process (e.g.
+      * an iterative float solver whose internals no SQL engine can
+      * replay) — they stay first-class in the bench/stress tiers via
+      * SparkEntry.allQueries, but don't surface as a permanent
+      * `no_oracle` row in every driver correctness artifact. */
+    gate: Boolean = true)
 
 trait QueryProvider {
   def all: Seq[Q]

@@ -55,7 +55,7 @@ object ExplainAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val qmap = graft.SparkEntry.queries
+    val qmap = graft.SparkEntry.allQueries
     names.foreach { n =>
       println(s"\n========== $n ==========")
       try println(qmap(n)(spark, sfDir).queryExecution.explainString(

@@ -38,8 +38,8 @@ object Profile {
       df.write.format("noop").mode("overwrite").save()
 
     which match {
-      case q if graft.SparkEntry.queries.contains(q) =>
-        val fn = graft.SparkEntry.queries(q)
+      case q if graft.SparkEntry.allQueries.contains(q) =>
+        val fn = graft.SparkEntry.allQueries(q)
         time(s"$q-cold")(noop(fn(spark, sfDir)))
         time(s"$q-warm")(noop(fn(spark, sfDir)))
 

@@ -23,7 +23,22 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("every bench name is a registered query") {
-    val missing = SparkEntry.benchNames.toSet -- SparkEntry.queries.keySet
+    val missing = SparkEntry.benchNames.toSet -- SparkEntry.allQueries.keySet
     assert(missing.isEmpty, s"bench names without queries: $missing")
+  }
+
+  test("every gate query except deliberate rows-only ones has an oracle") {
+    // Rows-only gate entries are a weaker driver check; each one must be a
+    // conscious decision. Today there are NONE — ls08 (the only formerly
+    // rows-only entry) moved to the bench/stress tier (gate = false).
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly.isEmpty, s"gate queries without oracles: $rowsOnly")
+  }
+
+  test("gate=false queries stay covered by bench or stress") {
+    val offGate = SparkEntry.providers.flatMap(_.all).filterNot(_.gate)
+    val uncovered = offGate.filterNot(q =>
+      q.bench || graft.Stress.Targets.contains(q.name)).map(_.name)
+    assert(uncovered.isEmpty, s"gate=false queries nothing exercises: $uncovered")
   }
 }

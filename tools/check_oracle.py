@@ -18,15 +18,20 @@ from concurrent.futures import ProcessPoolExecutor
 TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
 
-SF_DIR = None
-OUT_DIR = None
-
 def canon(df):
     df = df.reindex(sorted(df.columns), axis=1)
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
 def compare(name, spark_df, duck_df):
+    """Driver-parity comparator: the driver sorts columns by name and
+    hashes EXACT pandas values, so an int64 `12345` vs a float64
+    `12345.0` is a hash mismatch even though the values are equal
+    (round-7 a37/c25/c29 shipped exactly because the old comparator
+    coerced both sides to float and passed on isclose). Rules here:
+    int-vs-float dtype family mismatch = FAIL; float columns must be
+    bit-exact (NaN==NaN allowed); everything else compares as strings.
+    """
     import pandas as pd
     import numpy as np
     a, b = canon(spark_df), canon(duck_df)
@@ -35,18 +40,20 @@ def compare(name, spark_df, duck_df):
     if len(a) != len(b):
         return f"ROWS {len(a)} vs {len(b)}"
     for c in a.columns:
-        av, bv = a[c].values, b[c].values
-        if np.issubdtype(a[c].dtype, np.floating) or np.issubdtype(b[c].dtype, np.floating):
-            av = pd.to_numeric(a[c]).values.astype(float)
-            bv = pd.to_numeric(b[c]).values.astype(float)
-            bad = ~(np.isclose(av, bv, rtol=0, atol=1e-12) | (pd.isna(av) & pd.isna(bv)))
-            exact = np.array_equal(av, bv, equal_nan=True)
-            if bad.any():
+        fa = np.issubdtype(a[c].dtype, np.floating)
+        fb = np.issubdtype(b[c].dtype, np.floating)
+        if fa != fb:
+            return (f"DTYPE col={c}: spark={a[c].dtype} vs oracle={b[c].dtype}"
+                    f" — driver hashes these differently (e.g. 12345 vs 12345.0);"
+                    f" CAST the oracle (or the Spark side) so dtypes agree")
+        if fa and fb:
+            av = a[c].values.astype(float)
+            bv = b[c].values.astype(float)
+            if not np.array_equal(av, bv, equal_nan=True):
+                bad = ~((av == bv) | (np.isnan(av) & np.isnan(bv)))
                 i = int(np.argmax(bad))
-                return f"VALUE col={c} row={i}: {av[i]!r} vs {bv[i]!r}"
-            if not exact:
-                i = int(np.argmax(av != bv))
-                print(f"  [warn] {name}.{c}: not bit-exact (row {i}: {av[i]!r} vs {bv[i]!r})")
+                return (f"VALUE col={c} row={i}: {av[i]!r} vs {bv[i]!r}"
+                        f" (driver requires bit-exact floats)")
         else:
             av = a[c].astype(str).values
             bv = b[c].astype(str).values
@@ -56,8 +63,12 @@ def compare(name, spark_df, duck_df):
     return None
 
 def run_one(task):
-    """Worker: (name, sql_or_None, dir_or_None) -> (name, status, detail, secs)."""
-    name, sql, d = task
+    """Worker: (name, sql_or_None, dir_or_None, sf_dir) -> (name, status, detail, secs).
+
+    sf_dir rides in the task tuple (not a module global) so workers are
+    correct under spawn/forkserver start methods, not just fork.
+    """
+    name, sql, d, sf_dir = task
     import pandas as pd
     t0 = time.time()
     if d is None:
@@ -73,7 +84,7 @@ def run_one(task):
     # oversubscribe the box (DuckDB defaults to all cores per process)
     con.sql(f"SET threads={max(1, os.cpu_count() // int(os.environ.get('GATE_PAR', '8')))}")
     for t in TABLES:
-        p = f"{SF_DIR}/{t}.parquet"
+        p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     try:
@@ -87,16 +98,15 @@ def run_one(task):
     return (name, "PASS", f"{len(spark_df)} rows", secs)
 
 def main():
-    global SF_DIR, OUT_DIR
-    SF_DIR, OUT_DIR = sys.argv[1], sys.argv[2]
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
     name_re = re.compile(sys.argv[3]) if len(sys.argv) > 3 else None
-    oracles = json.load(open(f"{OUT_DIR}/oracle_sql.json"))
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     dirs = {os.path.basename(d.rstrip("/")): d
-            for d in sorted(glob.glob(f"{OUT_DIR}/*/"))}
+            for d in sorted(glob.glob(f"{out_dir}/*/"))}
     names = sorted(set(dirs) | set(oracles))
     if name_re:
         names = [n for n in names if name_re.search(n)]
-    tasks = [(n, oracles.get(n), dirs.get(n)) for n in names]
+    tasks = [(n, oracles.get(n), dirs.get(n), sf_dir) for n in names]
     par = int(os.environ.get("GATE_PAR", "8"))
     t0 = time.time()
     with ProcessPoolExecutor(max_workers=par) as ex:
