@@ -90,7 +90,11 @@ object Stress {
     "s22_margin_mining", "t27_phrase_search", "a37_heaps_law",
     "a38_good_turing", "e11_isotropy", "d29_kcore",
     "c37_length_buckets", "c38_water_filling", "sm22_stream_novelty",
-    "io13_schema_evolution")
+    "io13_schema_evolution",
+    // round-8: d19's sketch-swap scale route (Bloom over duplicated
+    // grams; gate=false — a one-sided estimate by design, its contract
+    // vs exact d19 pinned by DupGramSketchSpec)
+    "d31_dupgram_sketch")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/graft_sf1")

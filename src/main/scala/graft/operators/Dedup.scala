@@ -954,4 +954,55 @@ object Dedup {
       .select(col("doc_id"), col("n_grams"), col("dup_occ"),
         round(col("dup_occ") * 1.0 / col("n_grams"), 6).as("dup_frac"))
   }
+
+  /** [[dupGramRate]] with the probe-side JOIN swapped for a Bloom filter
+    * over the duplicated grams — the preferred 100 TB route (vs the
+    * [[dupGramRateSketch]] CMS, whose df>=2 test saturates unless width
+    * tracks TOTAL gram cardinality). The df aggregate stays (it is
+    * combiner-friendly: only per-partition-distinct grams shuffle), but
+    * its output is immediately filtered to grams with df >= 2 — in a
+    * real web corpus a small fraction — and packed into an mBits Bloom
+    * bitmap whose size is the SKETCH size, not the corpus size
+    * ([[BloomFilter.bitmap]]'s collect is bounded by mBits/64 longs).
+    * The expensive half of the exact plan — re-shuffling the full
+    * doc-gram table on gram to join df back — becomes a narrow
+    * broadcast membership probe: no shuffle, no join, row-local.
+    *
+    * Estimate semantics (spec-pinned in DupGramSketchSpec): Bloom has
+    * no false negatives, so every truly duplicated occurrence is
+    * counted — `dup_occ_est >= dup_occ`, one-sided — and a df=1 gram
+    * is miscounted only on a full k-position collision (rate ≈
+    * (1 − e^{−k·n_dup/mBits})^k, sized by the DUPLICATED-gram count).
+    */
+  def dupGramRateBloom(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int = 6, mBits: Int = 1 << 20): DataFrame = {
+    val sh = graft.Par.fanOut(docs)
+      .select(col(idCol).as("doc_id"),
+        shingles(graft.text.TextFunctions.tokenize(col(textCol)), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val perDoc = sh
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_grams"),
+        explode(col("sh")).as("g"))
+      .groupBy(col("doc_id"), col("n_grams"), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .transform(df => graft.Par.cacheIfNew(df)._1)
+    val dupGrams = perDoc.groupBy(col("g"))
+      .agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+      .select(col("g"))
+    val words = BloomFilter.bitmap(
+      BloomFilter.bitsTable(dupGrams, col("g"), k, mBits), mBits)
+    val flagged = BloomFilter.mightContain(words, perDoc, col("g"), k, mBits)
+      .groupBy(col("doc_id"), col("n_grams"))
+      .agg(sum(col("cnt")).as("dup_occ"))
+    // docs whose every gram missed the filter drop out of `flagged`;
+    // restore them with dup_occ = 0 (the distinct + left join reuses
+    // perDoc's (doc_id, n_grams, g) hash partitioning — near-free)
+    perDoc.select(col("doc_id"), col("n_grams")).distinct()
+      .join(flagged, Seq("doc_id", "n_grams"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("dup_occ"), lit(0L)).as("dup_occ"),
+        round(coalesce(col("dup_occ"), lit(0L)) * 1.0 / col("n_grams"), 6)
+          .as("dup_frac"))
+  }
 }

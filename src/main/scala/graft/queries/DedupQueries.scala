@@ -686,6 +686,28 @@ object DedupQueries extends QueryProvider {
              |GROUP BY pd.doc_id, pd.n_grams
              |ORDER BY pd.doc_id""".stripMargin)),
 
+    // d19's 100 TB route as a first-class runnable: the probe-side
+    // gram join swapped for a Bloom filter over the DUPLICATED grams
+    // (see Dedup.dupGramRateBloom — the df aggregate stays
+    // combiner-friendly, the join back becomes a narrow broadcast
+    // membership probe; Dedup.dupGramRateSketch is the one-pass CMS
+    // alternative). Stress-tier, not gate: the output is a deliberate
+    // one-sided ESTIMATE (Bloom/CMS can only overcount), so its
+    // contract vs the exact route — est >= exact row-for-row, equality
+    // when the sketch comfortably fits the key set — is pinned by
+    // DupGramSketchSpec, while d19 above keeps the exact semantics
+    // under the DuckDB hash gate.
+    Q(
+      "d31_dupgram_sketch",
+      (s, dir) => {
+        import s.implicits._
+        Dedup.dupGramRateBloom(Tables.documents(s, dir), "doc_id", "text",
+            5, k = 6, mBits = 1 << 22)
+          .orderBy($"doc_id")
+      },
+      None,
+      gate = false),
+
     // Exact-substring span REMOVAL (Dedup.removeRepeatedSpans) — the
     // cut step d16 only measures: corpus-duplicated 40-char windows are
     // merged into maximal spans and excised, emitting the deduplicated

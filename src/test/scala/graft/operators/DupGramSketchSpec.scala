@@ -49,6 +49,28 @@ class DupGramSketchSpec extends SparkSpec {
       s"wide-sketch overhang $wide too large vs $totalGrams total grams")
   }
 
+  test("Bloom route is one-sided, and exact when the filter fits the dup-gram set") {
+    val docs = graft.tables.Tables.documents(spark, sfDir)
+    val exact = byDoc(Dedup.dupGramRate(docs, "doc_id", "text", 5))
+    // production sizing: 2^22 bits vs sf0.001's duplicated-gram count —
+    // k-position full collisions effectively impossible → bit-identical
+    val wide = byDoc(Dedup.dupGramRateBloom(docs, "doc_id", "text", 5,
+      k = 6, mBits = 1 << 22))
+    assert(wide == exact, "well-sized Bloom route must match the exact join")
+    // starved filter: 2^10 bits → false positives guaranteed, but NEVER
+    // false negatives — the estimate may only move UP
+    val tiny = byDoc(Dedup.dupGramRateBloom(docs, "doc_id", "text", 5,
+      k = 2, mBits = 1 << 10))
+    assert(tiny.keySet == exact.keySet)
+    exact.foreach { case (id, (ng, dup)) =>
+      val (ngE, dupE) = tiny(id)
+      assert(ngE == ng)
+      assert(dupE >= dup, s"doc $id: Bloom estimate $dupE undercut exact $dup")
+    }
+    assert(exact.exists { case (id, (_, dup)) => tiny(id)._2 > dup },
+      "starved Bloom produced zero overcounts — the one-sided check bit on nothing")
+  }
+
   test("sketch is bit-identical to exact when width >> distinct grams") {
     import spark.implicits._
     // ~40 distinct grams vs 8192 buckets: no gram's depth counters can
