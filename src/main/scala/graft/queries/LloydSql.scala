@@ -17,7 +17,7 @@ private[queries] object LloydSql {
        |  (acc, x) -> acc + x)""".stripMargin
 
   private def assignCte(name: String, cs: String, vName: String = "v"): String =
-    s"""$name AS (SELECT id, e, cluster FROM (
+    s"""$name AS MATERIALIZED (SELECT id, e, cluster FROM (
        |  SELECT vv.id, vv.e, c.cluster,
        |    row_number() OVER (PARTITION BY vv.id
        |      ORDER BY ${dist("vv.e", "c.cv")}, c.cluster) AS rn
@@ -32,7 +32,7 @@ private[queries] object LloydSql {
        |        unnest(e) AS x FROM $a)
        |    GROUP BY cluster, pos)
        |  GROUP BY cluster),
-       |$out AS (SELECT p.cluster, coalesce(m.cv, p.cv) AS cv
+       |$out AS MATERIALIZED (SELECT p.cluster, coalesce(m.cv, p.cv) AS cv
        |  FROM $prev p LEFT JOIN ${out}m m USING (cluster))""".stripMargin
 
   /** Name of the final-centroid CTE for `iters` rounds. */
@@ -70,8 +70,8 @@ private[queries] object LloydSql {
         meanCtes(s"${p}a$i", s"${p}c${i - 1}", s"${p}c$i")
     }
     (Seq(
-      s"${p}v AS ($vSql)",
-      s"""${p}c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cluster, e AS cv
+      s"${p}v AS MATERIALIZED ($vSql)",
+      s"""${p}c0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY id) - 1 AS cluster, e AS cv
          |  FROM (SELECT id, e FROM ${p}v ORDER BY id LIMIT $nClusters))""".stripMargin) ++
       rounds :+ assignCte(s"${p}af", s"$p${finalCentroids(iters)}", s"${p}v"))
       .mkString(",\n")

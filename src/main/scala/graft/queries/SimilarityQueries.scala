@@ -1025,17 +1025,17 @@ object SimilarityQueries extends QueryProvider {
          |    AND l.cluster = cand.cluster AND l.code$j = rc.cluster)""".stripMargin
     }
     s"""${LloydSql.ctes(16, coarseIters)},
-       |resid AS (SELECT a.id, a.cluster,
+       |resid AS MATERIALIZED (SELECT a.id, a.cluster,
        |  list_transform(range(len(a.e)), i -> a.e[i+1] - c.cv[i+1]) AS rv
        |  FROM af a JOIN $cf c USING (cluster)),
        |${chains.mkString(",\n")},
-       |probes AS (SELECT query_id, cluster,
+       |probes AS MATERIALIZED (SELECT query_id, cluster,
        |  list_transform(range(len(qe)), i -> qe[i+1] - cv[i+1]) AS qr
        |  FROM (SELECT q.id AS query_id, q.e AS qe, c.cluster, c.cv,
        |    row_number() OVER (PARTITION BY q.id
        |      ORDER BY ${LloydSql.dist("q.e", "c.cv")}, c.cluster) AS rn
        |  FROM v q CROSS JOIN $cf c WHERE q.id < 5) WHERE rn <= 4),
-       |cand AS (SELECT p.query_id, a.id, a.cluster
+       |cand AS MATERIALIZED (SELECT p.query_id, a.id, a.cluster
        |  FROM probes p JOIN resid a USING (cluster)),
        |${subs.mkString(",\n")},
        |jn AS (SELECT p0.query_id, p0.id,
