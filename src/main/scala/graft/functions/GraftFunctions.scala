@@ -28,6 +28,10 @@ object GraftFunctions {
       exprs => NfcNormalize(exprs(0)))
     ColumnBridge.registerFunction(spark, "strip_accents",
       exprs => StripAccents(exprs(0)))
+    ColumnBridge.registerFunction(spark, "dot_product",
+      exprs => DotProduct(exprs(0), exprs(1)))
+    ColumnBridge.registerFunction(spark, "sq_dist",
+      exprs => SqDist(exprs(0), exprs(1)))
   }
 }
 
@@ -91,5 +95,17 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         classOf[StripAccents].getName, "strip_accents"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         StripAccents(exprs(0))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[DotProduct].getName, "dot_product"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotProduct(exprs(0), exprs(1))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("sq_dist"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[SqDist].getName, "sq_dist"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SqDist(exprs(0), exprs(1))))
   }
 }

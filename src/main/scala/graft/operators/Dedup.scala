@@ -578,9 +578,9 @@ object Dedup {
 
   /** Cosine similarity between two double arrays (codegen'd HOFs). */
   def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
-    val nb = sqrt(aggregate(b, lit(0.0), (acc, x) => acc + x * x))
+    val dot = graft.operators.Similarity.dot(a, b)
+    val na = sqrt(graft.operators.Similarity.dot(a, a))
+    val nb = sqrt(graft.operators.Similarity.dot(b, b))
     dot / (na * nb)
   }
 
@@ -996,8 +996,9 @@ object Dedup {
       .groupBy(col("doc_id"), col("n_grams"))
       .agg(sum(col("cnt")).as("dup_occ"))
     // docs whose every gram missed the filter drop out of `flagged`;
-    // restore them with dup_occ = 0 (the distinct + left join reuses
-    // perDoc's (doc_id, n_grams, g) hash partitioning — near-free)
+    // restore them with dup_occ = 0. Both (doc_id, n_grams) aggregates
+    // shuffle at most one combined row per (doc, partition) — doc-count
+    // bounded, not gram-volume — and the join broadcasts `flagged`.
     perDoc.select(col("doc_id"), col("n_grams")).distinct()
       .join(flagged, Seq("doc_id", "n_grams"), "left")
       .select(col("doc_id"), col("n_grams"),

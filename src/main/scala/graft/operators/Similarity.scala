@@ -23,7 +23,12 @@ object Similarity {
   def toDouble(vec: Column): Column = transform(vec, x => x.cast("double"))
 
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    // fused codegen'd strict left fold — bit-identical to
+    // aggregate(zip_with(a, b, _*_), 0.0, _+_) (see DotProduct doc)
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.DotProduct(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b)))
 
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
@@ -281,8 +286,11 @@ object Similarity {
     * (and therefore argmin assignments) are bit-identical cross-engine.
     */
   def sqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
+    // fused codegen'd form of the same fold (see SqDist doc)
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.SqDist(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b)))
 
   /** Deterministic fixed-iteration Lloyd clustering — shared by the IVF
     * probe (s03) and SemDeDup-style clustered semantic dedup (d12).
