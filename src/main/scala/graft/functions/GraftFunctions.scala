@@ -32,6 +32,9 @@ object GraftFunctions {
       exprs => DotProduct(exprs(0), exprs(1)))
     ColumnBridge.registerFunction(spark, "sq_dist",
       exprs => SqDist(exprs(0), exprs(1)))
+    ColumnBridge.registerFunction(spark, "minhash_sig",
+      exprs => MinHashSig(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()))
   }
 }
 
@@ -107,5 +110,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         classOf[SqDist].getName, "sq_dist"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SqDist(exprs(0), exprs(1))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_sig"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[MinHashSig].getName, "minhash_sig"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MinHashSig(exprs(0),
+          exprs(1).eval().asInstanceOf[Number].intValue())))
   }
 }

@@ -54,9 +54,13 @@ object Dedup {
     * no UDF — and the FNV-based family is oracle-reproducible.
     */
   def minhashSignature(hashes: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(hashes,
-        h => graft.functions.Fnv.fnv1a_perm(i.cast("int"), h))))
+    // fused codegen'd loop over the SAME Fnv.hashPerm the HOF composition
+    // transform(sequence(0, n-1), i -> array_min(transform(hashes,
+    // h -> fnv1a_perm(i, h)))) evaluates — bit-identical signatures,
+    // one allocation per row instead of n permuted arrays
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.MinHashSig(
+        org.apache.spark.sql.graft.ColumnBridge.expression(hashes), numHashes))
 
   /** Candidate pairs (a, b) from LSH banding of signatures.
     *
