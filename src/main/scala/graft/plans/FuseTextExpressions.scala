@@ -3,10 +3,10 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.{DigitCount, IntersectSize, PunctCount}
+import graft.functions.{DigitCount, DotProduct, IntersectSize, PunctCount, SqDist}
 
 /** Optimizer rule: rewrite composed-builtin patterns into the engine's
   * fused native expressions, so a user writing PLAIN declarative Spark
@@ -34,6 +34,26 @@ object FuseTextExpressions extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  private def isDoubleArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  /** The canonical fold tail of the dot/sqDist compositions:
+    * zero = 0.0, merge = (acc, x) -> acc + x, finish = identity.
+    */
+  private object FoldSum {
+    def unapply(e: Expression): Option[Expression] = e match {
+      case ArrayAggregate(products, Literal(zero, DoubleType),
+          LambdaFunction(Add(acc, el, _), Seq(lacc, lel), _),
+          LambdaFunction(fin, Seq(fv), _))
+          if zero == 0.0 && acc.semanticEquals(lacc) &&
+            el.semanticEquals(lel) && fin.semanticEquals(fv) =>
+        Some(products)
+      case _ => None
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       // legacySizeOfNull=true makes size(NULL) return -1; IntersectSize
@@ -52,5 +72,24 @@ object FuseTextExpressions extends Rule[LogicalPlan] {
           if rep == UTF8String.fromString("") &&
             re == UTF8String.fromString("[A-Za-z0-9\\s]") =>
         PunctCount(t)
+      // aggregate(zip_with(a, b, (x, y) -> x * y), 0.0, (acc, x) -> acc + x)
+      // -> dot_product(a, b): the embedding inner loop, per candidate
+      // pair. Fold order, results and null behavior are bit-identical
+      // (DotProductSpec); the fused form runs inside whole-stage codegen
+      // where the HOF composition interprets a lambda per element.
+      case FoldSum(ZipWith(a, b,
+          LambdaFunction(Multiply(mx, my, _), Seq(zx, zy), _)))
+          if isDoubleArray(a) && isDoubleArray(b) &&
+            mx.semanticEquals(zx) && my.semanticEquals(zy) =>
+        DotProduct(a, b)
+      // aggregate(zip_with(a, b, (x, y) -> (x-y)*(x-y)), 0.0, +) ->
+      // sq_dist(a, b): the Lloyd/IVF assignment loop.
+      case FoldSum(ZipWith(a, b,
+          LambdaFunction(Multiply(
+            Subtract(x1, y1, _), Subtract(x2, y2, _), _), Seq(zx, zy), _)))
+          if isDoubleArray(a) && isDoubleArray(b) &&
+            x1.semanticEquals(zx) && y1.semanticEquals(zy) &&
+            x2.semanticEquals(zx) && y2.semanticEquals(zy) =>
+        SqDist(a, b)
     }
 }

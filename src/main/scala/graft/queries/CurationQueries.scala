@@ -1183,16 +1183,23 @@ object CurationQueries extends QueryProvider {
             TA.wsTokenCount($"text"), budget = 256L, shards = 8)
           .orderBy($"doc_id")
       },
-      Some(s"""WITH RECURSIVE b AS (SELECT doc_id,
+      // b0 MATERIALIZED + the fold hoisted to ONE hu column: the
+      // recursive rec CTE re-references pos once per packing step, and
+      // un-materialized that re-evaluated the whole FNV fold chain per
+      // step (sf0.1: 115 s -> 5.5 s, identical rows)
+      Some(s"""WITH RECURSIVE b0 AS MATERIALIZED (SELECT doc_id,
              |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
              |    AS nt,
-             |  ${FnvSql.toSigned(FnvSql.ofString("doc_id::VARCHAR"))} AS hs
+             |  ${FnvSql.ofString("doc_id::VARCHAR")} AS hu
              |  FROM documents),
+             |b AS (SELECT doc_id, nt,
+             |  ${FnvSql.toSigned("hu")} AS hs
+             |  FROM b0),
              |sd AS (SELECT doc_id, nt, hs,
              |  CAST((CASE WHEN hs < 0 THEN hs + 18446744073709551616::HUGEINT
              |    ELSE hs::HUGEINT END % 8) AS INTEGER) AS shard
              |  FROM b),
-             |pos AS (SELECT doc_id, nt, shard,
+             |pos AS MATERIALIZED (SELECT doc_id, nt, shard,
              |  CAST(row_number() OVER (PARTITION BY shard
              |    ORDER BY hs, doc_id) - 1 AS INTEGER) AS pos
              |  FROM sd),

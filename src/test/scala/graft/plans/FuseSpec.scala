@@ -125,4 +125,51 @@ class FuseSpec extends SparkSpec {
       assert(q.collect().map(_.getInt(0)).toSeq == Seq(1))
     }
   }
+
+  test("HOF dot product / squared distance fuse with bit-equal results") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def vec(): Seq[Double] = Seq.fill(16)(rnd.nextDouble() * 2 - 1)
+    val df = (1 to 200).map(_ => (vec(), vec())).toDF("a", "b").repartition(3)
+    def q(d: org.apache.spark.sql.DataFrame) = d.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x).as("dot"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x).as("sqd"))
+    val plain = q(df).collect().toSeq
+    withRule {
+      val optimized = q(df).queryExecution.optimizedPlan
+      assert(optimized.expressions.exists(_.exists(
+        _.isInstanceOf[graft.functions.DotProduct])),
+        s"expected DotProduct in:\n$optimized")
+      assert(optimized.expressions.exists(_.exists(
+        _.isInstanceOf[graft.functions.SqDist])),
+        s"expected SqDist in:\n$optimized")
+      val fused = q(df).collect().toSeq
+      // bit-equality, not approximate: the fused fold order is identical
+      plain.zip(fused).foreach { case (pr, fr) =>
+        assert(java.lang.Double.doubleToRawLongBits(pr.getDouble(0)) ==
+          java.lang.Double.doubleToRawLongBits(fr.getDouble(0)))
+        assert(java.lang.Double.doubleToRawLongBits(pr.getDouble(1)) ==
+          java.lang.Double.doubleToRawLongBits(fr.getDouble(1)))
+      }
+    }
+  }
+
+  test("a non-dot fold (wrong zero / wrong merge) is left alone") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b").repartition(1)
+    withRule {
+      // zero = 1.0, merge subtracts: neither pattern may fire
+      val q = df.select(
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+          lit(1.0), (acc, x) => acc + x).as("z1"),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc - x).as("z2"))
+      val optimized = q.queryExecution.optimizedPlan
+      assert(!optimized.expressions.exists(_.exists(
+        _.isInstanceOf[graft.functions.DotProduct])),
+        s"unexpected DotProduct in:\n$optimized")
+    }
+  }
 }
