@@ -66,7 +66,12 @@ object Bench {
         + (if (ok) "" else " (FAILED)"))
       (name, if (ok) dt else -dt, spread)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    // 3-decimal times keep the JSON line short: the driver captures only
+    // a bounded tail of the output, and full-precision doubles pushed the
+    // line's head out of that window (every round's artifact had
+    // parsed: None with the line's opening brace truncated away)
+    def r3(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
@@ -78,7 +83,7 @@ object Bench {
     // timed full executions.
     val spreads = results.map(_._3).sorted
     val noise = if (spreads.isEmpty) 0.0 else spreads(spreads.length / 2)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"protocol":"warmup+min-of-2","median_run_spread":$noise,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,"protocol":"warmup+min-of-2","median_run_spread":${r3(noise)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
