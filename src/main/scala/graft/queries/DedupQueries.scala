@@ -602,12 +602,12 @@ object DedupQueries extends QueryProvider {
              |  list_distinct(list_transform(range(1, len(tk)-1),
              |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
              |  FROM t WHERE len(tk) >= 3),
-             |p AS (SELECT a.doc_id AS a, b.doc_id AS b,
-             |  round(len(list_intersect(a.sh, b.sh)) * 1.0
-             |    / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS j
-             |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-             |  WHERE len(list_intersect(a.sh, b.sh)) * 1.0
-             |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.05),
+             |p AS (SELECT a, b, round(iw * 1.0 / (la + lb - iw), 6) AS j
+             |  FROM (SELECT a.doc_id AS a, b.doc_id AS b,
+             |      len(list_intersect(a.sh, b.sh)) AS iw,
+             |      len(a.sh) AS la, len(b.sh) AS lb
+             |    FROM s a JOIN s b ON a.doc_id < b.doc_id)
+             |  WHERE iw * 1.0 / (la + lb - iw) >= 0.05),
              |g AS (SELECT unnest([0.05,0.1,0.2,0.3,0.5,0.7,0.9]::DOUBLE[])
              |  AS threshold),
              |tot AS (SELECT count(*) AS n_docs FROM documents WHERE doc_id < 1000)
