@@ -35,6 +35,8 @@ object GraftFunctions {
     ColumnBridge.registerFunction(spark, "minhash_sig",
       exprs => MinHashSig(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue()))
+    ColumnBridge.registerFunction(spark, "simhash64",
+      exprs => SimHash64(exprs(0)))
   }
 }
 
@@ -117,5 +119,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         MinHashSig(exprs(0),
           exprs(1).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[SimHash64].getName, "simhash64"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SimHash64(exprs(0))))
   }
 }

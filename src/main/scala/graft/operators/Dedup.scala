@@ -543,19 +543,13 @@ object Dedup {
     * decides the output bit. Disjoint powers of two are OR-combined, so
     * bit 63 wraps into the sign bit exactly like the long arithmetic.
     */
-  def simhash(tokens: Column): Column = {
-    val hs = transform(tokens, t => graft.functions.Fnv.fnv1a64(t))
-    aggregate(
-      sequence(lit(0L), lit(63L)),
-      lit(0L),
-      (acc, i) => acc.bitwiseOR(
-        when(
-          aggregate(hs, lit(0),
-            (v, h) => v + when(
-              call_function("shiftrightunsigned", h, i)
-                .bitwiseAND(lit(1L)) === lit(1L), 1).otherwise(-1)) > 0,
-          call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))))
-  }
+  def simhash(tokens: Column): Column =
+    // fused codegen'd form of the 64-bit-position x per-token-vote HOF
+    // composition (bit-identical incl. null corners — see SimHash64 doc
+    // and SimHash64Spec; integer vote sums are order-independent)
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.SimHash64(
+        org.apache.spark.sql.graft.ColumnBridge.expression(tokens)))
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming (<= 3
     * guaranteed recall via 4-chunk banding; pigeonhole over 16-bit
