@@ -37,6 +37,9 @@ object GraftFunctions {
         exprs(1).eval().asInstanceOf[Number].intValue()))
     ColumnBridge.registerFunction(spark, "simhash64",
       exprs => SimHash64(exprs(0)))
+    ColumnBridge.registerFunction(spark, "word_shingles",
+      exprs => WordShingles(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()))
   }
 }
 
@@ -125,5 +128,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         classOf[SimHash64].getName, "simhash64"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SimHash64(exprs(0))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("word_shingles"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[WordShingles].getName, "word_shingles"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        WordShingles(exprs(0),
+          exprs(1).eval().asInstanceOf[Number].intValue())))
   }
 }

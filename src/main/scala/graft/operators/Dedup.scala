@@ -35,11 +35,16 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"),
         sort_array(collect_list(col("id"))).as("doc_ids"))
 
-  /** Word n-gram shingles ("a b c" strings), empty array if too short. */
+  /** Word n-gram shingles ("a b c" strings), empty array if too short.
+    * Fused codegen'd sliding window — byte-identical strings to the
+    * when/transform/array_join/slice composition it replaced (see
+    * WordShingles doc + WordShinglesSpec; this is the scan-stage front
+    * of every MinHash/Jaccard/dup-gram operator).
+    */
   def shingles(tokens: Column, n: Int): Column =
-    when(size(tokens) < n, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), size(tokens) - n),
-        i => array_join(slice(tokens, i + 1, lit(n)), " ")))
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.WordShingles(
+        org.apache.spark.sql.graft.ColumnBridge.expression(tokens), n))
 
   /** Distinct 64-bit shingle hashes (the MinHash universe). FNV-1a via
     * the custom codegen'd expression — chosen so the DuckDB oracle can
