@@ -40,6 +40,9 @@ object GraftFunctions {
     ColumnBridge.registerFunction(spark, "word_shingles",
       exprs => WordShingles(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue()))
+    ColumnBridge.registerFunction(spark, "char_ngrams",
+      exprs => CharNgrams(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()))
   }
 }
 
@@ -134,6 +137,13 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         classOf[WordShingles].getName, "word_shingles"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         WordShingles(exprs(0),
+          exprs(1).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("char_ngrams"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[CharNgrams].getName, "char_ngrams"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CharNgrams(exprs(0),
           exprs(1).eval().asInstanceOf[Number].intValue())))
   }
 }

@@ -31,7 +31,8 @@ object Similarity {
         org.apache.spark.sql.graft.ColumnBridge.expression(b)))
 
   def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+    // sqrt of the fused self-dot: acc + x*x in the same fold order
+    sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 

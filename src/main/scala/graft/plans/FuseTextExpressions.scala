@@ -91,5 +91,14 @@ object FuseTextExpressions extends Rule[LogicalPlan] {
             x1.semanticEquals(zx) && y1.semanticEquals(zy) &&
             x2.semanticEquals(zx) && y2.semanticEquals(zy) =>
         SqDist(a, b)
+      // aggregate(a, 0.0, (acc, x) -> acc + x * x) -> dot_product(a, a):
+      // the self-dot under every norm — identical fold (Σ xᵢ·xᵢ).
+      case ArrayAggregate(a, Literal(zero, DoubleType),
+          LambdaFunction(Add(acc, Multiply(x1, x2, _), _), Seq(lacc, lx), _),
+          LambdaFunction(fin, Seq(fv), _))
+          if zero == 0.0 && isDoubleArray(a) && acc.semanticEquals(lacc) &&
+            x1.semanticEquals(lx) && x2.semanticEquals(lx) &&
+            fin.semanticEquals(fv) =>
+        DotProduct(a, a)
     }
 }

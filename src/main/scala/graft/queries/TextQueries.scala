@@ -250,9 +250,14 @@ object TextQueries extends QueryProvider {
         graft.Par.fanOut(Tables.documents(s, dir))
           .select($"lang",
             regexp_replace(lower($"text"), "[^a-z]", "").as("c"))
-          .select($"lang", when(length($"c") < 2, array().cast("array<string>"))
-            .otherwise(transform(sequence(lit(1), length($"c") - 1),
-              i => $"c".substr(i, lit(2)))).as("bgs"))
+          // fused sliding-window bigrams: byte-identical to
+          // when(length<2, []).otherwise(transform(sequence(1, len-1),
+          // i -> substr(c, i, 2))) — see CharNgrams (the HOF form
+          // re-scanned the string per position, O(chars²) per doc)
+          .select($"lang", org.apache.spark.sql.graft.ColumnBridge.column(
+            graft.functions.CharNgrams(
+              org.apache.spark.sql.graft.ColumnBridge.expression($"c"), 2))
+            .as("bgs"))
           .select($"lang", explode($"bgs").as("bigram"))
           .groupBy($"lang", $"bigram").agg(count(lit(1)).as("cnt"))
           .withColumn("rnk", row_number().over(w))

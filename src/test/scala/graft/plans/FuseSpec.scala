@@ -172,4 +172,24 @@ class FuseSpec extends SparkSpec {
         s"unexpected DotProduct in:\n$optimized")
     }
   }
+
+  test("self-dot norm fold fuses to dot_product(a, a) bit-equal") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val df = (1 to 100).map(_ => Tuple1(Seq.fill(16)(rnd.nextDouble() * 2 - 1)))
+      .toDF("a").repartition(2)
+    def q(d: org.apache.spark.sql.DataFrame) = d.select(
+      aggregate(col("a"), lit(0.0), (acc, x) => acc + x * x).as("n2"))
+    val plain = q(df).collect().toSeq
+    withRule {
+      val optimized = q(df).queryExecution.optimizedPlan
+      assert(optimized.expressions.exists(_.exists(
+        _.isInstanceOf[graft.functions.DotProduct])),
+        s"expected DotProduct in:\n$optimized")
+      q(df).collect().toSeq.zip(plain).foreach { case (fr, pr) =>
+        assert(java.lang.Double.doubleToRawLongBits(fr.getDouble(0)) ==
+          java.lang.Double.doubleToRawLongBits(pr.getDouble(0)))
+      }
+    }
+  }
 }
