@@ -45,7 +45,13 @@ object ExplainAudit {
         "d20_span_removal", "d21_record_linkage", "d22_triangle_census",
         "s18_hard_negatives", "s20_filtered_ann", "a32_source_keyness",
         "q53_small_qty_revenue", "q54_large_orders",
-        "sk11_hll_precision_sweep", "t22_unigram_train")
+        "sk11_hll_precision_sweep", "t22_unigram_train",
+        // round-8 fused expressions: d06/t10/d05's scans must show the
+        // DotProduct / CharNgrams / SimHash64 expressions inside
+        // WholeStageCodegen spans (no BatchEvalPython, no interpreted
+        // HOF fallback), d31's Bloom probe must be a narrow Filter
+        "d06_cosine_neardup", "t10_char_bigrams", "d05_simhash_neardup",
+        "d31_dupgram_sketch")
     // (mm10_phash is an RDD-kernel query — no Catalyst plan to audit)
     val spark = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
