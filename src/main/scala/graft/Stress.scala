@@ -94,7 +94,13 @@ object Stress {
     // round-8: d19's sketch-swap scale route (Bloom over duplicated
     // grams; gate=false — a one-sided estimate by design, its contract
     // vs exact d19 pinned by DupGramSketchSpec)
-    "d31_dupgram_sketch")
+    "d31_dupgram_sketch",
+    // round-8 fused-expression paths: the brute-force cosine truth
+    // baseline (dot_product), the SimHash chunk-band pipeline
+    // (simhash64 + word_shingles) and the char-bigram profile
+    // (char_ngrams) — sf1 pins that the fused kernels keep the
+    // linear scaling shape, not just the sf0.1 speedup
+    "d06_cosine_neardup", "d05_simhash_neardup", "t10_char_bigrams")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/graft_sf1")
