@@ -63,10 +63,10 @@ object DedupQueries extends QueryProvider {
        |  WHERE bn <= 1000),
        |cand AS MATERIALIZED (SELECT DISTINCT l.id AS a, r.id AS b
        |  FROM sized l JOIN sized r ON l.band = r.band AND l.key = r.key AND l.id < r.id),
-       |jac AS MATERIALIZED (SELECT c.a, c.b,
-       |    len(list_intersect(sa.sh, sb.sh)) * 1.0 /
-       |      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS j
-       |  FROM cand c JOIN s sa ON sa.id = c.a JOIN s sb ON sb.id = c.b)""".stripMargin
+       |jac AS MATERIALIZED (SELECT a, b, iw * 1.0 / (la + lb - iw) AS j
+       |  FROM (SELECT c.a, c.b, len(list_intersect(sa.sh, sb.sh)) AS iw,
+       |      len(sa.sh) AS la, len(sb.sh) AS lb
+       |    FROM cand c JOIN s sa ON sa.id = c.a JOIN s sb ON sb.id = c.b))""".stripMargin
 
   private[queries] val minhashPairCtes: String = minhashPairCtesFrom("documents")
 
@@ -121,12 +121,12 @@ object DedupQueries extends QueryProvider {
              |  list_distinct(list_transform(range(1, len(tk)-1),
              |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
              |  FROM t WHERE len(tk) >= 3)
-             |SELECT a.doc_id AS a, b.doc_id AS b,
-             |round(len(list_intersect(a.sh, b.sh)) * 1.0
-             |  / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
-             |FROM s a JOIN s b ON a.doc_id < b.doc_id
-             |WHERE len(list_intersect(a.sh, b.sh)) * 1.0
-             |  / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.05
+             |SELECT a, b, round(iw * 1.0 / (la + lb - iw), 6) AS jaccard
+             |FROM (SELECT a.doc_id AS a, b.doc_id AS b,
+             |    len(list_intersect(a.sh, b.sh)) AS iw,
+             |    len(a.sh) AS la, len(b.sh) AS lb
+             |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+             |WHERE iw * 1.0 / (la + lb - iw) >= 0.05
              |ORDER BY a, b""".stripMargin)),
 
     // MinHash-LSH near-dup (the 100 TB path), hash-for-hash oracle: the
@@ -467,11 +467,11 @@ object DedupQueries extends QueryProvider {
              |  list_distinct(list_transform(range(1, len(tk)-1),
              |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
              |  FROM t WHERE len(tk) >= 3)
-             |SELECT a.doc_id AS a, b.doc_id AS b,
-             |round(len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh), 6)
-             |  AS containment
-             |FROM s a JOIN s b ON a.doc_id <> b.doc_id
-             |WHERE len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh) >= 0.5
+             |SELECT a, b, round(iw * 1.0 / la, 6) AS containment
+             |FROM (SELECT a.doc_id AS a, b.doc_id AS b,
+             |    len(list_intersect(a.sh, b.sh)) AS iw, len(a.sh) AS la
+             |  FROM s a JOIN s b ON a.doc_id <> b.doc_id)
+             |WHERE iw * 1.0 / la >= 0.5
              |ORDER BY a, b""".stripMargin)),
 
     // Blocked sorted-neighborhood (merge/purge) near-dup pairs — the
@@ -820,10 +820,12 @@ object DedupQueries extends QueryProvider {
              |  list_distinct(list_transform(range(1, len(tk)-1),
              |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
              |  FROM t WHERE len(tk) >= 3),
-             |e AS MATERIALIZED (SELECT a.doc_id AS a, b.doc_id AS b
-             |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-             |  WHERE len(list_intersect(a.sh, b.sh)) * 1.0
-             |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.02),
+             |e AS MATERIALIZED (SELECT a, b
+             |  FROM (SELECT a.doc_id AS a, b.doc_id AS b,
+             |      len(list_intersect(a.sh, b.sh)) AS iw,
+             |      len(a.sh) AS la, len(b.sh) AS lb
+             |    FROM s a JOIN s b ON a.doc_id < b.doc_id)
+             |  WHERE iw * 1.0 / (la + lb - iw) >= 0.02),
              |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS degree FROM
              |  (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v),
              |tr AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
@@ -1018,12 +1020,12 @@ object DedupQueries extends QueryProvider {
            |cl AS (SELECT id, lbl AS cluster FROM l3),
            |mm AS (SELECT cl.id, cl.cluster, s.sh
            |  FROM cl JOIN s ON s.id = cl.id),
-           |pw AS (SELECT x.cluster, x.id,
-           |  round(len(list_intersect(x.sh, y.sh)) * 1.0 /
-           |    (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))),
-           |    6) AS j
-           |  FROM mm x JOIN mm y
-           |    ON x.cluster = y.cluster AND x.id <> y.id),
+           |pw AS (SELECT cluster, id, round(iw * 1.0 / (la + lb - iw), 6) AS j
+           |  FROM (SELECT x.cluster, x.id,
+           |      len(list_intersect(x.sh, y.sh)) AS iw,
+           |      len(x.sh) AS la, len(y.sh) AS lb
+           |    FROM mm x JOIN mm y
+           |      ON x.cluster = y.cluster AND x.id <> y.id)),
            |typ AS (SELECT cluster, id,
            |  CAST(sum(CAST(j AS DECIMAL(38,6))) AS DOUBLE) AS typ,
            |  count(*) AS n_others
@@ -1066,12 +1068,12 @@ object DedupQueries extends QueryProvider {
            |cand AS MATERIALIZED (SELECT DISTINCT d.id AS did, b.id AS bid
            |  FROM deltab d JOIN sizedb b
            |    ON d.band = b.band AND d.key = b.key),
-           |hits AS MATERIALIZED (SELECT did, bid, j FROM (
-           |  SELECT c.did, c.bid,
-           |    len(list_intersect(sa.sh, sb.sh)) * 1.0 /
-           |      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS j
+           |hits AS MATERIALIZED (SELECT did, bid,
+           |    iw * 1.0 / (la + lb - iw) AS j FROM (
+           |  SELECT c.did, c.bid, len(list_intersect(sa.sh, sb.sh)) AS iw,
+           |    len(sa.sh) AS la, len(sb.sh) AS lb
            |  FROM cand c JOIN s sa ON sa.id = c.did JOIN s sb ON sb.id = c.bid)
-           |  WHERE j >= 0.3),
+           |  WHERE iw * 1.0 / (la + lb - iw) >= 0.3),
            |agg AS (SELECT did, count(*) AS n_matches, max(j) AS bj
            |  FROM hits GROUP BY did),
            |best AS (SELECT h.did, a.n_matches, min(h.bid) AS best_base,
@@ -1386,7 +1388,7 @@ object DedupQueries extends QueryProvider {
        |p AS ($stacked),
        |j AS (SELECT least(ida, idb) AS a, greatest(ida, idb) AS b,
        |  round(len(list_intersect(sha, shb)) * 1.0
-       |    / len(list_distinct(list_concat(sha, shb))), 6) AS jaccard
+       |    / (len(sha) + len(shb) - len(list_intersect(sha, shb))), 6) AS jaccard
        |  FROM p)
        |SELECT a, b, jaccard FROM j WHERE jaccard >= 0.05
        |ORDER BY a, b""".stripMargin

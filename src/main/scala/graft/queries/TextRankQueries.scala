@@ -235,12 +235,13 @@ object TextRankQueries extends QueryProvider {
            |FROM documents
            |WHERE len(string_split(text,' ')) > 10 AND len(string_split(text,' ')) < 30),
            |v AS (SELECT grp, id, toks, len(toks) AS n FROM v0 WHERE len(toks) > 0),
+           |vd AS MATERIALIZED (SELECT grp, id, list_distinct(toks) AS dt, n FROM v),
            |e AS MATERIALIZED (
-           |SELECT a.grp, a.id AS src, b.id AS dst,
-           |len(list_intersect(list_distinct(a.toks), list_distinct(b.toks))) * 1.0
-           |  / (log2(a.n) + log2(b.n) + 1) AS w
-           |FROM v a JOIN v b ON a.grp = b.grp AND a.id <> b.id
-           |WHERE len(list_intersect(list_distinct(a.toks), list_distinct(b.toks))) > 0),
+           |SELECT grp, src, dst, iw * 1.0 / (log2(an) + log2(bn) + 1) AS w FROM (
+           |  SELECT a.grp, a.id AS src, b.id AS dst, a.n AS an, b.n AS bn,
+           |    len(list_intersect(a.dt, b.dt)) AS iw
+           |  FROM vd a JOIN vd b ON a.grp = b.grp AND a.id <> b.id)
+           |WHERE iw > 0),
            |o AS MATERIALIZED (SELECT grp, src, sum(w) AS ow FROM e GROUP BY grp, src),
            |en AS MATERIALIZED (SELECT e.grp, e.src, e.dst, e.w / o.ow AS wn
            |  FROM e JOIN o ON e.grp = o.grp AND e.src = o.src),
