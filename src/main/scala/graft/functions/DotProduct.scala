@@ -165,6 +165,90 @@ case class SqDist(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `self_dot(a)` — Σ xᵢ·xᵢ as one UNARY fused expression: a drop-in
+  * for `aggregate(a, 0.0, (acc, x) -> acc + x * x)` (the self-dot fold
+  * under every norm) and for `dot_product(a, a)`.
+  *
+  * Why a separate expression when `DotProduct(a, a)` computes the same
+  * value: a binary expression codegens its two children INDEPENDENTLY
+  * (subexpression elimination across operands is not guaranteed), so
+  * `dot_product(expr, expr)` evaluates the array-producing child twice
+  * per row — double work for a computed array, and a semantic change
+  * for a non-deterministic one (the two evaluations can disagree,
+  * yielding NULL on the length check or a nonsense sum). The unary
+  * form evaluates the child exactly once, which also lets the
+  * `FuseTextExpressions` self-dot rewrite stay valid without a
+  * determinism guard.
+  *
+  * Fold order and null semantics are bit-identical to the aggregate
+  * composition (SelfDotSpec): null array or any null element → NULL,
+  * empty array → 0.0, s = ((0.0 + x₀·x₀) + x₁·x₁) + … .
+  */
+@ExpressionDescription(
+  usage = "self_dot(a) - strict left-fold sum of squares of a double array")
+case class SelfDot(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"self_dot expects an array<double> argument, got ${other.catalogString}")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val a = child.eval(input)
+    if (a == null) null else SelfDot.compute(a.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val boxed = ctx.freshName("sdotRes")
+    ev.copy(code =
+      code"""
+        ${childGen.code}
+        boolean ${ev.isNull} = true;
+        double ${ev.value} = 0.0;
+        if (!${childGen.isNull}) {
+          java.lang.Double $boxed = graft.functions.SelfDot.compute(
+            ${childGen.value});
+          if ($boxed != null) {
+            ${ev.isNull} = false;
+            ${ev.value} = $boxed.doubleValue();
+          }
+        }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SelfDot =
+    copy(child = newChild)
+}
+
+object SelfDot {
+
+  /** Strict left-fold Σ xᵢ² over raw ArrayData — the array buffer is
+    * walked ONCE; null (boxed) on any null element, exactly what the
+    * aggregate fold returns there (acc + null·null poisons the fold).
+    */
+  def compute(a: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val x = a.getDouble(i)
+      s += x * x
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
+}
+
 object SqDist {
 
   /** Strict left-fold Σ(aᵢ−bᵢ)² over raw ArrayData; null (boxed) on

@@ -1,49 +1,101 @@
 package graft.functions
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{AnalysisException, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.IntegerType
 
 /** SQL-surface registration for the engine's custom Catalyst expressions.
   * `register(spark)` makes them callable from `spark.sql` text in the
   * current session; `GraftExtensions` does the same through the standard
   * `spark.sql.extensions` mechanism at session build time.
+  *
+  * Every builder validates its argument list up front — arity, and for
+  * the `(col, n)` kernels foldability of the scalar — raising a proper
+  * `AnalysisException` (standard Spark error classes) instead of the
+  * `IndexOutOfBoundsException` / `ClassCastException` a raw
+  * `exprs(1).eval()` would throw at plan-build time, or the bogus
+  * constant it would silently produce for a deterministic non-literal.
   */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit = {
-    ColumnBridge.registerFunction(spark, "intersect_size",
-      exprs => IntersectSize(exprs(0), exprs(1)))
-    ColumnBridge.registerFunction(spark, "fnv1a64",
-      exprs => Fnv1a64(exprs(0)))
-    ColumnBridge.registerFunction(spark, "fnv1a_perm",
-      exprs => Fnv.permBuilder(exprs))
-    ColumnBridge.registerFunction(spark, "nlz_plus1",
-      exprs => NlzPlus1(exprs(0)))
-    ColumnBridge.registerFunction(spark, "ntz_plus1",
-      exprs => NtzPlus1(exprs(0)))
-    ColumnBridge.registerFunction(spark, "lang_id",
-      exprs => LangIdExpr(exprs(0)))
-    ColumnBridge.registerFunction(spark, "nltk_stop_count",
-      exprs => NltkStopCount(exprs(0)))
-    ColumnBridge.registerFunction(spark, "nfc_normalize",
-      exprs => NfcNormalize(exprs(0)))
-    ColumnBridge.registerFunction(spark, "strip_accents",
-      exprs => StripAccents(exprs(0)))
-    ColumnBridge.registerFunction(spark, "dot_product",
-      exprs => DotProduct(exprs(0), exprs(1)))
-    ColumnBridge.registerFunction(spark, "sq_dist",
-      exprs => SqDist(exprs(0), exprs(1)))
-    ColumnBridge.registerFunction(spark, "minhash_sig",
-      exprs => MinHashSig(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue()))
-    ColumnBridge.registerFunction(spark, "simhash64",
-      exprs => SimHash64(exprs(0)))
-    ColumnBridge.registerFunction(spark, "word_shingles",
-      exprs => WordShingles(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue()))
-    ColumnBridge.registerFunction(spark, "char_ngrams",
-      exprs => CharNgrams(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue()))
+
+  private def arity(fn: String, exprs: Seq[Expression], n: Int): Unit =
+    if (exprs.length != n)
+      throw new AnalysisException("WRONG_NUM_ARGS.WITHOUT_SUGGESTION", Map(
+        "functionName" -> s"`$fn`",
+        "expectedNum" -> n.toString,
+        "actualNum" -> exprs.length.toString,
+        "docroot" -> "https://spark.apache.org/docs/latest"))
+
+  /** Evaluate argument `idx` of `fn` as a compile-time Int: it must be
+    * foldable (a literal or constant-foldable expression), integral
+    * and non-null. Mirrors Fnv.permBuilder's Cast coercion, but with
+    * the checks a catalog function is expected to make.
+    */
+  private def intArg(fn: String, exprs: Seq[Expression], idx: Int): Int = {
+    val e = exprs(idx)
+    if (!e.foldable)
+      throw new AnalysisException("NON_FOLDABLE_ARGUMENT", Map(
+        "funcName" -> s"`$fn`",
+        "paramName" -> s"`arg${idx + 1}`",
+        "paramType" -> "\"INT\""))
+    Cast(e, IntegerType).eval() match {
+      case i: java.lang.Integer => i.intValue()
+      case _ =>
+        throw new AnalysisException("NON_FOLDABLE_ARGUMENT", Map(
+          "funcName" -> s"`$fn`",
+          "paramName" -> s"`arg${idx + 1}`",
+          "paramType" -> "\"INT\""))
+    }
   }
+
+  /** (function name, implementing class for DESCRIBE FUNCTION, builder). */
+  final case class Fn(name: String, cls: Class[_],
+      build: Seq[Expression] => Expression)
+
+  private def unary(fn: String, cls: Class[_],
+      b: Expression => Expression): Fn =
+    Fn(fn, cls, { exprs => arity(fn, exprs, 1); b(exprs(0)) })
+
+  private def binary(fn: String, cls: Class[_],
+      b: (Expression, Expression) => Expression): Fn =
+    Fn(fn, cls, { exprs => arity(fn, exprs, 2); b(exprs(0), exprs(1)) })
+
+  /** `fn(col, n)` with n a foldable integral scalar. */
+  private def withIntArg(fn: String, cls: Class[_],
+      b: (Expression, Int) => Expression): Fn =
+    Fn(fn, cls, { exprs =>
+      arity(fn, exprs, 2); b(exprs(0), intArg(fn, exprs, 1))
+    })
+
+  /** Single source of truth for the SQL surface: both `register` and
+    * `GraftExtensions` install exactly these builders.
+    */
+  val builders: Seq[Fn] = Seq(
+    binary("intersect_size", classOf[IntersectSize], IntersectSize(_, _)),
+    unary("fnv1a64", classOf[Fnv1a64], Fnv1a64(_)),
+    Fn("fnv1a_perm", classOf[Fnv1aPerm], { exprs =>
+      arity("fnv1a_perm", exprs, 2); Fnv.permBuilder(exprs)
+    }),
+    unary("nlz_plus1", classOf[NlzPlus1], NlzPlus1(_)),
+    unary("ntz_plus1", classOf[NtzPlus1], NtzPlus1(_)),
+    unary("lang_id", classOf[LangIdExpr], LangIdExpr(_)),
+    unary("nltk_stop_count", classOf[NltkStopCount], NltkStopCount(_)),
+    unary("nfc_normalize", classOf[NfcNormalize], NfcNormalize(_)),
+    unary("strip_accents", classOf[StripAccents], StripAccents(_)),
+    binary("dot_product", classOf[DotProduct], DotProduct(_, _)),
+    binary("sq_dist", classOf[SqDist], SqDist(_, _)),
+    unary("self_dot", classOf[SelfDot], SelfDot(_)),
+    withIntArg("minhash_sig", classOf[MinHashSig], MinHashSig(_, _)),
+    unary("simhash64", classOf[SimHash64], SimHash64(_)),
+    withIntArg("word_shingles", classOf[WordShingles], WordShingles(_, _)),
+    withIntArg("char_ngrams", classOf[CharNgrams], CharNgrams(_, _)))
+
+  def register(spark: SparkSession): Unit =
+    builders.foreach { fn =>
+      ColumnBridge.registerFunction(spark, fn.name, fn.build)
+    }
 }
 
 /** Use via `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`
@@ -52,98 +104,11 @@ object GraftFunctions {
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => graft.plans.FuseTextExpressions)
-    e.injectFunction((
-      new org.apache.spark.sql.catalyst.FunctionIdentifier("intersect_size"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[IntersectSize].getName, "intersect_size"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        IntersectSize(exprs(0), exprs(1))))
-    e.injectFunction((
-      new org.apache.spark.sql.catalyst.FunctionIdentifier("fnv1a64"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[Fnv1a64].getName, "fnv1a64"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        Fnv1a64(exprs(0))))
-    e.injectFunction((
-      new org.apache.spark.sql.catalyst.FunctionIdentifier("fnv1a_perm"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[Fnv1aPerm].getName, "fnv1a_perm"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        Fnv.permBuilder(exprs)))
-    e.injectFunction((
-      new org.apache.spark.sql.catalyst.FunctionIdentifier("nlz_plus1"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[NlzPlus1].getName, "nlz_plus1"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        NlzPlus1(exprs(0))))
-    e.injectFunction((
-      new org.apache.spark.sql.catalyst.FunctionIdentifier("ntz_plus1"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[NtzPlus1].getName, "ntz_plus1"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        NtzPlus1(exprs(0))))
-    e.injectFunction((
-      new org.apache.spark.sql.catalyst.FunctionIdentifier("lang_id"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[LangIdExpr].getName, "lang_id"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        LangIdExpr(exprs(0))))
-    e.injectFunction((
-      new org.apache.spark.sql.catalyst.FunctionIdentifier("nltk_stop_count"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[NltkStopCount].getName, "nltk_stop_count"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        NltkStopCount(exprs(0))))
-    e.injectFunction((
-      new org.apache.spark.sql.catalyst.FunctionIdentifier("nfc_normalize"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[NfcNormalize].getName, "nfc_normalize"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        NfcNormalize(exprs(0))))
-    e.injectFunction((
-      new org.apache.spark.sql.catalyst.FunctionIdentifier("strip_accents"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[StripAccents].getName, "strip_accents"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        StripAccents(exprs(0))))
-    e.injectFunction((
-      new org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[DotProduct].getName, "dot_product"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        DotProduct(exprs(0), exprs(1))))
-    e.injectFunction((
-      new org.apache.spark.sql.catalyst.FunctionIdentifier("sq_dist"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[SqDist].getName, "sq_dist"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        SqDist(exprs(0), exprs(1))))
-    e.injectFunction((
-      new org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_sig"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[MinHashSig].getName, "minhash_sig"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        MinHashSig(exprs(0),
-          exprs(1).eval().asInstanceOf[Number].intValue())))
-    e.injectFunction((
-      new org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[SimHash64].getName, "simhash64"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        SimHash64(exprs(0))))
-    e.injectFunction((
-      new org.apache.spark.sql.catalyst.FunctionIdentifier("word_shingles"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[WordShingles].getName, "word_shingles"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        WordShingles(exprs(0),
-          exprs(1).eval().asInstanceOf[Number].intValue())))
-    e.injectFunction((
-      new org.apache.spark.sql.catalyst.FunctionIdentifier("char_ngrams"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[CharNgrams].getName, "char_ngrams"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        CharNgrams(exprs(0),
-          exprs(1).eval().asInstanceOf[Number].intValue())))
+    GraftFunctions.builders.foreach { fn =>
+      e.injectFunction((
+        new FunctionIdentifier(fn.name),
+        new ExpressionInfo(fn.cls.getName, fn.name),
+        fn.build))
+    }
   }
 }

@@ -582,8 +582,8 @@ object Dedup {
   /** Cosine similarity between two double arrays (codegen'd HOFs). */
   def cosine(a: Column, b: Column): Column = {
     val dot = graft.operators.Similarity.dot(a, b)
-    val na = sqrt(graft.operators.Similarity.dot(a, a))
-    val nb = sqrt(graft.operators.Similarity.dot(b, b))
+    val na = graft.operators.Similarity.norm(a)
+    val nb = graft.operators.Similarity.norm(b)
     dot / (na * nb)
   }
 

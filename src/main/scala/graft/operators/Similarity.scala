@@ -31,8 +31,14 @@ object Similarity {
         org.apache.spark.sql.graft.ColumnBridge.expression(b)))
 
   def norm(a: Column): Column =
-    // sqrt of the fused self-dot: acc + x*x in the same fold order
-    sqrt(dot(a, a))
+    // sqrt of the fused UNARY self-dot — same fold order as
+    // aggregate(a, 0.0, (acc, x) -> acc + x*x), but the array argument
+    // is evaluated ONCE per row. dot(a, a) would codegen the child
+    // expression twice (binary operands generate independently), which
+    // doubles the work whenever callers pass a computed array.
+    sqrt(org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.SelfDot(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a))))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 

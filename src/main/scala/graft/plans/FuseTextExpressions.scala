@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.{DigitCount, DotProduct, IntersectSize, PunctCount, SqDist}
+import graft.functions.{DigitCount, DotProduct, IntersectSize, PunctCount, SelfDot, SqDist}
 
 /** Optimizer rule: rewrite composed-builtin patterns into the engine's
   * fused native expressions, so a user writing PLAIN declarative Spark
@@ -91,14 +91,18 @@ object FuseTextExpressions extends Rule[LogicalPlan] {
             x1.semanticEquals(zx) && y1.semanticEquals(zy) &&
             x2.semanticEquals(zx) && y2.semanticEquals(zy) =>
         SqDist(a, b)
-      // aggregate(a, 0.0, (acc, x) -> acc + x * x) -> dot_product(a, a):
-      // the self-dot under every norm — identical fold (Σ xᵢ·xᵢ).
+      // aggregate(a, 0.0, (acc, x) -> acc + x * x) -> self_dot(a): the
+      // self-dot under every norm — identical fold (Σ xᵢ·xᵢ). The UNARY
+      // target evaluates `a` exactly once, like the original aggregate,
+      // so the rewrite needs no determinism guard (dot_product(a, a)
+      // would codegen `a` twice — wrong for non-deterministic arrays
+      // and double work for computed ones).
       case ArrayAggregate(a, Literal(zero, DoubleType),
           LambdaFunction(Add(acc, Multiply(x1, x2, _), _), Seq(lacc, lx), _),
           LambdaFunction(fin, Seq(fv), _))
           if zero == 0.0 && isDoubleArray(a) && acc.semanticEquals(lacc) &&
             x1.semanticEquals(lx) && x2.semanticEquals(lx) &&
             fin.semanticEquals(fv) =>
-        DotProduct(a, a)
+        SelfDot(a)
     }
 }

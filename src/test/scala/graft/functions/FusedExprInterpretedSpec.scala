@@ -52,6 +52,7 @@ class FusedExprInterpretedSpec extends SparkSpec {
       .orderBy($"doc_id").collect().toSeq
     def vecCols(d: org.apache.spark.sql.DataFrame) = d.select($"vec_id",
       bridge(DotProduct(expr($"v"), expr($"v"))).as("d"),
+      bridge(SelfDot(expr($"v"))).as("sd"),
       bridge(SqDist(expr($"v"), expr(reverse($"v")))).as("s"))
       .orderBy($"vec_id").collect().toSeq
 

@@ -173,7 +173,7 @@ class FuseSpec extends SparkSpec {
     }
   }
 
-  test("self-dot norm fold fuses to dot_product(a, a) bit-equal") {
+  test("self-dot norm fold fuses to the UNARY self_dot(a) bit-equal") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
     val df = (1 to 100).map(_ => Tuple1(Seq.fill(16)(rnd.nextDouble() * 2 - 1)))
@@ -184,12 +184,28 @@ class FuseSpec extends SparkSpec {
     withRule {
       val optimized = q(df).queryExecution.optimizedPlan
       assert(optimized.expressions.exists(_.exists(
-        _.isInstanceOf[graft.functions.DotProduct])),
-        s"expected DotProduct in:\n$optimized")
+        _.isInstanceOf[graft.functions.SelfDot])),
+        s"expected SelfDot in:\n$optimized")
       q(df).collect().toSeq.zip(plain).foreach { case (fr, pr) =>
         assert(java.lang.Double.doubleToRawLongBits(fr.getDouble(0)) ==
           java.lang.Double.doubleToRawLongBits(pr.getDouble(0)))
       }
+    }
+  }
+
+  test("self-dot rewrite is safe for a NON-DETERMINISTIC array (single eval)") {
+    import spark.implicits._
+    // shuffle(a) is non-deterministic; the unary SelfDot target
+    // evaluates it once, exactly like the original aggregate — and the
+    // sum of squares is permutation-invariant, so the value must equal
+    // the sorted-array self-dot regardless of the order produced.
+    val df = Seq(Tuple1(Seq(1.0, 2.0, 3.0))).toDF("a").repartition(1)
+    withRule {
+      val q = df.select(
+        aggregate(shuffle(col("a")), lit(0.0), (acc, x) => acc + x * x).as("n2"))
+      assert(q.queryExecution.optimizedPlan.expressions.exists(_.exists(
+        _.isInstanceOf[graft.functions.SelfDot])))
+      assert(q.collect().head.getDouble(0) == 14.0)
     }
   }
 }
