@@ -12,6 +12,13 @@ import org.apache.spark.sql.functions._
   * path that survived sf0.1 by luck becomes obvious at sf1.
   *
   * Usage: runMain graft.Stress [outDir] [queryRegex]
+  *
+  * `queryRegex = all` (round-9) sweeps the ENTIRE registry —
+  * `SparkEntry.allQueries`, name-sorted — instead of the curated
+  * heavy-target list: the scale-evidence ladder's last rung is every
+  * query timed at sf1, with per-query sf1/sf0.1 ratios assembled into
+  * STRESS_r{N}.md by comparing a run pointed at the sf0.1 dir with a
+  * run pointed at the replica.
   */
 object Stress {
   val Targets = Seq(
@@ -156,8 +163,10 @@ object Stress {
 
     // ---- wall-time the targets ----
     val qmap = SparkEntry.allQueries
-    val results = Targets
-      .filter(n => filter.forall(_.findFirstIn(n).isDefined))
+    val names =
+      if (args.lift(1).contains("all")) qmap.keys.toSeq.sorted
+      else Targets.filter(n => filter.forall(_.findFirstIn(n).isDefined))
+    val results = names
       .map { name =>
         val t0 = System.nanoTime()
         val ok =

@@ -1577,7 +1577,7 @@ object AnalysisQueries extends QueryProvider {
               |  CASE WHEN len(tok) = 0 THEN 0.0 ELSE
               |    list_reduce(list_transform(tok, x -> len(x) * 1.0),
               |      (a, b) -> a + b) / len(tok) END AS mwl,
-              |  len(list_filter(tok, x -> list_contains(${TextSql.stopSql}, x)))
+              |  len(list_filter(tok, x -> (${TextSql.inWords(graft.text.StopWords.nltkEnglishAlpha, "x")})))
               |    AS nstop,
               |  len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]')))
               |    * 1.0 / greatest(len(words), 1) AS afrac,

@@ -37,9 +37,11 @@ object DedupQueries extends QueryProvider {
        |voc AS (SELECT DISTINCT g FROM shr),
        |gh AS (SELECT g, ${FnvSql.ofString("g")} AS hu FROM voc),
        |hv AS (SELECT DISTINCT id, hu FROM shr JOIN gh USING (g)),
-       |permh AS (SELECT hu, r.i, ${FnvSql.toSigned(FnvSql.perm("r.i", "hu"))} AS ps
-       |  FROM (SELECT DISTINCT hu FROM hv) h
-       |  CROSS JOIN (SELECT unnest(range(32)) AS i) r),
+       |permh AS (SELECT hu, i, ${FnvSql.toSigned("fu")} AS ps
+       |  FROM (SELECT hu, p.i, ${FnvSql.permTail("p.acc0", "hu")} AS fu
+       |    FROM (SELECT DISTINCT hu FROM hv) h
+       |    CROSS JOIN (SELECT i, ${FnvSql.permPrefix("i")} AS acc0
+       |      FROM (SELECT unnest(range(32)) AS i)) p)),
        |sig AS MATERIALIZED (SELECT id, i, min(ps) AS m
        |  FROM hv JOIN permh USING (hu) GROUP BY id, i),
        |bands AS (SELECT id, i // 4 AS band,

@@ -39,6 +39,32 @@ private[queries] object FnvSql {
        |      (($hu // 72057594037927936) % 256) ]),
        |  $fold)""".stripMargin
 
+  /** FNV-1a state after folding only the 4 LE seed bytes from the
+    * offset basis — the per-permutation PREFIX, independent of the
+    * hashed key. FNV is a sequential fold, so
+    * `perm(seed, hu) = permTail(permPrefix(seed), hu)` exactly;
+    * precomputing the prefix once per seed (e.g. 32 rows) removes a
+    * third of the fold steps from a seeds×keys permutation table.
+    */
+  def permPrefix(seed: String): String =
+    s"""list_reduce(
+       |  list_prepend(14695981039346656037::HUGEINT,
+       |    [ ($seed % 256)::HUGEINT, (($seed // 256) % 256)::HUGEINT,
+       |      (($seed // 65536) % 256)::HUGEINT, (($seed // 16777216) % 256)::HUGEINT ]),
+       |  $fold)""".stripMargin
+
+  /** Continue the FNV-1a fold from a precomputed prefix state `acc0`
+    * over the 8 LE bytes of the unsigned-HUGEINT `hu`.
+    */
+  def permTail(acc0: String, hu: String): String =
+    s"""list_reduce(
+       |  list_prepend($acc0,
+       |    [ ($hu % 256), (($hu // 256) % 256), (($hu // 65536) % 256),
+       |      (($hu // 16777216) % 256), (($hu // 4294967296) % 256),
+       |      (($hu // 1099511627776) % 256), (($hu // 281474976710656) % 256),
+       |      (($hu // 72057594037927936) % 256) ]),
+       |  $fold)""".stripMargin
+
   /** Unsigned HUGEINT -> signed BIGINT (two's-complement wrap). */
   def toSigned(e: String): String =
     s"""CAST(CASE WHEN $e >= 9223372036854775808::HUGEINT

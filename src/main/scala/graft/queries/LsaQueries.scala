@@ -616,7 +616,7 @@ object LsaQueries extends QueryProvider {
        |  FROM documents),
        |tokrows AS (SELECT g, sidx, unnest(list_distinct(list_filter(
        |    regexp_extract_all(lower(text), '[a-zA-Z]+'),
-       |    x -> NOT list_contains(${TextQueries.stopSql}, x)))) AS term
+       |    x -> NOT (${TextSql.inWords(graft.text.StopWords.nltkEnglishAlpha, "x")})))) AS term
        |  FROM sents),
        |cells AS MATERIALIZED (SELECT g, term AS id, sidx AS token, 1.0 AS a
        |  FROM tokrows),
@@ -680,7 +680,7 @@ object LsaQueries extends QueryProvider {
        |sysall AS ($sysAll),
        |btok AS (SELECT g, oidx, unnest(list_distinct(list_filter(
        |    regexp_extract_all(lower(text), '[a-zA-Z]+'),
-       |    x -> NOT list_contains(${TextQueries.stopSql}, x)))) AS term
+       |    x -> NOT (${TextSql.inWords(graft.text.StopWords.nltkEnglishAlpha, "x")})))) AS term
        |  FROM ord),
        |bcells AS MATERIALIZED (SELECT g, term AS id, oidx AS token, 1.0 AS a
        |  FROM btok),
@@ -804,7 +804,7 @@ object LsaQueries extends QueryProvider {
        |  FROM documents WHERE lang = 'en' AND doc_id < 200),
        |tokrows AS (SELECT sid, unnest(list_distinct(list_filter(
        |    regexp_extract_all(lower(text), '[a-zA-Z]+'),
-       |    x -> NOT list_contains(${TextQueries.stopSql}, x)))) AS term
+       |    x -> NOT (${TextSql.inWords(graft.text.StopWords.nltkEnglishAlpha, "x")})))) AS term
        |  FROM sents),
        |cells AS MATERIALIZED (SELECT '' AS g, term AS id, sid AS token, 1.0 AS a
        |  FROM tokrows),

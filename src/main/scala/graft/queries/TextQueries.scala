@@ -33,7 +33,7 @@ object TextQueries extends QueryProvider {
     * ls06's power-iteration oracle).
     */
   private[queries] def tokSql(src: String = "text"): String =
-    s"list_filter(regexp_extract_all(lower($src),'[a-zA-Z]+'), x -> len(x)>=3 AND NOT list_contains($stopSql, x))"
+    s"list_filter(regexp_extract_all(lower($src),'[a-zA-Z]+'), x -> len(x)>=3 AND NOT (${TextSql.inWords(StopWords.nltkEnglishAlpha, "x")}))"
 
   override val all: Seq[Q] = Seq(
 

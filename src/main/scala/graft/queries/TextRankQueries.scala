@@ -72,7 +72,7 @@ object TextRankQueries extends QueryProvider {
     s"""WITH v0 AS (
        |SELECT doc_id AS id,
        |list_filter(regexp_extract_all(lower(text),'[a-zA-Z]+'),
-       |  x -> len(x) >= 4 AND NOT list_contains($stopSql, x)) AS toks
+       |  x -> len(x) >= 4 AND NOT (${TextSql.inWords(StopWords.nltkEnglishAlpha, "x")})) AS toks
        |FROM documents
        |WHERE len(string_split(text,' ')) > 10 AND len(string_split(text,' ')) < 30),
        |v AS (SELECT id, toks, len(toks) AS n FROM v0 WHERE len(toks) > 0),
@@ -87,7 +87,7 @@ object TextRankQueries extends QueryProvider {
        |d0 AS (
        |SELECT doc_id,
        |list_filter(regexp_extract_all(lower(text),'[a-zA-Z]+'),
-       |  x -> NOT list_contains($stopSql, x)) AS t0
+       |  x -> NOT (${TextSql.inWords(StopWords.nltkEnglishAlpha, "x")})) AS t0
        |FROM documents
        |WHERE len(string_split(text,' ')) > 10 AND len(string_split(text,' ')) < 30),
        |tokrows AS (SELECT doc_id, unnest(range(len(t0))) AS pos,
@@ -178,7 +178,7 @@ object TextRankQueries extends QueryProvider {
         s"""WITH v0 AS (
            |SELECT doc_id AS id,
            |list_filter(regexp_extract_all(lower(text),'[a-zA-Z]+'),
-           |  x -> len(x) >= 4 AND NOT list_contains($stopSql, x)) AS toks
+           |  x -> len(x) >= 4 AND NOT (${TextSql.inWords(StopWords.nltkEnglishAlpha, "x")})) AS toks
            |FROM documents
            |WHERE len(string_split(text,' ')) > 10 AND len(string_split(text,' ')) < 30),
            |v AS (SELECT id, toks, len(toks) AS n FROM v0 WHERE len(toks) > 0),
@@ -231,7 +231,7 @@ object TextRankQueries extends QueryProvider {
         s"""WITH v0 AS (
            |SELECT lang AS grp, doc_id AS id,
            |list_filter(regexp_extract_all(lower(text),'[a-zA-Z]+'),
-           |  x -> len(x) >= 4 AND NOT list_contains($stopSql, x)) AS toks
+           |  x -> len(x) >= 4 AND NOT (${TextSql.inWords(StopWords.nltkEnglishAlpha, "x")})) AS toks
            |FROM documents
            |WHERE len(string_split(text,' ')) > 10 AND len(string_split(text,' ')) < 30),
            |v AS (SELECT grp, id, toks, len(toks) AS n FROM v0 WHERE len(toks) > 0),
@@ -287,7 +287,7 @@ object TextRankQueries extends QueryProvider {
       Some(
         s"""WITH tok AS (
            |SELECT list_filter(regexp_extract_all(lower(text),'[a-zA-Z]+'),
-           |  x -> len(x) >= 4 AND NOT list_contains($stopSql, x)) AS t
+           |  x -> len(x) >= 4 AND NOT (${TextSql.inWords(StopWords.nltkEnglishAlpha, "x")})) AS t
            |FROM documents),
            |p1 AS (SELECT unnest(list_transform(range(len(t)-1),
            |    i -> [t[i+1], t[i+2]])) AS p FROM tok WHERE len(t) > 1),

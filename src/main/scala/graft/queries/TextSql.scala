@@ -22,16 +22,24 @@ private[queries] object TextSql {
   val stopSql: String =
     StopWords.nltkEnglishAlpha.map(w => s"'$w'").mkString("[", ",", "]")
 
-  private val lex: Map[String, String] = TA.lexicons.map { case (l, ws) =>
-    l -> ws.map(w => s"'$w'").mkString("[", ",", "]")
-  }
+  /** `x IN ('w1','w2',…)` — constant-set membership as a hash probe.
+    * DuckDB executes `list_contains(constantList, x)` as a LINEAR scan
+    * of the list per probed element (measured 44× slower than IN on
+    * the 127-word stopword list over the sf0.1 corpus — it was the
+    * single biggest line item in the full-gate DuckDB wall); IN over
+    * constants compiles to a hash-set lookup. Value-identical for
+    * non-null `x` — every caller probes regexp-extracted tokens,
+    * which are never null.
+    */
+  def inWords(words: Seq[String], x: String): String =
+    words.map(w => s"'$w'").mkString(s"$x IN (", ",", ")")
 
   /** Per-language function-word vote counts over the `tk` array. */
   val voteItems: String =
-    s"""len(list_filter(tk, x -> list_contains(${lex("en")}, x))) AS ven,
-       |  len(list_filter(tk, x -> list_contains(${lex("fr")}, x))) AS vfr,
-       |  len(list_filter(tk, x -> list_contains(${lex("es")}, x))) AS ves,
-       |  len(list_filter(tk, x -> list_contains(${lex("de")}, x))) AS vde""".stripMargin
+    s"""len(list_filter(tk, x -> ${inWords(TA.lexicons("en"), "x")})) AS ven,
+       |  len(list_filter(tk, x -> ${inWords(TA.lexicons("fr"), "x")})) AS vfr,
+       |  len(list_filter(tk, x -> ${inWords(TA.lexicons("es"), "x")})) AS ves,
+       |  len(list_filter(tk, x -> ${inWords(TA.lexicons("de"), "x")})) AS vde""".stripMargin
 
   /** Best-vote language with the engine's tie order (en,fr,es,de), Han
     * short-circuit, 'und' when every vote is zero.
@@ -48,7 +56,7 @@ private[queries] object TextSql {
   val ratioItems: String =
     s"""len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 / greatest(length(text), 1) AS pr,
        |  len(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / greatest(length(text), 1) AS dr,
-       |  len(list_filter(tok, x -> list_contains($stopSql, x))) * 1.0 / greatest(len(tok), 1) AS sr""".stripMargin
+       |  len(list_filter(tok, x -> ${inWords(StopWords.nltkEnglishAlpha, "x")})) * 1.0 / greatest(len(tok), 1) AS sr""".stripMargin
 
   /** The composite quality score over pr/dr/sr + a token-count expr,
     * rounded to the 6dp the engine emits.

@@ -193,6 +193,127 @@ class FuseSpec extends SparkSpec {
     }
   }
 
+  // ---- MinHash/shingling family (round-9) ----
+
+  /** The exact HOF compositions the fused kernels replaced (same
+    * builders the graft.functions kernel specs pin bit-equality
+    * against).
+    */
+  private def hofShingles(tokens: org.apache.spark.sql.Column, n: Int) =
+    when(size(tokens) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(tokens) - n),
+        i => array_join(slice(tokens, i + 1, lit(n)), " ")))
+
+  private def hofNgrams(s: org.apache.spark.sql.Column, n: Int) =
+    when(length(s) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(s) - n + 1),
+        i => s.substr(i, lit(n))))
+
+  private def hofSig(hashes: org.apache.spark.sql.Column, n: Int) =
+    transform(sequence(lit(0), lit(n - 1)),
+      i => array_min(transform(hashes,
+        h => graft.functions.Fnv.fnv1a_perm(i.cast("int"), h))))
+
+  private def hofSimhash(tokens: org.apache.spark.sql.Column) = {
+    val hs = transform(tokens, t => graft.functions.Fnv.fnv1a64(t))
+    aggregate(
+      sequence(lit(0L), lit(63L)),
+      lit(0L),
+      (acc, i) => acc.bitwiseOR(
+        when(
+          aggregate(hs, lit(0),
+            (v, h) => v + when(
+              call_function("shiftrightunsigned", h, i)
+                .bitwiseAND(lit(1L)) === lit(1L), 1).otherwise(-1)) > 0,
+          call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))))
+  }
+
+  test("MinHash-family HOF compositions fuse to the kernels, results equal") {
+    import spark.implicits._
+    val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+      .limit(120)
+      .select($"doc_id", graft.text.TextFunctions.tokenize($"text").as("t"),
+        regexp_replace(lower($"text"), "[^a-z]", "").as("c"))
+      .withColumn("hv", graft.operators.Dedup.shingleHashes(
+        graft.operators.Dedup.shingles($"t", 3)))
+      .localCheckpoint() // freeze inputs so plain/fused read identical rows
+    def q(d: org.apache.spark.sql.DataFrame) = d.select($"doc_id",
+      hofShingles($"t", 3).as("sh"),
+      hofNgrams($"c", 2).as("bg"),
+      hofSig($"hv", 16).as("sig"),
+      hofSimhash($"t").as("sim"))
+      .orderBy($"doc_id")
+    val plain = q(docs).collect().toSeq
+    withRule {
+      val optimized = q(docs).queryExecution.optimizedPlan
+      for ((cls, label) <- Seq(
+          classOf[graft.functions.WordShingles] -> "WordShingles",
+          classOf[graft.functions.CharNgrams] -> "CharNgrams",
+          classOf[graft.functions.MinHashSig] -> "MinHashSig",
+          classOf[graft.functions.SimHash64] -> "SimHash64"))
+        assert(optimized.exists(_.expressions.exists(_.exists(e => cls.isInstance(e)))),
+          s"expected $label in:\n$optimized")
+      assert(q(docs).collect().toSeq == plain)
+    }
+  }
+
+  test("MinHash-family near-miss compositions are left alone") {
+    import spark.implicits._
+    val df = Seq((Seq("a", "b", "c"), Seq(42L, 7L))).toDF("t", "hv")
+      .repartition(1)
+    withRule {
+      // wrong join delimiter; sequence not starting at 0; non-identity
+      // permutation order — none may fire
+      val q = df.select(
+        when(size($"t") < 2, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(0), size($"t") - 2),
+            i => array_join(slice($"t", i + 1, lit(2)), "_"))).as("a"),
+        transform(sequence(lit(1), lit(4)),
+          i => array_min(transform($"hv",
+            h => graft.functions.Fnv.fnv1a_perm(i.cast("int"), h)))).as("b"))
+      val optimized = q.queryExecution.optimizedPlan
+      assert(!optimized.expressions.exists(_.exists(
+        _.isInstanceOf[graft.functions.WordShingles])),
+        s"unexpected WordShingles in:\n$optimized")
+      assert(!optimized.expressions.exists(_.exists(
+        _.isInstanceOf[graft.functions.MinHashSig])),
+        s"unexpected MinHashSig in:\n$optimized")
+    }
+  }
+
+  test("a NON-DETERMINISTIC child blocks the MinHash-family rewrites") {
+    import spark.implicits._
+    val df = Seq(Tuple1(Seq("a", "b", "c"))).toDF("t").repartition(1)
+    withRule {
+      // the composition evaluates shuffle(t) per outer element; the
+      // fused kernel would evaluate it once — different semantics
+      val q = df.select(hofShingles(shuffle($"t"), 2).as("sh"),
+        hofSimhash(shuffle($"t")).as("sim"))
+      val optimized = q.queryExecution.optimizedPlan
+      assert(!optimized.expressions.exists(_.exists(e =>
+        e.isInstanceOf[graft.functions.WordShingles] ||
+          e.isInstanceOf[graft.functions.SimHash64])),
+        s"unexpected fused kernel in:\n$optimized")
+    }
+  }
+
+  test("fused MinHash-family null corners equal the compositions") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(Seq("a", "b")), Some("ab"), Some(Seq(42L))),
+      (2L, Some(Seq.empty[String]), Some(""), Some(Seq.empty[Long])),
+      (3L, None, None, None),
+      (4L, Some(Seq("a", null, "b")), Some("a"), Some(Seq(7L, -1L)))
+    ).toDF("id", "t", "c", "hv").repartition(2)
+    def q(d: org.apache.spark.sql.DataFrame) = d.select($"id",
+      hofShingles($"t", 2).as("sh"), hofNgrams($"c", 2).as("bg"),
+      hofSig($"hv", 4).as("sig"), hofSimhash($"t").as("sim"))
+      .orderBy($"id")
+    val plain = q(df).collect().toSeq
+    val fused = withRule(q(df).collect().toSeq)
+    assert(fused == plain)
+  }
+
   test("self-dot rewrite is safe for a NON-DETERMINISTIC array (single eval)") {
     import spark.implicits._
     // shuffle(a) is non-deterministic; the unary SelfDot target
