@@ -163,9 +163,16 @@ object Stress {
 
     // ---- wall-time the targets ----
     val qmap = SparkEntry.allQueries
-    val names =
-      if (args.lift(1).contains("all")) qmap.keys.toSeq.sorted
-      else Targets.filter(n => filter.forall(_.findFirstIn(n).isDefined))
+    // no arg -> the curated heavy-target list; 'all' -> entire registry;
+    // a regex -> matching subset of the ENTIRE registry (so any query
+    // can be spot-stressed, not just curated ones)
+    val names = args.lift(1) match {
+      case Some("all") => qmap.keys.toSeq.sorted
+      case Some(_) =>
+        qmap.keys.toSeq.sorted
+          .filter(n => filter.forall(_.findFirstIn(n).isDefined))
+      case None => Targets
+    }
     val results = names
       .map { name =>
         val t0 = System.nanoTime()

@@ -533,7 +533,13 @@ object Dedup {
     val e = pairs.select(col("a").cast("long"), col("b").cast("long"))
       .as[(Long, Long)].rdd
     val edges = e.flatMap { case (a, b) => Seq(Edge(a, b, ()), Edge(b, a, ())) }
-    val g = Graph.fromEdges(edges, ()).mapVertices((id, _) => id)
+    // serialized+spillable like TextRankGraphX.ranks: candidate-pair
+    // edge sets are LSH-bounded but still corpus-proportional; default
+    // MEMORY_ONLY deserialized caching is the only unbounded-heap shape
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val g = Graph.fromEdges(edges, (),
+      edgeStorageLevel = lvl, vertexStorageLevel = lvl)
+      .mapVertices((id, _) => id)
     val res = g.pregel(Long.MaxValue, iterations, EdgeDirection.Either)(
       (_, attr, msg) => math.min(attr, msg),
       t => if (t.srcAttr < t.dstAttr) Iterator((t.dstId, t.srcAttr))

@@ -66,6 +66,19 @@ class FusedExprPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("SelfDot: bit-equal to the Σx² fold reference on hostile doubles") {
+    forAllN(dArray) { a =>
+      val sd = SelfDot.compute(new GenericArrayData(a))
+      val ref = refFold(a, a, (x, y) => x * y)
+      assert((sd == null) == ref.isEmpty)
+      ref.foreach(r => assert(bits(sd) == bits(r)))
+      // and identical to the binary kernel applied to the same buffer
+      val dd = DotProduct.compute(new GenericArrayData(a), new GenericArrayData(a))
+      assert((sd == null) == (dd == null))
+      if (sd != null) assert(bits(sd) == bits(dd))
+    }
+  }
+
   private val hostileLong: Gen[java.lang.Long] = Gen.frequency(
     10 -> Gen.choose(Long.MinValue, Long.MaxValue).map(java.lang.Long.valueOf),
     1 -> Gen.const(null: java.lang.Long))
