@@ -83,9 +83,20 @@ def run_one(task):
     # bound per-worker DuckDB threads so GATE_PAR workers don't
     # oversubscribe the box (DuckDB defaults to all cores per process)
     con.sql(f"SET threads={max(1, os.cpu_count() // int(os.environ.get('GATE_PAR', '8')))}")
+    # Bound per-worker memory and spill to disk past it: at the sf1
+    # stress scale a MATERIALIZED quadratic pair CTE ballooned one
+    # worker to 41 GB and the kernel OOM-killed the pool (round-9).
+    # DuckDB degrades to out-of-core gracefully with a temp dir.
+    con.sql(f"SET memory_limit='{os.environ.get('GATE_MEM', '10GB')}'")
+    con.sql("SET temp_directory='/tmp/duck_spill'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
+        if os.path.isdir(p):
+            # Spark-written table (stress replicas): a DIRECTORY of part
+            # files — glob them. Driver-generated sf dirs stay the
+            # single-file form below.
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+        elif os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     try:
         duck_df = con.sql(sql).df()
