@@ -120,8 +120,43 @@ def main():
     tasks = [(n, oracles.get(n), dirs.get(n), sf_dir) for n in names]
     par = int(os.environ.get("GATE_PAR", "8"))
     t0 = time.time()
-    with ProcessPoolExecutor(max_workers=par) as ex:
-        results = list(ex.map(run_one, tasks))
+    # Collect per-future and survive worker crashes: a DuckDB hard
+    # abort (observed once at sf1 under out-of-core pressure) kills its
+    # worker and poisons every pending future in the pool. On breakage,
+    # rebuild the pool and retry the unfinished tasks; a task that has
+    # been in a broken pool twice is recorded as FAIL (it is either the
+    # crasher or twice-unlucky — at two pool breaks the distinction
+    # stops mattering for a gate run).
+    results = []
+    attempts = {t[0]: 0 for t in tasks}
+    pending = list(tasks)
+    while pending:
+        with ProcessPoolExecutor(max_workers=par) as ex:
+            futs = {ex.submit(run_one, t): t for t in pending}
+            pending = []
+            broke = False
+            for fut, t in futs.items():
+                if broke:
+                    fut.cancel()
+                    attempts[t[0]] += 1
+                    if attempts[t[0]] >= 2:
+                        results.append((t[0], "FAIL", "worker pool broke twice", 0.0))
+                        print(f"CRASH {t[0]}: pool broke twice", flush=True)
+                    else:
+                        pending.append(t)
+                    continue
+                try:
+                    r = fut.result()
+                    results.append(r)
+                    print(f"{r[1]:5} {r[0]} [{r[3]:.1f}s]", flush=True)
+                except Exception as e:
+                    broke = True
+                    attempts[t[0]] += 1
+                    if attempts[t[0]] >= 2:
+                        results.append((t[0], "FAIL", f"worker crashed: {e}", 0.0))
+                        print(f"CRASH {t[0]}: {e}", flush=True)
+                    else:
+                        pending.append(t)
     n_pass = n_fail = n_skip = 0
     for name, status, detail, secs in results:
         if status == "PASS":
