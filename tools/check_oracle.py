@@ -128,8 +128,8 @@ def main():
     # crasher or twice-unlucky — at two pool breaks the distinction
     # stops mattering for a gate run).
     results = []
-    attempts = {t[0]: 0 for t in tasks}
     pending = list(tasks)
+    retry = []
     while pending:
         with ProcessPoolExecutor(max_workers=par) as ex:
             futs = {ex.submit(run_one, t): t for t in pending}
@@ -137,13 +137,11 @@ def main():
             broke = False
             for fut, t in futs.items():
                 if broke:
+                    # pool poisoned: everything unfinished goes to the
+                    # ISOLATED retry lane (one task per throwaway pool,
+                    # so the actual crasher can only fail itself)
                     fut.cancel()
-                    attempts[t[0]] += 1
-                    if attempts[t[0]] >= 2:
-                        results.append((t[0], "FAIL", "worker pool broke twice", 0.0))
-                        print(f"CRASH {t[0]}: pool broke twice", flush=True)
-                    else:
-                        pending.append(t)
+                    retry.append(t)
                     continue
                 try:
                     r = fut.result()
@@ -151,12 +149,20 @@ def main():
                     print(f"{r[1]:5} {r[0]} [{r[3]:.1f}s]", flush=True)
                 except Exception as e:
                     broke = True
-                    attempts[t[0]] += 1
-                    if attempts[t[0]] >= 2:
-                        results.append((t[0], "FAIL", f"worker crashed: {e}", 0.0))
-                        print(f"CRASH {t[0]}: {e}", flush=True)
-                    else:
-                        pending.append(t)
+                    retry.append(t)
+    if retry:
+        # sequential lane: grant each isolated task the whole box
+        os.environ["GATE_PAR"] = "1"
+        os.environ["GATE_MEM"] = os.environ.get("GATE_RETRY_MEM", "60GB")
+    for t in retry:
+        try:
+            with ProcessPoolExecutor(max_workers=1) as ex1:
+                r = ex1.submit(run_one, t).result()
+            results.append(r)
+            print(f"{r[1]:5} {r[0]} [{r[3]:.1f}s] (isolated retry)", flush=True)
+        except Exception as e:
+            results.append((t[0], "FAIL", f"worker crashed: {e}", 0.0))
+            print(f"CRASH {t[0]}: {e}", flush=True)
     n_pass = n_fail = n_skip = 0
     for name, status, detail, secs in results:
         if status == "PASS":
