@@ -121,35 +121,26 @@ def main():
     par = int(os.environ.get("GATE_PAR", "8"))
     t0 = time.time()
     # Collect per-future and survive worker crashes: a DuckDB hard
-    # abort (observed once at sf1 under out-of-core pressure) kills its
-    # worker and poisons every pending future in the pool. On breakage,
-    # rebuild the pool and retry the unfinished tasks; a task that has
-    # been in a broken pool twice is recorded as FAIL (it is either the
-    # crasher or twice-unlucky — at two pool breaks the distinction
-    # stops mattering for a gate run).
+    # abort (observed at sf1 under out-of-core pressure) kills its
+    # worker and poisons every pending future in the pool. Unfinished
+    # tasks fall through to the isolated retry lane below.
     results = []
-    pending = list(tasks)
     retry = []
-    while pending:
-        with ProcessPoolExecutor(max_workers=par) as ex:
-            futs = {ex.submit(run_one, t): t for t in pending}
-            pending = []
-            broke = False
-            for fut, t in futs.items():
-                if broke:
-                    # pool poisoned: everything unfinished goes to the
-                    # ISOLATED retry lane (one task per throwaway pool,
-                    # so the actual crasher can only fail itself)
-                    fut.cancel()
-                    retry.append(t)
-                    continue
-                try:
-                    r = fut.result()
-                    results.append(r)
-                    print(f"{r[1]:5} {r[0]} [{r[3]:.1f}s]", flush=True)
-                except Exception as e:
-                    broke = True
-                    retry.append(t)
+    with ProcessPoolExecutor(max_workers=par) as ex:
+        futs = {ex.submit(run_one, t): t for t in tasks}
+        for fut, t in futs.items():
+            # On a poisoned pool every unfinished future raises
+            # BrokenProcessPool from result() immediately; those tasks
+            # go to the ISOLATED retry lane (one task per throwaway
+            # pool, so the actual crasher can only fail itself). No
+            # cancel(): it races the broken-pool machinery's own
+            # exception-setting (InvalidStateError).
+            try:
+                r = fut.result()
+                results.append(r)
+                print(f"{r[1]:5} {r[0]} [{r[3]:.1f}s]", flush=True)
+            except Exception:
+                retry.append(t)
     if retry:
         # sequential lane: grant each isolated task the whole box
         os.environ["GATE_PAR"] = "1"
