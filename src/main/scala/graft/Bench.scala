@@ -37,9 +37,48 @@ object Bench {
     def runOnce(name: String): Boolean =
       try { qmap(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
+    // SESSION-LEVEL contamination gauge (r9 lesson): per-query respread
+    // catches VARIANCE, but steady external load (a background sweep, a
+    // judge re-run) biases both runs of every query TOGETHER — the r9
+    // artifact read 27.8 s against a 15.0 s idle truth with per-query
+    // spreads under 15%. Two instruments make that bias evident in the
+    // artifact itself: /proc/loadavg at start and end, and a fixed
+    // CPU-bound canary (sum of xxhash64 over a 200M-row range — no I/O,
+    // no shuffle, fixed 32-way parallelism, data-independent) timed at
+    // start and end. A canary reading beyond 1.5x its known idle time
+    // marks the WHOLE artifact session-contaminated.
+    def loadavg: String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split(" ").take(3).mkString(",")
+      catch { case _: Throwable => "" }
+    def canary(): Double = {
+      import org.apache.spark.sql.functions.expr
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        // bit_xor, not sum: a 200M-term long sum overflows under ANSI
+        spark.range(0, 200000000L, 1, 32).select(expr("bit_xor(xxhash64(id))")).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      // three warmups: the canary's codegen path needs more JIT passes
+      // than one (a single-warmup start reading measured 0.33 s against
+      // a 0.11 s steady state — that cold bias would eat the 1.5x gate)
+      once(); once(); once()
+      math.min(once(), once())
+    }
+    // Idle reference for the canary on this box (local[32], measured
+    // unloaded; see STRESS_r10.md). The artifact records the raw
+    // readings too, so a reader can re-judge against a re-calibrated
+    // idle if the hardware changes.
+    // 0.20 splits the two idle readings measured on this box (start
+    // ~0.21 s — residual JIT tiers — vs end ~0.14 s), so the 1.5x gate
+    // (0.30 s) stays clear of idle noise yet trips on the ~2x slowdown
+    // a concurrent 32-thread sweep inflicts on a CPU-bound 32-task job.
+    val CanaryIdleSec = sys.env.getOrElse("SPARK_GRAFT_CANARY_IDLE", "0.20").toDouble
+    val loadStart = loadavg
     // one untimed pipeline warm-up (scan + shuffle machinery, parquet
     // footers, codegen of the most common operators) before any timing
     names.headOption.foreach(runOnce)
+    val canaryStart = canary()
     // A failed query is recorded as a NEGATIVE time (sentinel) and listed
     // under "failed" — never as a fast success that silently shrinks the
     // headline total.
@@ -109,7 +148,14 @@ object Bench {
     // noise, not a plan change (the r7 uniform x1.2 shift).
     val spreads = results.map(_._3).sorted
     val noise = if (spreads.isEmpty) 0.0 else spreads(spreads.length / 2)
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,"contaminated":$contaminated,"protocol":"warmup+min-of-2+respread","median_run_spread":${r3(noise)},"sf":"$sfDir"}""")
+    val canaryEnd = canary()
+    val loadEnd = loadavg
+    val sessionContaminated =
+      canaryStart > 1.5 * CanaryIdleSec || canaryEnd > 1.5 * CanaryIdleSec
+    System.err.println(f"[bench] canary start ${canaryStart}%.3f s / end ${canaryEnd}%.3f s"
+      + f" (idle ref ${CanaryIdleSec}%.2f s), loadavg $loadStart -> $loadEnd"
+      + (if (sessionContaminated) " (SESSION CONTAMINATED)" else ""))
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,"contaminated":$contaminated,"protocol":"warmup+min-of-2+respread","median_run_spread":${r3(noise)},"canary_sec":[${r3(canaryStart)},${r3(canaryEnd)}],"canary_idle_sec":${r3(CanaryIdleSec)},"session_contaminated":$sessionContaminated,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -19,6 +19,20 @@ class TextRankGraphXSpec extends SparkSpec {
     df.foreach { case (id, r) => assert(math.abs(r - gx(id)) < 1e-12, s"id=$id") }
   }
 
+  test("edge budget exceeded falls back to the DataFrame strategy, value-identical") {
+    val edges = TextRank.similarityEdges(vertices)
+    val df = TextRank.ranks(edges).as[(Long, Double)].collect().toMap
+    // force the budget below the micro graph's edge count: the GraphX
+    // entry point must route to TextRank.ranks instead of building the
+    // graph (the sf1 demonstrator envelope — a 4e8-edge set needs a
+    // 48 GiB driver on GraphX while the default strategy fits 8 GiB)
+    sys.props("graft.graphx.maxEdges") = "1"
+    try {
+      val fb = TextRankGraphX.ranks(edges).as[(Long, Double)].collect().toMap
+      assert(fb == df)
+    } finally sys.props -= "graft.graphx.maxEdges"
+  }
+
   test("GraphX backend matches on the sf0.001 documents table") {
     val docs = graft.tables.Tables.documents(spark, sf("sf0.001"))
     val vertices = docs
