@@ -31,8 +31,10 @@ object TextRankGraphX {
   /** Rough per-edge heap cost of GraphX's runtime structures during
     * aggregateMessages: EdgePartition column arrays plus the per-
     * superstep routing/message state and the deserialized construction
-    * pass. Calibrated on the round-9 sf1 sweep: ~4×10⁸ edges needed a
-    * 48 GiB driver even with serialized storage, i.e. ~10² B/edge live.
+    * pass. Calibrated on the sf1 replica: its 1.13×10⁸ edges needed a
+    * 48 GiB driver to be timed standalone in round 9 and OOM'd an 8 GiB
+    * heap under gate concurrency in round 10, so the live budget is
+    * set well below that envelope.
     */
   private val BytesPerEdge = 100L
 
@@ -40,9 +42,9 @@ object TextRankGraphX {
     * [[TextRank.ranks]]: ~35% of the heap at [[BytesPerEdge]]. On an
     * 8 GiB gate heap that is ~30 M edges — well above the sf0.1 gate's
     * ~4 M (so the GraphX path stays exercised end-to-end there) and
-    * well below the sf1 replica's ~4×10⁸ (which this backend can only
-    * survive with a 48 GiB driver, while the default treeAggregate
-    * strategy does the identical edge set in 21 s inside 8 GiB).
+    * well below the sf1 replica's 1.13×10⁸ (which this backend cannot
+    * reliably survive at 8 GiB, while the default treeAggregate
+    * strategy absorbs the identical edge set inside it).
     */
   private def edgeBudget: Long =
     sys.props.get("graft.graphx.maxEdges").map(_.toLong).getOrElse(
@@ -60,23 +62,35 @@ object TextRankGraphX {
     // of dying, which is the behavior a 100 TB run needs. Values are
     // unaffected (storage level only).
     val lvl = StorageLevel.MEMORY_AND_DISK_SER
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
-      col("weight").cast("double")).as[(Long, Long, Double)].rdd
-      .persist(lvl) // lineage holds the quadratic similarity join — 3 consumers
+    // Budget the edge set BEFORE any RDD-of-tuples exists: the first
+    // cut of this guard counted a persisted RDD[(Long,Long,Double)],
+    // and materializing that persist was itself the OOM (boxed tuples,
+    // round-10 sf1 verify killed the whole SparkContext at 8g before
+    // the comparison ever ran). A cached DataFrame is compressed
+    // columnar batches — ~16-24 B/edge, spillable, and count() streams
+    // it — so the decision is safe at any edge count, and whichever
+    // backend wins reuses the cache instead of recomputing the
+    // quadratic similarity join.
+    val eDf = edges.select(col("src").cast("long"), col("dst").cast("long"),
+      col("weight").cast("double")).persist(lvl)
+    val edgeCount = eDf.count()
     // Pregel-parity demonstrator, not the scale path: beyond the heap
     // budget the identical rank vector comes from the default strategy
     // (both are hash-verified against the same unrolled oracle), so
     // fall back instead of demanding a 48 GiB driver.
-    val edgeCount = e.count()
     if (edgeCount > edgeBudget) {
       log.warn(s"TextRankGraphX: $edgeCount edges exceed the ~${edgeBudget} " +
         s"heap budget (${Runtime.getRuntime.maxMemory() >> 20} MiB max heap); " +
         "falling back to TextRank.ranks (value-identical, scale-safe)")
-      e.unpersist(blocking = false)
-      return TextRank.ranks(edges, cfg)
+      val r = TextRank.ranks(eDf, cfg)
+      eDf.unpersist(blocking = false)
+      return r
     }
     log.info(s"TextRankGraphX: $edgeCount edges within the ${edgeBudget} budget; " +
       "running the GraphX backend")
+    // tuple streams over the cached columnar batches — never persisted
+    // as objects; the three consumers below each re-scan the cache
+    val e = eDf.as[(Long, Long, Double)].rdd
     val outSum = e.map(t => (t._1, t._3)).reduceByKey(_ + _)
     val normalized = e.map(t => (t._1, (t._2, t._3))).join(outSum)
       .map { case (src, ((dst, w), ow)) => Edge(src, dst, w / ow) }
@@ -86,7 +100,7 @@ object TextRankGraphX {
       defaultVertexAttr = cfg.initRank,
       edgeStorageLevel = lvl, vertexStorageLevel = lvl).cache()
     g.edges.count() // materialize once, then release the input lineage
-    e.unpersist(blocking = false)
+    eDf.unpersist(blocking = false)
     for (_ <- 1 to cfg.iterations) {
       val msgs = g.aggregateMessages[Double](
         ctx => ctx.sendToDst(ctx.srcAttr * ctx.attr), _ + _)

@@ -24,7 +24,7 @@ class TextRankGraphXSpec extends SparkSpec {
     val df = TextRank.ranks(edges).as[(Long, Double)].collect().toMap
     // force the budget below the micro graph's edge count: the GraphX
     // entry point must route to TextRank.ranks instead of building the
-    // graph (the sf1 demonstrator envelope — a 4e8-edge set needs a
+    // graph (the sf1 demonstrator envelope — its 1.1e8-edge set needs a
     // 48 GiB driver on GraphX while the default strategy fits 8 GiB)
     sys.props("graft.graphx.maxEdges") = "1"
     try {
