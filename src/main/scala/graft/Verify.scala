@@ -80,7 +80,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
+    // ALWAYS the full oracle map, even under a name filter: a filtered
+    // re-run into an existing out dir must not truncate the json the
+    // full-gate compare reads (a ^tr0 re-run once rewrote it to 7
+    // entries and the next full gate silently degraded 297 queries to
+    // rows-only SKIPs). Subsetting the COMPARE is check_oracle.py's own
+    // nameRegex argument.
+    val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
