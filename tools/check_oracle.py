@@ -487,6 +487,19 @@ def main():
                         # pool machinery's own exception-setting.
                         try:
                             for r in fut.result():
+                                # a DuckDB out-of-memory under the pool's
+                                # per-worker cap is a harness budget, not
+                                # a verdict — route it to the isolated
+                                # big-memory lane like a crash (r9's ls05
+                                # needed the 60GB lane at sf1)
+                                if r[1] == "FAIL" and re.search(
+                                        r"out of memory|could not allocate|"
+                                        r"failed to allocate", str(r[2]), re.I):
+                                    print(f"OOM   {r[0]} [{r[3]:.1f}s] -> "
+                                          f"isolated retry", flush=True)
+                                    retry.append((obj[0], obj[1], obj[2],
+                                                  [(r[0], dirs.get(r[0]))]))
+                                    continue
                                 results.append(r)
                                 print(f"{r[1]:5} {r[0]} [{r[3]:.1f}s]", flush=True)
                         except Exception:
