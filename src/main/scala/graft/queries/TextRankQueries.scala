@@ -49,22 +49,40 @@ object TextRankQueries extends QueryProvider {
        |$tail""".stripMargin
   }
 
+  /** Shared-token pair weights as chained CTEs `vd, tok, pw`: pw holds
+    * each unordered pair (src < dst) of documents sharing >= 1 distinct
+    * token, weighted `|intersection| / (log2(n_src) + log2(n_dst) + 1)`.
+    *
+    * The intersection SIZE of two deduplicated token lists equals the
+    * number of matches in a token equi-join, so the former
+    * `vd a JOIN vd b ON a.id <> b.id` + per-pair `list_intersect` —
+    * an O(n^2) nested-loop scan that made tr03 the sf1 gate's 2,566 s
+    * critical path — becomes a hash join + group-by whose cost is
+    * sum over tokens of df(token)^2, i.e. proportional to the edges
+    * that exist rather than to all document pairs. Same integer iw,
+    * same float expression, bit-identical w. Kept byte-identical across
+    * the family (tr01/tr02/tr04/tr06) so check_oracle's shared-prefix
+    * materialization builds the pair table once per gate.
+    */
+  private val pairCtes: String =
+    s"""vd AS MATERIALIZED (SELECT id, list_distinct(toks) AS dt, n FROM v),
+       |tok AS MATERIALIZED (SELECT id, n, unnest(dt) AS g FROM vd),
+       |pw AS MATERIALIZED (
+       |SELECT src, dst, iw * 1.0 / (log2(an) + log2(bn) + 1) AS w FROM (
+       |  SELECT a.id AS src, b.id AS dst, a.n AS an, b.n AS bn, count(*) AS iw
+       |  FROM tok a JOIN tok b ON a.g = b.g AND a.id < b.id
+       |  GROUP BY a.id, b.id, a.n, b.n))""".stripMargin
+
   /** Rank iterations + final projection over the exact all-pairs edge
-    * list. `v` must be defined as (id, toks, n).
+    * list. `v` must be defined as (id, toks, n). Directed edges are the
+    * two mirrors of each pw pair (IEEE addition is commutative, so the
+    * mirrored w is bit-identical to evaluating the formula per
+    * direction, which is what the old <> self-join did).
     */
   private def rankSql(iterations: Int, topK: Option[Int]): String =
-    // list_distinct hoisted per DOC (not per pair) and the intersect
-    // length computed once per pair (not once in WHERE + once in
-    // SELECT): integer-exact identical w, ~4x less oracle work on the
-    // quadratic pair stage — the sf0.1 tr oracles were the gate's
-    // slowest at ~134 s each before this hoist.
-    s"""vd AS MATERIALIZED (SELECT id, list_distinct(toks) AS dt, n FROM v),
-       |e AS MATERIALIZED (
-       |SELECT src, dst, iw * 1.0 / (log2(an) + log2(bn) + 1) AS w FROM (
-       |  SELECT a.id AS src, b.id AS dst, a.n AS an, b.n AS bn,
-       |    len(list_intersect(a.dt, b.dt)) AS iw
-       |  FROM vd a JOIN vd b ON a.id <> b.id)
-       |WHERE iw > 0),
+    s"""$pairCtes,
+       |e AS (SELECT src, dst, w FROM pw
+       |UNION ALL SELECT dst AS src, src AS dst, w FROM pw),
        |${propagateSql(iterations, topK)}""".stripMargin
 
   /** Unrolled oracle for `TextRank.rankDocuments(lemma = false)`. */
@@ -182,11 +200,10 @@ object TextRankQueries extends QueryProvider {
            |FROM documents
            |WHERE len(string_split(text,' ')) > 10 AND len(string_split(text,' ')) < 30),
            |v AS (SELECT id, toks, len(toks) AS n FROM v0 WHERE len(toks) > 0),
-           |vd AS (SELECT id, list_distinct(toks) AS dt, n FROM v),
-           |dtr AS (SELECT id, unnest(dt) AS g FROM vd),
-           |voc AS (SELECT DISTINCT g FROM dtr),
+           |$pairCtes,
+           |voc AS (SELECT DISTINCT g FROM tok),
            |gh AS (SELECT g, ${FnvSql.ofString("g")} AS hu FROM voc),
-           |hv AS (SELECT DISTINCT id, hu FROM dtr JOIN gh USING (g)),
+           |hv AS (SELECT DISTINCT id, hu FROM tok JOIN gh USING (g)),
            |permh AS (SELECT hu, r.i, ${FnvSql.toSigned(FnvSql.perm("r.i", "hu"))} AS ps
            |  FROM (SELECT DISTINCT hu FROM hv) h
            |  CROSS JOIN (SELECT unnest(range(128)) AS i) r),
@@ -200,11 +217,8 @@ object TextRankQueries extends QueryProvider {
            |  WHERE bn <= 10000),
            |cand AS MATERIALIZED (SELECT DISTINCT l.id AS a, r.id AS b
            |  FROM sized l JOIN sized r ON l.band = r.band AND l.key = r.key AND l.id < r.id),
-           |e0 AS MATERIALIZED (SELECT c.a AS src, c.b AS dst,
-           |    len(list_intersect(va.dt, vb.dt)) * 1.0
-           |      / (log2(va.n) + log2(vb.n) + 1) AS w
-           |  FROM cand c JOIN vd va ON va.id = c.a JOIN vd vb ON vb.id = c.b
-           |  WHERE len(list_intersect(va.dt, vb.dt)) > 0),
+           |e0 AS MATERIALIZED (SELECT pw.src, pw.dst, pw.w
+           |  FROM pw JOIN cand c ON pw.src = c.a AND pw.dst = c.b),
            |e AS (SELECT src, dst, w FROM e0
            |  UNION ALL SELECT dst AS src, src AS dst, w FROM e0),
            |${propagateSql(5, None)}""".stripMargin)),
@@ -236,12 +250,14 @@ object TextRankQueries extends QueryProvider {
            |WHERE len(string_split(text,' ')) > 10 AND len(string_split(text,' ')) < 30),
            |v AS (SELECT grp, id, toks, len(toks) AS n FROM v0 WHERE len(toks) > 0),
            |vd AS MATERIALIZED (SELECT grp, id, list_distinct(toks) AS dt, n FROM v),
-           |e AS MATERIALIZED (
+           |tok AS MATERIALIZED (SELECT grp, id, n, unnest(dt) AS g FROM vd),
+           |pw AS MATERIALIZED (
            |SELECT grp, src, dst, iw * 1.0 / (log2(an) + log2(bn) + 1) AS w FROM (
-           |  SELECT a.grp, a.id AS src, b.id AS dst, a.n AS an, b.n AS bn,
-           |    len(list_intersect(a.dt, b.dt)) AS iw
-           |  FROM vd a JOIN vd b ON a.grp = b.grp AND a.id <> b.id)
-           |WHERE iw > 0),
+           |  SELECT a.grp, a.id AS src, b.id AS dst, a.n AS an, b.n AS bn, count(*) AS iw
+           |  FROM tok a JOIN tok b ON a.grp = b.grp AND a.g = b.g AND a.id < b.id
+           |  GROUP BY a.grp, a.id, b.id, a.n, b.n)),
+           |e AS (SELECT grp, src, dst, w FROM pw
+           |UNION ALL SELECT grp, dst AS src, src AS dst, w FROM pw),
            |o AS MATERIALIZED (SELECT grp, src, sum(w) AS ow FROM e GROUP BY grp, src),
            |en AS MATERIALIZED (SELECT e.grp, e.src, e.dst, e.w / o.ow AS wn
            |  FROM e JOIN o ON e.grp = o.grp AND e.src = o.src),
