@@ -443,9 +443,13 @@ object AnalysisQueries extends QueryProvider {
     // DCT-II with the INTEGER-scaled cosine table Multimodal.CosQ →
     // top 8×8 block minus DC → median threshold → 63-bit hash. The
     // oracle interpolates the SAME 256 integer cosine literals and
-    // replays the whole pipeline (pixel grid from hex bytes, the two
-    // separable contraction joins, the rank-32 median, the bit sum) in
-    // pure BIGINT arithmetic — no libm cos on either side, so there is
+    // replays the whole pipeline (the two separable contraction joins,
+    // the rank-32 median, the bit sum) in pure BIGINT arithmetic — and
+    // because nearest-neighbor resampling touches only 32x32 positions,
+    // it hex-decodes just those 1,024 sampled bytes per image instead of
+    // materializing the full pixel list (the full-list form was the sf1
+    // gate's slowest post-tr oracle at 1,575 s). No libm cos on either
+    // side, so there is
     // no float boundary for a bit to flip across engines. At 100 TB the
     // kernel is one iterator-streamed mapPartitions pass (2·8·32² int
     // multiplies per image) and the hash feeds the same banded
@@ -469,20 +473,20 @@ object AnalysisQueries extends QueryProvider {
            |    octet_length(encode(coalesce(text,''))) AS n
            |  FROM documents),
            |by2 AS (
-           |  SELECT id, greatest(1, (n + 31) // 32) AS h,
-           |    list_concat(
-           |      list_transform(range(n), i ->
-           |        (strpos('0123456789ABCDEF', hx[2*i+1])-1)*16 +
-           |        (strpos('0123456789ABCDEF', hx[2*i+2])-1)),
-           |      list_transform(range(greatest(1, (n + 31) // 32) * 32 - n),
-           |        i -> 0)) AS px
+           |  SELECT id, hx, n, greatest(1, (n + 31) // 32) AS h
            |  FROM b),
            |cosq AS (SELECT * FROM (VALUES $cosqValues) AS cq(u, y, cw)),
-           |grid AS (SELECT id, gy, gx,
-           |  px[((gy * h) // 32) * 32 + gx + 1] AS pv
+           |gpos AS (SELECT id, hx, n, gy, gx,
+           |  ((gy * h) // 32) * 32 + gx AS p
            |  FROM by2
            |  CROSS JOIN (SELECT unnest(range(32)) AS gy)
            |  CROSS JOIN (SELECT unnest(range(32)) AS gx)),
+           |grid AS (SELECT id, gy, gx,
+           |  CASE WHEN p < n THEN
+           |    (strpos('0123456789ABCDEF', hx[2*p+1])-1)*16 +
+           |    (strpos('0123456789ABCDEF', hx[2*p+2])-1)
+           |  ELSE 0 END AS pv
+           |  FROM gpos),
            |grow AS (SELECT g.id, c.u, g.gx AS x,
            |  CAST(sum(g.pv * c.cw) AS BIGINT) AS gv
            |  FROM grid g JOIN cosq c ON c.y = g.gy

@@ -188,6 +188,12 @@ object DedupQueries extends QueryProvider {
     // SimHash near-dup, hash-for-hash oracle: FNV token hashes, per-bit
     // vote sums, signature assembly in HUGEINT (bit 63 = the sign bit
     // after the signed conversion), 16-bit chunk banding, Hamming check.
+    // The oracle's vote stage compacts occurrences to (id, tok, count)
+    // and joins a vocab-sized signed-bit table, so the 64-way fanout
+    // carries only narrow integers (sum(c * sgn) == the per-occurrence
+    // +-1 sum) — the HUGEINT bit tests stay vocabulary-sized. The
+    // per-occurrence form spilled past the gate's 10 GB worker cap at
+    // sf1 (750 s, the round-9 pool's crash trigger).
     Q(
       "d05_simhash_neardup",
       (s, dir) => {
@@ -206,12 +212,15 @@ object DedupQueries extends QueryProvider {
            |    unnest(list_transform(range(64), k ->
            |      list_reduce(list_prepend(1::HUGEINT, list_transform(range(k), x -> 2::HUGEINT)),
            |        (a, b) -> a * b))) AS p)),
-           |votes AS (SELECT r.id, b.i, b.p,
-           |    sum(CASE WHEN (h.hu // b.p) % 2 = 1 THEN 1 ELSE -1 END) AS v
-           |  FROM tr r JOIN th h ON h.tok = r.tok CROSS JOIN bits b
-           |  GROUP BY r.id, b.i, b.p),
-           |sigs AS (SELECT id, sum(CASE WHEN v > 0 THEN p ELSE 0::HUGEINT END) AS su
-           |  FROM votes GROUP BY id),
+           |trc AS (SELECT id, tok, count(*) AS c FROM tr GROUP BY id, tok),
+           |thb AS MATERIALIZED (SELECT h.tok, b.i,
+           |    CASE WHEN (h.hu // b.p) % 2 = 1 THEN 1 ELSE -1 END AS sgn
+           |  FROM th h CROSS JOIN bits b),
+           |votes AS (SELECT r.id, t.i, sum(r.c * t.sgn) AS v
+           |  FROM trc r JOIN thb t ON t.tok = r.tok
+           |  GROUP BY r.id, t.i),
+           |sigs AS (SELECT v.id, sum(CASE WHEN v.v > 0 THEN b.p ELSE 0::HUGEINT END) AS su
+           |  FROM votes v JOIN bits b ON b.i = v.i GROUP BY v.id),
            |sig AS (SELECT id, su, ${FnvSql.toSigned("su")} AS s FROM sigs),
            |chunks AS (SELECT id, s, cp.j, (su // cp.p) % 65536 AS chunk
            |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS j,
