@@ -37,37 +37,55 @@ object Verify {
     val t0 = System.nanoTime()
     val work = SparkEntry.queries.toSeq.filter(kv => keep(kv._1)).sortBy(_._1)
     val par = sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "8").toInt.max(1)
-    val pool = Executors.newFixedThreadPool(par)
+    // Memory-heavy queries — each materializes a corpus-scale edge set
+    // (the tr family's ~113M sf1 edges) or holds a grouped solver's full
+    // working set (ls05) or an all-pairs truth leg (d06) — must not all
+    // run CONCURRENTLY: the alphabetical FAIR pool drains the tr family
+    // LAST, so at the sf1 replica seven edge materializations shared one
+    // 8g heap and the SparkContext OOM-died under the last six queries.
+    // They run in a second phase on a narrower pool; each alone holds
+    // its sf1 envelope (STRESS_r09/r10).
+    val heavyRe = sys.env.getOrElse("SPARK_GRAFT_VERIFY_HEAVY",
+      "^tr0|^ls05|^d06").r
+    val heavyPar =
+      sys.env.getOrElse("SPARK_GRAFT_VERIFY_HEAVY_PAR", "2").toInt.max(1)
+    val (heavy, light) = work.partition(kv => heavyRe.findFirstIn(kv._1).isDefined)
     val done = new AtomicInteger(0)
-    work.foreach { case (name, fn) =>
-      pool.submit(new Runnable {
-        def run(): Unit = {
-          val tq = System.nanoTime()
-          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-            .parquet(s"$outDir/$name")
-          catch { case e: Throwable =>
-            System.err.println(s"[verify] $name failed: ${e.getMessage}")
-            e.printStackTrace()
+    def runPhase(batch: Seq[(String, (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)], width: Int): Unit = {
+      val pool = Executors.newFixedThreadPool(width)
+      batch.foreach { case (name, fn) =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            val tq = System.nanoTime()
+            try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+            catch { case e: Throwable =>
+              System.err.println(s"[verify] $name failed: ${e.getMessage}")
+              e.printStackTrace()
+            }
+            val sec = (System.nanoTime() - tq) / 1e9
+            val n = done.incrementAndGet()
+            System.err.println(
+              f"[verify] $n%3d/${work.size} $name%-28s ${sec}%6.2fs")
+            // Deliberately NO periodic spark.catalog.clearCache() here: a
+            // clearCache racing a concurrent query's cache materialization
+            // can make a count() probe on that cache observe ZERO rows
+            // (seen once in a 304-query gate: PowerLsa's vocabulary probe
+            // read 0 and ANSI divide-by-zero killed ls06; the probes now
+            // fail fast on that). Accumulated caches are MEMORY_AND_DISK
+            // and block-manager-managed, so a single-session gate pays
+            // at most spill, never correctness.
           }
-          val sec = (System.nanoTime() - tq) / 1e9
-          val n = done.incrementAndGet()
-          System.err.println(
-            f"[verify] $n%3d/${work.size} $name%-28s ${sec}%6.2fs")
-          // Deliberately NO periodic spark.catalog.clearCache() here: a
-          // clearCache racing a concurrent query's cache materialization
-          // can make a count() probe on that cache observe ZERO rows
-          // (seen once in a 304-query gate: PowerLsa's vocabulary probe
-          // read 0 and ANSI divide-by-zero killed ls06; the probes now
-          // fail fast on that). Accumulated caches are MEMORY_AND_DISK
-          // and block-manager-managed, so a single-session gate pays
-          // at most spill, never correctness.
-        }
-      })
+        })
+      }
+      pool.shutdown()
+      pool.awaitTermination(24, TimeUnit.HOURS): Unit
     }
-    pool.shutdown()
-    pool.awaitTermination(24, TimeUnit.HOURS)
+    runPhase(light, par)
+    runPhase(heavy, heavyPar)
     System.err.println(
-      f"[verify] total wall ${(System.nanoTime() - t0) / 1e9}%.1fs for ${work.size} queries (par=$par)")
+      f"[verify] total wall ${(System.nanoTime() - t0) / 1e9}%.1fs for ${work.size} queries (par=$par, heavy ${heavy.size} at par=$heavyPar)")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
