@@ -252,6 +252,34 @@ def plan_shared_nodes(sqls):
             rest = ", ".join(d for _, d in sdefs)
             body = head + (", " + rest if rest else "")
             rewrites[q] = (node_id, f"WITH {body}\n{tail}")
+    # A query whose deepest shared prefix was claimed by a DEEPER node
+    # (e.g. tr06 shares v0..pw with the tr01/02/04 chain, but those
+    # three share all the way through r5) still rides that node: the
+    # deep build evaluates the shallow CTEs on the way, so persisting
+    # them for the shallow member is storage, not extra work. At sf1
+    # this saved tr06 re-deriving the 113M-row pair table standalone.
+    for (k, h), members in sorted(groups.items()):
+        if len(members) != 1 or members[0] in rewrites:
+            continue
+        q = members[0]
+        qdefs, tail = parsed[q]
+        pdefs = qdefs[:k]
+        for node_id, node in nodes.items():
+            nd = node["defs"]
+            if len(nd) < k or any(nd[i][1] != pdefs[i][1] for i in range(k)):
+                continue
+            suffix = "".join(d for _, d in qdefs[k:]) + tail
+            needed = _refs([nm for nm, _ in pdefs], suffix)
+            if not needed:
+                break
+            node["persist"] = sorted(set(node["persist"]) | set(needed))
+            node["members"].append(q)
+            head = ", ".join(f"{nm} AS (SELECT * FROM shr.{nm})"
+                             for nm in needed)
+            rest = ", ".join(d for _, d in qdefs[k:])
+            body = head + (", " + rest if rest else "")
+            rewrites[q] = (node_id, f"WITH {body}\n{tail}")
+            break
     return nodes, rewrites
 
 def _connect(db=None, threads=None, mem=None):
