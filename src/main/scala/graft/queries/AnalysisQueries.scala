@@ -277,7 +277,7 @@ object AnalysisQueries extends QueryProvider {
       Some(s"""WITH ${frameHashCtesFor(64, 1)},
              |f AS (SELECT id, frame_idx, ${FnvSql.toSigned("h")} AS fc
              |  FROM hs),
-             |c AS (SELECT id, frame_idx, fc,
+             |c AS MATERIALIZED (SELECT id, frame_idx, fc,
              |  CASE WHEN lag(fc) OVER (PARTITION BY id ORDER BY frame_idx)
              |       IS NULL THEN 0
              |       WHEN lag(fc) OVER (PARTITION BY id ORDER BY frame_idx)
@@ -422,7 +422,7 @@ object AnalysisQueries extends QueryProvider {
              |spine AS (SELECT id, gy, gx FROM (SELECT DISTINCT id FROM b)
              |  CROSS JOIN (SELECT unnest(range(8)) AS gy)
              |  CROSS JOIN (SELECT unnest(range(9)) AS gx)),
-             |cells AS (SELECT sp.id, sp.gy, sp.gx,
+             |cells AS MATERIALIZED (SELECT sp.id, sp.gy, sp.gx,
              |  coalesce(g.s, 0) AS s, coalesce(g.c, 0) AS c
              |  FROM spine sp LEFT JOIN g
              |    ON g.id = sp.id AND g.gy = sp.gy AND g.gx = sp.gx),
@@ -495,7 +495,7 @@ object AnalysisQueries extends QueryProvider {
            |  CAST(sum(r.gv * c.cw) AS BIGINT) AS cv
            |  FROM grow r JOIN cosq c ON c.y = r.x
            |  GROUP BY r.id, r.u, c.u),
-           |ac AS (SELECT id, cv, u * 8 + v - 1 AS i FROM coef
+           |ac AS MATERIALIZED (SELECT id, cv, u * 8 + v - 1 AS i FROM coef
            |  WHERE NOT (u = 0 AND v = 0)),
            |med AS (SELECT id, cv AS m FROM (
            |  SELECT id, cv, row_number() OVER (PARTITION BY id ORDER BY cv) AS r
