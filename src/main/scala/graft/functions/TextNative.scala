@@ -96,21 +96,25 @@ object TextNative {
   /** One-pass "punct" count: chars outside [A-Za-z0-9] and Java's `\\s`
     * class ([ \t\n\x0B\f\r]) - exactly
     * `length(regexp_replace(text, "[A-Za-z0-9\\s]", ""))`. Counts are
-    * UTF-16 units, matching `length` of the replaced string (non-BMP
-    * codepoints count as 2 in both forms - each half is "punct").
+    * CODEPOINTS: Spark's `length` is UTF8String.numChars (codepoints)
+    * and Java regex treats a surrogate pair as one codepoint, so a
+    * non-BMP char surviving the replace counts ONCE. A per-UTF-16-unit
+    * loop counted it twice and silently diverged from both the builtin
+    * composition and the DuckDB oracle on emoji/astral text — caught by
+    * TextNativeSpec's adversarial rows.
     */
   def punctCount(text: UTF8String): Int = {
     val s = text.toString
     var punct = 0
     var i = 0
     while (i < s.length) {
-      val c = s.charAt(i)
+      val c = s.codePointAt(i)
       val isDigit = c >= '0' && c <= '9'
       val isAlpha = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
       val isWs = c == ' ' || c == '\t' || c == '\n' || c == '\u000B' ||
         c == '\f' || c == '\r'
       if (!isDigit && !isAlpha && !isWs) punct += 1
-      i += 1
+      i += Character.charCount(c)
     }
     punct
   }
