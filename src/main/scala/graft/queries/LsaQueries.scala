@@ -656,6 +656,7 @@ object LsaQueries extends QueryProvider {
     val sysAll = (1 to K).map(j => s"SELECT g, $j AS j, summary FROM sys$j")
       .mkString(" UNION ALL ")
     s"""WITH RECURSIVE
+       |${MorphySql.universeCtes},
        |ord AS (SELECT source AS g, CAST(doc_id AS VARCHAR) AS rid, text,
        |  row_number() OVER (PARTITION BY source
        |    ORDER BY CAST(doc_id AS VARCHAR)) - 1 AS oidx
@@ -664,8 +665,6 @@ object LsaQueries extends QueryProvider {
        |  row_number() OVER (PARTITION BY g ORDER BY rid) AS sid
        |  FROM ord WHERE len(string_split(text, ' ')) >= 5),
        |stok AS (SELECT g, sid, unnest(${TextQueries.tokSql()}) AS tok FROM sided),
-       |toks AS MATERIALIZED (SELECT DISTINCT tok FROM stok),
-       |${MorphySql.ctes},
        |slt AS (SELECT s.g, s.sid, l.lemma AS token
        |  FROM stok s JOIN lem l ON l.tok = s.tok),
        |stf AS (SELECT g, sid, token, count(*) AS tf
@@ -843,26 +842,29 @@ object LsaQueries extends QueryProvider {
   /** ls09: the ls01 chain re-emitted as the S5 report line. The string
     * is rebuilt piece-for-piece — decimal-cast σ (HALF_UP in both
     * engines, fixed scale-2 print), space-joined keyword/doc lists.
+    * Built from the SAME top-level CTE list as ls01 (the WITH is
+    * hoisted, not nested), so the prefix-sharer sees ls01 and ls09 as
+    * one chain and the power iteration is materialized once per gate.
     */
   private def ls01ReportSql: String =
-    s"""SELECT concept,
+    s"""WITH
+       |$ls01Ctes
+       |SELECT concept,
        |  'Concept ' || CAST(concept AS VARCHAR) ||
        |  ' [sigma=' || CAST(CAST(singular_value AS DECIMAL(18,2)) AS VARCHAR) ||
        |  '] keywords: ' || keywords ||
        |  ' | sentences: ' || doc_ids AS line
        |FROM (
-       |$ls01OracleSql
+       |${PowerKSql.conceptEmission(K, NKw, NDoc)}
        |) ORDER BY concept""".stripMargin
 
-  /** DuckDB replay of ls01: lemma'd TF-IDF cells (morphy in SQL, as in
-    * tr03/t07) → PowerKSql k-concept chain → concept emission.
+  /** The ls01 CTE list: gate-shared lemma universe (morphy in SQL, as
+    * in tr03/t07) → lemma'd TF-IDF cells → PowerKSql k-concept chain.
     */
-  private def ls01OracleSql: String =
-    s"""WITH RECURSIVE
+  private def ls01Ctes: String =
+    s"""${MorphySql.universeCtes},
        |d0 AS (SELECT doc_id, ${TextQueries.tokSql()} AS t0 FROM documents),
        |tokrows AS (SELECT doc_id, unnest(t0) AS tok FROM d0),
-       |toks AS MATERIALIZED (SELECT DISTINCT tok FROM tokrows),
-       |${MorphySql.ctes},
        |ltok AS (SELECT tr.doc_id, l.lemma AS token
        |  FROM tokrows tr JOIN lem l ON l.tok = tr.tok),
        |ltf AS (SELECT doc_id, token, count(*) AS tf
@@ -872,7 +874,12 @@ object LsaQueries extends QueryProvider {
        |cells AS MATERIALIZED (SELECT '' AS g, doc_id AS id, ltf.token,
        |  round(ltf.tf * log10(nn.n * 1.0 / ldf.df), 6) AS a
        |  FROM ltf JOIN ldf USING (token) CROSS JOIN nn),
-       |${PowerKSql.chain(K, PowerIters)}
+       |${PowerKSql.chain(K, PowerIters)}""".stripMargin
+
+  /** DuckDB replay of ls01: [[ls01Ctes]] → concept emission. */
+  private def ls01OracleSql: String =
+    s"""WITH
+       |$ls01Ctes
        |${PowerKSql.conceptEmission(K, NKw, NDoc)}""".stripMargin
 
   // AS MATERIALIZED throughout: without it DuckDB inlines every CTE

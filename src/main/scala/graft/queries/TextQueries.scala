@@ -170,10 +170,8 @@ object TextQueries extends QueryProvider {
           .orderBy($"tok")
       },
       Some(
-        s"""WITH RECURSIVE
-           |toks AS (SELECT DISTINCT unnest(regexp_extract_all(lower(text),'[a-zA-Z]+')) AS tok
-           |  FROM documents),
-           |${MorphySql.ctes}
+        s"""WITH
+           |${MorphySql.universeCtes}
            |SELECT tok, lemma FROM lem ORDER BY tok""".stripMargin)),
 
     // Adjacent-token bigram counts (n-gram language statistics — the

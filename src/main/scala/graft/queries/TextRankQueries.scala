@@ -99,9 +99,14 @@ object TextRankQueries extends QueryProvider {
   /** Unrolled oracle for the lemma=true path: stopword-filtered tokens
     * exploded with positions, joined through the morphy `lem` mapping,
     * len>3 applied POST-lemma (F5), re-assembled in document order.
+    * Opens with [[MorphySql.universeCtes]] — the gate-shared lemma
+    * prefix (tr03's own token stream is a subset of that universe, and
+    * the `lem` equi-join below picks exactly the rows the old
+    * per-query morphy computed).
     */
   private def lemmaOracleSql(iterations: Int, topK: Option[Int]): String =
-    s"""WITH RECURSIVE
+    s"""WITH
+       |${MorphySql.universeCtes},
        |d0 AS (
        |SELECT doc_id,
        |list_filter(regexp_extract_all(lower(text),'[a-zA-Z]+'),
@@ -110,8 +115,6 @@ object TextRankQueries extends QueryProvider {
        |WHERE len(string_split(text,' ')) > 10 AND len(string_split(text,' ')) < 30),
        |tokrows AS (SELECT doc_id, unnest(range(len(t0))) AS pos,
        |  unnest(t0) AS tok FROM d0),
-       |toks AS MATERIALIZED (SELECT DISTINCT tok FROM tokrows),
-       |${MorphySql.ctes},
        |lemtok AS (SELECT tr.doc_id, tr.pos, l.lemma
        |  FROM tokrows tr JOIN lem l ON l.tok = tr.tok
        |  WHERE len(l.lemma) >= 4),

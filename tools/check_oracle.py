@@ -28,9 +28,12 @@ must stay single-statement standalone for the driver's own gate):
      self-contained (non-recursive CTEs only reference earlier ones),
      so byte-equal prefixes are semantically equal; DuckDB native
      storage preserves types exactly (no parquet round-trip, which
-     would corrupt HUGEINT). WITH RECURSIVE queries are excluded
-     conservatively. If a prefix build fails, members fall back to
-     their original standalone SQL — sharing is a pure optimization.
+     would corrupt HUGEINT). WITH RECURSIVE queries participate too:
+     the prefix simply stops at the first self-referencing (or
+     column-list) def, which stays in the member's suffix verbatim —
+     this is what lets ls05's morphy prefix share while its LCS
+     recursion stays local. If a prefix build fails, members fall back
+     to their original standalone SQL — sharing is a pure optimization.
 This cut the round-9 sf1 tr-family oracle cost (~6,600 s of its
 four quadratic all-pairs chains) to one chain plus cheap tails.
 """
@@ -144,16 +147,23 @@ def _skip_balanced(sql, i):
     return -1
 
 def parse_with(sql):
-    """-> (defs, tail) where defs = [(name, exact_def_text)] and tail is
-    the final statement text, or None if not a plain WITH query (WITH
-    RECURSIVE is excluded: executing its defs as standalone CREATE
-    TABLEs would break the recursion)."""
+    """-> (defs, tail, recursive) where defs = [(name, exact_def_text,
+    stop)], tail is the final statement text, and recursive says the
+    query opened with WITH RECURSIVE (preserved in rewrites). stop=True
+    marks a def a shared PREFIX must not reach: a self-referencing
+    (recursive) def can't be executed as a standalone CREATE TABLE, and
+    a column-list def ("lcs(g, j, ...) AS") would lose its column names
+    through `CREATE TABLE name AS body`. Defs at/past the first stop
+    still parse — member rewrites re-emit them verbatim in the suffix.
+    Returns None on anything the splitter isn't sure about."""
     i = _skip_ws(sql, 0)
     if sql[i:i + 4].upper() != "WITH":
         return None
     i = _skip_ws(sql, i + 4)
+    recursive = False
     if sql[i:i + 9].upper() == "RECURSIVE":
-        return None
+        recursive = True
+        i = _skip_ws(sql, i + 9)
     defs = []
     while True:
         start = i
@@ -161,8 +171,13 @@ def parse_with(sql):
         if not m:
             return None
         i = _skip_ws(sql, m.end())
-        if i < len(sql) and sql[i] == "(":  # column-list CTEs: bail
-            return None
+        collist = False
+        if i < len(sql) and sql[i] == "(":  # column-list CTE
+            end = _skip_balanced(sql, i)
+            if end < 0:
+                return None
+            collist = True
+            i = _skip_ws(sql, end)
         if sql[i:i + 2].upper() != "AS":
             return None
         i = _skip_ws(sql, i + 2)
@@ -170,15 +185,19 @@ def parse_with(sql):
             i = _skip_ws(sql, i + 12)
         if i >= len(sql) or sql[i] != "(":
             return None
+        body_at = i
         end = _skip_balanced(sql, i)
         if end < 0:
             return None
-        defs.append((m.group(0), sql[start:end]))
+        name = m.group(0)
+        selfref = re.search(r"\b" + re.escape(name) + r"\b",
+                            sql[body_at:end]) is not None
+        defs.append((name, sql[start:end], collist or selfref))
         i = _skip_ws(sql, end)
         if i < len(sql) and sql[i] == ",":
             i = _skip_ws(sql, i + 1)
             continue
-        return (defs, sql[i:])
+        return (defs, sql[i:], recursive)
 
 def _def_body(def_text):
     """'name AS [MATERIALIZED] ( body )' -> 'body'."""
@@ -204,11 +223,15 @@ def plan_shared_nodes(sqls):
         if p and p[0]:
             parsed[q] = p
     # depth -> prefix-text-hash -> [qname]; pick each query's deepest
-    # prefix shared with at least one OTHER query.
+    # prefix shared with at least one OTHER query. A prefix stops at
+    # the first recursive/column-list def (stop flag): everything from
+    # there on belongs to the member's suffix.
     bykey = {}
-    for q, (defs, _) in parsed.items():
+    for q, (defs, _, _) in parsed.items():
         acc = ""
-        for k, (_, dtext) in enumerate(defs):
+        for k, (_, dtext, stop) in enumerate(defs):
+            if stop:
+                break
             acc += dtext + "\n"
             if len(acc) >= MIN_PREFIX_CHARS:
                 bykey.setdefault((k + 1, hashlib.sha256(acc.encode()).hexdigest()),
@@ -224,17 +247,26 @@ def plan_shared_nodes(sqls):
     for q, node in deepest.items():
         groups.setdefault(node, []).append(q)
     nodes, rewrites = {}, {}
+
+    def rewrite_sql(q, needed, sdefs, tail):
+        head = ", ".join(f"{nm} AS (SELECT * FROM shr.{nm})"
+                         for nm in needed)
+        rest = ", ".join(d for _, d, _ in sdefs)
+        body = head + (", " + rest if rest else "")
+        kw = "WITH RECURSIVE" if parsed[q][2] else "WITH"
+        return f"{kw} {body}\n{tail}"
+
     for (k, h), members in sorted(groups.items()):
         if len(members) < 2:
             continue  # everyone else in this prefix chose a deeper node
         node_id = h[:16]
         defs = parsed[members[0]][0][:k]
-        prefix_names = [nm for nm, _ in defs]
+        prefix_names = [nm for nm, _, _ in defs]
         persist = set()
         ok_members = []
         for q in members:
-            qdefs, tail = parsed[q]
-            suffix = "".join(d for _, d in qdefs[k:]) + tail
+            qdefs, tail, _ = parsed[q]
+            suffix = "".join(d for _, d, _ in qdefs[k:]) + tail
             needed = _refs(prefix_names, suffix)
             if not needed:
                 continue  # suffix never reads the prefix — leave alone
@@ -247,11 +279,7 @@ def plan_shared_nodes(sqls):
                           "persist": sorted(persist),
                           "members": [q for q, _, _, _ in ok_members]}
         for q, needed, sdefs, tail in ok_members:
-            head = ", ".join(f"{nm} AS (SELECT * FROM shr.{nm})"
-                             for nm in needed)
-            rest = ", ".join(d for _, d in sdefs)
-            body = head + (", " + rest if rest else "")
-            rewrites[q] = (node_id, f"WITH {body}\n{tail}")
+            rewrites[q] = (node_id, rewrite_sql(q, needed, sdefs, tail))
     # A query whose deepest shared prefix was claimed by a DEEPER node
     # (e.g. tr06 shares v0..pw with the tr01/02/04 chain, but those
     # three share all the way through r5) still rides that node: the
@@ -262,23 +290,19 @@ def plan_shared_nodes(sqls):
         if len(members) != 1 or members[0] in rewrites:
             continue
         q = members[0]
-        qdefs, tail = parsed[q]
+        qdefs, tail, _ = parsed[q]
         pdefs = qdefs[:k]
         for node_id, node in nodes.items():
             nd = node["defs"]
             if len(nd) < k or any(nd[i][1] != pdefs[i][1] for i in range(k)):
                 continue
-            suffix = "".join(d for _, d in qdefs[k:]) + tail
-            needed = _refs([nm for nm, _ in pdefs], suffix)
+            suffix = "".join(d for _, d, _ in qdefs[k:]) + tail
+            needed = _refs([nm for nm, _, _ in pdefs], suffix)
             if not needed:
                 break
             node["persist"] = sorted(set(node["persist"]) | set(needed))
             node["members"].append(q)
-            head = ", ".join(f"{nm} AS (SELECT * FROM shr.{nm})"
-                             for nm in needed)
-            rest = ", ".join(d for _, d in qdefs[k:])
-            body = head + (", " + rest if rest else "")
-            rewrites[q] = (node_id, f"WITH {body}\n{tail}")
+            rewrites[q] = (node_id, rewrite_sql(q, needed, qdefs[k:], tail))
             break
     return nodes, rewrites
 
@@ -335,7 +359,7 @@ def build_node(node, sf_dir):
                    mem=os.environ.get("GATE_BUILD_MEM", "20GB"))
     _views(con, sf_dir)
     persist = set(node["persist"])
-    for nm, dtext in node["defs"]:
+    for nm, dtext, _ in node["defs"]:
         kind = "TABLE" if nm in persist else "TEMP TABLE"
         con.sql(f"CREATE {kind} {nm} AS {_def_body(dtext)}")
     con.close()
