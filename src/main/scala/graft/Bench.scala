@@ -56,6 +56,7 @@ object Bench {
       def once(): Double = {
         val t0 = System.nanoTime()
         // bit_xor, not sum: a 200M-term long sum overflows under ANSI
+        // collect-bound: canary: fixed 200M-row codegen probe; 32 longs reach the driver
         spark.range(0, 200000000L, 1, 32).select(expr("bit_xor(xxhash64(id))")).collect()
         (System.nanoTime() - t0) / 1e9
       }

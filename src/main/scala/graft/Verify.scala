@@ -44,9 +44,11 @@ object Verify {
     // LAST, so at the sf1 replica seven edge materializations shared one
     // 8g heap and the SparkContext OOM-died under the last six queries.
     // They run in a second phase on a narrower pool; each alone holds
-    // its sf1 envelope (STRESS_r09/r10).
+    // its sf1 envelope (STRESS_r09/r10). tr07 is excluded: its graph is
+    // vocabulary-sized (keyword mode), so it never materializes a
+    // corpus-scale edge set and belongs in the wide light phase.
     val heavyRe = sys.env.getOrElse("SPARK_GRAFT_VERIFY_HEAVY",
-      "^tr0|^ls05|^d06").r
+      "^tr0[1-6]|^ls05|^d06").r
     val heavyPar =
       sys.env.getOrElse("SPARK_GRAFT_VERIFY_HEAVY_PAR", "2").toInt.max(1)
     val (heavy, light) = work.partition(kv => heavyRe.findFirstIn(kv._1).isDefined)

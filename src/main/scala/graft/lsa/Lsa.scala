@@ -252,6 +252,7 @@ object Lsa {
       if (q == 0.0) 0.0 else q
     }
 
+    // collect-bound: vocabulary: term array for keyword emission; the local ARPACK solver already holds vocab-sized vectors
     val vocabArr = vocab.orderBy(col("idx")).select("token").as[String].collect()
     val keywords = Array.tabulate(kEff) { j =>
       (0 until vocabSize)
@@ -293,6 +294,7 @@ object Lsa {
     val winRows = tops.flatten.map(_._2).distinct
     val idxToId: Map[Long, Long] = docIdx
       .filter(col("row").isin(winRows: _*))
+      // collect-bound: top-k: winning rows only (kEff x nDocs ids), never the corpus row->id map
       .select(col("row"), col("id")).as[(Long, Long)].collect().toMap
     val topDocs: Map[Int, Seq[Long]] = (0 until kEff).map { j =>
       j -> tops(j).sorted(ord.reverse).take(nTop).map(t => idxToId(t._2)).toSeq

@@ -137,6 +137,7 @@ object PowerLsa {
     val spark = cells.sparkSession
     import spark.implicits._
     val rows = cells.select(col("id").cast("long"), col("token"),
+      // collect-bound: probe-guarded: kConcepts routes here only under the maxLocalNnz/maxLocalIds probes; kConceptsDF is the distributed fallback
       col("a").cast("double")).as[(Long, String, Double)].collect()
     val toks = rows.map(_._2).distinct.sorted
     val ids = rows.map(_._1).distinct.sorted
@@ -183,11 +184,13 @@ object PowerLsa {
       val fl = if (flRow.getDouble(0) < 0) -1.0 else 1.0
       val kw = vj.select(col("token"), (lit(fl) * col("v")).as("sv"))
         .orderBy(desc("sv"), col("token")).limit(nKeywords)
+        // collect-bound: top-k: limit(nKeywords) tokens per concept
         .select(col("token")).as[String].collect().mkString(" ")
       val dc = av.select(col("id"),
           (if (sigma == 0.0) lit(0.0)
            else lit(fl) * (col("av") / lit(sigma))).as("su"))
         .orderBy(desc("su"), col("id")).limit(nDocs)
+        // collect-bound: top-k: limit(nDocs) ids per concept
         .select(col("id").cast("long")).as[Long].collect().mkString(" ")
       ConceptRow(i, round4(sigma), kw, dc)
     }
@@ -213,6 +216,7 @@ object PowerLsa {
     val spark = cells.sparkSession
     import spark.implicits._
     val rows = cells.select(col("id").cast("long"), col("token"),
+      // collect-bound: probe-guarded: kFactorsAuto routes here only under the nnz/id budget probes; kFactors is the distributed fallback
       col("a").cast("double")).as[(Long, String, Double)].collect()
     val toks = rows.map(_._2).distinct.sorted
     val ids = rows.map(_._1).distinct.sorted
@@ -294,11 +298,13 @@ object PowerLsa {
       val fl = if (flRow.getDouble(0) < 0) -1.0 else 1.0
       val kw = vj.select(col("token"), (lit(fl) * col("v")).as("sv"))
         .orderBy(desc("sv"), col("token")).limit(nKeywords)
+        // collect-bound: top-k: limit(nKeywords) tokens per concept
         .select(col("token")).as[String].collect().mkString(" ")
       val dc = av.select(col("id"),
           (if (sigma == 0.0) lit(0.0)
            else lit(fl) * (col("av") / lit(sigma))).as("su"))
         .orderBy(desc("su"), col("id")).limit(nDocs)
+        // collect-bound: top-k: limit(nDocs) ids per concept
         .select(col("id").cast("long")).as[Long].collect().mkString(" ")
       ConceptRow(i, round4(sigma), kw, dc)
     }

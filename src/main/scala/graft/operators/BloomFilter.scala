@@ -64,6 +64,7 @@ object BloomFilter {
   def bitmap(bits: DataFrame, mBits: Int): Array[Long] = {
     requirePow2(mBits)
     val words = new Array[Long](mBits / 64)
+    // collect-bound: sketch: mBits set-bit rows -> mBits/64 longs (16 MB at 2M bits) at any corpus size
     bits.select(col("bit").cast("int")).collect().foreach { r =>
       val b = r.getInt(0)
       require(b >= 0 && b < mBits, s"bit $b out of range for mBits $mBits")

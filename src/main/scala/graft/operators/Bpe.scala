@@ -121,6 +121,7 @@ object Bpe {
       numMerges: Int): (DataFrame, DataFrame) = {
     import spark.implicits._
     val types: Array[(String, Long)] =
+      // collect-bound: vocabulary: word-type frequency table (Heaps-bounded)
       wordFreq.as[(String, Long)].collect()
     // chars + end marker; ASCII-ordered like the engine's ORDER BY word
     val reprs: Array[Array[String]] = types.map { case (w, _) =>
@@ -209,6 +210,7 @@ object Bpe {
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("freq")).as("cnt"))
         .orderBy(desc("cnt"), col("l"), col("r"))
+        // collect-bound: scalar: limit(1) best merge pair per round
         .limit(1).collect()
       if (best.isEmpty) exhausted = true
       else {
@@ -259,6 +261,7 @@ object Bpe {
       numMerges: Int): DataFrame = {
     val (_, reprs) = mergesAndVocab(spark, wordFreq, numMerges)
     val units = reprs.select(explode(split(col("repr"), Sep)).as("u"))
+      // collect-bound: vocabulary: distinct BPE units <= base chars + numMerges
       .distinct().orderBy("u").collect().map(_.getString(0)).toSeq
     val uCol = typedLit(units)
     val Big = 1000000

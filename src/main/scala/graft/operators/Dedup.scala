@@ -464,6 +464,7 @@ object Dedup {
         sum(graft.functions.Fnv.fnv1a64(
           concat(col("x").cast("string"), lit(":"), col("w").cast("string")))
           .cast("decimal(38,0)")).as("h"))
+        // collect-bound: scalar: single-row (count, hash) signature aggregate
         .collect()(0)
       (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toPlainString)
     }

@@ -84,6 +84,7 @@ object RecordLinkage {
       Seq(round(log(lit(m(c)) / uc), 6).as(s"wa_$c"),
         round(log((lit(1.0) - lit(m(c))) / (lit(1.0) - uc)), 6).as(s"wd_$c"))
     }
+    // collect-bound: model: one row of per-column Fellegi-Sunter weights
     val row = u.select(wExprs: _*).collect().head
     agreeCols.map(c => c -> ((row.getAs[Double](s"wa_$c"),
       row.getAs[Double](s"wd_$c")))).toMap

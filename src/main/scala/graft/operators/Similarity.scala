@@ -150,6 +150,7 @@ object Similarity {
     while (i <= k && !done) {
       val scored = rem.withColumn("score",
         round(lit(lambda) * col("rel") - lit(1 - lambda) * col("ms"), 6))
+      // collect-bound: scalar: limit(1) MMR pick per iteration (k iterations total)
       val pick = scored.orderBy(desc("score"), col("id")).limit(1).collect()
       if (pick.isEmpty) done = true
       else {

@@ -164,6 +164,7 @@ object Unigram {
   }
 
   private def collectScores(df: DataFrame): Map[String, Double] =
+    // collect-bound: vocabulary: candidate-subword score table, width-capped by the trainer
     df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
 
   /** persist() only if the caller hasn't already — a double persist is

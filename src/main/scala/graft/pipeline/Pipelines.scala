@@ -118,6 +118,7 @@ object Pipelines {
       .persist()
 
     val products = all.select($"product_id").distinct()
+      // collect-bound: model: distinct product ids (group domain) — the reference's per-file loop spine
       .as[String].collect().sorted.toSeq
 
     if (products.length > groupedThreshold) {
@@ -132,12 +133,14 @@ object Pipelines {
     val rows = products.flatMap { pid =>
       val psents = all.filter($"product_id" === pid)
       val conceptSents = lsaSummaryFromSentences(psents)
+        // collect-bound: top-k: k concept summaries for one product
         .select($"sentences").as[String].collect()
       val sys =
         if (conceptPairs) conceptSents.map(_.replace(" | ", " ")).toSeq
         else conceptSents.flatMap(_.split(" \\| ")).toSeq
       // baseline: driver-local like pytldr; one product's sentences fit
       val ordered = psents.orderBy($"review_id", $"sent_idx")
+        // collect-bound: fixture: one product's sentences for the driver-local pytldr baseline (reference parity; the grouped operators are the scale route)
         .select($"sentence").as[String].collect().toSeq
       val ref = OzsoyLsaSummarizer.summarize(ordered, topics, summaryLen.toDouble)
       val pairs = sys.zip(ref)

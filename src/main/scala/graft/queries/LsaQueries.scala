@@ -85,7 +85,9 @@ object LsaQueries extends QueryProvider {
         if (nDocs <= 2000L) {
           val local = graft.lsa.LocalLsa.concepts(
             docs.select($"doc_id".cast("long"), $"text")
+              // collect-bound: fixture: LAPACK truth twin, gated on nDocs <= 2000 just above
               .as[(Long, String)].collect().toSeq.sortBy(_._1))
+          // collect-bound: model: k concept rows
           val dist = out.orderBy($"concept").collect()
           require(dist.length == local.length,
             s"ARPACK returned ${dist.length} concepts, LAPACK ${local.length}")
@@ -791,6 +793,7 @@ object LsaQueries extends QueryProvider {
     Tables.documents(s, dir)
       .filter($"lang" === "en" && $"doc_id" < 200)
       .orderBy($"doc_id")
+      // collect-bound: query-batch: en slice bounded by doc_id < 200 (the V1 baseline input)
       .select($"text").as[String].collect().toSeq
   }
 

@@ -443,6 +443,7 @@ object Relational extends QueryProvider {
             .groupBy($"o_orderpriority")
             .agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 2).as("qty"))
             .orderBy($"o_orderpriority")
+            // collect-bound: model: grouped by o_orderpriority (5-value domain)
             .as[(String, Long, Double)].collect().toSeq
           rows.toDF("o_orderpriority", "n", "qty")
         } finally {

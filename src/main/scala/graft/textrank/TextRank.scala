@@ -203,6 +203,7 @@ object TextRank {
         // Bounded by the check above. The numbering order never reaches
         // the output values: per-destination sums accumulate in edge
         // order within partitions and tree-combine across them.
+        // collect-bound: probe-guarded: count() <= cfg.broadcastLimit just above, with the distributed ranksDF fallback
         val ids: Array[Any] = vertices.collect().map(_.get(0))
         ranksAggregated(e, ids, cfg)
       } else ranksShuffled(e, cfg)

@@ -31,6 +31,7 @@ object Ls08TwinCheck {
     val docs = graft.tables.Tables.documents(spark, dir)
     val t0 = System.nanoTime()
     val arp = graft.lsa.Lsa.concepts(docs, "doc_id", "text")
+      // collect-bound: model: k=5 concept rows (offline solver-twin tool)
       .orderBy($"concept").collect()
     val tArp = (System.nanoTime() - t0) / 1e9
 
@@ -43,6 +44,7 @@ object Ls08TwinCheck {
       .select($"doc_id".as("id"), $"token", round($"tf" * $"idf", 6).as("a"))
     val t1 = System.nanoTime()
     val pow = graft.lsa.PowerLsa.kConcepts(cells, 5, iters, 3, 3)
+      // collect-bound: model: k=5 concept rows (offline solver-twin tool)
       .orderBy($"concept").collect()
     val tPow = (System.nanoTime() - t1) / 1e9
 

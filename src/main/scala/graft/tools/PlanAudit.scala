@@ -125,6 +125,20 @@ object PlanAudit {
       case t: TakeOrderedAndProjectExec => Some(t.limit.toLong)
       case c: CollectLimitExec => Some(c.limit.toLong)
       case _: GenerateExec | _: ExpandExec => None // fan-out: unbounded
+      // Object kernels: 1-to-1 plumbing recurses, but anything whose
+      // lambda may EMIT MANY rows per input (mapPartitions,
+      // flatMapGroups, stateful flat-maps, co-groups) is conservatively
+      // unbounded — a whitelist of known row-preserving producers, not
+      // a blacklist of known fan-outs, so a new Catalyst node can't
+      // silently defeat the invariant (r10 advice).
+      case e: DeserializeToObjectExec => boundedRows(e.child)
+      case e: MapElementsExec => boundedRows(e.child)
+      case _: ObjectProducerExec => None
+      // python/arrow kernels (mapInPandas etc.) produce rows, not
+      // objects, and fan out freely — catch the family by name
+      case u: UnaryExecNode
+          if u.nodeName.contains("Pandas") || u.nodeName.contains("Python") ||
+            u.nodeName.contains("InArrow") => None
       case u: UnaryExecNode => boundedRows(u.child) // row-preserving or fewer
       case _: LeafExecNode => None
       case b => // Union & friends: bounded iff every child is
@@ -149,8 +163,13 @@ object PlanAudit {
         }
       case j: CartesianProductExec =>
         (boundedRows(j.left), boundedRows(j.right)) match {
+          // both sides bounded AND the product too: two 100k sides
+          // would pass a per-side check while producing 1e10 rows,
+          // which is not a survivable output (r10 advice)
+          case (Some(a), Some(b)) if a <= BoundedRowLimit && b <= BoundedRowLimit &&
+              a * b <= BoundedRowLimit => Right(a * b)
           case (Some(a), Some(b)) if a <= BoundedRowLimit && b <= BoundedRowLimit =>
-            Right(a * b)
+            Left(s"CartesianProduct sides bounded ($a x $b) but product exceeds $BoundedRowLimit")
           case _ => Left(s"CartesianProduct with unbounded side")
         }
     }
@@ -218,8 +237,16 @@ object PlanAudit {
       })
     }
     pool.shutdown()
-    pool.awaitTermination(60, TimeUnit.MINUTES)
-    val audits = qmap.keySet.toSeq.sorted.map(results.get(_))
+    val finished = pool.awaitTermination(60, TimeUnit.MINUTES)
+    // a timed-out pool leaves nulls in the map; synthesize an ERROR
+    // audit per straggler so the report names them instead of NPE-ing
+    // with no artifact (r10 advice)
+    val audits = qmap.keySet.toSeq.sorted.map { name =>
+      Option(results.get(name)).getOrElse(
+        Audit(name, 0, 0, 0, 0, 0, 0, 0, 0, Nil, 0, 0,
+          Some(if (finished) "no result recorded"
+          else "timed out: still planning when the 60 min pool deadline hit")))
+    }
 
     val errors = audits.filter(_.error.isDefined)
     val violations = audits.filter(a =>
