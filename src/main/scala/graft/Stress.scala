@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * every candidate-generating operator must stay bucketed — a quadratic
   * path that survived sf0.1 by luck becomes obvious at sf1.
   *
-  * Usage: runMain graft.Stress [outDir] [queryRegex]
+  * Usage: runMain graft.Stress [outDir] [queryRegex] [copies]
   *
   * `queryRegex = all` (round-9) sweeps the ENTIRE registry —
   * `SparkEntry.allQueries`, name-sorted — instead of the curated
@@ -19,6 +19,14 @@ import org.apache.spark.sql.functions._
   * query timed at sf1, with per-query sf1/sf0.1 ratios assembled into
   * STRESS_r{N}.md by comparing a run pointed at the sf0.1 dir with a
   * run pointed at the replica.
+  *
+  * `copies` (round-11, default 10) sets the replica factor: 10 = sf1,
+  * 30 = sf3, 50 = sf5 — the engine-side OOM probe above the oracle'd
+  * ladder (the DuckDB gate can't hold those scales; the target is the
+  * next failure class in the ENGINE under the default 8 g heap).
+  * Each run also reports per-query PEAK HEAP (MemoryPoolMXBean peaks,
+  * reset before each query) so STRESS_r{N} can record headroom, not
+  * just wall.
   */
 object Stress {
   val Targets = Seq(
@@ -125,13 +133,15 @@ object Stress {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // ---- build the 10x replica (skipped if already present, or when
+    val nCopies = args.lift(2).map(_.toInt).getOrElse(10)
+
+    // ---- build the Nx replica (skipped if already present, or when
     // pointed at a harness sf dir to collect baseline ratios) ----
     val marker = new java.io.File(s"$out/_STRESS_READY")
     if (!marker.exists() && !out.startsWith("/root/testdata/")) {
       def replicate(name: String, keyCols: Seq[String],
           base: DataFrame): Unit = {
-        val copies = (0 until 10).map { i =>
+        val copies = (0 until nCopies).map { i =>
           val off = i.toLong * 100000000L
           keyCols.foldLeft(base) { (df, k) =>
             df.withColumn(k, col(k) + off)
@@ -139,7 +149,7 @@ object Stress {
         }
         copies.reduce(_ unionByName _)
           .write.mode("overwrite").parquet(s"$out/$name.parquet")
-        System.err.println(s"[stress] built $name x10")
+        System.err.println(s"[stress] built $name x$nCopies")
       }
       replicate("documents", Seq("doc_id"),
         spark.read.parquet(s"$src/documents.parquet"))
@@ -173,8 +183,17 @@ object Stress {
           .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       case None => Targets
     }
+    // per-query peak heap: reset the pool peaks before each query, read
+    // the summed heap-pool peaks after — the whole local-mode JVM
+    // (driver + executor threads in one heap), which is exactly the
+    // 8 g envelope the stress rung is about
+    import scala.jdk.CollectionConverters._
+    val heapPools = java.lang.management.ManagementFactory
+      .getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
     val results = names
       .map { name =>
+        heapPools.foreach(_.resetPeakUsage())
         val t0 = System.nanoTime()
         val ok =
           try { qmap(name)(spark, out).write.format("noop").mode("overwrite").save(); true }
@@ -182,12 +201,16 @@ object Stress {
             System.err.println(s"[stress] $name FAILED: $e"); false
           }
         val dt = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[stress] $name: $dt%.1f s" + (if (ok) "" else " FAILED"))
-        (name, if (ok) dt else -dt)
+        val peakGb = heapPools.map(_.getPeakUsage.getUsed).sum / 1024.0 / 1024 / 1024
+        System.err.println(f"[stress] $name: $dt%.1f s, peak heap $peakGb%.2f g" +
+          (if (ok) "" else " FAILED"))
+        (name, if (ok) dt else -dt, peakGb)
       }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.2f""" }
+    val qs = results.map { case (k, v, _) => "\"" + k + f"""\":$v%.2f""" }
       .mkString("{", ",", "}")
-    println(s"""{"stress":"sf1","queries":$qs}""")
+    val hs = results.map { case (k, _, g) => "\"" + k + f"""\":$g%.2f""" }
+      .mkString("{", ",", "}")
+    println(s"""{"stress":"x$nCopies","queries":$qs,"peak_heap_gb":$hs}""")
     spark.stop()
   }
 }

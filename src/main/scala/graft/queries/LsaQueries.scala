@@ -659,17 +659,17 @@ object LsaQueries extends QueryProvider {
       .mkString(" UNION ALL ")
     s"""WITH RECURSIVE
        |${MorphySql.universeCtes},
-       |ord AS (SELECT source AS g, CAST(doc_id AS VARCHAR) AS rid, text,
+       |ord AS MATERIALIZED (SELECT source AS g, CAST(doc_id AS VARCHAR) AS rid, text,
        |  row_number() OVER (PARTITION BY source
        |    ORDER BY CAST(doc_id AS VARCHAR)) - 1 AS oidx
        |  FROM documents WHERE len(trim(text)) > 0),
-       |sided AS (SELECT g, text,
+       |sided AS MATERIALIZED (SELECT g, text,
        |  row_number() OVER (PARTITION BY g ORDER BY rid) AS sid
        |  FROM ord WHERE len(string_split(text, ' ')) >= 5),
        |stok AS (SELECT g, sid, unnest(${TextQueries.tokSql()}) AS tok FROM sided),
        |slt AS (SELECT s.g, s.sid, l.lemma AS token
        |  FROM stok s JOIN lem l ON l.tok = s.tok),
-       |stf AS (SELECT g, sid, token, count(*) AS tf
+       |stf AS MATERIALIZED (SELECT g, sid, token, count(*) AS tf
        |  FROM slt GROUP BY g, sid, token),
        |snd AS (SELECT g, count(DISTINCT sid) AS nd FROM stf GROUP BY g),
        |sdf AS (SELECT g, token, count(*) AS df FROM stf GROUP BY g, token),
@@ -694,9 +694,9 @@ object LsaQueries extends QueryProvider {
        |    ORDER BY score DESC, oidx) AS rn FROM bscall),
        |bref AS (SELECT g, row_number() OVER (PARTITION BY g ORDER BY oidx) AS j,
        |  text FROM bsel WHERE rn <= 15),
-       |pairs AS (SELECT s.g, s.j, s.summary AS sys, r.text AS ref
+       |pairs AS MATERIALIZED (SELECT s.g, s.j, s.summary AS sys, r.text AS ref
        |  FROM sysall s JOIN bref r ON r.g = s.g AND r.j = s.j),
-       |rtokr AS (
+       |rtokr AS MATERIALIZED (
        |  SELECT g, j, 's' AS side, unnest(range(len(t))) AS pos, unnest(t) AS tok
        |  FROM (SELECT g, j, regexp_extract_all(lower(sys), '[a-z0-9]+') AS t
        |        FROM pairs)
@@ -709,7 +709,7 @@ object LsaQueries extends QueryProvider {
        |rmap AS (SELECT t.g, t.j, t.side, t.pos,
        |    CASE WHEN len(t.tok) <= 3 THEN t.tok ELSE s.stm END AS stok
        |  FROM rtokr t LEFT JOIN stems s ON s.tok = t.tok),
-       |ragg AS (SELECT g, j, side, list(stok ORDER BY pos) AS toks
+       |ragg AS MATERIALIZED (SELECT g, j, side, list(stok ORDER BY pos) AS toks
        |  FROM rmap GROUP BY g, j, side),
        |rpairs AS MATERIALIZED (SELECT p.g, p.j,
        |    coalesce(sa.toks, []::VARCHAR[]) AS sys,
@@ -729,7 +729,7 @@ object LsaQueries extends QueryProvider {
        |    coalesce(ov.ov, 0) * 1.0 / greatest(len(p.sys), 1) AS p,
        |    coalesce(ov.ov, 0) * 1.0 / greatest(len(p.ref), 1) AS r
        |  FROM rpairs p LEFT JOIN u_ov ov ON ov.g = p.g AND ov.j = p.j),
-       |bgp AS (SELECT g, j,
+       |bgp AS MATERIALIZED (SELECT g, j,
        |    CASE WHEN len(sys) < 2 THEN [] ELSE list_transform(range(1, len(sys)),
        |      i -> sys[i] || ' ' || sys[i+1]) END AS gs,
        |    CASE WHEN len(ref) < 2 THEN [] ELSE list_transform(range(1, len(ref)),

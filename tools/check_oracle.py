@@ -304,6 +304,39 @@ def plan_shared_nodes(sqls):
             node["members"].append(q)
             rewrites[q] = (node_id, rewrite_sql(q, needed, qdefs[k:], tail))
             break
+    # Single-member nodes for MONSTER chains. A statement with hundreds
+    # of materialized corpus-wide CTEs accumulates result/operator state
+    # until STATEMENT end, so it can exceed the per-worker memory cap
+    # even though every individual CTE is small: ls05 at the sf1 replica
+    # needs >10 GB one-shot (684 defs; the per-def bisect OOMs around
+    # def 348) yet builds in ~1 GB when executed CTE-by-CTE. Routing the
+    # chain through a node runs ONE CREATE TABLE per CTE — state is
+    # freed per statement — under the build lane's budget, and the
+    # member's in-pool tail shrinks to the recursive remainder. This is
+    # what retires the isolated big-memory lane for ls05 (round-10
+    # verdict task 3). Threshold via GATE_SOLO_DEFS (0 disables).
+    solo_min = int(os.environ.get("GATE_SOLO_DEFS", "200"))
+    for q, (qdefs, tail, rec) in (parsed.items() if solo_min else ()):
+        if q in rewrites:
+            continue
+        lead = 0
+        for _, _, stop in qdefs:
+            if stop:
+                break
+            lead += 1
+        if lead < solo_min:
+            continue
+        defs = qdefs[:lead]
+        suffix = "".join(d for _, d, _ in qdefs[lead:]) + tail
+        needed = _refs([nm for nm, _, _ in defs], suffix)
+        if not needed:
+            continue
+        node_id = hashlib.sha256(
+            ("".join(d for _, d, _ in defs) + q).encode()).hexdigest()[:16]
+        nodes[node_id] = {"path": f"{SHARE_DIR}/node_{node_id}.duckdb",
+                          "defs": defs, "persist": sorted(set(needed)),
+                          "members": [q]}
+        rewrites[q] = (node_id, rewrite_sql(q, needed, qdefs[lead:], tail))
     return nodes, rewrites
 
 def _connect(db=None, threads=None, mem=None):
