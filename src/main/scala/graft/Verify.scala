@@ -47,10 +47,15 @@ object Verify {
     // its sf1 envelope (STRESS_r09/r10). tr07 is excluded: its graph is
     // vocabulary-sized (keyword mode), so it never materializes a
     // corpus-scale edge set and belongs in the wide light phase.
+    // Width 1 by default: par=2 was RACE-marginal at sf1 — two tr
+    // queries whose edge-cache+compact builds coincided OOM'd the 8 g
+    // heap in the round-11 run (r10's three clean gates were the lucky
+    // interleaving). Serializing the heavy 8 costs seconds at gate
+    // scale and makes the envelope deterministic at every replica.
     val heavyRe = sys.env.getOrElse("SPARK_GRAFT_VERIFY_HEAVY",
       "^tr0[1-6]|^ls05|^d06").r
     val heavyPar =
-      sys.env.getOrElse("SPARK_GRAFT_VERIFY_HEAVY_PAR", "2").toInt.max(1)
+      sys.env.getOrElse("SPARK_GRAFT_VERIFY_HEAVY_PAR", "1").toInt.max(1)
     val (heavy, light) = work.partition(kv => heavyRe.findFirstIn(kv._1).isDefined)
     val done = new AtomicInteger(0)
     def runPhase(batch: Seq[(String, (SparkSession, String) =>

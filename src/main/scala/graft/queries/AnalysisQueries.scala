@@ -448,9 +448,13 @@ object AnalysisQueries extends QueryProvider {
     // because nearest-neighbor resampling touches only 32x32 positions,
     // it hex-decodes just those 1,024 sampled bytes per image instead of
     // materializing the full pixel list (the full-list form was the sf1
-    // gate's slowest post-tr oracle at 1,575 s). No libm cos on either
-    // side, so there is
-    // no float boundary for a bit to flip across engines. At 100 TB the
+    // gate's slowest post-tr oracle at 1,575 s) — and decodes them in
+    // ONE list_transform projection per image: the earlier 1024-way
+    // position cross-join carried the multi-KB hex string on every
+    // output row (~100 GB of string movement at sf1, 250 s in-pool);
+    // the per-image list keeps the string in place (integer-exact, so
+    // the regrouping is hash-neutral). No libm cos on either side, so
+    // there is no float boundary for a bit to flip across engines. At 100 TB the
     // kernel is one iterator-streamed mapPartitions pass (2·8·32² int
     // multiplies per image) and the hash feeds the same banded
     // near-dup join mm04 uses.
@@ -476,17 +480,16 @@ object AnalysisQueries extends QueryProvider {
            |  SELECT id, hx, n, greatest(1, (n + 31) // 32) AS h
            |  FROM b),
            |cosq AS (SELECT * FROM (VALUES $cosqValues) AS cq(u, y, cw)),
-           |gpos AS (SELECT id, hx, n, gy, gx,
-           |  ((gy * h) // 32) * 32 + gx AS p
-           |  FROM by2
-           |  CROSS JOIN (SELECT unnest(range(32)) AS gy)
-           |  CROSS JOIN (SELECT unnest(range(32)) AS gx)),
-           |grid AS (SELECT id, gy, gx,
-           |  CASE WHEN p < n THEN
-           |    (strpos('0123456789ABCDEF', hx[2*p+1])-1)*16 +
-           |    (strpos('0123456789ABCDEF', hx[2*p+2])-1)
-           |  ELSE 0 END AS pv
-           |  FROM gpos),
+           |grid AS MATERIALIZED (
+           |  SELECT id, q // 32 AS gy, q % 32 AS gx, pv
+           |  FROM (SELECT id,
+           |    unnest(range(1024)) AS q,
+           |    unnest(list_transform(range(1024), qq ->
+           |      CASE WHEN (((qq // 32) * h) // 32) * 32 + (qq % 32) < n THEN
+           |        (strpos('0123456789ABCDEF', hx[2*((((qq // 32) * h) // 32) * 32 + (qq % 32))+1])-1)*16 +
+           |        (strpos('0123456789ABCDEF', hx[2*((((qq // 32) * h) // 32) * 32 + (qq % 32))+2])-1)
+           |      ELSE 0 END)) AS pv
+           |  FROM by2)),
            |grow AS (SELECT g.id, c.u, g.gx AS x,
            |  CAST(sum(g.pv * c.cw) AS BIGINT) AS gv
            |  FROM grid g JOIN cosq c ON c.y = g.gy

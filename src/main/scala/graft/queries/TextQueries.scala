@@ -991,30 +991,30 @@ object TextQueries extends QueryProvider {
     s"""WITH RECURSIVE
        |tk AS (SELECT regexp_extract_all(lower(text), '[a-zA-Z]+') AS tks
        |  FROM documents),
-       |wt AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+       |wt AS MATERIALIZED (SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
        |  FROM (SELECT unnest(tks) AS w FROM tk) GROUP BY w),
-       |sub AS (SELECT substr(word, i, l) AS piece, sum(freq) AS cnt
+       |sub AS MATERIALIZED (SELECT substr(word, i, l) AS piece, sum(freq) AS cnt
        |  FROM wt, unnest(range(1, length(word)+1)) AS a(i),
        |    unnest(range(1, $maxLen+1)) AS b(l)
        |  WHERE i + l - 1 <= length(word) GROUP BY 1),
-       |v0 AS (SELECT piece, cnt FROM sub WHERE length(piece) = 1
+       |v0 AS MATERIALIZED (SELECT piece, cnt FROM sub WHERE length(piece) = 1
        |  UNION ALL
        |  SELECT piece, cnt FROM (SELECT piece, cnt FROM sub
        |    WHERE length(piece) >= 2 ORDER BY cnt DESC, piece LIMIT $v)),
        |t0 AS (SELECT sum(cnt) AS tot FROM v0),
-       |n0 AS (SELECT piece, round(-ln(cnt * 1.0 / tot), 6) AS nll
+       |n0 AS MATERIALIZED (SELECT piece, round(-ln(cnt * 1.0 / tot), 6) AS nll
        |  FROM v0, t0),
-       |m0c AS (SELECT map(list(piece ORDER BY piece),
+       |m0c AS MATERIALIZED (SELECT map(list(piece ORDER BY piece),
        |  list(nll ORDER BY piece)) AS m FROM n0),
        |${unigramDpSql("dp1", "m0c", maxLen)},
        |dpf1 AS (SELECT word, freq, back FROM dp1 WHERE i = length(word)),
        |${unigramWalkSql("wk1", "dpf1")},
-       |u1 AS (SELECT substr(word, back[pos+1]+1, pos - back[pos+1]) AS piece,
+       |u1 AS MATERIALIZED (SELECT substr(word, back[pos+1]+1, pos - back[pos+1]) AS piece,
        |  sum(freq) AS cnt FROM wk1 WHERE pos > 0 GROUP BY 1),
        |t1 AS (SELECT sum(cnt) AS tot FROM u1),
-       |n1 AS (SELECT piece, round(-ln(cnt * 1.0 / tot), 6) AS nll
+       |n1 AS MATERIALIZED (SELECT piece, round(-ln(cnt * 1.0 / tot), 6) AS nll
        |  FROM u1, t1),
-       |m1c AS (SELECT map(list(piece ORDER BY piece),
+       |m1c AS MATERIALIZED (SELECT map(list(piece ORDER BY piece),
        |  list(nll ORDER BY piece)) AS m FROM n1),
        |${unigramDpSql("dp2", "m1c", maxLen)},
        |dpf2 AS (SELECT word, freq, back FROM dp2 WHERE i = length(word)),

@@ -205,10 +205,19 @@ object TextRank {
         // order within partitions and tree-combine across them.
         // collect-bound: probe-guarded: count() <= cfg.broadcastLimit just above, with the distributed ranksDF fallback
         val ids: Array[Any] = vertices.collect().map(_.get(0))
-        ranksAggregated(e, ids, cfg)
-      } else ranksShuffled(e, cfg)
-    vertices.unpersist()
-    e.unpersist()
+        // Once the compacted primitive arrays materialize, nothing reads
+        // the edge DataFrame again — drop both caches BEFORE the
+        // iterations so one query's steady heap is the compact arrays
+        // alone. (Two concurrent sf1 tr queries holding edge cache +
+        // compact each OOM'd an 8 g heap in the round-11 verify.)
+        ranksAggregated(e, ids, cfg,
+          onCompacted = () => { vertices.unpersist(); e.unpersist() })
+      } else {
+        val out = ranksShuffled(e, cfg)
+        vertices.unpersist()
+        e.unpersist()
+        out
+      }
     r
   }
 
@@ -221,7 +230,7 @@ object TextRank {
     * materializing `wn` up front.
     */
   private def ranksAggregated(e: DataFrame, ids: Array[Any],
-      cfg: Config): DataFrame = {
+      cfg: Config, onCompacted: () => Unit = () => ()): DataFrame = {
     val spark = e.sparkSession
     val sc = spark.sparkContext
 
@@ -248,6 +257,11 @@ object TextRank {
         Iterator.single((ss.result(), ds.result(), ws.result()))
       }
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the compact arrays NOW (a count over 1-row-per-
+    // partition results), then let the caller release the edge caches
+    // the arrays were built from
+    compact.count()
+    onCompacted()
 
     def accumulate(f: ((Array[Int], Array[Int], Array[Double]),
         Array[Double]) => Unit): Array[Double] =
