@@ -226,8 +226,35 @@ def plan_shared_nodes(sqls):
     # prefix shared with at least one OTHER query. A prefix stops at
     # the first recursive/column-list def (stop flag): everything from
     # there on belongs to the member's suffix.
+    # SOLO queries are decided FIRST and excluded from group membership:
+    # a monster chain must not be claimed by a shallow multi-member
+    # prefix (ls05's 19-def morphy share once beat its 677-def solo node
+    # and sent the whole power/ROUGE chain back in-pool, where it OOMs).
+    # Two profile-guided triggers, both env-tunable:
+    #   - GATE_SOLO_DEFS: leading-def count (the statement-accumulation
+    #     class — hundreds of materialized CTEs exceed the worker cap);
+    #   - GATE_SOLO_NAMES: known corpus-scale chains whose IN-POOL tail
+    #     sets the gate wall at 1/GATE_PAR of the box (tr03/tr06 each
+    #     re-propagate a ~113M-edge rank chain; the build lane runs them
+    #     at half the box like the tr01 node they otherwise ride).
+    solo_min = int(os.environ.get("GATE_SOLO_DEFS", "200"))
+    solo_re = os.environ.get("GATE_SOLO_NAMES", r"^(tr03_|tr06_)")
+    solo = set()
+    for q, (qdefs, tail, _) in parsed.items():
+        lead = 0
+        for _, _, stop in qdefs:
+            if stop:
+                break
+            lead += 1
+        named = bool(solo_re) and re.search(solo_re, q) is not None
+        if (solo_min and lead >= solo_min) or named:
+            if _refs([nm for nm, _, _ in qdefs[:lead]],
+                     "".join(d for _, d, _ in qdefs[lead:]) + tail):
+                solo.add(q)
     bykey = {}
     for q, (defs, _, _) in parsed.items():
+        if q in solo:
+            continue
         acc = ""
         for k, (_, dtext, stop) in enumerate(defs):
             if stop:
@@ -304,33 +331,27 @@ def plan_shared_nodes(sqls):
             node["members"].append(q)
             rewrites[q] = (node_id, rewrite_sql(q, needed, qdefs[k:], tail))
             break
-    # Single-member nodes for MONSTER chains. A statement with hundreds
-    # of materialized corpus-wide CTEs accumulates result/operator state
+    # Single-member nodes for the SOLO set. A statement with hundreds of
+    # materialized corpus-wide CTEs accumulates result/operator state
     # until STATEMENT end, so it can exceed the per-worker memory cap
     # even though every individual CTE is small: ls05 at the sf1 replica
     # needs >10 GB one-shot (684 defs; the per-def bisect OOMs around
     # def 348) yet builds in ~1 GB when executed CTE-by-CTE. Routing the
     # chain through a node runs ONE CREATE TABLE per CTE — state is
-    # freed per statement — under the build lane's budget, and the
-    # member's in-pool tail shrinks to the recursive remainder. This is
-    # what retires the isolated big-memory lane for ls05 (round-10
-    # verdict task 3). Threshold via GATE_SOLO_DEFS (0 disables).
-    solo_min = int(os.environ.get("GATE_SOLO_DEFS", "200"))
-    for q, (qdefs, tail, rec) in (parsed.items() if solo_min else ()):
-        if q in rewrites:
-            continue
+    # freed per statement — under the build lane's budget (this retires
+    # the isolated big-memory lane, round-10 verdict task 3), and the
+    # name-listed wall-setters get the build lane's thread slice instead
+    # of a pool worker's.
+    for q in sorted(solo):
+        qdefs, tail, rec = parsed[q]
         lead = 0
         for _, _, stop in qdefs:
             if stop:
                 break
             lead += 1
-        if lead < solo_min:
-            continue
         defs = qdefs[:lead]
         suffix = "".join(d for _, d, _ in qdefs[lead:]) + tail
         needed = _refs([nm for nm, _, _ in defs], suffix)
-        if not needed:
-            continue
         node_id = hashlib.sha256(
             ("".join(d for _, d, _ in defs) + q).encode()).hexdigest()[:16]
         nodes[node_id] = {"path": f"{SHARE_DIR}/node_{node_id}.duckdb",
