@@ -122,16 +122,20 @@ object Stress {
     val filter = args.lift(1).map(_.r)
     val src = "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .withExtensions(new graft.functions.GraftExtensions)
-      .master(s"local[$cpus]")
-      .appName("graft-stress")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    def newSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .withExtensions(new graft.functions.GraftExtensions)
+        .master(s"local[$cpus]")
+        .appName("graft-stress")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    var spark = newSession()
 
     val nCopies = args.lift(2).map(_.toInt).getOrElse(10)
 
@@ -193,6 +197,11 @@ object Stress {
       .filter(_.getType == java.lang.management.MemoryType.HEAP)
     val results = names
       .map { name =>
+        // one engine OOM must not poison the whole probe: an uncaught
+        // executor OutOfMemoryError stops the local-mode SparkContext,
+        // so rebuild the session before the next query (the r11 sf3
+        // probe lost tr02..tr07 to tr01's context shutdown)
+        if (spark.sparkContext.isStopped) spark = newSession()
         heapPools.foreach(_.resetPeakUsage())
         val t0 = System.nanoTime()
         val ok =
@@ -204,6 +213,11 @@ object Stress {
         val peakGb = heapPools.map(_.getPeakUsage.getUsed).sum / 1024.0 / 1024 / 1024
         System.err.println(f"[stress] $name: $dt%.1f s, peak heap $peakGb%.2f g" +
           (if (ok) "" else " FAILED"))
+        // Queries are independent and sequential here: clearing caches
+        // between them keeps one query's (possibly abort-leaked) cache
+        // from distorting the next query's heap envelope. (Verify must
+        // NOT do this — see its concurrency note.)
+        if (!spark.sparkContext.isStopped) spark.catalog.clearCache()
         (name, if (ok) dt else -dt, peakGb)
       }
     val qs = results.map { case (k, v, _) => "\"" + k + f"""\":$v%.2f""" }

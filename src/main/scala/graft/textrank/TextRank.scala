@@ -75,6 +75,17 @@ object TextRank {
         * can exercise the shuffled path on small fixtures.
         */
       broadcastLimit: Long = broadcastRankLimit,
+      /** Edge count above which the iteration falls back from the
+        * compacted-primitive-arrays treeAggregate strategy to the
+        * shuffled join: the compact arrays are EDGE-sized (16 bytes per
+        * directed edge held across the executor heap), so vertex count
+        * alone is the wrong budget — the sf3 stress replica's exact
+        * graph (~1 B directed edges, 45 k vertices) passed the vertex
+        * probe and then blew the 8 g heap building the arrays. 150 M
+        * edges ≈ 2.4 GB of arrays; the sf1 graph (113 M) stays on the
+        * fast path.
+        */
+      edgeBudget: Long = 150000000L,
       /** Edge-generation strategy; Exact below, LSH at corpus scale. */
       edgeCandidates: EdgeCandidates = EdgeCandidates.Exact)
 
@@ -91,7 +102,22 @@ object TextRank {
     val v = vertices.select(col("id"),
       array_distinct(col("tokens")).as("dt"),
       size(col("tokens")).as("n"))
-    val a = v.select(col("id").as("src"), col("dt").as("dt_a"), col("n").as("na"))
+    // Size the STREAM side for the quadratic OUTPUT, not the input: the
+    // self-join multiplies row count by ~V/2, so cores-sized input
+    // partitions become multi-hundred-MB edge partitions whose cache
+    // blocks downstream readers must hold whole — at the sf3 replica
+    // (45 k vertices -> ~2 B directed edges) 32 concurrent fat-block
+    // reads starved every keyed aggregation in the session
+    // (AGGREGATE_OUT_OF_MEMORY). Hash-partitioning by src keeps each
+    // vertex's out-edges together (map-side combine for the out-weight
+    // sums) and bounds a partition to ~64 MB of edges. The count is
+    // cheap: every caller persists `vertices`.
+    val nv = vertices.count()
+    val cores = vertices.sparkSession.sparkContext.defaultParallelism
+    val targetParts = math.min(4096L,
+      math.max(cores.toLong, nv * nv * 2L * 24L / (64L << 20))).toInt
+    val a = v.repartition(targetParts, col("id"))
+      .select(col("id").as("src"), col("dt").as("dt_a"), col("n").as("na"))
     val b = v.select(col("id").as("dst"), col("dt").as("dt_b"), col("n").as("nb"))
     // The graph is symmetric: compute each unordered pair's intersection
     // once (src < dst) and mirror the edge — halves the quadratic work.
@@ -173,7 +199,8 @@ object TextRank {
   /** Iterative rank propagation (G4-G6). Returns (id, rnk).
     *
     * Two execution strategies, routed on vertex count (the rank vector
-    * is vertex-sized — orders of magnitude smaller than the edge list):
+    * is vertex-sized) AND edge count (the compact arrays are edge-sized
+    * — [[Config.edgeBudget]]):
     *
     *  - **≤ [[Config.broadcastLimit]]**: the MLlib small-model pattern
     *    (how gradient descent iterates): the edge list is compacted once
@@ -190,6 +217,13 @@ object TextRank {
     */
   def ranks(edges: DataFrame, cfg: Config = Config()): DataFrame = {
     val e = edges.select(col("src"), col("dst"), col("weight")).persist()
+    // Materialize the edge cache under a STATELESS scan first: at the
+    // sf3 replica, building the 1 B-edge cache underneath a hash
+    // aggregation starved the aggregation of execution memory
+    // (AGGREGATE_OUT_OF_MEMORY) — a plain count lets cache blocks spill
+    // to disk with no operator state competing. The count is also the
+    // edge budget probe for the strategy routing below.
+    val edgeCount = e.count()
     // Vertex set = src ∪ dst (equal to src-distinct on the symmetric
     // lists the pipeline builds, but a directed list through the public
     // API gets its sink-only vertices ranked too instead of an NPE).
@@ -198,8 +232,9 @@ object TextRank {
     // vertex set never leaves the cluster.
     val vertices = e.select(col("src")).union(e.select(col("dst"))).distinct()
       .persist() // count probe + (small path) collect read it once each
-    val r =
-      if (vertices.count() <= cfg.broadcastLimit) {
+    val vertexCount = vertices.count()
+    try {
+      if (vertexCount <= cfg.broadcastLimit && edgeCount <= cfg.edgeBudget) {
         // Bounded by the check above. The numbering order never reaches
         // the output values: per-destination sums accumulate in edge
         // order within partitions and tree-combine across them.
@@ -212,13 +247,16 @@ object TextRank {
         // compact each OOM'd an 8 g heap in the round-11 verify.)
         ranksAggregated(e, ids, cfg,
           onCompacted = () => { vertices.unpersist(); e.unpersist() })
-      } else {
-        val out = ranksShuffled(e, cfg)
-        vertices.unpersist()
-        e.unpersist()
-        out
-      }
-    r
+      } else ranksShuffled(e, cfg,
+        smallVertexSet = vertexCount <= cfg.broadcastLimit)
+    } finally {
+      // idempotent (no-op when the small path already released them) —
+      // and, crucially, still runs when a job ABORTS, so a failed query
+      // cannot leak a corpus-scale edge cache into the session and
+      // starve every later query (seen at the sf3 stress replica)
+      vertices.unpersist()
+      e.unpersist()
+    }
   }
 
   /** Small-vector strategy: the edge list is compacted once into cached
@@ -311,10 +349,23 @@ object TextRank {
   /** Large-vector strategy: rank state stays distributed; out-weights
     * are normalized once, then each iteration is a shuffled join +
     * hash-agg with a `localCheckpoint` lineage cut (H5).
+    *
+    * `smallVertexSet` (vertex count within [[Config.broadcastLimit]],
+    * i.e. this route was chosen by the EDGE budget, not vertex count)
+    * broadcast-hints the two vertex-sized join sides against the
+    * edge-scale `norm`: Catalyst's size estimate for the out-weight
+    * aggregate tracks the edge input, so it planned a SortMergeJoin
+    * that external-sorted the sf3 replica's ~1 B edges — the spill
+    * readers' read-ahead buffers alone blew the 8 g heap. A broadcast
+    * keeps the edge side streaming in place; above the limit the
+    * joins stay shuffled (a >500 k-vertex relation is no broadcast
+    * candidate).
     */
-  private def ranksShuffled(e: DataFrame, cfg: Config): DataFrame = {
+  private def ranksShuffled(e: DataFrame, cfg: Config,
+      smallVertexSet: Boolean = false): DataFrame = {
+    def dim(df: DataFrame): DataFrame = if (smallVertexSet) broadcast(df) else df
     val outSum = e.groupBy(col("src")).agg(sum(col("weight")).as("ow"))
-    val norm = e.join(outSum, "src")
+    val norm = e.join(dim(outSum), "src")
       .select(col("src"), col("dst"), (col("weight") / col("ow")).as("wn"))
       .persist()
     // Full vertex set (src ∪ dst), kept through every iteration: a
@@ -326,7 +377,7 @@ object TextRank {
     vertices.count() // materialize both once; reused every iteration
     var r = vertices.withColumn("rnk", lit(cfg.initRank))
     for (_ <- 1 to cfg.iterations) {
-      val contrib = norm.join(r, norm("src") === r("id"))
+      val contrib = norm.join(dim(r), norm("src") === r("id"))
         .groupBy(col("dst"))
         .agg(sum(col("rnk") * col("wn")).as("c"))
         .select(col("dst").as("id"), col("c"))
@@ -358,10 +409,10 @@ object TextRank {
       .filter(size(col("tokens")) > 0)
       .persist() // read once, joined against itself
     // ranks() is eager (localCheckpoint per iteration), so the inputs are
-    // fully consumed by the time it returns — safe to release them.
-    val r = ranks(edges(vertices, cfg), cfg)
-    vertices.unpersist()
-    r
+    // fully consumed by the time it returns — safe to release them; the
+    // finally also releases on job abort (no leaked vertex cache).
+    try ranks(edges(vertices, cfg), cfg)
+    finally vertices.unpersist()
   }
 
   /** G7: top-k by rank with text recovered via an equi-join (not the

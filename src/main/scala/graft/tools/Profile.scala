@@ -43,6 +43,40 @@ object Profile {
         time(s"$q-cold")(noop(fn(spark, sfDir)))
         time(s"$q-warm")(noop(fn(spark, sfDir)))
 
+      // Stepwise mirror of tr01's exact path (rankDocuments -> ranks ->
+      // ranksShuffled) with a materialization print between steps — for
+      // isolating which stage breaks the heap envelope at the sf3+
+      // replicas, where the exact graph is ~1 B directed edges.
+      case "tr01steps" =>
+        import graft.textrank.TextRank
+        val docs = Tables.documents(spark, sfDir)
+        val vertices = graft.Par.fanOut(docs
+          .filter(TF.spaceWordCount($"text") > 10 && TF.spaceWordCount($"text") < 30))
+          .select($"doc_id".as("id"), TF.textrankTokens($"text", lemma = false).as("tokens"))
+          .filter(size($"tokens") > 0).persist()
+        time("vertices")(println("n=" + vertices.count()))
+        val e = TextRank.similarityEdges(vertices)
+          .select($"src", $"dst", $"weight").persist()
+        time("edges")(println("m=" + e.count()))
+        val verts = e.select($"src".as("id")).union(e.select($"dst".as("id")))
+          .distinct().persist()
+        time("vertexSet")(println("v=" + verts.count()))
+        val outSum = e.groupBy($"src").agg(sum($"weight").as("ow"))
+        val norm = e.join(broadcast(outSum), "src")
+          .select($"src", $"dst", ($"weight" / $"ow").as("wn")).persist()
+        time("norm")(println("norm=" + norm.count()))
+        e.unpersist()
+        var r = verts.withColumn("rnk", lit(0.15))
+        for (i <- 1 to 5) {
+          val contrib = norm.join(broadcast(r), norm("src") === r("id"))
+            .groupBy($"dst").agg(sum($"rnk" * $"wn").as("c"))
+            .select($"dst".as("id"), $"c")
+          r = verts.join(contrib, Seq("id"), "left")
+            .select($"id", (lit(0.15) + lit(0.85) * coalesce($"c", lit(0.0))).as("rnk"))
+            .localCheckpoint()
+          time(s"iter$i")(println("r=" + r.count()))
+        }
+
       case "d04" =>
         val toks = graft.Par.fanOut(Tables.documents(spark, sfDir)
           .select($"doc_id".as("id"), TF.tokenize($"text").as("tokens"))).persist()
