@@ -172,9 +172,20 @@ object TextRankQueries extends QueryProvider {
           .select($"doc_id".as("id"),
             graft.text.TextFunctions.textrankTokens($"text", lemma = false).as("tokens"))
           .filter(size($"tokens") > 0)
-        graft.textrank.TextRankGraphX.ranks(TextRank.similarityEdges(vertices))
+          .persist()
+        // same DISK_ONLY flip as rankDocuments: above the quadratic
+        // estimate the edge caches must not live on the heap
+        val nv = vertices.count()
+        val cfg =
+          if (nv * nv * 48L > TextRank.DiskEdgeBytes)
+            TextRank.Config(edgeStorage =
+              org.apache.spark.storage.StorageLevel.DISK_ONLY)
+          else TextRank.Config()
+        try graft.textrank.TextRankGraphX
+          .ranks(TextRank.similarityEdges(vertices), cfg)
           .select($"id", round($"rnk", 6).as("rnk"))
           .orderBy(desc("rnk"), $"id")
+        finally vertices.unpersist()
       },
       Some(oracleSql(5, None))),
 

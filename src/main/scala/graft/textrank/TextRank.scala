@@ -86,8 +86,26 @@ object TextRank {
         * fast path.
         */
       edgeBudget: Long = 150000000L,
+      /** Storage level for the edge-sized caches (the edge list and the
+        * normalized-weight table). MEMORY_AND_DISK by default;
+        * [[rankDocuments]] switches to DISK_ONLY when the quadratic
+        * estimate says the cache dwarfs the heap — at the sf3 replica a
+        * ~24 GB columnar edge cache on an 8 g heap made every
+        * concurrent reader/builder marginal (boxed dictionary decoders
+        * OOM'd mid-read), while DISK_ONLY leaves the whole heap to
+        * execution memory and streams blocks from local disk.
+        */
+      edgeStorage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK,
       /** Edge-generation strategy; Exact below, LSH at corpus scale. */
       edgeCandidates: EdgeCandidates = EdgeCandidates.Exact)
+
+  /** Estimated edge-cache bytes above which [[rankDocuments]] flips the
+    * edge caches to DISK_ONLY (2 GB ≈ a quarter of the default 8 g
+    * heap; the sf1 graph's 2.7 GB crosses it, the sf0.1 bench graph's
+    * ~54 MB does not).
+    */
+  val DiskEdgeBytes: Long = 2L << 30
 
   /** Directed edge list (src, dst, weight) over all ordered pairs with
     * nonzero similarity (both directions present — the graph is
@@ -216,7 +234,8 @@ object TextRank {
     *    lineage cut (H5). This is the arbitrarily-large-V shape.
     */
   def ranks(edges: DataFrame, cfg: Config = Config()): DataFrame = {
-    val e = edges.select(col("src"), col("dst"), col("weight")).persist()
+    val e = edges.select(col("src"), col("dst"), col("weight"))
+      .persist(cfg.edgeStorage)
     // Materialize the edge cache under a STATELESS scan first: at the
     // sf3 replica, building the 1 B-edge cache underneath a hash
     // aggregation starved the aggregation of execution memory
@@ -367,7 +386,7 @@ object TextRank {
     val outSum = e.groupBy(col("src")).agg(sum(col("weight")).as("ow"))
     val norm = e.join(dim(outSum), "src")
       .select(col("src"), col("dst"), (col("weight") / col("ow")).as("wn"))
-      .persist()
+      .persist(cfg.edgeStorage)
     // Full vertex set (src ∪ dst), kept through every iteration: a
     // vertex with no in-edges still holds rank initRank and feeds its
     // out-edges next round — dropping it after one groupBy(dst) would
@@ -408,10 +427,25 @@ object TextRank {
         TextFunctions.textrankTokens(col(textCol), cfg.lemma).as("tokens"))
       .filter(size(col("tokens")) > 0)
       .persist() // read once, joined against itself
+    // Flip the edge caches to DISK_ONLY when the quadratic estimate
+    // (every vertex pair, both directions, 24 B each) dwarfs the heap —
+    // the vertex count is a cache hit, so the probe is ~free. The
+    // estimate is applied to the LSH route too: it is an upper bound
+    // (candidates are a subset of all pairs), and on a low-diversity
+    // corpus the banding degenerates toward all-pairs — the sf3 probe's
+    // 31-token vocabulary collided ~every document into shared buckets
+    // and tr06's candidate edge set OOM'd an in-heap cache exactly like
+    // the exact route's.
+    val cfg2 =
+      if ({
+          val nv = vertices.count()
+          nv * nv * 48L > DiskEdgeBytes
+        }) cfg.copy(edgeStorage = org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      else cfg
     // ranks() is eager (localCheckpoint per iteration), so the inputs are
     // fully consumed by the time it returns — safe to release them; the
     // finally also releases on job abort (no leaked vertex cache).
-    try ranks(edges(vertices, cfg), cfg)
+    try ranks(edges(vertices, cfg2), cfg2)
     finally vertices.unpersist()
   }
 

@@ -62,6 +62,14 @@ object TextRankGraphX {
     // of dying, which is the behavior a 100 TB run needs. Values are
     // unaffected (storage level only).
     val lvl = StorageLevel.MEMORY_AND_DISK_SER
+    // The edge DataFrame cache honors the caller's scale decision: at
+    // the sf3 replica (~1 B edges) even a serialized columnar cache
+    // resident on an 8 g heap makes every reader marginal — callers
+    // that can estimate the edge count (tr04's query, rankDocuments)
+    // pass DISK_ONLY and the budget probe streams from disk instead.
+    val eLvl =
+      if (cfg.edgeStorage == StorageLevel.DISK_ONLY) StorageLevel.DISK_ONLY
+      else lvl
     // Budget the edge set BEFORE any RDD-of-tuples exists: the first
     // cut of this guard counted a persisted RDD[(Long,Long,Double)],
     // and materializing that persist was itself the OOM (boxed tuples,
@@ -72,7 +80,7 @@ object TextRankGraphX {
     // backend wins reuses the cache instead of recomputing the
     // quadratic similarity join.
     val eDf = edges.select(col("src").cast("long"), col("dst").cast("long"),
-      col("weight").cast("double")).persist(lvl)
+      col("weight").cast("double")).persist(eLvl)
     val edgeCount = eDf.count()
     // Pregel-parity demonstrator, not the scale path: beyond the heap
     // budget the identical rank vector comes from the default strategy
