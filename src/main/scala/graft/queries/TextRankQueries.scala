@@ -175,14 +175,16 @@ object TextRankQueries extends QueryProvider {
           .persist()
         // same DISK_ONLY flip as rankDocuments: above the quadratic
         // estimate the edge caches must not live on the heap
+        // (quadEdgeBytes saturates instead of wrapping negative at
+        // nv ≳ 4.4e8 — the shared helper keeps both probes in sync)
         val nv = vertices.count()
         val cfg =
-          if (nv * nv * 48L > TextRank.DiskEdgeBytes)
+          if (TextRank.quadEdgeBytes(nv) > TextRank.DiskEdgeBytes)
             TextRank.Config(edgeStorage =
               org.apache.spark.storage.StorageLevel.DISK_ONLY)
           else TextRank.Config()
         try graft.textrank.TextRankGraphX
-          .ranks(TextRank.similarityEdges(vertices), cfg)
+          .ranks(TextRank.similarityEdges(vertices, nv), cfg)
           .select($"id", round($"rnk", 6).as("rnk"))
           .orderBy(desc("rnk"), $"id")
         finally vertices.unpersist()

@@ -107,13 +107,52 @@ object TextRank {
     */
   val DiskEdgeBytes: Long = 2L << 30
 
+  /** a·b saturating at Long.MaxValue (inputs are non-negative counts).
+    * The quadratic probes (`nv² · bytes-per-edge`) overflow a plain Long
+    * multiply at nv ≳ 4.4e8 vertices and wrap NEGATIVE — silently
+    * disengaging the DISK_ONLY flip and output-sized partitioning at
+    * exactly the corpus scales they protect. Saturation keeps the
+    * comparisons monotone at any vertex count.
+    */
+  def satMul(a: Long, b: Long): Long =
+    if (a == 0L || b == 0L) 0L
+    else if (a > Long.MaxValue / b) Long.MaxValue
+    else a * b
+
+  /** Overflow-safe estimate of the exact route's edge-cache bytes:
+    * every vertex pair, both directions, 24 B each (`nv² · 48`,
+    * saturating). Shared by [[rankDocuments]] and the tr04 GraphX query
+    * so the two DISK_ONLY probes cannot drift.
+    */
+  def quadEdgeBytes(nv: Long): Long = satMul(satMul(nv, nv), 48L)
+
+  /** Ordered-vertex-pair count above which [[lshSimilarityEdges]]'
+    * degeneracy probe may fall back to the exact route. Sits in the
+    * dead band between the largest ORACLE-GATED graph (sf1: 10,660
+    * band-filtered vertices → 113.6 M ordered pairs — the engine must
+    * stay on the oracle-replayed LSH route there, whatever the probe
+    * reads) and the sf3 stress replica (31,980 vertices → 1.02 B pairs
+    * — where a diversity-less corpus collapses the bucket joins toward
+    * all-pairs and OOMs the 8 g heap). Below it the probe is skipped
+    * entirely: gate-scale tr06 plans and values are byte-identical to
+    * the probe-less round-11 code.
+    */
+  val LshFallbackMinPairs: Long = 300000000L
+
   /** Directed edge list (src, dst, weight) over all ordered pairs with
     * nonzero similarity (both directions present — the graph is
     * symmetric, matching the reference's adjacency map).
     *
     * vertices: (id: long, tokens: array<string>), tokens non-empty.
+    *
+    * @param vertexCount the caller's precomputed `vertices.count()`
+    *        (used to size the stream side for the quadratic output);
+    *        pass -1 to let this method count — in that case an
+    *        unpersisted input is persisted first, so an external caller
+    *        does not recompute its full token pipeline once for the
+    *        count and again for the join.
     */
-  def similarityEdges(vertices: DataFrame): DataFrame = {
+  def similarityEdges(vertices: DataFrame, vertexCount: Long = -1L): DataFrame = {
     // Distinct token sets and raw lengths are per-VERTEX quantities:
     // compute them once before the quadratic join, not per pair (a
     // V²→V reduction in array_distinct work).
@@ -128,12 +167,23 @@ object TextRank {
     // reads starved every keyed aggregation in the session
     // (AGGREGATE_OUT_OF_MEMORY). Hash-partitioning by src keeps each
     // vertex's out-edges together (map-side combine for the out-weight
-    // sums) and bounds a partition to ~64 MB of edges. The count is
-    // cheap: every caller persists `vertices`.
-    val nv = vertices.count()
+    // sums) and bounds a partition to ~64 MB of edges.
+    val nv =
+      if (vertexCount >= 0L) vertexCount
+      else {
+        // persist-if-unpersisted (same pattern as lshSimilarityEdges'
+        // v cache: no unpersist hook — the returned plan still reads
+        // it; MEMORY_AND_DISK entries are LRU-evicted)
+        if (vertices.storageLevel ==
+            org.apache.spark.storage.StorageLevel.NONE) vertices.persist()
+        vertices.count()
+      }
     val cores = vertices.sparkSession.sparkContext.defaultParallelism
+    // satMul: a plain nv²·48 wraps negative at nv ≳ 4.4e8 and would
+    // collapse targetParts back to `cores` at exactly the scales the
+    // output-sized partitioning protects
     val targetParts = math.min(4096L,
-      math.max(cores.toLong, nv * nv * 2L * 24L / (64L << 20))).toInt
+      math.max(cores.toLong, satMul(satMul(nv, nv), 48L) / (64L << 20))).toInt
     val a = v.repartition(targetParts, col("id"))
       .select(col("id").as("src"), col("dt").as("dt_a"), col("n").as("na"))
     val b = v.select(col("id").as("dst"), col("dt").as("dt_b"), col("n").as("nb"))
@@ -159,7 +209,7 @@ object TextRank {
     * banding misses (low-Jaccard pairs) can differ.
     */
   def lshSimilarityEdges(vertices: DataFrame,
-      lsh: EdgeCandidates.Lsh): DataFrame = {
+      lsh: EdgeCandidates.Lsh, vertexCount: Long = -1L): DataFrame = {
     import graft.operators.Dedup
     val rowsPerBand = math.max(1, lsh.numHashes / lsh.bands)
     // Distinct token sets / raw lengths are per-vertex quantities; this
@@ -171,10 +221,53 @@ object TextRank {
       array_distinct(col("tokens")).as("dt"),
       size(col("tokens")).as("n"))
       .persist()
+    val nv = if (vertexCount >= 0L) vertexCount else v.count()
     val sigs = v
       .withColumn("hv", Dedup.shingleHashes(col("dt")))
       .withColumn("sig", Dedup.minhashSignature(col("hv"), lsh.bands * rowsPerBand))
       .select("id", "sig")
+    // DEGENERATE-CORPUS GUARD. LSH banding is sub-quadratic only while
+    // documents' signatures differ; on a diversity-less corpus (the sf3
+    // stress replica's ~31-token shared vocabulary) nearly every
+    // document collides into shared buckets, the candidate set
+    // collapses toward all-pairs (~1 B), and the bucket joins OOM the
+    // heap — LSH cannot be sub-quadratic there BY CONSTRUCTION. Probe
+    // the post-cap bucket pair mass (one vertex-sized aggregation) and,
+    // when the banding provably isn't pruning, run the exact route
+    // instead: it carries output-sized partitioning + DISK_ONLY caches
+    // and survived the same replica's 1.02 B-edge graph inside 8 g.
+    // The probe only runs above [[LshFallbackMinPairs]], a scale no
+    // oracle-gated graph reaches — at/below sf1 the plan and values
+    // are identical to the probe-less path (tr06's oracle replays the
+    // LSH banding, so the engine must stay on it wherever hashes are
+    // checked).
+    val allPairs = satMul(nv, nv)
+    val degenerate = allPairs > LshFallbackMinPairs && {
+      // Per-(band, bucket) member counts c, capped like lshCandidates;
+      // Σ c·(c−1) over surviving buckets is the bucket joins' exact
+      // directed output; /bands lower-bounds the DEDUPED candidate
+      // count (a degenerate corpus repeats each pair in ~every band; a
+      // diverse one collides a pair in ~1 band, so the division biases
+      // AGAINST falling back — the 100 TB shape stays on LSH).
+      // collect-bound: scalar: single aggregated row (bucket-mass probe)
+      val mass = sigs
+        .select(posexplode(Dedup.bandKeyArray(col("sig"), lsh.bands, rowsPerBand)))
+        .toDF("band", "key")
+        .groupBy(col("band"), col("key")).agg(count(lit(1)).as("c"))
+        .filter(col("c") <= lsh.maxBucket)
+        .agg(coalesce(sum(col("c") * (col("c") - lit(1L))), lit(0L)))
+        .first().getLong(0)
+      val estDeduped = mass / math.max(1, lsh.bands)
+      val hit = satMul(estDeduped, 4L) >= allPairs
+      System.err.println(s"[textrank] LSH diversity probe: nv=$nv, " +
+        s"per-band pair mass=$estDeduped (all-pairs bound $allPairs) -> " +
+        (if (hit) "DEGENERATE, exact-route fallback" else "banding prunes, LSH route"))
+      hit
+    }
+    if (degenerate) {
+      v.unpersist() // the exact route re-derives its own per-vertex table
+      return similarityEdges(vertices, nv)
+    }
     val cands = Dedup.lshCandidates(sigs, lsh.bands, rowsPerBand, lsh.maxBucket)
     val a = v.select(col("id").as("src"), col("dt").as("dt_a"), col("n").as("na"))
     val b = v.select(col("id").as("dst"), col("dt").as("dt_b"), col("n").as("nb"))
@@ -193,15 +286,18 @@ object TextRank {
   /** Routes edge generation per [[Config.edgeCandidates]]: exact all-pairs,
     * or LSH candidates above `minVertices` (vertices should be persisted
     * by the caller — the routing count and the downstream plan both read
-    * it).
+    * it). `vertexCount`, when ≥ 0, is the caller's precomputed
+    * `vertices.count()` — [[rankDocuments]] already holds it for the
+    * DISK_ONLY probe, so no route re-counts.
     */
-  def edges(vertices: DataFrame, cfg: Config): DataFrame =
+  def edges(vertices: DataFrame, cfg: Config, vertexCount: Long = -1L): DataFrame =
     cfg.edgeCandidates match {
-      case EdgeCandidates.Exact => similarityEdges(vertices)
+      case EdgeCandidates.Exact => similarityEdges(vertices, vertexCount)
       case l: EdgeCandidates.Lsh =>
-        if (l.minVertices > 0L && vertices.count() < l.minVertices)
-          similarityEdges(vertices)
-        else lshSimilarityEdges(vertices, l)
+        val nv = if (vertexCount >= 0L) vertexCount else vertices.count()
+        if (l.minVertices > 0L && nv < l.minVertices)
+          similarityEdges(vertices, nv)
+        else lshSimilarityEdges(vertices, l, nv)
     }
 
   /** Vertex count below which the rank vector is held as driver-side
@@ -233,7 +329,8 @@ object TextRank {
     *    iteration is a shuffled join + hash-agg with a `localCheckpoint`
     *    lineage cut (H5). This is the arbitrarily-large-V shape.
     */
-  def ranks(edges: DataFrame, cfg: Config = Config()): DataFrame = {
+  def ranks(edges: DataFrame, cfg: Config = Config(),
+      maxDirectedEdges: Long = Long.MaxValue): DataFrame = {
     val e = edges.select(col("src"), col("dst"), col("weight"))
       .persist(cfg.edgeStorage)
     // Materialize the edge cache under a STATELESS scan first: at the
@@ -242,7 +339,19 @@ object TextRank {
     // (AGGREGATE_OUT_OF_MEMORY) — a plain count lets cache blocks spill
     // to disk with no operator state competing. The count is also the
     // edge budget probe for the strategy routing below.
-    val edgeCount = e.count()
+    //
+    // SKIPPED when the caller's upper bound (`maxDirectedEdges`, e.g.
+    // rankDocuments' nv² exact-route bound) already proves the graph is
+    // small: below the edge budget the route is decided either way, and
+    // below the DISK_ONLY estimate the cache materializes harmlessly
+    // under the vertex distinct — the stateless pre-scan proved nothing
+    // and cost the sf0.1 bench's tr02 +0.3 s every run. Routing inputs
+    // are unchanged wherever the bound does not bind (count ≤ bound ≤
+    // budget → same strategy), so this is hash-neutral by construction.
+    val edgeCount =
+      if (maxDirectedEdges <= cfg.edgeBudget &&
+          satMul(maxDirectedEdges, 48L) <= DiskEdgeBytes) maxDirectedEdges
+      else e.count()
     // Vertex set = src ∪ dst (equal to src-distinct on the symmetric
     // lists the pipeline builds, but a directed list through the public
     // API gets its sink-only vertices ranked too instead of an NPE).
@@ -436,16 +545,19 @@ object TextRank {
     // 31-token vocabulary collided ~every document into shared buckets
     // and tr06's candidate edge set OOM'd an in-heap cache exactly like
     // the exact route's.
+    val nv = vertices.count()
     val cfg2 =
-      if ({
-          val nv = vertices.count()
-          nv * nv * 48L > DiskEdgeBytes
-        }) cfg.copy(edgeStorage = org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      if (quadEdgeBytes(nv) > DiskEdgeBytes)
+        cfg.copy(edgeStorage = org.apache.spark.storage.StorageLevel.DISK_ONLY)
       else cfg
     // ranks() is eager (localCheckpoint per iteration), so the inputs are
     // fully consumed by the time it returns — safe to release them; the
     // finally also releases on job abort (no leaked vertex cache).
-    try ranks(edges(vertices, cfg2), cfg2)
+    // nv² bounds the directed edge count on BOTH routes (LSH candidates
+    // are a subset of all pairs), letting ranks() skip its stateless
+    // pre-count when the bound proves the graph small.
+    try ranks(edges(vertices, cfg2, nv), cfg2,
+      maxDirectedEdges = satMul(nv, nv))
     finally vertices.unpersist()
   }
 

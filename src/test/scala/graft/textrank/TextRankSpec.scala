@@ -90,6 +90,43 @@ class TextRankSpec extends SparkSpec {
     }
   }
 
+  test("quadratic byte estimates saturate instead of wrapping (overflow guard)") {
+    // nv ≳ 4.4e8: a plain nv²·48 wraps negative and would silently
+    // disengage the DISK_ONLY flip at exactly the corpus scales it
+    // protects (round-11 advice). The saturating helpers stay monotone.
+    val nv = 500000000L // 5e8 vertices: nv²·48 ≫ Long.MaxValue
+    assert(nv * nv * 48L < 0L) // the bug being guarded against is real
+    assert(TextRank.quadEdgeBytes(nv) == Long.MaxValue)
+    assert(TextRank.quadEdgeBytes(nv) > TextRank.DiskEdgeBytes)
+    assert(TextRank.satMul(0L, 48L) == 0L)
+    assert(TextRank.satMul(6700L, 6700L) == 6700L * 6700L) // exact below
+    assert(TextRank.quadEdgeBytes(6700L) == 6700L * 6700L * 48L)
+    // monotone across the old wrap point
+    assert(TextRank.quadEdgeBytes(nv) >= TextRank.quadEdgeBytes(440000000L))
+  }
+
+  test("ranks with a proven-small edge bound matches the counted path") {
+    // maxDirectedEdges below both the edge budget and the DISK_ONLY
+    // threshold skips the stateless pre-count (the tr02 bench reclaim);
+    // the result must be identical to the counting path.
+    val e = TextRank.similarityEdges(vertices)
+    val counted = TextRank.ranks(e).as[(Long, Double)].collect().toMap
+    val bounded = TextRank.ranks(e, maxDirectedEdges = 9L)
+      .as[(Long, Double)].collect().toMap
+    assert(counted.keySet == bounded.keySet)
+    counted.foreach { case (id, v) =>
+      assert(v == bounded(id), s"vertex $id") // bit-identical, same route
+    }
+  }
+
+  test("similarityEdges with an explicit vertexCount matches the counting path") {
+    val a = TextRank.similarityEdges(vertices)
+      .as[(Long, Long, Double)].collect().toSet
+    val b = TextRank.similarityEdges(vertices, vertexCount = 3L)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(a == b)
+  }
+
   test("rankDocuments applies the exclusive 10..30 word band (F2)") {
     val docs = Seq(
       (0L, ("alpha beta " * 8).trim), // 16 words, in band
