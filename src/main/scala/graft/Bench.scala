@@ -51,6 +51,27 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
         .split(" ").take(3).mkString(",")
       catch { case _: Throwable => "" }
+    def load1(s: String): Double =
+      s.split(",").headOption.flatMap(x =>
+        scala.util.Try(x.toDouble).toOption).getOrElse(0.0)
+    // Whole-box busy CPU (user+nice+system+irq+softirq+steal jiffies,
+    // USER_HZ=100) minus THIS JVM's CPU over the same window = CPU burned
+    // by OTHER processes during the bench. The r11 artifact inflated 25%
+    // (ls08 +69%, tr02 +64% vs the same round's idle pair) while the
+    // start/end canary read clean — the contention was multi-core and
+    // intermittent, invisible to two point samples. A whole-window
+    // foreign-CPU integral cannot miss it.
+    def busyJiffies: Long =
+      try {
+        val f = scala.io.Source.fromFile("/proc/stat").getLines()
+          .next().trim.split("\\s+")
+        Seq(1, 2, 3, 6, 7, 8).map(i => f.lift(i).map(_.toLong).getOrElse(0L)).sum
+      } catch { case _: Throwable => -1L }
+    def processCpuNanos: Long =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
+        case _ => -1L
+      }
     def canary(): Double = {
       import org.apache.spark.sql.functions.expr
       def once(): Double = {
@@ -76,6 +97,9 @@ object Bench {
     // a concurrent 32-thread sweep inflicts on a CPU-bound 32-task job.
     val CanaryIdleSec = sys.env.getOrElse("SPARK_GRAFT_CANARY_IDLE", "0.20").toDouble
     val loadStart = loadavg
+    val busyStart = busyJiffies
+    val procStart = processCpuNanos
+    val wallStart = System.nanoTime()
     // one untimed pipeline warm-up (scan + shuffle machinery, parquet
     // footers, codegen of the most common operators) before any timing
     names.headOption.foreach(runOnce)
@@ -93,7 +117,14 @@ object Bench {
     // contaminated and earns extra runs (below: re-runs, r8 lesson).
     val SpreadGate = 0.40
     val MaxRuns = 6
-    val results = names.map { name =>
+    // MID-WINDOW canary (r11 lesson): start/end canaries bracket the
+    // window but sample two instants; contention that starts after the
+    // first and ends before the last reads clean. One more sample at
+    // the window's midpoint cuts the blind interval in half; the
+    // whole-window foreign-CPU integral (above) closes it entirely.
+    var canaryMid = -1.0
+    val results = names.zipWithIndex.map { case (name, qi) =>
+      if (qi == names.length / 2) canaryMid = canary()
       runOnce(name) // adjacent warmup: JIT-hot when the clock starts
       // measure TWICE and report the min: single timed runs on a busy
       // 32-thread box jitter +-30% (GC pauses, code-cache churn); the
@@ -152,11 +183,37 @@ object Bench {
     val canaryEnd = canary()
     val loadEnd = loadavg
     val sessionContaminated =
-      canaryStart > 1.5 * CanaryIdleSec || canaryEnd > 1.5 * CanaryIdleSec
-    System.err.println(f"[bench] canary start ${canaryStart}%.3f s / end ${canaryEnd}%.3f s"
-      + f" (idle ref ${CanaryIdleSec}%.2f s), loadavg $loadStart -> $loadEnd"
-      + (if (sessionContaminated) " (SESSION CONTAMINATED)" else ""))
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,"contaminated":$contaminated,"protocol":"warmup+min-of-2+respread","median_run_spread":${r3(noise)},"canary_sec":[${r3(canaryStart)},${r3(canaryEnd)}],"canary_idle_sec":${r3(CanaryIdleSec)},"session_contaminated":$sessionContaminated,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","sf":"$sfDir"}""")
+      canaryStart > 1.5 * CanaryIdleSec || canaryEnd > 1.5 * CanaryIdleSec ||
+        (canaryMid >= 0 && canaryMid > 1.5 * CanaryIdleSec)
+    // Foreign CPU burned during the window, averaged to cores: busy
+    // jiffies are whole-box, process CPU is this JVM only; the
+    // difference is other processes. An idle box's daemons read
+    // ~0.01-0.05 cores; a concurrent sweep reads multiple cores. -1
+    // when /proc/stat or the CPU bean is unavailable (gauge off).
+    val wallSec = (System.nanoTime() - wallStart) / 1e9
+    val busyEnd = busyJiffies
+    val procEnd = processCpuNanos
+    val foreignCores =
+      if (busyStart < 0 || busyEnd < 0 || procStart < 0 || procEnd < 0 || wallSec <= 0) -1.0
+      else math.max(0.0,
+        ((busyEnd - busyStart) / 100.0 - (procEnd - procStart) / 1e9) / wallSec)
+    // WINDOW-SUSPECT verdict (r11 verdict task 1): the single flag a
+    // reader checks before trusting the artifact. Trips on any of:
+    //  - a canary sample beyond 1.5x idle (the r8/r9 class);
+    //  - 1-min loadavg > 1.0 at window START — substantial load in the
+    //    preceding minute on what should be an idle box (r11's window
+    //    opened at 2.57 and would have been flagged);
+    //  - foreign processes averaging > 0.5 cores across the window
+    //    (the multi-core contention class the canaries can miss).
+    val load1Start = load1(loadStart)
+    val windowSuspect = sessionContaminated ||
+      load1Start > 1.0 || foreignCores > 0.5
+    System.err.println(f"[bench] canary start ${canaryStart}%.3f / mid ${canaryMid}%.3f"
+      + f" / end ${canaryEnd}%.3f s (idle ref ${CanaryIdleSec}%.2f s),"
+      + f" loadavg $loadStart -> $loadEnd, foreign ${foreignCores}%.2f cores"
+      + (if (sessionContaminated) " (SESSION CONTAMINATED)" else "")
+      + (if (windowSuspect) " (WINDOW SUSPECT)" else ""))
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,"contaminated":$contaminated,"protocol":"warmup+min-of-2+respread","median_run_spread":${r3(noise)},"canary_sec":[${r3(canaryStart)},${r3(canaryMid)},${r3(canaryEnd)}],"canary_idle_sec":${r3(CanaryIdleSec)},"session_contaminated":$sessionContaminated,"foreign_cpu_cores_avg":${r3(foreignCores)},"window_suspect":$windowSuspect,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","sf":"$sfDir"}""")
     spark.stop()
   }
 }

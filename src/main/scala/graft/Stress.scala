@@ -195,6 +195,25 @@ object Stress {
     val heapPools = java.lang.management.ManagementFactory
       .getMemoryPoolMXBeans.asScala
       .filter(_.getType == java.lang.management.MemoryType.HEAP)
+    // SAMPLED total-heap peak (round-11 verdict task 4): the per-pool
+    // peak SUM above is an upper bound, not a gauge — G1 pools peak at
+    // different moments, so the sum can read above -Xmx (r11 tables
+    // showed 11.88 g "peaks" inside an 8 g heap), which breaks headroom
+    // math. A 50 ms poll of getHeapMemoryUsage().getUsed is a true
+    // point-in-time total: its max over a query can NEVER exceed -Xmx,
+    // at the cost of missing sub-50 ms spikes (the pool sum still
+    // brackets those from above — report both).
+    val memBean = java.lang.management.ManagementFactory.getMemoryMXBean
+    val sampledPeak = new java.util.concurrent.atomic.AtomicLong(0L)
+    val sampler = new Thread(() => {
+      while (true) {
+        val u = memBean.getHeapMemoryUsage.getUsed
+        sampledPeak.getAndAccumulate(u, math.max(_, _)): Unit
+        Thread.sleep(50)
+      }
+    }, "stress-heap-sampler")
+    sampler.setDaemon(true)
+    sampler.start()
     val results = names
       .map { name =>
         // one engine OOM must not poison the whole probe: an uncaught
@@ -203,6 +222,7 @@ object Stress {
         // probe lost tr02..tr07 to tr01's context shutdown)
         if (spark.sparkContext.isStopped) spark = newSession()
         heapPools.foreach(_.resetPeakUsage())
+        sampledPeak.set(0L)
         val t0 = System.nanoTime()
         val ok =
           try { qmap(name)(spark, out).write.format("noop").mode("overwrite").save(); true }
@@ -210,21 +230,25 @@ object Stress {
             System.err.println(s"[stress] $name FAILED: $e"); false
           }
         val dt = (System.nanoTime() - t0) / 1e9
-        val peakGb = heapPools.map(_.getPeakUsage.getUsed).sum / 1024.0 / 1024 / 1024
-        System.err.println(f"[stress] $name: $dt%.1f s, peak heap $peakGb%.2f g" +
+        val poolSumGb = heapPools.map(_.getPeakUsage.getUsed).sum / 1024.0 / 1024 / 1024
+        val sampledGb = sampledPeak.get() / 1024.0 / 1024 / 1024
+        System.err.println(f"[stress] $name: $dt%.1f s, peak heap $sampledGb%.2f g" +
+          f" sampled ($poolSumGb%.2f g pool-sum bound)" +
           (if (ok) "" else " FAILED"))
         // Queries are independent and sequential here: clearing caches
         // between them keeps one query's (possibly abort-leaked) cache
         // from distorting the next query's heap envelope. (Verify must
         // NOT do this — see its concurrency note.)
         if (!spark.sparkContext.isStopped) spark.catalog.clearCache()
-        (name, if (ok) dt else -dt, peakGb)
+        (name, if (ok) dt else -dt, poolSumGb, sampledGb)
       }
-    val qs = results.map { case (k, v, _) => "\"" + k + f"""\":$v%.2f""" }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + f"""\":$v%.2f""" }
       .mkString("{", ",", "}")
-    val hs = results.map { case (k, _, g) => "\"" + k + f"""\":$g%.2f""" }
+    val hs = results.map { case (k, _, g, _) => "\"" + k + f"""\":$g%.2f""" }
       .mkString("{", ",", "}")
-    println(s"""{"stress":"x$nCopies","queries":$qs,"peak_heap_gb":$hs}""")
+    val ss = results.map { case (k, _, _, g) => "\"" + k + f"""\":$g%.2f""" }
+      .mkString("{", ",", "}")
+    println(s"""{"stress":"x$nCopies","queries":$qs,"peak_heap_sampled_gb":$ss,"peak_heap_poolsum_gb":$hs}""")
     spark.stop()
   }
 }

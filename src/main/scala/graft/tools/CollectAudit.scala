@@ -59,9 +59,33 @@ object CollectAudit {
     t.startsWith("//") || t.startsWith("*") || t.startsWith("/*")
   }
 
+  /** Double-quoted string literals blanked out (escapes respected), so
+    * a collect-like token inside a quoted string is not flagged as a
+    * driver-collect site. Single-line literals only; multi-line
+    * (triple-quoted) bodies are handled by the scanner's block state.
+    */
+  private def stripStrings(line: String): String =
+    line.replaceAll("\"(\\\\.|[^\"\\\\])*\"", "\"\"")
+
+  /** True when `line`, read bottom-up from a site, belongs to the same
+    * statement: a method-chain continuation (leading '.' or ')'), a
+    * line left syntactically open (trailing '(', ',', operator, '=>',
+    * '{'), or an interleaved comment. The annotation window extends
+    * upward through these to the statement head — a legitimate
+    * annotation above a long chain must not fail the build just
+    * because the chain is three lines tall.
+    */
+  private def isContinuation(line: String): Boolean = {
+    val t = stripStrings(line).trim
+    t.startsWith(".") || t.startsWith(")") || isCommentOnly(line) ||
+      Seq("(", ",", "=", "=>", "{", "+", "&&", "||", "++").exists(t.endsWith)
+  }
+
   /** Scan every .scala file under `root` for driver-collect sites and
-    * resolve each site's annotation (same line, or up to two lines
-    * above — the comment usually sits above a multi-line chain).
+    * resolve each site's annotation: same line, up to two lines above,
+    * or further up through the enclosing statement's continuation
+    * lines (bounded). Collect-like tokens inside string literals —
+    * single-line quoted or triple-quoted blocks — are not sites.
     */
   def scan(root: Path): Seq[Site] = {
     val files = Files.walk(root).iterator().asScala
@@ -69,10 +93,29 @@ object CollectAudit {
       .toSeq.sortBy(_.toString)
     files.flatMap { p =>
       val lines = Files.readAllLines(p).asScala.toVector
+      // Track triple-quoted block state line-by-line: a line strictly
+      // inside a """...""" body (odd cumulative delimiter count before
+      // it) cannot host a site — it's SQL/doc text, not code.
+      val inTriple = new Array[Boolean](lines.length)
+      var open = false
+      for (i <- lines.indices) {
+        inTriple(i) = open
+        open = (open, lines(i).sliding(3).count(_ == "\"\"\"")) match {
+          case (o, n) => if (n % 2 == 1) !o else o
+        }
+      }
       lines.zipWithIndex.flatMap { case (text, i) =>
-        if (isCommentOnly(text) || SiteRe.findFirstIn(text).isEmpty) None
+        if (isCommentOnly(text) || inTriple(i) ||
+            SiteRe.findFirstIn(stripStrings(text)).isEmpty) None
         else {
-          val window = ((i - 2) max 0 to i).reverseIterator
+          // base window (site line + two above), then extend upward
+          // while the lines remain part of the same statement
+          var top = (i - 2) max 0
+          var budget = 8
+          while (top > 0 && budget > 0 && isContinuation(lines(top))) {
+            top -= 1; budget -= 1
+          }
+          val window = (top to i).reverseIterator
             .map(lines(_)).flatMap(AnnRe.findFirstMatchIn(_)).toSeq.headOption
           val (cat, why, problem) = window match {
             case Some(m) =>

@@ -190,8 +190,20 @@ def parse_with(sql):
         if end < 0:
             return None
         name = m.group(0)
+        # Self-reference probe over the body with string literals and
+        # line comments stripped, case-insensitively: a lexicon word in
+        # a '...' literal equal to a CTE name must not mark the def as
+        # recursive (silently truncating prefix sharing), and a
+        # different-case self-reference must not be missed (it would
+        # produce a failing standalone CREATE TABLE). Doubled quotes
+        # ('it''s') are removed first so the escaped quote cannot
+        # unbalance the literal scan.
+        body = sql[body_at:end]
+        body = re.sub(r"''", " ", body)
+        body = re.sub(r"'[^']*'", " ", body)
+        body = re.sub(r"--[^\n]*", " ", body)
         selfref = re.search(r"\b" + re.escape(name) + r"\b",
-                            sql[body_at:end]) is not None
+                            body, re.IGNORECASE) is not None
         defs.append((name, sql[start:end], collist or selfref))
         i = _skip_ws(sql, end)
         if i < len(sql) and sql[i] == ",":
@@ -248,9 +260,18 @@ def plan_shared_nodes(sqls):
             lead += 1
         named = bool(solo_re) and re.search(solo_re, q) is not None
         if (solo_min and lead >= solo_min) or named:
-            if _refs([nm for nm, _, _ in qdefs[:lead]],
-                     "".join(d for _, d, _ in qdefs[lead:]) + tail):
+            if lead > 0 and _refs([nm for nm, _, _ in qdefs[:lead]],
+                                  "".join(d for _, d, _ in qdefs[lead:]) + tail):
                 solo.add(q)
+            else:
+                # A solo-matched query whose oracle shape no longer
+                # grants a node (first def is a stop, or the suffix
+                # references no prefix name) silently falls back to
+                # pool execution — the exact OOM/wall class the solo
+                # lane exists to avoid. Say so in the gate output
+                # instead of letting it reappear as an in-pool OOM.
+                print(f"SOLO  {q}: requested (lead={lead}) but NOT "
+                      f"granted a node — runs in-pool", flush=True)
     bykey = {}
     for q, (defs, _, _) in parsed.items():
         if q in solo:
