@@ -245,10 +245,16 @@ object TextRank {
     val degenerate = allPairs > LshFallbackMinPairs && {
       // Per-(band, bucket) member counts c, capped like lshCandidates;
       // Σ c·(c−1) over surviving buckets is the bucket joins' exact
-      // directed output; /bands lower-bounds the DEDUPED candidate
-      // count (a degenerate corpus repeats each pair in ~every band; a
-      // diverse one collides a pair in ~1 band, so the division biases
-      // AGAINST falling back — the 100 TB shape stays on LSH).
+      // directed PRE-DISTINCT output — the LSH route's true cost. A
+      // first cut compared the /bands-normalized (deduped) candidate
+      // estimate to all-pairs and read "banding prunes" on the sf3
+      // replica (111 M deduped vs 1.02 B pairs) while the raw mass was
+      // 7.1 B rows — the distinct over THAT stream is what OOM'd the
+      // 8 g heap. So compare costs directly: when the bucket joins
+      // would emit at least as many rows as the exact all-pairs join,
+      // LSH is strictly more work than exact for (at best) the same
+      // edges — fall back. On a diverse corpus a pair collides in ~1
+      // band and mass ≪ allPairs, so the 100 TB shape stays on LSH.
       // collect-bound: scalar: single aggregated row (bucket-mass probe)
       val mass = sigs
         .select(posexplode(Dedup.bandKeyArray(col("sig"), lsh.bands, rowsPerBand)))
@@ -257,10 +263,9 @@ object TextRank {
         .filter(col("c") <= lsh.maxBucket)
         .agg(coalesce(sum(col("c") * (col("c") - lit(1L))), lit(0L)))
         .first().getLong(0)
-      val estDeduped = mass / math.max(1, lsh.bands)
-      val hit = satMul(estDeduped, 4L) >= allPairs
+      val hit = mass >= allPairs
       System.err.println(s"[textrank] LSH diversity probe: nv=$nv, " +
-        s"per-band pair mass=$estDeduped (all-pairs bound $allPairs) -> " +
+        s"bucket-join mass=$mass (all-pairs bound $allPairs) -> " +
         (if (hit) "DEGENERATE, exact-route fallback" else "banding prunes, LSH route"))
       hit
     }
