@@ -108,14 +108,18 @@ object CollectAudit {
         if (isCommentOnly(text) || inTriple(i) ||
             SiteRe.findFirstIn(stripStrings(text)).isEmpty) None
         else {
-          // base window (site line + two above), then extend upward
-          // while the lines remain part of the same statement
-          var top = (i - 2) max 0
+          // Walk up from the site through its statement's continuation
+          // lines to the statement HEAD, then open the window one line
+          // above the head (where an annotation over a long chain
+          // lives). For a single-line site the head IS the site line
+          // and the window keeps its original two-lines-above reach.
+          var top = i
           var budget = 8
           while (top > 0 && budget > 0 && isContinuation(lines(top))) {
             top -= 1; budget -= 1
           }
-          val window = (top to i).reverseIterator
+          val lo = (math.min(top - 1, i - 2)) max 0
+          val window = (lo to i).reverseIterator
             .map(lines(_)).flatMap(AnnRe.findFirstMatchIn(_)).toSeq.headOption
           val (cat, why, problem) = window match {
             case Some(m) =>

@@ -40,4 +40,39 @@ class CollectAuditSpec extends AnyFunSuite {
     assert(cats.subsetOf(CollectAudit.Categories),
       s"unknown categories: ${cats -- CollectAudit.Categories}")
   }
+
+  test("annotation window extends through chain continuations; strings don't flag") {
+    // round-11 advice: a legitimate annotation above a >2-line method
+    // chain must resolve, and a collect-like token inside a string
+    // literal (single-line or triple-quoted) must not be a site.
+    val dir = java.nio.file.Files.createTempDirectory("caudit")
+    val src = dir.resolve("Probe.scala")
+    java.nio.file.Files.write(src,
+      Seq(
+        "object Probe {",
+        "  // collect-bound: scalar: annotation four lines above the site",
+        "  val a = df",
+        "    .groupBy(\"k\")",
+        "    .agg(sum(\"v\"))",
+        "    .collect()",
+        "  val s = \"docs say .collect() is driver-side\"",
+        "  val t = \"\"\"",
+        "    SQL text mentioning .collect() inside a triple-quoted block",
+        "  \"\"\"",
+        "  val bad = df.collect()", // genuinely unannotated
+        "}").mkString("\n").getBytes("UTF-8"))
+    try {
+      val found = CollectAudit.scan(dir)
+      assert(found.size == 2, s"expected exactly 2 sites, got: $found")
+      val chained = found.find(_.line == 6).get
+      assert(chained.problem.isEmpty,
+        s"chain-site annotation not resolved: ${chained.problem}")
+      assert(chained.category.contains("scalar"))
+      val bad = found.find(_.line == 11).get
+      assert(bad.problem.exists(_.contains("UNANNOTATED")))
+    } finally {
+      java.nio.file.Files.delete(src)
+      java.nio.file.Files.delete(dir)
+    }
+  }
 }
