@@ -209,7 +209,8 @@ object Stress {
       while (true) {
         val u = memBean.getHeapMemoryUsage.getUsed
         sampledPeak.getAndAccumulate(u, math.max(_, _)): Unit
-        Thread.sleep(50)
+        try Thread.sleep(50)
+        catch { case _: InterruptedException => () } // keep sampling
       }
     }, "stress-heap-sampler")
     sampler.setDaemon(true)
@@ -222,7 +223,10 @@ object Stress {
         // probe lost tr02..tr07 to tr01's context shutdown)
         if (spark.sparkContext.isStopped) spark = newSession()
         heapPools.foreach(_.resetPeakUsage())
-        sampledPeak.set(0L)
+        // seed with the at-start reading: a query shorter than one
+        // 50 ms poll would otherwise report 0.00 g as if it were a
+        // real sample instead of "no sample taken"
+        sampledPeak.set(memBean.getHeapMemoryUsage.getUsed)
         val t0 = System.nanoTime()
         val ok =
           try { qmap(name)(spark, out).write.format("noop").mode("overwrite").save(); true }

@@ -242,7 +242,17 @@ object TextRank {
     // LSH banding, so the engine must stay on it wherever hashes are
     // checked).
     val allPairs = satMul(nv, nv)
-    val degenerate = allPairs > LshFallbackMinPairs && {
+    // When the probe runs, the signature stage (the compute-bound step
+    // — see Dedup.minhashSignature) is about to be evaluated once for
+    // the probe aggregation and, on the non-degenerate path, again
+    // inside lshCandidates: persist it so the 100 TB shape pays the
+    // signature pass exactly once (same no-unpersist-hook pattern as
+    // `v` above; released explicitly on the fallback path, where
+    // nothing downstream reads it). Below the probe floor nothing
+    // changes — gate-scale plans stay byte-identical.
+    val probed = allPairs > LshFallbackMinPairs
+    if (probed) sigs.persist(): Unit
+    val degenerate = probed && {
       // Per-(band, bucket) member counts c, capped like lshCandidates;
       // Σ c·(c−1) over surviving buckets is the bucket joins' exact
       // directed PRE-DISTINCT output — the LSH route's true cost. A
@@ -270,7 +280,8 @@ object TextRank {
       hit
     }
     if (degenerate) {
-      v.unpersist() // the exact route re-derives its own per-vertex table
+      sigs.unpersist() // the exact route reads neither cache
+      v.unpersist()    // it re-derives its own per-vertex table
       return similarityEdges(vertices, nv)
     }
     val cands = Dedup.lshCandidates(sigs, lsh.bands, rowsPerBand, lsh.maxBucket)

@@ -67,18 +67,45 @@ object CollectAudit {
   private def stripStrings(line: String): String =
     line.replaceAll("\"(\\\\.|[^\"\\\\])*\"", "\"\"")
 
-  /** True when `line`, read bottom-up from a site, belongs to the same
-    * statement: a method-chain continuation (leading '.' or ')'), a
-    * line left syntactically open (trailing '(', ',', operator, '=>',
-    * '{'), or an interleaved comment. The annotation window extends
-    * upward through these to the statement head — a legitimate
-    * annotation above a long chain must not fail the build just
-    * because the chain is three lines tall.
+  /** Trailing tokens that leave a statement syntactically open, so the
+    * NEXT line continues it. Tested on the line ABOVE the one being
+    * classified — testing them on the current line would let a site
+    * line that itself ends open (e.g. `f(df.collect(),`) walk up into
+    * the PREVIOUS, unrelated statement and adopt its annotation.
     */
-  private def isContinuation(line: String): Boolean = {
-    val t = stripStrings(line).trim
-    t.startsWith(".") || t.startsWith(")") || isCommentOnly(line) ||
-      Seq("(", ",", "=", "=>", "{", "+", "&&", "||", "++").exists(t.endsWith)
+  private val OpenTail =
+    Seq("(", ",", "=", "=>", "{", "+", "&&", "||", "++")
+
+  /** True when line `idx` continues the statement begun above it: a
+    * method-chain continuation (leading '.' or ')'), an interleaved
+    * comment, or the line ABOVE ends syntactically open. The
+    * annotation window extends upward through these to the statement
+    * head — a legitimate annotation above a long chain must not fail
+    * the build just because the chain is three lines tall.
+    */
+  private def continuesFromAbove(lines: Vector[String], idx: Int): Boolean =
+    idx > 0 && {
+      val cur = stripStrings(lines(idx)).trim
+      val above = stripStrings(lines(idx - 1)).trim
+      cur.startsWith(".") || cur.startsWith(")") ||
+        isCommentOnly(lines(idx)) || OpenTail.exists(above.endsWith)
+    }
+
+  /** Non-overlapping `"""` delimiter count. `sliding(3)` counts a run
+    * of 4+ quotes twice (e.g. a multi-line string whose content ends
+    * in a quote char: `..."offset""""`), inverting the in-string
+    * parity for the REST of the file and silently masking every later
+    * collect site from the audit — a live pattern in the oracle SQL.
+    */
+  private def tripleQuoteCount(line: String): Int = {
+    var i = 0
+    var n = 0
+    while (i <= line.length - 3) {
+      if (line.charAt(i) == '"' && line.charAt(i + 1) == '"' &&
+          line.charAt(i + 2) == '"') { n += 1; i += 3 }
+      else i += 1
+    }
+    n
   }
 
   /** Scan every .scala file under `root` for driver-collect sites and
@@ -100,9 +127,7 @@ object CollectAudit {
       var open = false
       for (i <- lines.indices) {
         inTriple(i) = open
-        open = (open, lines(i).sliding(3).count(_ == "\"\"\"")) match {
-          case (o, n) => if (n % 2 == 1) !o else o
-        }
+        if (tripleQuoteCount(lines(i)) % 2 == 1) open = !open
       }
       lines.zipWithIndex.flatMap { case (text, i) =>
         if (isCommentOnly(text) || inTriple(i) ||
@@ -115,7 +140,7 @@ object CollectAudit {
           // and the window keeps its original two-lines-above reach.
           var top = i
           var budget = 8
-          while (top > 0 && budget > 0 && isContinuation(lines(top))) {
+          while (budget > 0 && continuesFromAbove(lines, top)) {
             top -= 1; budget -= 1
           }
           val lo = (math.min(top - 1, i - 2)) max 0

@@ -49,27 +49,43 @@ class CollectAuditSpec extends AnyFunSuite {
     val src = dir.resolve("Probe.scala")
     java.nio.file.Files.write(src,
       Seq(
-        "object Probe {",
-        "  // collect-bound: scalar: annotation four lines above the site",
-        "  val a = df",
-        "    .groupBy(\"k\")",
-        "    .agg(sum(\"v\"))",
-        "    .collect()",
-        "  val s = \"docs say .collect() is driver-side\"",
-        "  val t = \"\"\"",
-        "    SQL text mentioning .collect() inside a triple-quoted block",
-        "  \"\"\"",
-        "  val bad = df.collect()", // genuinely unannotated
-        "}").mkString("\n").getBytes("UTF-8"))
+        /*  1 */ "object Probe {",
+        /*  2 */ "  // collect-bound: scalar: annotation four lines above the site",
+        /*  3 */ "  val a = df",
+        /*  4 */ "    .groupBy(\"k\")",
+        /*  5 */ "    .agg(sum(\"v\"))",
+        /*  6 */ "    .collect()",
+        /*  7 */ "  val s = \"docs say .collect() is driver-side\"",
+        /*  8 */ "  val t = \"\"\"",
+        /*  9 */ "    SQL text mentioning .collect() inside a triple-quoted block",
+        // content ending in a quote char makes a 4-quote run: an
+        // overlapping-window count reads it as EVEN and leaves the
+        // whole rest of the file marked in-string (sites masked)
+        /* 10 */ "    ends with \"quoted\"\"\"\".stripMargin",
+        /* 11 */ "  val bad = df.collect()", // genuinely unannotated
+        /* 12 */ "  // collect-bound: scalar: for the probe directly below",
+        /* 13 */ "  val small = probe.collect()",
+        /* 14 */ "  val pad = 1",
+        // a site line that itself ends open must NOT walk up and
+        // adopt line 12's annotation for line 13's statement
+        /* 15 */ "  f(big.collect(),",
+        /* 16 */ "    other)",
+        /* 17 */ "}").mkString("\n").getBytes("UTF-8"))
     try {
       val found = CollectAudit.scan(dir)
-      assert(found.size == 2, s"expected exactly 2 sites, got: $found")
+      assert(found.map(_.line).sorted == Seq(6, 11, 13, 15),
+        s"expected sites at lines 6/11/13/15, got: $found")
       val chained = found.find(_.line == 6).get
       assert(chained.problem.isEmpty,
         s"chain-site annotation not resolved: ${chained.problem}")
       assert(chained.category.contains("scalar"))
-      val bad = found.find(_.line == 11).get
-      assert(bad.problem.exists(_.contains("UNANNOTATED")))
+      assert(found.find(_.line == 11).get.problem
+        .exists(_.contains("UNANNOTATED")),
+        "site after the 4-quote run must be visible AND unannotated")
+      assert(found.find(_.line == 13).get.problem.isEmpty)
+      assert(found.find(_.line == 15).get.problem
+        .exists(_.contains("UNANNOTATED")),
+        "an open-ended site line must not adopt an unrelated annotation")
     } finally {
       java.nio.file.Files.delete(src)
       java.nio.file.Files.delete(dir)

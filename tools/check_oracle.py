@@ -146,6 +146,36 @@ def _skip_balanced(sql, i):
         i += 1
     return -1
 
+def _strip_literals(body):
+    """Single-quoted literals (with '' escapes) and -- line comments
+    blanked in one left-to-right pass, mirroring _skip_balanced's
+    tokenization, so neither construct can mis-pair against the other
+    (an apostrophe inside a comment, a '--' inside a literal)."""
+    out = []
+    i = 0
+    n = len(body)
+    while i < n:
+        ch = body[i]
+        if ch == "'":
+            i += 1
+            while i < n:
+                if body[i] == "'":
+                    if i + 1 < n and body[i + 1] == "'":
+                        i += 2
+                        continue
+                    i += 1
+                    break
+                i += 1
+            out.append(" ")
+        elif body.startswith("--", i):
+            j = body.find("\n", i)
+            i = n if j < 0 else j
+            out.append(" ")
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
 def parse_with(sql):
     """-> (defs, tail, recursive) where defs = [(name, exact_def_text,
     stop)], tail is the final statement text, and recursive says the
@@ -195,15 +225,13 @@ def parse_with(sql):
         # a '...' literal equal to a CTE name must not mark the def as
         # recursive (silently truncating prefix sharing), and a
         # different-case self-reference must not be missed (it would
-        # produce a failing standalone CREATE TABLE). Doubled quotes
-        # ('it''s') are removed first so the escaped quote cannot
-        # unbalance the literal scan.
-        body = sql[body_at:end]
-        body = re.sub(r"''", " ", body)
-        body = re.sub(r"'[^']*'", " ", body)
-        body = re.sub(r"--[^\n]*", " ", body)
+        # produce a failing standalone CREATE TABLE). One left-to-right
+        # scan (same conventions as _skip_balanced) — sequential regex
+        # substitutions mis-pair when a '--' comment contains an
+        # apostrophe or a literal contains '--'.
         selfref = re.search(r"\b" + re.escape(name) + r"\b",
-                            body, re.IGNORECASE) is not None
+                            _strip_literals(sql[body_at:end]),
+                            re.IGNORECASE) is not None
         defs.append((name, sql[start:end], collist or selfref))
         i = _skip_ws(sql, end)
         if i < len(sql) and sql[i] == ",":
