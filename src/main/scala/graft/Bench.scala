@@ -96,9 +96,59 @@ object Bench {
     // (0.30 s) stays clear of idle noise yet trips on the ~2x slowdown
     // a concurrent 32-thread sweep inflicts on a CPU-bound 32-task job.
     val CanaryIdleSec = sys.env.getOrElse("SPARK_GRAFT_CANARY_IDLE", "0.20").toDouble
+    // CPU jiffies (utime+stime) of one pid. Parsed past the LAST ')':
+    // the comm field may itself contain spaces or parentheses, so
+    // naive whitespace splitting from the front misaligns every later
+    // field. After the ')' the remainder is space-separated with
+    // state at index 0, ppid at 1, utime at 11, stime at 12.
+    def procStatTail(pid: Long): Array[String] =
+      try {
+        val s = scala.io.Source.fromFile(s"/proc/$pid/stat").mkString
+        s.substring(s.lastIndexOf(')') + 2).split(" ")
+      } catch { case _: Throwable => Array.empty }
+    def procJiffies(pid: Long): Long = {
+      val f = procStatTail(pid)
+      if (f.length > 12) f(11).toLong + f(12).toLong else 0L
+    }
+    def ppidOf(pid: Long): Long = {
+      val f = procStatTail(pid)
+      if (f.length > 1) f(1).toLong else 0L
+    }
+    // The launcher chain above this JVM (sbt runner, its shell, the
+    // harness process): their CPU is HARNESS overhead, not foreign
+    // contention — an sbt launcher polling its forked child burns
+    // real jiffies inside the bench window and would otherwise count
+    // against the foreign-cores gate (the r12 ADVICE false-positive
+    // mode). Snapshot the chain once; a pid that exits mid-window
+    // reads 0 later, so per-pid deltas are clamped at >= 0.
+    val ancestorPids: Seq[Long] = {
+      val buf = scala.collection.mutable.ListBuffer.empty[Long]
+      var pid = ppidOf(ProcessHandle.current().pid())
+      while (pid > 1L && buf.length < 16) { buf += pid; pid = ppidOf(pid) }
+      buf.toList
+    }
+    def ancestorJiffies: Map[Long, Long] =
+      ancestorPids.map(p => p -> procJiffies(p)).toMap
+    // SETTLE before opening the window (r12 verdict task 1): the
+    // loadavg_start > 1.0 gate's known FALSE-POSITIVE mode is the
+    // bench's own launch path — sbt's compile/launcher burst (and any
+    // just-finished gate run) sits in the 1-min average, which decays
+    // with a ~60 s time constant, so a back-to-back invocation opens
+    // the window already "suspect" with both direct gauges clean
+    // (exactly BENCH_r12: loadavg_start 2.16, canaries and foreign-CPU
+    // clean). This JVM idles while waiting, so stale self-load decays
+    // (2.16 -> 1.0 in ~46 s); genuine live contention does NOT decay,
+    // the budget runs out, and the gate then trips for the right
+    // reason. Budget 240 s covers start loads up to ~e^4.
+    val SettleMaxSec = sys.env.getOrElse("SPARK_GRAFT_SETTLE_MAX", "240").toInt
+    var settleSec = 0
+    while (load1(loadavg) > 1.0 && settleSec < SettleMaxSec) {
+      Thread.sleep(5000); settleSec += 5
+    }
     val loadStart = loadavg
     val busyStart = busyJiffies
     val procStart = processCpuNanos
+    val ancStart = ancestorJiffies
     val wallStart = System.nanoTime()
     // one untimed pipeline warm-up (scan + shuffle machinery, parquet
     // footers, codegen of the most common operators) before any timing
@@ -186,34 +236,63 @@ object Bench {
       canaryStart > 1.5 * CanaryIdleSec || canaryEnd > 1.5 * CanaryIdleSec ||
         (canaryMid >= 0 && canaryMid > 1.5 * CanaryIdleSec)
     // Foreign CPU burned during the window, averaged to cores: busy
-    // jiffies are whole-box, process CPU is this JVM only; the
-    // difference is other processes. An idle box's daemons read
-    // ~0.01-0.05 cores; a concurrent sweep reads multiple cores. -1
-    // when /proc/stat or the CPU bean is unavailable (gauge off).
+    // jiffies are whole-box; subtract this JVM's CPU AND the launcher
+    // ancestors' (sbt runner polling its forked child — harness
+    // overhead, not contention); the remainder is other processes.
+    // An idle box's daemons read ~0.01-0.05 cores; a concurrent sweep
+    // reads multiple cores. -1 when /proc/stat or the CPU bean is
+    // unavailable (gauge off). Jiffy->second conversion assumes
+    // USER_HZ=100 — fixed at 100 for /proc on every mainstream Linux
+    // ABI (the kernel rescales internal HZ to USER_HZ exactly so this
+    // constant holds); a hypothetical non-100 box would scale the
+    // gauge linearly, visible against the recorded loadavg.
     val wallSec = (System.nanoTime() - wallStart) / 1e9
     val busyEnd = busyJiffies
     val procEnd = processCpuNanos
+    val ancEnd = ancestorJiffies
+    // per-pid clamp: an ancestor that exited mid-window reads 0 at the
+    // end; summing raw deltas would go negative and INFLATE foreign
+    val ancestorSec = ancestorPids
+      .map(p => math.max(0L, ancEnd.getOrElse(p, 0L) - ancStart.getOrElse(p, 0L)))
+      .sum / 100.0
     val foreignCores =
       if (busyStart < 0 || busyEnd < 0 || procStart < 0 || procEnd < 0 || wallSec <= 0) -1.0
       else math.max(0.0,
-        ((busyEnd - busyStart) / 100.0 - (procEnd - procStart) / 1e9) / wallSec)
-    // WINDOW-SUSPECT verdict (r11 verdict task 1): the single flag a
-    // reader checks before trusting the artifact. Trips on any of:
-    //  - a canary sample beyond 1.5x idle (the r8/r9 class);
-    //  - 1-min loadavg > 1.0 at window START — substantial load in the
-    //    preceding minute on what should be an idle box (r11's window
-    //    opened at 2.57 and would have been flagged);
-    //  - foreign processes averaging > 0.5 cores across the window
-    //    (the multi-core contention class the canaries can miss).
+        ((busyEnd - busyStart) / 100.0 - (procEnd - procStart) / 1e9 - ancestorSec) / wallSec)
+    // WINDOW-SUSPECT verdict, CAUSE-CODED (r12 verdict task 1): three
+    // independent bits, OR'd into the headline flag a reader checks
+    // first. Cause-coding exists because the causes fail differently:
+    //  - suspect_canary — a canary sample beyond 1.5x idle (the r8/r9
+    //    class: steady load slowing every query). Direct evidence.
+    //  - suspect_loadavg — 1-min loadavg > 1.0 at window START after
+    //    the settle budget: load in the preceding minute that never
+    //    decayed. Trips on LIVE ambient load; stale self-load is
+    //    absorbed by the settle loop above. Weakest bit: it cannot
+    //    name the process, so read it WITH the other two — loadavg
+    //    tripped + canary/foreign clean (BENCH_r12's exact shape) was
+    //    a pre-window burst, not window contamination.
+    //  - suspect_foreign — non-harness processes averaging > 0.5
+    //    cores across the window (the multi-core intermittent class
+    //    point canaries miss; validated under a deliberate 8-way hog,
+    //    STRESS_r12 §3). Launcher ancestors excluded; an unrelated
+    //    SIBLING process (another sbt on this box) still counts —
+    //    deliberately, since the gauge cannot tell it from a sweep.
     val load1Start = load1(loadStart)
-    val windowSuspect = sessionContaminated ||
-      load1Start > 1.0 || foreignCores > 0.5
+    val suspectCanary = sessionContaminated
+    val suspectLoadavg = load1Start > 1.0
+    val suspectForeign = foreignCores > 0.5
+    val windowSuspect = suspectCanary || suspectLoadavg || suspectForeign
     System.err.println(f"[bench] canary start ${canaryStart}%.3f / mid ${canaryMid}%.3f"
       + f" / end ${canaryEnd}%.3f s (idle ref ${CanaryIdleSec}%.2f s),"
       + f" loadavg $loadStart -> $loadEnd, foreign ${foreignCores}%.2f cores"
-      + (if (sessionContaminated) " (SESSION CONTAMINATED)" else "")
-      + (if (windowSuspect) " (WINDOW SUSPECT)" else ""))
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,"contaminated":$contaminated,"protocol":"warmup+min-of-2+respread","median_run_spread":${r3(noise)},"canary_sec":[${r3(canaryStart)},${r3(canaryMid)},${r3(canaryEnd)}],"canary_idle_sec":${r3(CanaryIdleSec)},"session_contaminated":$sessionContaminated,"foreign_cpu_cores_avg":${r3(foreignCores)},"window_suspect":$windowSuspect,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","sf":"$sfDir"}""")
+      + f" (harness ${ancestorSec}%.1f s), settle $settleSec s"
+      + (if (suspectCanary) " (SESSION CONTAMINATED)" else "")
+      + (if (windowSuspect) " (WINDOW SUSPECT:"
+           + (if (suspectCanary) " canary" else "")
+           + (if (suspectLoadavg) " loadavg" else "")
+           + (if (suspectForeign) " foreign" else "") + ")"
+         else ""))
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,"contaminated":$contaminated,"protocol":"warmup+min-of-2+respread","median_run_spread":${r3(noise)},"canary_sec":[${r3(canaryStart)},${r3(canaryMid)},${r3(canaryEnd)}],"canary_idle_sec":${r3(CanaryIdleSec)},"session_contaminated":$sessionContaminated,"foreign_cpu_cores_avg":${r3(foreignCores)},"window_suspect":$windowSuspect,"suspect_canary":$suspectCanary,"suspect_loadavg":$suspectLoadavg,"suspect_foreign":$suspectForeign,"settle_sec":$settleSec,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -18,6 +18,15 @@ import java.util.concurrent.atomic.AtomicInteger
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
+    // Oracle-gated runs must never take TextRank's degenerate-corpus
+    // exact-route fallback SILENTLY — it widens tr06's edge set (answer-
+    // class change; see TextRank.LshFallbackProp). No gate corpus
+    // reaches the 300 M-pair probe floor today, so this is a tripwire,
+    // not a behavior change: if a future gate corpus ever trips the
+    // probe, the query ERRORS loudly and the route gets re-adjudicated
+    // instead of drifting hashes. Respect an explicit caller override.
+    if (!sys.props.contains(graft.textrank.TextRank.LshFallbackProp))
+      System.setProperty(graft.textrank.TextRank.LshFallbackProp, "off")
     // Optional third arg: regex over query names, for fast local iteration
     // on a subset. The driver always calls with two args → all queries.
     val nameFilter = args.lift(2).map(_.r)

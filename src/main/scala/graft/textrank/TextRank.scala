@@ -139,6 +139,43 @@ object TextRank {
     */
   val LshFallbackMinPairs: Long = 300000000L
 
+  /** System property gating the degenerate-corpus fallback in
+    * [[lshSimilarityEdges]] (r12 ADVICE: the reroute changes the answer
+    * class, so runs whose values are externally checked must not take
+    * it silently):
+    *
+    *  - `"auto"` (default, absent) — when the diversity probe reads
+    *    degenerate, reroute to the exact superset graph, announcing it
+    *    on stderr (the engine/stress posture: complete rather than OOM);
+    *  - `"off"` — fail loudly (`IllegalStateException` carrying the
+    *    probe readings) instead of rerouting. [[graft.Verify]] sets
+    *    this: an oracle-gated corpus that ever grows past the probe
+    *    floor AND reads degenerate must surface as a gate ERROR to be
+    *    re-adjudicated, never as a silent route (and hash) drift.
+    *
+    * The probe itself always runs above [[LshFallbackMinPairs]] — the
+    * property only selects what happens when it trips.
+    */
+  val LshFallbackProp: String = "graft.textrank.lshFallback"
+
+  /** Enforces [[LshFallbackProp]] at the moment the probe trips: no-op
+    * in `"auto"` mode (caller proceeds to reroute), throws in `"off"`
+    * mode with the probe evidence in the message. Factored out so the
+    * policy is unit-testable below the 300 M-pair probe floor.
+    */
+  private[textrank] def enforceFallbackPolicy(
+      nv: Long, mass: Long, allPairs: Long): Unit = {
+    val mode = sys.props.getOrElse(LshFallbackProp, "auto")
+    if (mode == "off")
+      throw new IllegalStateException(
+        s"TextRank LSH diversity probe read DEGENERATE (nv=$nv, " +
+          s"bucket-join mass=$mass >= all-pairs bound $allPairs) and " +
+          s"-D$LshFallbackProp=off forbids the exact-route fallback: " +
+          "this corpus's LSH plan is not sub-quadratic, and the " +
+          "fallback would widen the edge set (answer-class change). " +
+          "Re-adjudicate the route for this corpus explicitly.")
+  }
+
   /** Directed edge list (src, dst, weight) over all ordered pairs with
     * nonzero similarity (both directions present — the graph is
     * symmetric, matching the reference's adjacency map).
@@ -207,6 +244,26 @@ object TextRank {
     * Exact TextRank weights are recomputed on the candidates, so every
     * SURVIVING edge is bit-identical to the exact path's; only edges the
     * banding misses (low-Jaccard pairs) can differ.
+    *
+    * ==Degenerate-corpus fallback contract==
+    *
+    * Above [[LshFallbackMinPairs]] ordered pairs, a diversity probe
+    * (below) may route this call to [[similarityEdges]] — and that
+    * CHANGES THE ANSWER CLASS, deliberately: the exact route emits
+    * every nonzero-weight pair, a SUPERSET of the band-colliding pairs
+    * this route emits (`TextRankSpec` pins the direction: LSH edges ⊆
+    * exact edges, surviving weights bit-identical). On a corpus where
+    * the probe trips, banding is not pruning, so the superset is both
+    * cheaper to compute and closer to the exact TextRank semantics —
+    * but a caller treating "tr06 = LSH-approximate ranks" as a fixed
+    * contract must know the swap happened: the runtime marker is the
+    * `[textrank] LSH diversity probe: ... DEGENERATE, exact-route
+    * fallback` stderr line. Callers whose values are externally
+    * checked can forbid the reroute outright with
+    * `-D{{{graft.textrank.lshFallback}}}=off` ([[LshFallbackProp]]) —
+    * the probe tripping then throws instead. No oracle-gated scale
+    * reaches the probe floor (sf1 tops out at 113.6 M pairs), so the
+    * gate plan is unaffected either way.
     */
   def lshSimilarityEdges(vertices: DataFrame,
       lsh: EdgeCandidates.Lsh, vertexCount: Long = -1L): DataFrame = {
@@ -252,7 +309,7 @@ object TextRank {
     // changes — gate-scale plans stay byte-identical.
     val probed = allPairs > LshFallbackMinPairs
     if (probed) sigs.persist(): Unit
-    val degenerate = probed && {
+    val (degenerate, probeMass) = if (!probed) (false, 0L) else {
       // Per-(band, bucket) member counts c, capped like lshCandidates;
       // Σ c·(c−1) over surviving buckets is the bucket joins' exact
       // directed PRE-DISTINCT output — the LSH route's true cost. A
@@ -277,9 +334,12 @@ object TextRank {
       System.err.println(s"[textrank] LSH diversity probe: nv=$nv, " +
         s"bucket-join mass=$mass (all-pairs bound $allPairs) -> " +
         (if (hit) "DEGENERATE, exact-route fallback" else "banding prunes, LSH route"))
-      hit
+      (hit, mass)
     }
     if (degenerate) {
+      // throws here when -Dgraft.textrank.lshFallback=off (Verify sets
+      // it: an oracle-gated run must never silently change answer class)
+      enforceFallbackPolicy(nv, probeMass, allPairs)
       sigs.unpersist() // the exact route reads neither cache
       v.unpersist()    // it re-derives its own per-vertex table
       return similarityEdges(vertices, nv)

@@ -61,11 +61,18 @@ object CollectAudit {
 
   /** Double-quoted string literals blanked out (escapes respected), so
     * a collect-like token inside a quoted string is not flagged as a
-    * driver-collect site. Single-line literals only; multi-line
-    * (triple-quoted) bodies are handled by the scanner's block state.
+    * driver-collect site. CHAR literals are blanked FIRST (r12 ADVICE):
+    * a lone `'"'` char literal would otherwise pair with a real string
+    * delimiter later on the line — blanking genuine code between them
+    * (in a build-gating audit, that can mask a real collect site:
+    * `f('"', df.collect(), '"')`) or, mirrored, leaving genuine string
+    * text unblanked (a false flag). Single-line literals only;
+    * multi-line (triple-quoted) bodies are handled by
+    * [[maskTripleQuoted]] in the scanner.
     */
   private def stripStrings(line: String): String =
-    line.replaceAll("\"(\\\\.|[^\"\\\\])*\"", "\"\"")
+    line.replaceAll("'(\\\\u[0-9a-fA-F]{4}|\\\\.|[^'\\\\])'", "' '")
+      .replaceAll("\"(\\\\.|[^\"\\\\])*\"", "\"\"")
 
   /** Trailing tokens that leave a statement syntactically open, so the
     * NEXT line continues it. Tested on the line ABOVE the one being
@@ -91,21 +98,35 @@ object CollectAudit {
         isCommentOnly(lines(idx)) || OpenTail.exists(above.endsWith)
     }
 
-  /** Non-overlapping `"""` delimiter count. `sliding(3)` counts a run
-    * of 4+ quotes twice (e.g. a multi-line string whose content ends
-    * in a quote char: `..."offset""""`), inverting the in-string
-    * parity for the REST of the file and silently masking every later
-    * collect site from the audit — a live pattern in the oracle SQL.
+  /** Per-line triple-quoted-block masking: characters inside a `"""`
+    * body — including the delimiters themselves — become spaces, given
+    * the in-string state at line start; returns the masked line plus
+    * the state at line end. Replaces the old whole-line in-block skip,
+    * which had two live edge cases (r12 ADVICE): text after an OPENING
+    * `"""` on the same line was treated as code (a collect-like token
+    * in the trailing SQL text falsely flagged), and code after a
+    * CLOSING `"""` was treated as string (a genuine driver-collect
+    * site invisible to the audit). Delimiters are consumed
+    * NON-overlapping: a `sliding(3)` scan would count a 4+-quote run
+    * twice (e.g. a body whose content ends in a quote char:
+    * `..."offset""""`), inverting the in-string parity for the rest of
+    * the file and silently masking every later collect site — a live
+    * pattern in the oracle SQL.
     */
-  private def tripleQuoteCount(line: String): Int = {
+  private[tools] def maskTripleQuoted(
+      line: String, openAtStart: Boolean): (String, Boolean) = {
+    val sb = new StringBuilder(line.length)
     var i = 0
-    var n = 0
-    while (i <= line.length - 3) {
-      if (line.charAt(i) == '"' && line.charAt(i + 1) == '"' &&
-          line.charAt(i + 2) == '"') { n += 1; i += 3 }
-      else i += 1
+    var open = openAtStart
+    while (i < line.length) {
+      if (i <= line.length - 3 && line.charAt(i) == '"' &&
+          line.charAt(i + 1) == '"' && line.charAt(i + 2) == '"') {
+        sb.append("   "); open = !open; i += 3
+      } else {
+        sb.append(if (open) ' ' else line.charAt(i)); i += 1
+      }
     }
-    n
+    (sb.toString, open)
   }
 
   /** Scan every .scala file under `root` for driver-collect sites and
@@ -120,18 +141,20 @@ object CollectAudit {
       .toSeq.sortBy(_.toString)
     files.flatMap { p =>
       val lines = Files.readAllLines(p).asScala.toVector
-      // Track triple-quoted block state line-by-line: a line strictly
-      // inside a """...""" body (odd cumulative delimiter count before
-      // it) cannot host a site — it's SQL/doc text, not code.
-      val inTriple = new Array[Boolean](lines.length)
+      // Mask triple-quoted string content character-by-character with
+      // running block state: a token inside a """...""" body (even on
+      // the delimiter's own line) is SQL/doc text, not code, while
+      // code sharing a line with a delimiter stays visible.
+      val masked = new Array[String](lines.length)
       var open = false
       for (i <- lines.indices) {
-        inTriple(i) = open
-        if (tripleQuoteCount(lines(i)) % 2 == 1) open = !open
+        val (m, o) = maskTripleQuoted(lines(i), open)
+        masked(i) = m
+        open = o
       }
       lines.zipWithIndex.flatMap { case (text, i) =>
-        if (isCommentOnly(text) || inTriple(i) ||
-            SiteRe.findFirstIn(stripStrings(text)).isEmpty) None
+        if (isCommentOnly(text) ||
+            SiteRe.findFirstIn(stripStrings(masked(i))).isEmpty) None
         else {
           // Walk up from the site through its statement's continuation
           // lines to the statement HEAD, then open the window one line

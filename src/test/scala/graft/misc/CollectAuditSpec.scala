@@ -70,11 +70,28 @@ class CollectAuditSpec extends AnyFunSuite {
         // adopt line 12's annotation for line 13's statement
         /* 15 */ "  f(big.collect(),",
         /* 16 */ "    other)",
-        /* 17 */ "}").mkString("\n").getBytes("UTF-8"))
+        // r12 ADVICE cases. A lone '"' char literal desynced the old
+        // string stripper: on 18 the quote paired with the next string
+        // delimiter and blanked the REAL site between them (masking);
+        // on 19 the mirrored pairing left genuine string text exposed
+        // (false flag).
+        /* 17 */ "  // collect-bound: scalar: char-literal quote must not mask this",
+        /* 18 */ "  val q = ('\"' + probe.collect().mkString)",
+        /* 19 */ "  val r = (\"ok \" + '\"' + \" see .collect() docs\")",
+        // trailing text after an OPENING triple-quote is string, not
+        // code; code after the CLOSING delimiter is code, not string
+        /* 20 */ "  val sql2 = \"\"\"SELECT 1 -- .collect() in trailing text",
+        /* 21 */ "    body\"\"\" ; val z = df.collect()",
+        /* 22 */ "}").mkString("\n").getBytes("UTF-8"))
     try {
       val found = CollectAudit.scan(dir)
-      assert(found.map(_.line).sorted == Seq(6, 11, 13, 15),
-        s"expected sites at lines 6/11/13/15, got: $found")
+      assert(found.map(_.line).sorted == Seq(6, 11, 13, 15, 18, 21),
+        s"expected sites at lines 6/11/13/15/18/21, got: $found")
+      assert(found.find(_.line == 18).get.problem.isEmpty,
+        "char-literal quote desync must not hide site 18 or its annotation")
+      assert(found.find(_.line == 21).get.problem
+        .exists(_.contains("UNANNOTATED")),
+        "code after a closing triple-quote must be audited as code")
       val chained = found.find(_.line == 6).get
       assert(chained.problem.isEmpty,
         s"chain-site annotation not resolved: ${chained.problem}")

@@ -61,6 +61,57 @@ class TextRankLshSpec extends SparkSpec {
     assert(topExact == topLsh)
   }
 
+  test("degenerate-corpus fallback widens the edge set: exact ⊋ LSH " +
+      "(direction of the tr06 answer-class swap)") {
+    // Shape of the sf3 stress replica in miniature: a diversity-less
+    // core (identical token sets — every pair collides in every band)
+    // plus two satellites whose intersection with the core is nonzero
+    // but whose Jaccard (1/21) is far below what 2 bands × 2 rows can
+    // catch (p ≈ 2·(1/21)² ≈ 0.5%). The exact route — what the probe
+    // falls back to above LshFallbackMinPairs — keeps the satellite
+    // edges; the LSH route drops them. This pins the DIRECTION of the
+    // fallback drift: the exact graph is a strict SUPERSET, and every
+    // edge both routes emit carries a bit-identical weight. (The probe
+    // floor itself is scale-gated, so the contract is asserted on the
+    // routes directly.)
+    val core = (0L until 10L).map(i => (i, Seq("a", "b", "c", "d")))
+    val sats = Seq(
+      (100L, "a" +: (1 to 20).map(i => s"x$i")),
+      (200L, "b" +: (1 to 20).map(i => s"y$i")))
+    val degenerate = (core ++ sats).toDF("id", "tokens")
+    val lowRecall = TextRank.EdgeCandidates.Lsh(numHashes = 4, bands = 2)
+    val exact = TextRank.similarityEdges(degenerate)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val lsh = TextRank.lshSimilarityEdges(degenerate, lowRecall)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // the core clique survives banding (identical signatures)
+    assert(lsh.contains((0L, 1L)) && lsh.contains((1L, 0L)))
+    // superset, STRICT: the fallback only ever ADDS edges
+    assert(lsh.keySet.subsetOf(exact.keySet),
+      "LSH must never emit an edge the exact route lacks")
+    assert(exact.size > lsh.size,
+      s"fixture must exercise a banding miss (exact ${exact.size} vs lsh ${lsh.size})")
+    // the satellites' nonzero-weight edges are exactly what the swap adds
+    assert(exact.contains((0L, 100L)) && exact.contains((0L, 200L)))
+    // surviving edges are bit-identical — the swap never re-weights
+    lsh.foreach { case (k, w) => assert(w == exact(k), s"edge $k re-weighted") }
+  }
+
+  test("lshFallback=off turns a tripped probe into a loud failure " +
+      "(the oracle-gated posture Verify installs)") {
+    // auto (property absent): policy is a no-op, the caller reroutes
+    TextRank.enforceFallbackPolicy(100L, 10000L, 10000L)
+    System.setProperty(TextRank.LshFallbackProp, "off")
+    try {
+      val e = intercept[IllegalStateException] {
+        TextRank.enforceFallbackPolicy(100L, 10000L, 10000L)
+      }
+      // the probe evidence rides in the message for the gate log
+      assert(e.getMessage.contains("DEGENERATE") &&
+        e.getMessage.contains("mass=10000"))
+    } finally System.clearProperty(TextRank.LshFallbackProp)
+  }
+
   test("minVertices routes small inputs to the exact path") {
     val routed = TextRank.EdgeCandidates.Lsh(minVertices = 1000000L)
     val cfg = TextRank.Config(lemma = false, edgeCandidates = routed)

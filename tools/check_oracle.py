@@ -146,11 +146,19 @@ def _skip_balanced(sql, i):
         i += 1
     return -1
 
+# Dollar-quote opener: $$ or $tag$ (tag = identifier, no leading digit
+# — "$1" parameter markers and arithmetic "$" never match).
+_DOLLAR = re.compile(r"\$([A-Za-z_][A-Za-z0-9_]*)?\$")
+
+
 def _strip_literals(body):
-    """Single-quoted literals (with '' escapes) and -- line comments
-    blanked in one left-to-right pass, mirroring _skip_balanced's
-    tokenization, so neither construct can mis-pair against the other
-    (an apostrophe inside a comment, a '--' inside a literal)."""
+    """Single-quoted literals (with '' escapes), -- line comments,
+    /* */ block comments, and $$...$$ / $tag$...$tag$ dollar-quoted
+    strings blanked in one left-to-right pass, mirroring
+    _skip_balanced's tokenization, so no construct can mis-pair
+    against another (an apostrophe inside a comment, a '--' inside a
+    literal, a CTE name inside a block comment — the last silently
+    demoted a def to self-referential, truncating prefix sharing)."""
     out = []
     i = 0
     n = len(body)
@@ -171,6 +179,22 @@ def _strip_literals(body):
             j = body.find("\n", i)
             i = n if j < 0 else j
             out.append(" ")
+        elif body.startswith("/*", i):
+            # DuckDB block comments do not nest; an unterminated block
+            # swallows the rest (matching the scanner's EOF behavior)
+            j = body.find("*/", i + 2)
+            i = n if j < 0 else j + 2
+            out.append(" ")
+        elif ch == "$":
+            m = _DOLLAR.match(body, i)
+            if m:
+                close = m.group(0)
+                j = body.find(close, m.end())
+                i = n if j < 0 else j + len(close)
+                out.append(" ")
+            else:
+                out.append(ch)
+                i += 1
         else:
             out.append(ch)
             i += 1
