@@ -106,9 +106,14 @@ object Bench {
         val s = scala.io.Source.fromFile(s"/proc/$pid/stat").mkString
         s.substring(s.lastIndexOf(')') + 2).split(" ")
       } catch { case _: Throwable => Array.empty }
-    def procJiffies(pid: Long): Long = {
+    // (jiffies, starttime): starttime (field 22, tail index 19) is the
+    // pid-reuse guard — a pid whose start tick changed between the two
+    // window samples is a DIFFERENT process, and its (possibly large)
+    // CPU must not be subtracted as "harness" from the foreign gauge
+    def procJiffies(pid: Long): (Long, Long) = {
       val f = procStatTail(pid)
-      if (f.length > 12) f(11).toLong + f(12).toLong else 0L
+      if (f.length > 19) (f(11).toLong + f(12).toLong, f(19).toLong)
+      else (0L, -1L)
     }
     def ppidOf(pid: Long): Long = {
       val f = procStatTail(pid)
@@ -127,7 +132,7 @@ object Bench {
       while (pid > 1L && buf.length < 16) { buf += pid; pid = ppidOf(pid) }
       buf.toList
     }
-    def ancestorJiffies: Map[Long, Long] =
+    def ancestorJiffies: Map[Long, (Long, Long)] =
       ancestorPids.map(p => p -> procJiffies(p)).toMap
     // SETTLE before opening the window (r12 verdict task 1): the
     // loadavg_start > 1.0 gate's known FALSE-POSITIVE mode is the
@@ -251,10 +256,15 @@ object Bench {
     val procEnd = processCpuNanos
     val ancEnd = ancestorJiffies
     // per-pid clamp: an ancestor that exited mid-window reads 0 at the
-    // end; summing raw deltas would go negative and INFLATE foreign
-    val ancestorSec = ancestorPids
-      .map(p => math.max(0L, ancEnd.getOrElse(p, 0L) - ancStart.getOrElse(p, 0L)))
-      .sum / 100.0
+    // end, so a raw delta would go negative and INFLATE foreign; and
+    // an exited pid RE-USED by some busy foreign process would read a
+    // large positive delta and DEFLATE foreign below the gate — the
+    // starttime must match for the delta to count as harness CPU
+    val ancestorSec = ancestorPids.map { p =>
+      val (j0, s0) = ancStart.getOrElse(p, (0L, -1L))
+      val (j1, s1) = ancEnd.getOrElse(p, (0L, -2L))
+      if (s0 == s1 && s0 >= 0) math.max(0L, j1 - j0) else 0L
+    }.sum / 100.0
     val foreignCores =
       if (busyStart < 0 || busyEnd < 0 || procStart < 0 || procEnd < 0 || wallSec <= 0) -1.0
       else math.max(0.0,

@@ -337,11 +337,16 @@ object TextRank {
       (hit, mass)
     }
     if (degenerate) {
+      // release BOTH probe caches before the policy gate: neither the
+      // exact route nor the off-mode throw path reads them, and a
+      // caller that catches the throw (Verify's per-query catch keeps
+      // the session alive) must not inherit two corpus-scale caches
+      // competing for its heap
+      sigs.unpersist() // the exact route reads neither cache
+      v.unpersist()    // it re-derives its own per-vertex table
       // throws here when -Dgraft.textrank.lshFallback=off (Verify sets
       // it: an oracle-gated run must never silently change answer class)
       enforceFallbackPolicy(nv, probeMass, allPairs)
-      sigs.unpersist() // the exact route reads neither cache
-      v.unpersist()    // it re-derives its own per-vertex table
       return similarityEdges(vertices, nv)
     }
     val cands = Dedup.lshCandidates(sigs, lsh.bands, rowsPerBand, lsh.maxBucket)

@@ -59,10 +59,32 @@ object CollectAudit {
     t.startsWith("//") || t.startsWith("*") || t.startsWith("/*")
   }
 
-  /** Double-quoted string literals blanked out (escapes respected), so
-    * a collect-like token inside a quoted string is not flagged as a
-    * driver-collect site. CHAR literals are blanked FIRST (r12 ADVICE):
-    * a lone `'"'` char literal would otherwise pair with a real string
+  /** Interpolation splices `${...}` copied VERBATIM out of a string
+    * body while every other body character blanks to a space: a splice
+    * is executable code — `s"n=${df.collect().size}"` is a genuine
+    * driver materialization the audit must see, while the surrounding
+    * string text must not flag. Brace-depth tracked so nested lambda
+    * braces stay inside the splice; a quote inside a splice's own
+    * nested literal is best-effort (left visible for the outer
+    * stripper). Returns the new index past the splice.
+    */
+  private def copySplice(line: String, from: Int, sb: StringBuilder): Int = {
+    sb.append("${")
+    var i = from + 2
+    var depth = 1
+    while (i < line.length && depth > 0) {
+      val d = line.charAt(i)
+      if (d == '{') depth += 1 else if (d == '}') depth -= 1
+      sb.append(d); i += 1
+    }
+    i
+  }
+
+  /** Double-quoted string literals blanked out (escapes respected,
+    * `${...}` splices kept visible as code), so a collect-like token
+    * inside quoted TEXT is not a driver-collect site but one inside a
+    * splice is. CHAR literals are blanked FIRST (r12 ADVICE): a lone
+    * `'"'` char literal would otherwise pair with a real string
     * delimiter later on the line — blanking genuine code between them
     * (in a build-gating audit, that can mask a real collect site:
     * `f('"', df.collect(), '"')`) or, mirrored, leaving genuine string
@@ -70,9 +92,29 @@ object CollectAudit {
     * multi-line (triple-quoted) bodies are handled by
     * [[maskTripleQuoted]] in the scanner.
     */
-  private def stripStrings(line: String): String =
-    line.replaceAll("'(\\\\u[0-9a-fA-F]{4}|\\\\.|[^'\\\\])'", "' '")
-      .replaceAll("\"(\\\\.|[^\"\\\\])*\"", "\"\"")
+  private def stripStrings(line: String): String = {
+    val noChars =
+      line.replaceAll("'(\\\\u[0-9a-fA-F]{4}|\\\\.|[^'\\\\])'", "' '")
+    val sb = new StringBuilder(noChars.length)
+    var i = 0
+    var inStr = false
+    while (i < noChars.length) {
+      val c = noChars.charAt(i)
+      if (!inStr) {
+        if (c == '"') inStr = true
+        sb.append(c); i += 1
+      } else if (c == '\\' && i + 1 < noChars.length) {
+        sb.append("  "); i += 2
+      } else if (c == '"') {
+        inStr = false; sb.append(c); i += 1
+      } else if (c == '$' && i + 1 < noChars.length && noChars.charAt(i + 1) == '{') {
+        i = copySplice(noChars, i, sb)
+      } else {
+        sb.append(' '); i += 1
+      }
+    }
+    sb.toString
+  }
 
   /** Trailing tokens that leave a statement syntactically open, so the
     * NEXT line continues it. Tested on the line ABOVE the one being
@@ -106,12 +148,15 @@ object CollectAudit {
     * `"""` on the same line was treated as code (a collect-like token
     * in the trailing SQL text falsely flagged), and code after a
     * CLOSING `"""` was treated as string (a genuine driver-collect
-    * site invisible to the audit). Delimiters are consumed
-    * NON-overlapping: a `sliding(3)` scan would count a 4+-quote run
-    * twice (e.g. a body whose content ends in a quote char:
-    * `..."offset""""`), inverting the in-string parity for the rest of
-    * the file and silently masking every later collect site — a live
-    * pattern in the oracle SQL.
+    * site invisible to the audit). Quote RUNS are handled whole, with
+    * scalac's longest-match close: a 4+-quote run ending a body (e.g.
+    * content ending in a quote char: `..."offset""""` — a live pattern
+    * in the oracle SQL) is content-plus-final-3-delimiter, toggling
+    * parity ONCE — a `sliding(3)` scan would count it twice and invert
+    * the in-string state for the rest of the file, and consuming the
+    * FIRST 3 as the delimiter would leak the content's stray quote
+    * into the masked code for stripStrings to mis-pair.
+    * `${...}` splices stay visible — they are code, not text.
     */
   private[tools] def maskTripleQuoted(
       line: String, openAtStart: Boolean): (String, Boolean) = {
@@ -119,11 +164,40 @@ object CollectAudit {
     var i = 0
     var open = openAtStart
     while (i < line.length) {
-      if (i <= line.length - 3 && line.charAt(i) == '"' &&
-          line.charAt(i + 1) == '"' && line.charAt(i + 2) == '"') {
-        sb.append("   "); open = !open; i += 3
+      val c = line.charAt(i)
+      if (c == '"') {
+        var j = i
+        while (j < line.length && line.charAt(j) == '"') j += 1
+        val run = j - i
+        if (!open) {
+          if (run >= 3) {
+            // OPENING delimiter is exactly the first 3 quotes; any
+            // surplus is body content the next iterations blank
+            open = true; sb.append("   "); i += 3
+          } else {
+            // 1-2 quotes outside a block: plain string delimiters,
+            // left for stripStrings
+            sb.append(line.substring(i, j)); i = j
+          }
+        } else {
+          // inside a body, a run of >=3 CLOSES on its last 3 (longest
+          // match, as scalac lexes `..."offset""""` — content `x"`,
+          // delimiter the final 3); blanking the WHOLE run keeps the
+          // content's stray quote chars from leaking into the masked
+          // code, where stripStrings could pair one with a later real
+          // delimiter and blank a genuine collect site between them
+          if (run >= 3) open = false
+          var k = 0
+          while (k < run) { sb.append(' '); k += 1 }
+          i = j
+        }
+      } else if (open && c == '$' && i + 1 < line.length &&
+          line.charAt(i + 1) == '{') {
+        // splices inside triple-quoted interpolators are code — see
+        // copySplice (`s"""rows: ${df.collect().length}"""` must flag)
+        i = copySplice(line, i, sb)
       } else {
-        sb.append(if (open) ' ' else line.charAt(i)); i += 1
+        sb.append(if (open) ' ' else c); i += 1
       }
     }
     (sb.toString, open)

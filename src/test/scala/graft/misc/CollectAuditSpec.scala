@@ -82,16 +82,35 @@ class CollectAuditSpec extends AnyFunSuite {
         // code; code after the CLOSING delimiter is code, not string
         /* 20 */ "  val sql2 = \"\"\"SELECT 1 -- .collect() in trailing text",
         /* 21 */ "    body\"\"\" ; val z = df.collect()",
-        /* 22 */ "}").mkString("\n").getBytes("UTF-8"))
+        // interpolation splices are CODE inside any string kind: a
+        // collect in a splice must flag even though the surrounding
+        // text is blanked
+        /* 22 */ "  // collect-bound: scalar: splice in a triple-quoted interpolator",
+        /* 23 */ "  val msg = s\"\"\"rows: ${probe.collect().length}\"\"\"",
+        /* 24 */ "  val pad2 = 2",
+        /* 25 */ "  val n = s\"n=${big.collect().size}\"",
+        // longest-match close: content ending in a quote char makes a
+        // 4-quote run — the stray content quote must not leak and pair
+        // with the later \"y\" delimiter, blanking the genuine site
+        /* 26 */ "  val s4 = \"\"\"x\"\"\"\" ; val z4 = df.collect() ; val t4 = \"y\"",
+        /* 27 */ "}").mkString("\n").getBytes("UTF-8"))
     try {
       val found = CollectAudit.scan(dir)
-      assert(found.map(_.line).sorted == Seq(6, 11, 13, 15, 18, 21),
-        s"expected sites at lines 6/11/13/15/18/21, got: $found")
+      assert(found.map(_.line).sorted == Seq(6, 11, 13, 15, 18, 21, 23, 25, 26),
+        s"expected sites at 6/11/13/15/18/21/23/25/26, got: $found")
       assert(found.find(_.line == 18).get.problem.isEmpty,
         "char-literal quote desync must not hide site 18 or its annotation")
       assert(found.find(_.line == 21).get.problem
         .exists(_.contains("UNANNOTATED")),
         "code after a closing triple-quote must be audited as code")
+      assert(found.find(_.line == 23).get.problem.isEmpty,
+        "triple-quoted splice site must resolve its annotation")
+      assert(found.find(_.line == 25).get.problem
+        .exists(_.contains("UNANNOTATED")),
+        "single-line splice site must be visible and unannotated")
+      assert(found.find(_.line == 26).get.problem
+        .exists(_.contains("UNANNOTATED")),
+        "4-quote close must not leak a stray quote that masks the site")
       val chained = found.find(_.line == 6).get
       assert(chained.problem.isEmpty,
         s"chain-site annotation not resolved: ${chained.problem}")

@@ -106,6 +106,9 @@ def _skip_ws(sql, i):
         elif sql.startswith("--", i):
             j = sql.find("\n", i)
             i = n if j < 0 else j + 1
+        elif sql.startswith("/*", i):
+            j = sql.find("*/", i + 2)
+            i = n if j < 0 else j + 2
         else:
             break
     return i
@@ -137,6 +140,20 @@ def _skip_balanced(sql, i):
             j = sql.find("\n", i)
             i = n if j < 0 else j + 1
             continue
+        # same token classes as _strip_literals, so the two passes can
+        # never disagree about what is code: a ')' or quote inside a
+        # block comment or dollar-quoted body must not close the def
+        if sql.startswith("/*", i):
+            j = sql.find("*/", i + 2)
+            i = n if j < 0 else j + 2
+            continue
+        if ch == "$":
+            m = _DOLLAR.match(sql, i)
+            if m:
+                close = m.group(0)
+                j = sql.find(close, m.end())
+                i = n if j < 0 else j + len(close)
+                continue
         if ch == "(":
             depth += 1
         elif ch == ")":

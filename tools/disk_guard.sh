@@ -17,10 +17,20 @@ while true; do
     echo "[disk-guard] $(date +%T) free ${FREE_GB}G (new min)"
   fi
   if [ "$FREE_GB" -lt "$FLOOR_GB" ]; then
-    PID=$(pgrep -f 'graft.Stress' | head -1)
-    echo "[disk-guard] $(date +%T) free ${FREE_GB}G < floor ${FLOOR_GB}G — killing stress JVM $PID"
-    [ -n "$PID" ] && kill -9 "$PID"
-    exit 1
+    # Kill EVERY matching pid, not the oldest one: with `run / fork`
+    # the sbt wrapper shell and launcher JVM match the pattern too and
+    # have LOWER pids than the forked Spark JVM that owns the disk burn
+    # — killing only `head -1` can orphan the writer. And keep looping:
+    # a single kill attempt followed by exit would leave a survivor
+    # free to wedge the box at 0 bytes.
+    PIDS=$(pgrep -f 'graft.Stress')
+    echo "[disk-guard] $(date +%T) free ${FREE_GB}G < floor ${FLOOR_GB}G — killing stress pids: $PIDS"
+    [ -n "$PIDS" ] && kill -9 $PIDS 2>/dev/null
+    sleep 2
+    if ! pgrep -f 'graft.Stress' > /dev/null; then
+      echo "[disk-guard] $(date +%T) all stress pids dead — exiting"
+      exit 1
+    fi
   fi
   sleep 5
 done
