@@ -134,21 +134,50 @@ object Bench {
     }
     def ancestorJiffies: Map[Long, (Long, Long)] =
       ancestorPids.map(p => p -> procJiffies(p)).toMap
-    // SETTLE before opening the window (r12 verdict task 1): the
-    // loadavg_start > 1.0 gate's known FALSE-POSITIVE mode is the
-    // bench's own launch path — sbt's compile/launcher burst (and any
-    // just-finished gate run) sits in the 1-min average, which decays
-    // with a ~60 s time constant, so a back-to-back invocation opens
-    // the window already "suspect" with both direct gauges clean
-    // (exactly BENCH_r12: loadavg_start 2.16, canaries and foreign-CPU
-    // clean). This JVM idles while waiting, so stale self-load decays
-    // (2.16 -> 1.0 in ~46 s); genuine live contention does NOT decay,
-    // the budget runs out, and the gate then trips for the right
-    // reason. Budget 240 s covers start loads up to ~e^4.
+    // Live non-harness CPU over a short idle interval, computed with
+    // the SAME subtraction the window gauge uses (whole-box busy minus
+    // this idle JVM minus launcher ancestors), so the settle loop
+    // below waits on exactly the quantity suspect_foreign trips on.
+    def foreignSample(sec: Int): Double = {
+      val b0 = busyJiffies; val p0 = processCpuNanos; val a0 = ancestorJiffies
+      Thread.sleep(sec * 1000L)
+      val b1 = busyJiffies; val p1 = processCpuNanos; val a1 = ancestorJiffies
+      val anc = ancestorPids.map { p =>
+        val (j0, s0) = a0.getOrElse(p, (0L, -1L))
+        val (j1, s1) = a1.getOrElse(p, (0L, -2L))
+        if (s0 == s1 && s0 >= 0) math.max(0L, j1 - j0) else 0L
+      }.sum / 100.0
+      if (b0 < 0 || b1 < 0 || p0 < 0 || p1 < 0) 0.0
+      else math.max(0.0, ((b1 - b0) / 100.0 - (p1 - p0) / 1e9 - anc) / sec)
+    }
+    // SETTLE before opening the window (r12 verdict task 1): two known
+    // FALSE-POSITIVE-adjacent modes on the bench's own launch path,
+    // both waited out while this JVM idles, both bounded by one budget:
+    //  - STALE loadavg — sbt's compile burst (or a just-finished gate
+    //    run) sits in the 1-min average, which decays with a ~60 s time
+    //    constant (exactly BENCH_r12: loadavg_start 2.16, canaries and
+    //    foreign clean; 2.16 -> 1.0 takes ~46 s of idling);
+    //  - LIVE kernel churn below the loadavg gate — after a multi-GB
+    //    write/delete (the driver runs this bench right after its
+    //    Verify), reclaim/writeback kworkers burn ~a core for minutes
+    //    with 1-min loadavg already < 1.0 (measured r13: foreign 0.80
+    //    cores at loadavg_start 0.96-0.97) and would trip
+    //    suspect_foreign honestly but avoidably. Each 5 s idle probe
+    //    here doubles as the wait; <= 0.25 cores (half the window
+    //    gate) twice the sampling noise floor opens the window.
+    // Genuine persistent contention survives the budget and then trips
+    // the gate for the right reason. Budget 240 s covers start loads
+    // to ~e^4 and the observed reclaim tails.
     val SettleMaxSec = sys.env.getOrElse("SPARK_GRAFT_SETTLE_MAX", "240").toInt
     var settleSec = 0
-    while (load1(loadavg) > 1.0 && settleSec < SettleMaxSec) {
-      Thread.sleep(5000); settleSec += 5
+    var settled = false
+    while (!settled && settleSec < SettleMaxSec) {
+      if (load1(loadavg) > 1.0) {
+        Thread.sleep(5000); settleSec += 5
+      } else {
+        val f = foreignSample(5); settleSec += 5
+        settled = f <= 0.25
+      }
     }
     val loadStart = loadavg
     val busyStart = busyJiffies
