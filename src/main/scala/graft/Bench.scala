@@ -87,6 +87,64 @@ object Bench {
       once(); once(); once()
       math.min(once(), once())
     }
+    // MACHINE-SPEED canary (r13 verdict task 1). The contamination
+    // gauges above answer "did something else run during the window?";
+    // none of them can see the box itself being SLOWER — shared-host
+    // frequency/memory-bandwidth drift moved both r12 and r13 binaries
+    // 10–20% between windows while every cause bit read clean (the
+    // judge's same-window A/B proved the engine regression-free). This
+    // canary measures the machine with fixed, deterministic work so
+    // cross-round totals can be compared in normalized units:
+    //  - CPU+memory leg: FNV-1a over a fixed 64 MiB deterministic
+    //    buffer, 2 passes, single-thread — pure core frequency plus
+    //    streaming memory bandwidth, no allocation in the timed loop;
+    //  - shuffle leg: one fixed 4M-row 32-partition hash exchange +
+    //    aggregation — the multicore shuffle machinery every bench
+    //    query exercises (serialization, exchange write/read).
+    // Each leg: JIT warmups, then min of 2 timed runs; the sample is
+    // the SUM of the two leg minima. Taken at window start and end;
+    // total_normalized = total × (speed_ref / mean(start, end)). The
+    // raw samples ride in the artifact so a reader can re-normalize
+    // against a re-calibrated reference if the hardware changes.
+    val SpeedRefSec = sys.env.getOrElse("SPARK_GRAFT_SPEED_REF", "0.90").toDouble
+    val speedBuf: Array[Byte] = {
+      val b = new Array[Byte](64 << 20)
+      var i = 0
+      while (i < b.length) { b(i) = ((i * 31 + 7) & 0xff).toByte; i += 1 }
+      b
+    }
+    def fnvLegOnce(): Long = {
+      var h = 0xcbf29ce484222325L
+      var pass = 0
+      while (pass < 2) {
+        var i = 0
+        while (i < speedBuf.length) {
+          h = (h ^ (speedBuf(i) & 0xffL)) * 0x100000001b3L
+          i += 1
+        }
+        pass += 1
+      }
+      h
+    }
+    // blackhole: publish the fold result so the JIT cannot dead-code
+    // the loop; volatile write is ordered but costs nothing per-sample
+    @volatile var speedSink = 0L
+    def speedCanary(): Double = {
+      def timed(work: () => Unit): Double = {
+        val t0 = System.nanoTime(); work(); (System.nanoTime() - t0) / 1e9
+      }
+      val fnv = () => { speedSink = fnvLegOnce() }
+      import org.apache.spark.sql.functions.{col, expr}
+      val shuffle = () => {
+        // collect-bound: canary: fixed 4M-row exchange probe; one long reaches the driver
+        spark.range(0, 4000000L, 1, 32).repartition(32, col("id"))
+          .agg(expr("bit_xor(xxhash64(id))")).collect(): Unit
+      }
+      fnv(); shuffle(); shuffle() // JIT/codegen warmups, untimed
+      val f = math.min(timed(fnv), timed(fnv))
+      val s = math.min(timed(shuffle), timed(shuffle))
+      f + s
+    }
     // Idle reference for the canary on this box (local[32], measured
     // unloaded; see STRESS_r10.md). The artifact records the raw
     // readings too, so a reader can re-judge against a re-calibrated
@@ -110,14 +168,21 @@ object Bench {
     // pid-reuse guard — a pid whose start tick changed between the two
     // window samples is a DIFFERENT process, and its (possibly large)
     // CPU must not be subtracted as "harness" from the foreign gauge
+    // field parsing under Try (r13 ADVICE): procStatTail only guards
+    // the file READ — a malformed tail field would otherwise throw
+    // NumberFormatException out of the gauge and kill the whole bench;
+    // a broken gauge must degrade (0 jiffies / no ancestor), never
+    // abort the measurement run
     def procJiffies(pid: Long): (Long, Long) = {
       val f = procStatTail(pid)
-      if (f.length > 19) (f(11).toLong + f(12).toLong, f(19).toLong)
+      if (f.length > 19)
+        scala.util.Try((f(11).toLong + f(12).toLong, f(19).toLong))
+          .getOrElse((0L, -1L))
       else (0L, -1L)
     }
     def ppidOf(pid: Long): Long = {
       val f = procStatTail(pid)
-      if (f.length > 1) f(1).toLong else 0L
+      if (f.length > 1) scala.util.Try(f(1).toLong).getOrElse(0L) else 0L
     }
     // The launcher chain above this JVM (sbt runner, its shell, the
     // harness process): their CPU is HARNESS overhead, not foreign
@@ -179,6 +244,9 @@ object Bench {
         settled = f <= 0.25
       }
     }
+    // speed sample OUTSIDE the window (before the gauges snapshot): its
+    // CPU burn must not ride in the window's wall or dilute foreign-CPU
+    val speedStart = speedCanary()
     val loadStart = loadavg
     val busyStart = busyJiffies
     val procStart = processCpuNanos
@@ -321,8 +389,19 @@ object Bench {
     val suspectLoadavg = load1Start > 1.0
     val suspectForeign = foreignCores > 0.5
     val windowSuspect = suspectCanary || suspectLoadavg || suspectForeign
+    // end speed sample after the window gauges close (same reason the
+    // start sample precedes them); normalize on the MEAN of the two —
+    // machine-speed drift is slow relative to the window, so the mean
+    // estimates the window's prevailing speed, while a min would hide
+    // a window that started fast and degraded
+    val speedEnd = speedCanary()
+    val speedMean = (speedStart + speedEnd) / 2.0
+    val totalNormalized =
+      if (speedMean > 0) total * (SpeedRefSec / speedMean) else -1.0
     System.err.println(f"[bench] canary start ${canaryStart}%.3f / mid ${canaryMid}%.3f"
       + f" / end ${canaryEnd}%.3f s (idle ref ${CanaryIdleSec}%.2f s),"
+      + f" speed ${speedStart}%.3f/${speedEnd}%.3f s (ref ${SpeedRefSec}%.2f s"
+      + f" -> total ${total}%.2f s normalized ${totalNormalized}%.2f s),"
       + f" loadavg $loadStart -> $loadEnd, foreign ${foreignCores}%.2f cores"
       + f" (harness ${ancestorSec}%.1f s), settle $settleSec s"
       + (if (suspectCanary) " (SESSION CONTAMINATED)" else "")
@@ -331,7 +410,7 @@ object Bench {
            + (if (suspectLoadavg) " loadavg" else "")
            + (if (suspectForeign) " foreign" else "") + ")"
          else ""))
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,"contaminated":$contaminated,"protocol":"warmup+min-of-2+respread","median_run_spread":${r3(noise)},"canary_sec":[${r3(canaryStart)},${r3(canaryMid)},${r3(canaryEnd)}],"canary_idle_sec":${r3(CanaryIdleSec)},"session_contaminated":$sessionContaminated,"foreign_cpu_cores_avg":${r3(foreignCores)},"window_suspect":$windowSuspect,"suspect_canary":$suspectCanary,"suspect_loadavg":$suspectLoadavg,"suspect_foreign":$suspectForeign,"settle_sec":$settleSec,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_normalized":${r3(totalNormalized)},"speed_canary_sec":[${r3(speedStart)},${r3(speedEnd)}],"speed_ref_sec":${r3(SpeedRefSec)},"queries":$qs,"failed":$failed,"contaminated":$contaminated,"protocol":"warmup+min-of-2+respread","median_run_spread":${r3(noise)},"canary_sec":[${r3(canaryStart)},${r3(canaryMid)},${r3(canaryEnd)}],"canary_idle_sec":${r3(CanaryIdleSec)},"session_contaminated":$sessionContaminated,"foreign_cpu_cores_avg":${r3(foreignCores)},"window_suspect":$windowSuspect,"suspect_canary":$suspectCanary,"suspect_loadavg":$suspectLoadavg,"suspect_foreign":$suspectForeign,"settle_sec":$settleSec,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -155,21 +155,46 @@ object Stress {
           .write.mode("overwrite").parquet(s"$out/$name.parquet")
         System.err.println(s"[stress] built $name x$nCopies")
       }
-      replicate("documents", Seq("doc_id"),
-        spark.read.parquet(s"$src/documents.parquet"))
-      replicate("embeddings", Seq("vec_id"),
-        spark.read.parquet(s"$src/embeddings.parquet"))
-      // events go through Tables (the raw file may be TIMESTAMP(NANOS),
-      // which plain parquet inference rejects); the replica is written
-      // with an annotated-µs ts, which the loaders pass through
-      replicate("events", Seq("event_id", "user_id"),
-        graft.tables.Tables.events(spark, src))
-      // dimension tables copied as-is (target queries don't join them at
-      // stress scale; present so Tables.* loaders resolve)
-      Seq("region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem").foreach { t =>
-        spark.read.parquet(s"$src/$t.parquet")
-          .write.mode("overwrite").parquet(s"$out/$t.parquet")
+      // SPARK_GRAFT_STRESS_FACTS=1 (r13 verdict task 3) builds a
+      // RELATIONAL stress replica instead: the TPC-H fact tables
+      // (lineitem + orders) replicated with CONSISTENT orderkey
+      // offsets — the l_orderkey = o_orderkey equi-join joins within a
+      // copy exactly as at sf0.1, so q14's fact-fact SHUFFLE_HASH join
+      // carries ×N rows on both sides — while the dimension keys
+      // (custkey/suppkey/nationkey) stay unoffset and resolve against
+      // the ×1 broadcast dims. The corpus tables are copied ×1 (a
+      // facts dir exists for the q-family rows only), keeping the
+      // build seconds-fast and the dir small.
+      val factsMode = sys.env.get("SPARK_GRAFT_STRESS_FACTS").contains("1")
+      if (factsMode) {
+        replicate("lineitem", Seq("l_orderkey"),
+          spark.read.parquet(s"$src/lineitem.parquet"))
+        replicate("orders", Seq("o_orderkey"),
+          spark.read.parquet(s"$src/orders.parquet"))
+        Seq("region", "nation", "customer", "supplier", "part",
+          "documents", "embeddings").foreach { t =>
+          spark.read.parquet(s"$src/$t.parquet")
+            .write.mode("overwrite").parquet(s"$out/$t.parquet")
+        }
+        graft.tables.Tables.events(spark, src)
+          .write.mode("overwrite").parquet(s"$out/events.parquet")
+      } else {
+        replicate("documents", Seq("doc_id"),
+          spark.read.parquet(s"$src/documents.parquet"))
+        replicate("embeddings", Seq("vec_id"),
+          spark.read.parquet(s"$src/embeddings.parquet"))
+        // events go through Tables (the raw file may be TIMESTAMP(NANOS),
+        // which plain parquet inference rejects); the replica is written
+        // with an annotated-µs ts, which the loaders pass through
+        replicate("events", Seq("event_id", "user_id"),
+          graft.tables.Tables.events(spark, src))
+        // dimension tables copied as-is (target queries don't join them at
+        // stress scale; present so Tables.* loaders resolve)
+        Seq("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem").foreach { t =>
+          spark.read.parquet(s"$src/$t.parquet")
+            .write.mode("overwrite").parquet(s"$out/$t.parquet")
+        }
       }
       marker.getParentFile.mkdirs()
       java.nio.file.Files.write(marker.toPath, Array.empty[Byte]): Unit

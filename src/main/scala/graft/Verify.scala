@@ -25,7 +25,14 @@ object Verify {
     // not a behavior change: if a future gate corpus ever trips the
     // probe, the query ERRORS loudly and the route gets re-adjudicated
     // instead of drifting hashes. Respect an explicit caller override.
-    if (!sys.props.contains(graft.textrank.TextRank.LshFallbackProp))
+    // FORK DEPENDENCY (r13 ADVICE): the property is JVM-global. Safe
+    // because build.sbt sets `run / fork := true`, so every main gets
+    // a fresh JVM; if fork were ever disabled, 'off' would leak into a
+    // subsequent Bench/Stress run in the same sbt JVM and turn their
+    // intended auto-fallback into a hard failure — hence the cleanup
+    // in the finally below, which bounds the leak to Verify's own run.
+    val installedOff = !sys.props.contains(graft.textrank.TextRank.LshFallbackProp)
+    if (installedOff)
       System.setProperty(graft.textrank.TextRank.LshFallbackProp, "off")
     // Optional third arg: regex over query names, for fast local iteration
     // on a subset. The driver always calls with two args → all queries.
@@ -124,5 +131,11 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // un-install the tripwire on the way out (see the fork-dependency
+    // note above). A crash path skips this, but a crashed forked JVM
+    // takes its properties with it; only the clean same-JVM path could
+    // ever carry state forward.
+    if (installedOff)
+      System.clearProperty(graft.textrank.TextRank.LshFallbackProp): Unit
   }
 }

@@ -24,6 +24,92 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  // ==== Degenerate-corpus mass probe (r13 verdict task 2) ====
+  //
+  // STRESS_r13 measured the dedup family's next scale boundary: on a
+  // replica-degenerate corpus (every doc ~100 near-identical copies)
+  // the LSH bucket-join mass Σ c·(c−1) grows ∝ copies² while bucket
+  // keys stay invariant, and the pre-shuffle partial aggregates over
+  // that stream (d04's candidate distinct, d15's pair-dot groupBy)
+  // pressed 7.94–7.97 g of the 8 g heap at sf10 with OOM projected at
+  // ~sf15 (~490 M post-cap pairs). The same probe pattern that closed
+  // tr06's cliff closes this one BEFORE it is hit: above a plan-stats
+  // floor, aggregate the exact post-cap pair mass (one bounded job —
+  // the quantity is the joins' true pre-distinct output, the number
+  // DuckDB replay predicted to the digit at tr06), and when it exceeds
+  // a heap-derived budget, switch the pair stream to OUTPUT-SIZED
+  // partitioning: an explicit repartition on the pair key BEFORE the
+  // distinct/groupBy, so no pre-shuffle hash map ever holds a
+  // corpus-quadratic working set — each post-shuffle task handles
+  // ~[[MassPairsPerPartition]] pairs. VALUES ARE UNCHANGED (the same
+  // rows flow through the same distinct/sum; only partitioning moves),
+  // so unlike tr06's fallback this is not an answer-class change and
+  // needs no Verify tripwire; `-Dgraft.dedup.massReroute=off` still
+  // turns a tripped probe into a loud IllegalStateException carrying
+  // the probe evidence, for callers that want the boundary fatal.
+  //
+  // The probe only runs above [[massProbeMinDocs]] input rows (the
+  // same count-then-floor gate as TextRank.lshSimilarityEdges' nv
+  // probe; the count itself is one column-pruned job over the already-
+  // cached shingle table — milliseconds at gate scale): gate corpora
+  // (sf0.001–sf1, ≤ 600 k documents) never reach the floor, so gate
+  // plans, hashes and bench shapes are byte-identical to the
+  // probe-less path; the sf3+ stress replicas (1.8 M+ docs) probe.
+
+  /** Input-row floor below which the mass probe is skipped outright.
+    * Default 1 M docs: the largest oracle-gated corpus (sf1) holds
+    * ~600 k, the first stress rung past it (sf3) 1.8 M — and
+    * STRESS_r13's ladder shows every scale below sf5 completing with
+    * ≥ 0.75 g of headroom probe-less. Overridable for specs and ops
+    * via -Dgraft.dedup.massProbeMinDocs.
+    */
+  def massProbeMinDocs: Long =
+    sys.props.get("graft.dedup.massProbeMinDocs").map(_.toLong)
+      .getOrElse(1000000L)
+
+  /** Heap-derived post-cap pair-mass budget: above this many pairs the
+    * bucket/token joins' pre-shuffle partial aggregates are re-routed
+    * to output-sized partitioning. Default maxHeap/64 (≈131 M pairs at
+    * the 8 g stress heap): STRESS_r13 measured 216 M post-cap pairs
+    * peaking 7.97 g — past the default budget, inside the measured
+    * envelope — so the reroute engages one rung BEFORE the projected
+    * ~490 M OOM. -Dgraft.dedup.massBudgetPairs overrides.
+    */
+  def massBudgetPairs: Long =
+    sys.props.get("graft.dedup.massBudgetPairs").map(_.toLong)
+      .getOrElse(Runtime.getRuntime.maxMemory / 64L)
+
+  /** Target pairs per post-shuffle task on the bounded route (~2 M
+    * pairs ≈ 100 MB of aggregation state per task).
+    */
+  val MassPairsPerPartition: Long = 2000000L
+
+  /** Partition count for a bounded-route pair stream of `mass` rows. */
+  def massParts(mass: Long): Int =
+    math.min(4096L, math.max(32L,
+      mass / MassPairsPerPartition)).toInt
+
+  val MassRerouteProp: String = "graft.dedup.massReroute"
+
+  /** Route decision + policy for a tripped probe: returns true when the
+    * bounded route must be taken (mass > budget); under
+    * `-Dgraft.dedup.massReroute=off` a tripped probe throws instead,
+    * carrying the measured evidence. Logs the probe reading either way
+    * (the runtime marker STRESS rows cite).
+    */
+  private[graft] def massRoute(op: String, mass: Long, budget: Long): Boolean = {
+    val hit = mass > budget
+    System.err.println(s"[dedup] $op mass probe: post-cap pair mass=$mass " +
+      s"(budget $budget) -> " +
+      (if (hit) "DEGENERATE, output-sized partitioning" else "within budget, default route"))
+    if (hit && sys.props.getOrElse(MassRerouteProp, "auto") == "off")
+      throw new IllegalStateException(
+        s"-D$MassRerouteProp=off forbids the bounded reroute: $op post-cap " +
+          s"pair mass $mass exceeds the heap-derived budget $budget " +
+          "(degenerate corpus; see Dedup mass-probe docs)")
+    hit
+  }
+
   /** Whitespace-collapsed, lowercased, trimmed content key. */
   def normalized(text: Column): Column =
     lower(trim(regexp_replace(text, "\\s+", " ")))
@@ -92,17 +178,52 @@ object Dedup {
     val banded = sigs.select(col("id"),
       posexplode(bandKeyArray(col("sig"), bands, rowsPerBand)))
       .toDF("id", "band", "key")
-    val sized = banded
+    val sized0 = banded
       .withColumn("bucket_n", count(lit(1))
         .over(org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("key"))))
       .filter(col("bucket_n") <= maxBucket)
+    // Degenerate-corpus mass probe (see object docs): above the
+    // doc-count floor, measure the bucket joins' exact pre-distinct
+    // output Σ c·(c−1) — `sized0` already carries each row's bucket
+    // size, so the probe is one sum over the persisted table (which the
+    // join reads anyway on both sides: at probe scale the persist also
+    // saves the second signature/window pass). Below the floor the plan
+    // is byte-identical to the probe-less path. The count is column-
+    // pruned (sig never evaluates) and reads the callers' cached
+    // shingle tables — milliseconds at gate scale.
+    // collect-bound: scalar: row count vs the probe floor
+    val probed = sigs.count() > massProbeMinDocs
+    val (sized, bounded, mass) =
+      if (!probed) (sized0, false, 0L)
+      else {
+        val s = s0persist(sized0)
+        // collect-bound: scalar: single aggregated row (bucket-mass probe)
+        val m = s.agg(coalesce(sum(col("bucket_n") - lit(1L)), lit(0L)))
+          .first().getLong(0)
+        (s, massRoute("lshCandidates", m, massBudgetPairs), m)
+      }
     val l = sized.select(col("band"), col("key"), col("id").as("a"))
     val r = sized.select(col("band"), col("key"), col("id").as("b"))
-    l.join(r, Seq("band", "key"))
+    val pairs = l.join(r, Seq("band", "key"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"))
-      .distinct()
+    if (!bounded) pairs.distinct()
+    else
+      // output-sized partitioning: the explicit exchange on the pair key
+      // replaces the pre-shuffle partial aggregate (the join output
+      // streams straight into the exchange writer — no driver-side or
+      // task-side corpus-quadratic hash map), and the post-shuffle
+      // distinct runs on ~MassPairsPerPartition rows per task. Same
+      // rows, same values — only the partitioning moves.
+      pairs.repartition(massParts(mass), col("a"), col("b")).distinct()
   }
+
+  /** MEMORY_AND_DISK persist for probe-scale intermediates (no
+    * unpersist hook — the result is a lazy plan that still references
+    * it; LRU-bounded, same documented pattern as the shingle caches).
+    */
+  private def s0persist(df: DataFrame): DataFrame =
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Exact Jaccard over DISTINCT-element arrays: |A∩B| via the fused
     * intersect_size expression and |A∪B| = |A|+|B|−|A∩B|, so no

@@ -235,11 +235,38 @@ object Similarity {
   def tfidfCosinePairs(docs: DataFrame, idCol: String, tokens: Column,
       quantScale: Double = 1e4, maxDfFrac: Double = 0.5,
       tau: Double = 0.3): DataFrame = {
+    import graft.operators.{Dedup => D}
     val base = docs.select(col(idCol).as("id"), tokens.as("toks"))
     val corpus = base.agg(count(lit(1)).as("n_docs"))
     val tf = base.select(col("id"), explode(col("toks")).as("tok"))
       .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf"))
-    val dfT = tf.groupBy(col("tok")).agg(countDistinct(col("id")).as("df"))
+    val dfT0 = tf.groupBy(col("tok")).agg(countDistinct(col("id")).as("df"))
+    // Degenerate-corpus mass probe (r13 verdict task 2; see the Dedup
+    // object docs — same floor/budget/policy as lshCandidates). The
+    // token self-join's pre-aggregate output is exactly
+    // Σ_tok (df_kept choose 2); probing the post-cap Σ df·(df−1)/2
+    // over the vocabulary-sized df table UPPER-bounds it (the wq>0
+    // filter can only shrink df), erring toward the bounded route.
+    // The doc count is column-pruned to a parquet metadata count; the
+    // df aggregation above the floor costs one extra corpus pass,
+    // after which dfT is persisted so the main plan reuses it.
+    // collect-bound: scalar: row count vs the probe floor
+    val nDocs = base.count()
+    val probed = nDocs > D.massProbeMinDocs
+    val (dfT, bounded, mass) =
+      if (!probed) (dfT0, false, 0L)
+      else {
+        val d = dfT0.persist()
+        // post-cap mass: tokens past the df cap never reach the join.
+        // Summed DIRECTED (df·(df−1), exact long arithmetic — SQL `/`
+        // on longs would go through double) and halved on the driver
+        // to the ida<idb undirected count the groupBy actually sees.
+        // collect-bound: scalar: single aggregated row (token-df mass probe)
+        val m = d.filter(col("df") <= lit((nDocs * maxDfFrac).toLong))
+          .agg(coalesce(sum(col("df") * (col("df") - lit(1L))), lit(0L)))
+          .first().getLong(0) / 2L
+        (d, D.massRoute("tfidfCosinePairs", m, D.massBudgetPairs), m)
+      }
     val w = tf.join(broadcast(dfT), Seq("tok"))
       .crossJoin(broadcast(corpus))
       .filter(col("df") <= col("n_docs") * lit(maxDfFrac))
@@ -256,10 +283,23 @@ object Similarity {
       // LRU-bounded, not leaked.
       .persist()
     val norms = w.groupBy(col("id")).agg(sum(col("wq") * col("wq")).as("nsq"))
-    val dot = w.select(col("tok"), col("id").as("ida"), col("wq").as("wa"))
+    val prods = w.select(col("tok"), col("id").as("ida"), col("wq").as("wa"))
       .join(w.select(col("tok"), col("id").as("idb"), col("wq").as("wb")),
         Seq("tok"))
       .filter(col("ida") < col("idb"))
+    // bounded route (probe tripped): the explicit pair-key exchange
+    // replaces the pre-shuffle partial aggregate — the join output
+    // streams into the exchange writer instead of a per-task hash map
+    // holding a corpus-quadratic pair set, and the post-shuffle sum
+    // runs on ~MassPairsPerPartition rows per task. Same rows, same
+    // integer sums (order-independent), so values are unchanged. On a
+    // diverse corpus the partial aggregate stays — it combines the
+    // many-tokens-per-pair fan-in map-side, which the degenerate
+    // corpus's quadratic pair space inverts from win to OOM risk.
+    val grouped =
+      if (!bounded) prods
+      else prods.repartition(D.massParts(mass), col("ida"), col("idb"))
+    val dot = grouped
       .groupBy(col("ida"), col("idb"))
       .agg(sum(col("wa") * col("wb")).as("dot"))
     dot

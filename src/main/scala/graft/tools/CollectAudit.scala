@@ -66,18 +66,25 @@ object CollectAudit {
     * string text must not flag. Brace-depth tracked so nested lambda
     * braces stay inside the splice; a quote inside a splice's own
     * nested literal is best-effort (left visible for the outer
-    * stripper). Returns the new index past the splice.
+    * stripper). `depth0 = 0` starts a fresh splice at a `${`; a
+    * positive depth0 RESUMES a splice that spanned a line break inside
+    * a triple-quoted interpolator (r13 ADVICE: the per-line scanner
+    * carries the depth, so a `.collect()` on a splice's continuation
+    * line stays visible as code instead of blanking as string text).
+    * Returns (index past the copied span, brace depth still open at
+    * line end — 0 unless the splice continues on the next line).
     */
-  private def copySplice(line: String, from: Int, sb: StringBuilder): Int = {
-    sb.append("${")
-    var i = from + 2
-    var depth = 1
+  private def copySplice(line: String, from: Int, sb: StringBuilder,
+      depth0: Int = 0): (Int, Int) = {
+    var i = from
+    var depth = depth0
+    if (depth == 0) { sb.append("${"); i += 2; depth = 1 }
     while (i < line.length && depth > 0) {
       val d = line.charAt(i)
       if (d == '{') depth += 1 else if (d == '}') depth -= 1
       sb.append(d); i += 1
     }
-    i
+    (i, depth)
   }
 
   /** Double-quoted string literals blanked out (escapes respected,
@@ -108,7 +115,9 @@ object CollectAudit {
       } else if (c == '"') {
         inStr = false; sb.append(c); i += 1
       } else if (c == '$' && i + 1 < noChars.length && noChars.charAt(i + 1) == '{') {
-        i = copySplice(noChars, i, sb)
+        // single-line literals cannot span lines, so a splice left open
+        // at line end is malformed source — drop the residual depth
+        i = copySplice(noChars, i, sb)._1
       } else {
         sb.append(' '); i += 1
       }
@@ -156,13 +165,24 @@ object CollectAudit {
     * the in-string state for the rest of the file, and consuming the
     * FIRST 3 as the delimiter would leak the content's stray quote
     * into the masked code for stripStrings to mis-pair.
-    * `${...}` splices stay visible — they are code, not text.
+    * `${...}` splices stay visible — they are code, not text; a splice
+    * whose braces span a line break (r13 ADVICE) carries its open
+    * brace depth in `spliceAtStart`, so its continuation lines are
+    * copied as code until the splice closes instead of blanking as
+    * string text (a `.collect()` mid-splice must flag). Returns the
+    * masked line plus BOTH state dimensions at line end.
     */
-  private[tools] def maskTripleQuoted(
-      line: String, openAtStart: Boolean): (String, Boolean) = {
+  private[tools] def maskTripleQuoted(line: String, openAtStart: Boolean,
+      spliceAtStart: Int = 0): (String, Boolean, Int) = {
     val sb = new StringBuilder(line.length)
     var i = 0
     var open = openAtStart
+    var splice = 0
+    if (openAtStart && spliceAtStart > 0) {
+      val (ni, d) = copySplice(line, 0, sb, spliceAtStart)
+      i = ni
+      splice = d
+    }
     while (i < line.length) {
       val c = line.charAt(i)
       if (c == '"') {
@@ -194,13 +214,17 @@ object CollectAudit {
       } else if (open && c == '$' && i + 1 < line.length &&
           line.charAt(i + 1) == '{') {
         // splices inside triple-quoted interpolators are code — see
-        // copySplice (`s"""rows: ${df.collect().length}"""` must flag)
-        i = copySplice(line, i, sb)
+        // copySplice (`s"""rows: ${df.collect().length}"""` must flag);
+        // one that reaches line end still open carries its depth to
+        // the next line through the returned state
+        val (ni, d) = copySplice(line, i, sb)
+        i = ni
+        splice = d
       } else {
         sb.append(if (open) ' ' else c); i += 1
       }
     }
-    (sb.toString, open)
+    (sb.toString, open, if (open) splice else 0)
   }
 
   /** Scan every .scala file under `root` for driver-collect sites and
@@ -221,10 +245,12 @@ object CollectAudit {
       // code sharing a line with a delimiter stays visible.
       val masked = new Array[String](lines.length)
       var open = false
+      var splice = 0
       for (i <- lines.indices) {
-        val (m, o) = maskTripleQuoted(lines(i), open)
+        val (m, o, s) = maskTripleQuoted(lines(i), open, splice)
         masked(i) = m
         open = o
+        splice = s
       }
       lines.zipWithIndex.flatMap { case (text, i) =>
         if (isCommentOnly(text) ||

@@ -93,11 +93,21 @@ class CollectAuditSpec extends AnyFunSuite {
         // 4-quote run — the stray content quote must not leak and pair
         // with the later \"y\" delimiter, blanking the genuine site
         /* 26 */ "  val s4 = \"\"\"x\"\"\"\" ; val z4 = df.collect() ; val t4 = \"y\"",
-        /* 27 */ "}").mkString("\n").getBytes("UTF-8"))
+        // r13 ADVICE: a splice spanning LINES inside a triple-quoted
+        // interpolator — its continuation line is code, and a collect
+        // there must stay visible to the audit (the old single-line
+        // copySplice blanked it as string text)
+        /* 27 */ "  val multi = s\"\"\"report: ${",
+        /* 28 */ "    big.collect().length",
+        /* 29 */ "  } rows\"\"\" ; val after = \"text .collect() stays text\"",
+        /* 30 */ "}").mkString("\n").getBytes("UTF-8"))
     try {
       val found = CollectAudit.scan(dir)
-      assert(found.map(_.line).sorted == Seq(6, 11, 13, 15, 18, 21, 23, 25, 26),
-        s"expected sites at 6/11/13/15/18/21/23/25/26, got: $found")
+      assert(found.map(_.line).sorted == Seq(6, 11, 13, 15, 18, 21, 23, 25, 26, 28),
+        s"expected sites at 6/11/13/15/18/21/23/25/26/28, got: $found")
+      assert(found.find(_.line == 28).get.problem
+        .exists(_.contains("UNANNOTATED")),
+        "a collect on a multi-line splice's continuation line must flag")
       assert(found.find(_.line == 18).get.problem.isEmpty,
         "char-literal quote desync must not hide site 18 or its annotation")
       assert(found.find(_.line == 21).get.problem

@@ -148,7 +148,7 @@ def _skip_balanced(sql, i):
             i = n if j < 0 else j + 2
             continue
         if ch == "$":
-            m = _DOLLAR.match(sql, i)
+            m = _dollar_open(sql, i)
             if m:
                 close = m.group(0)
                 j = sql.find(close, m.end())
@@ -166,6 +166,18 @@ def _skip_balanced(sql, i):
 # Dollar-quote opener: $$ or $tag$ (tag = identifier, no leading digit
 # — "$1" parameter markers and arithmetic "$" never match).
 _DOLLAR = re.compile(r"\$([A-Za-z_][A-Za-z0-9_]*)?\$")
+
+
+def _dollar_open(s, i):
+    """Match a dollar-quote OPENER at s[i], or None. Beyond the tag
+    shape, the opener must not be PRECEDED by an identifier character
+    (r13 ADVICE): in an identifier like a$b$c the substring '$b$' is
+    identifier interior, not an opener — matching it would swallow to
+    the closing tag (usually EOF), blanking the rest of the body and
+    silently disabling prefix sharing for that SQL."""
+    if i > 0 and (s[i - 1].isalnum() or s[i - 1] in "_$"):
+        return None
+    return _DOLLAR.match(s, i)
 
 
 def _strip_literals(body):
@@ -203,7 +215,7 @@ def _strip_literals(body):
             i = n if j < 0 else j + 2
             out.append(" ")
         elif ch == "$":
-            m = _DOLLAR.match(body, i)
+            m = _dollar_open(body, i)
             if m:
                 close = m.group(0)
                 j = body.find(close, m.end())

@@ -18,16 +18,21 @@ while true; do
   fi
   if [ "$FREE_GB" -lt "$FLOOR_GB" ]; then
     # Kill EVERY matching pid, not the oldest one: with `run / fork`
-    # the sbt wrapper shell and launcher JVM match the pattern too and
-    # have LOWER pids than the forked Spark JVM that owns the disk burn
-    # — killing only `head -1` can orphan the writer. And keep looping:
-    # a single kill attempt followed by exit would leave a survivor
-    # free to wedge the box at 0 bytes.
-    PIDS=$(pgrep -f 'graft.Stress')
+    # the sbt launcher JVM matches the pattern too (its cmdline carries
+    # the runMain args) and has a LOWER pid than the forked Spark JVM
+    # that owns the disk burn — killing only `head -1` can orphan the
+    # writer. And keep looping: a single kill attempt followed by exit
+    # would leave a survivor free to wedge the box at 0 bytes.
+    # Match restricted to JAVA processes (r13 ADVICE): a bare
+    # 'graft.Stress' substring also matches a tail/grep over a stress
+    # log or an orchestration script naming the class — innocent
+    # bystanders a SIGKILL sweep must not hit. The wrapper SHELL no
+    # longer matches either; it exits on its own when sbt dies.
+    PIDS=$(pgrep -f 'java.*graft\.Stress')
     echo "[disk-guard] $(date +%T) free ${FREE_GB}G < floor ${FLOOR_GB}G — killing stress pids: $PIDS"
     [ -n "$PIDS" ] && kill -9 $PIDS 2>/dev/null
     sleep 2
-    if ! pgrep -f 'graft.Stress' > /dev/null; then
+    if ! pgrep -f 'java.*graft\.Stress' > /dev/null; then
       echo "[disk-guard] $(date +%T) all stress pids dead — exiting"
       exit 1
     fi

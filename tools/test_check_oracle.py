@@ -44,6 +44,17 @@ def test_strip_literals():
     # bare $ / $1 parameter markers untouched
     s3 = "price $ 1, a$b, $1 marker"
     check("strip: bare dollar untouched", co._strip_literals(s3) == s3)
+    # r14 (r13 ADVICE): a $tag$-shaped substring INSIDE an identifier
+    # (a$b$c — '$b$' preceded by an identifier char) is not an opener;
+    # the old matcher swallowed from there to EOF, blanking the body
+    s4 = "SELECT a$b$c, d FROM t WHERE e = 'x'"
+    out = co._strip_literals(s4)
+    check("strip: identifier-interior $tag$ not an opener",
+          "FROM t WHERE e =" in out and "a$b$c" in out, out)
+    # and a REAL opener right after a non-identifier char still quotes
+    out = co._strip_literals("SELECT $q$ body $q$ , rest")
+    check("strip: real dollar quote still blanks",
+          "body" not in out and "rest" in out, out)
     # unterminated block comment swallows to EOF (scanner parity)
     check("strip: unterminated block", co._strip_literals("a /* open") == "a  ")
     # an apostrophe inside a block comment must not open a literal
