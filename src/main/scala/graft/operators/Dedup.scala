@@ -52,20 +52,20 @@ object Dedup {
   // same count-then-floor gate as TextRank.lshSimilarityEdges' nv
   // probe; the count itself is one column-pruned job over the already-
   // cached shingle table — milliseconds at gate scale): gate corpora
-  // (sf0.001–sf1, ≤ 600 k documents) never reach the floor, so gate
+  // (sf0.001–sf1, ≤ 50 k documents) never reach the floor, so gate
   // plans, hashes and bench shapes are byte-identical to the
-  // probe-less path; the sf3+ stress replicas (1.8 M+ docs) probe.
+  // probe-less path; the sf3+ stress replicas (150 k+ docs) probe.
 
   /** Input-row floor below which the mass probe is skipped outright.
-    * Default 1 M docs: the largest oracle-gated corpus (sf1) holds
-    * ~600 k, the first stress rung past it (sf3) 1.8 M — and
+    * Default 100 k docs: the largest oracle-gated corpus (sf1) holds
+    * 50 k, the first stress rung past it (sf3) 150 k — and
     * STRESS_r13's ladder shows every scale below sf5 completing with
     * ≥ 0.75 g of headroom probe-less. Overridable for specs and ops
     * via -Dgraft.dedup.massProbeMinDocs.
     */
   def massProbeMinDocs: Long =
     sys.props.get("graft.dedup.massProbeMinDocs").map(_.toLong)
-      .getOrElse(1000000L)
+      .getOrElse(100000L)
 
   /** Heap-derived post-cap pair-mass budget: above this many pairs the
     * bucket/token joins' pre-shuffle partial aggregates are re-routed
