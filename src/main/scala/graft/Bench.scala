@@ -101,12 +101,22 @@ object Bench {
     //  - shuffle leg: one fixed 4M-row 32-partition hash exchange +
     //    aggregation — the multicore shuffle machinery every bench
     //    query exercises (serialization, exchange write/read).
-    // Each leg: JIT warmups, then min of 2 timed runs; the sample is
+    // Each leg: JIT warmups, then min of 3 timed runs; the sample is
     // the SUM of the two leg minima. Taken at window start and end;
     // total_normalized = total × (speed_ref / mean(start, end)). The
     // raw samples ride in the artifact so a reader can re-normalize
     // against a re-calibrated reference if the hardware changes.
-    val SpeedRefSec = sys.env.getOrElse("SPARK_GRAFT_SPEED_REF", "0.90").toDouble
+    //
+    // ANCHOR: 0.63 s = the mean of six canary samples across the three
+    // all-bits-false idle runs of the r14 round-close protocol
+    // (0.564–0.737 s; raw totals 16.3–18.0 s), so normalized totals
+    // read in round-14-close-box units. Measured limitation, recorded
+    // in STRESS_r14.md §4: within a clean window the canary's own
+    // sample spread (~±13%) is the same order as the ±10% clean-window
+    // total drift, so the normalization corrects GROSS machine-speed
+    // shifts (the ≥1.5x slow-window class the r13 judge hit) rather
+    // than sharpening the clean band.
+    val SpeedRefSec = sys.env.getOrElse("SPARK_GRAFT_SPEED_REF", "0.63").toDouble
     val speedBuf: Array[Byte] = {
       val b = new Array[Byte](64 << 20)
       var i = 0
@@ -141,9 +151,14 @@ object Bench {
           .agg(expr("bit_xor(xxhash64(id))")).collect(): Unit
       }
       fnv(); shuffle(); shuffle() // JIT/codegen warmups, untimed
-      val f = math.min(timed(fnv), timed(fnv))
-      val s = math.min(timed(shuffle), timed(shuffle))
-      f + s
+      // min of THREE per leg: with min-of-2 the sample spread across
+      // clean idle runs measured ±15% (0.55–0.74 s) while the raw bench
+      // totals they normalize differed 2.5% — the min estimator needs
+      // one more draw to reliably catch an unloaded-turbo sample; the
+      // extra draw costs < 1 s per canary, outside the window
+      def min3(work: () => Unit): Double =
+        Seq(timed(work), timed(work), timed(work)).min
+      min3(fnv) + min3(shuffle)
     }
     // Idle reference for the canary on this box (local[32], measured
     // unloaded; see STRESS_r10.md). The artifact records the raw
@@ -244,10 +259,18 @@ object Bench {
         settled = f <= 0.25
       }
     }
-    // speed sample OUTSIDE the window (before the gauges snapshot): its
-    // CPU burn must not ride in the window's wall or dilute foreign-CPU
-    val speedStart = speedCanary()
+    // loadavg snapshot BEFORE the speed canary: loadavg carries a ~60 s
+    // memory, so the canary's own multicore shuffle legs would push a
+    // settled ~0.9 over the 1.0 gate and trip suspect_loadavg on the
+    // bench's own pre-window work (observed: settle passed clean in 5 s,
+    // canary ran, loadavg_start read 1.02 → false trip). The
+    // differential gauges (busy/proc/ancestor jiffies) are immune to
+    // prior burn and stay after the canary.
     val loadStart = loadavg
+    // speed sample OUTSIDE the window (before the jiffy gauges
+    // snapshot): its CPU burn must not ride in the window's wall or
+    // dilute foreign-CPU
+    val speedStart = speedCanary()
     val busyStart = busyJiffies
     val procStart = processCpuNanos
     val ancStart = ancestorJiffies
