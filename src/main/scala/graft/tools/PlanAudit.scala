@@ -1,6 +1,6 @@
 package graft.tools
 
-import java.util.concurrent.{ConcurrentHashMap, Executors, TimeUnit}
+import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
@@ -198,54 +198,54 @@ object PlanAudit {
     val qmap = graft.SparkEntry.allQueries
     val gate = graft.SparkEntry.queries.keySet
     val results = new ConcurrentHashMap[String, Audit]()
-    // Same FAIR-pool overlap as Verify: plan construction is driver-side
-    // but several queries run bounded eager probes (vocab sizes, solver
-    // iterations) that parallelize across the pool.
-    val pool = Executors.newFixedThreadPool(
-      sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "8").toInt.max(1))
+    // SEQUENTIAL, with the cache cleared before each plan build. The
+    // audit used to share Verify's 8-way FAIR pool, but queries that
+    // persist() mid-construction (s13's brute-force truth table, d12's
+    // centroids, ...) register their subplans in the session-shared
+    // CacheManager, and any query whose own subtree matches a
+    // registered plan gets an InMemoryRelation SUBSTITUTED into its
+    // audited plan — so the recorded shape depended on a scheduling
+    // race (observed: s12's BNLJ truth leg flapped between
+    // statically-bounded and whitelist-required across back-to-back
+    // runs, moving the WSCG total by 6). Planning is driver-side and
+    // the eager probes are small at sf0.001; the sequential sweep stays
+    // well inside the old pool's 60 min deadline.
     qmap.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      pool.submit(new Runnable {
-        def run(): Unit = {
-          val a =
-            try {
-              val plan = fn(spark, sfDir).queryExecution.executedPlan
-              val s = plan.toString
-              val (bounded, unbounded) = nestedLoops(plan)
-              Audit(name,
-                shuffles = count(s, "Exchange hashpartitioning"),
-                rangeParts = count(s, "Exchange rangepartitioning"),
-                bhj = count(s, "BroadcastHashJoin"),
-                smj = count(s, "SortMergeJoin"),
-                shj = count(s, "ShuffledHashJoin"),
-                bnlj = count(s, "BroadcastNestedLoopJoin"),
-                cartesian = count(s, "CartesianProduct"),
-                boundedLoops = bounded,
-                unboundedLoops = unbounded,
-                scans = count(s, "Scan parquet"),
-                // simple-mode toString marks codegen'd nodes with a
-                // "*(stageId)" prefix; distinct ids = codegen spans
-                wscg = raw"\*\((\d+)\)".r.findAllMatchIn(s)
-                  .map(_.group(1)).toSet.size,
-                error = None)
-            } catch {
-              case e: Throwable =>
-                Audit(name, 0, 0, 0, 0, 0, 0, 0, 0, Nil, 0, 0,
-                  Some(e.toString.linesIterator.next().take(160)))
-            }
-          results.put(name, a)
+      spark.catalog.clearCache()
+      val a =
+        try {
+          val plan = fn(spark, sfDir).queryExecution.executedPlan
+          val s = plan.toString
+          val (bounded, unbounded) = nestedLoops(plan)
+          Audit(name,
+            shuffles = count(s, "Exchange hashpartitioning"),
+            rangeParts = count(s, "Exchange rangepartitioning"),
+            bhj = count(s, "BroadcastHashJoin"),
+            smj = count(s, "SortMergeJoin"),
+            shj = count(s, "ShuffledHashJoin"),
+            bnlj = count(s, "BroadcastNestedLoopJoin"),
+            cartesian = count(s, "CartesianProduct"),
+            boundedLoops = bounded,
+            unboundedLoops = unbounded,
+            scans = count(s, "Scan parquet"),
+            // simple-mode toString marks codegen'd nodes with a
+            // "*(stageId)" prefix; distinct ids = codegen spans
+            wscg = raw"\*\((\d+)\)".r.findAllMatchIn(s)
+              .map(_.group(1)).toSet.size,
+            error = None)
+        } catch {
+          case e: Throwable =>
+            Audit(name, 0, 0, 0, 0, 0, 0, 0, 0, Nil, 0, 0,
+              Some(e.toString.linesIterator.next().take(160)))
         }
-      })
+      results.put(name, a)
     }
-    pool.shutdown()
-    val finished = pool.awaitTermination(60, TimeUnit.MINUTES)
-    // a timed-out pool leaves nulls in the map; synthesize an ERROR
-    // audit per straggler so the report names them instead of NPE-ing
-    // with no artifact (r10 advice)
+    // leave no cache residue behind the sweep either
+    spark.catalog.clearCache()
     val audits = qmap.keySet.toSeq.sorted.map { name =>
       Option(results.get(name)).getOrElse(
         Audit(name, 0, 0, 0, 0, 0, 0, 0, 0, Nil, 0, 0,
-          Some(if (finished) "no result recorded"
-          else "timed out: still planning when the 60 min pool deadline hit")))
+          Some("no result recorded")))
     }
 
     val errors = audits.filter(_.error.isDefined)
