@@ -691,17 +691,48 @@ object Dedup {
   def simhashNearDuplicates(toks0: DataFrame, maxHamming: Int = 3): DataFrame = {
     val toks = graft.Par.fanOut(toks0)
     val sigs = toks.select(col("id"), simhash(col("tokens")).as("sig"))
-    val chunks = sigs.select(col("id"), col("sig"),
+    val chunks0 = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until 4).map(i =>
         shiftrightunsigned(col("sig"), i * 16).bitwiseAND(lit(0xffffL))): _*)))
       .toDF("id", "sig", "chunk_idx", "chunk")
+    // Degenerate-corpus mass probe, same contract as [[lshCandidates]]:
+    // replica copies of a document carry an IDENTICAL 64-bit signature,
+    // so they share all four 16-bit chunks and the band join's
+    // pre-distinct mass grows with the square of the replica count —
+    // and unlike the MinHash path there is no maxBucket cap in front of
+    // it (the operator guarantees recall at Hamming ≤ 3, so a cap would
+    // silently drop true pairs). Below the doc-count floor the plan is
+    // byte-identical to the probe-less path (no window, no extra job);
+    // above it, the exact mass Σ c·(c−1) over chunk groups routes the
+    // distinct to output-sized partitioning when it exceeds the
+    // heap-derived budget.
+    // collect-bound: scalar: row count vs the probe floor
+    val probed = sigs.count() > massProbeMinDocs
+    val (chunks, bounded, mass) =
+      if (!probed) (chunks0, false, 0L)
+      else {
+        val sized = s0persist(chunks0
+          .withColumn("chunk_n", count(lit(1))
+            .over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("chunk_idx"), col("chunk")))))
+        // collect-bound: scalar: single aggregated row (chunk-mass probe)
+        val m = sized.agg(coalesce(sum(col("chunk_n") - lit(1L)), lit(0L)))
+          .first().getLong(0)
+        (sized.drop("chunk_n"),
+          massRoute("simhashNearDuplicates", m, massBudgetPairs), m)
+      }
     val l = chunks.select(col("chunk_idx"), col("chunk"), col("id").as("a"), col("sig").as("sig_a"))
     val r = chunks.select(col("chunk_idx"), col("chunk"), col("id").as("b"), col("sig").as("sig_b"))
-    l.join(r, Seq("chunk_idx", "chunk"))
+    val cand = l.join(r, Seq("chunk_idx", "chunk"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
-      .distinct()
+    (if (!bounded) cand.distinct()
+     else
+       // see lshCandidates: the explicit pair-key exchange replaces the
+       // pre-shuffle partial aggregate so no task holds a
+       // corpus-quadratic candidate map; values unchanged
+       cand.repartition(massParts(mass), col("a"), col("b")).distinct())
       .filter(col("hamming") <= maxHamming)
   }
 

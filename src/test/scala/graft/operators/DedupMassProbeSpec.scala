@@ -10,9 +10,10 @@ import org.apache.spark.sql.DataFrame
   * probe (Dedup object docs) measures the exact post-cap pair mass
   * above a doc-count floor and, over a heap-derived budget, swaps the
   * pair stream to output-sized partitioning. Contract pinned here:
-  *  - the bounded route is VALUE-IDENTICAL to the default route (both
-  *    for d04's candidate distinct and d15's quantized cosine) — the
-  *    reroute moves partitioning, never answers;
+  *  - the bounded route is VALUE-IDENTICAL to the default route (for
+  *    d04's candidate distinct, d05's simhash chunk-band pairs and
+  *    d15's quantized cosine) — the reroute moves partitioning, never
+  *    answers;
   *  - the route decision is exactly mass > budget;
   *  - `-Dgraft.dedup.massReroute=off` turns a tripped probe into a
   *    loud IllegalStateException carrying the measured evidence;
@@ -81,6 +82,32 @@ class DedupMassProbeSpec extends SparkSpec {
       assert(e.getMessage.contains("9800") && e.getMessage.contains("1000"),
         s"probe evidence missing from: ${e.getMessage}")
     }
+  }
+
+  test("tripped probe keeps d05's simhash pairs identical and injects " +
+      "the exchange; below the floor the plan is probe-less") {
+    // identical token lists -> identical 64-bit signatures -> every doc
+    // shares all four 16-bit chunks (the replica-degenerate shape; no
+    // maxBucket cap exists on this path, so the probe is the only guard)
+    val toks = (0L until 30L).map(i => (i, Seq("alpha", "beta", "gamma")))
+      .toDF("id", "tokens")
+    val default = Dedup.simhashNearDuplicates(toks)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(default.size == 30 * 29 / 2 &&
+      default.forall(_._3 == 0), "fixture must be all-pairs at Hamming 0")
+    withProps("graft.dedup.massProbeMinDocs" -> "10",
+        "graft.dedup.massBudgetPairs" -> "100") {
+      val bounded = Dedup.simhashNearDuplicates(toks)
+      assert(bounded.queryExecution.optimizedPlan.toString
+        .toLowerCase.contains("repartitionbyexpression"),
+        "probe must have injected the output-sized exchange")
+      assert(bounded.as[(Long, Long, Int)].collect().toSet == default,
+        "bounded route changed the simhash pair set")
+    }
+    val below = Dedup.simhashNearDuplicates(toks)
+      .queryExecution.optimizedPlan.toString.toLowerCase
+    assert(!below.contains("repartitionbyexpression"),
+      "default-scale plan must stay byte-identical to the probe-less shape")
   }
 
   test("tripped probe keeps d15's quantized cosine pairs bit-identical") {
