@@ -161,14 +161,23 @@ object Lsa {
       .persist() // the lemmatizer UDF pass is the expensive bit — run once
     val tf = TfIdf.termFrequencies(tok, "id", "tokens").persist() // feeds vocab, idf, cells
     val vocab = vocabulary(tf, cfg.minDf).persist()
-    // One job for both corpus scalars (cell count sizes the SVD row
-    // partitioning; doc count feeds IDF and k): tf rows are (id, token)
-    // distinct pairs, so nnz = count and nDocs = distinct ids.
-    val (nnz, nDocs) = {
-      val row = tf.agg(count(lit(1)), count_distinct(col("id"))).head()
-      (row.getLong(0), row.getLong(1))
+    // ONE job for every corpus scalar this method needs (r14: the
+    // vocab.count() job is fused in — with the default minDf=1 the
+    // vocabulary is exactly the distinct tokens of tf — and the id
+    // range rides along to detect the dense-id layout below):
+    //  - nnz sizes the SVD row partitioning,
+    //  - nDocs feeds IDF and k,
+    //  - nTok = vocabSize when no df floor applies,
+    //  - min/max id detect ids that are already 0..nDocs-1.
+    val (nnz, nDocs, nTok, minId, maxId) = {
+      val row = tf.agg(count(lit(1)), count_distinct(col("id")),
+        count_distinct(col("token")), min(col("id")), max(col("id"))).head()
+      (row.getLong(0), row.getLong(1), row.getLong(2),
+        if (row.isNullAt(3)) -1L else row.getLong(3),
+        if (row.isNullAt(4)) -1L else row.getLong(4))
     }
-    val vocabSize = vocab.count().toInt
+    val vocabSize =
+      if (cfg.minDf <= 1L) nTok.toInt else vocab.count().toInt
     val k = math.min(cfg.k, math.min(nDocs, vocabSize).toInt)
     if (k <= 0) { // degenerate corpus (no tokens survive the pipeline)
       tok.unpersist(); tf.unpersist(); vocab.unpersist()
@@ -176,26 +185,45 @@ object Lsa {
     }
 
     // doc ids -> dense matrix row indices (deterministic by id order).
-    // zipWithIndex on the range-partitioned sort keeps the numbering
-    // distributed — a global row_number() window would funnel every row
-    // through one partition at corpus scale.
-    val docIdx = {
+    //
+    // DENSE-ID FAST PATH (r14): when the surviving ids are exactly
+    // 0..nDocs-1 (min 0, max nDocs-1, nDocs distinct — the common
+    // harness/corpus layout), the id→row map by id-ascending order IS
+    // the identity, so the whole docIdx machinery (a sort + eager
+    // zipWithIndex job, a doc-count-sized broadcast join, and the
+    // winner back-map collect below) is skipped: row = id. Values are
+    // unchanged by construction — zipWithIndex over ids sorted
+    // ascending assigns row i to id i precisely when the range is
+    // dense. Non-dense corpora take the distributed numbering exactly
+    // as before, at any scale.
+    val denseIds = minId == 0L && maxId == nDocs - 1L
+    lazy val docIdx = {
       import spark.implicits._
       tok.select(col("id")).orderBy(col("id")).as[Long].rdd
         .zipWithIndex().toDF("id", "row")
         .persist() // used by the cell join and the row->id back-map
     }
 
-    val idf = TfIdf.idfTable(tf, "id", nDocs)
-    // docIdx is doc-count-sized: broadcast while it fits a sane driver
-    // budget (~16 B/row → 1M docs ≈ 60-100 MB hashed) so the cell join
-    // is map-side; at corpus scale it falls back to a shuffled join.
-    val docIdxSide =
-      if (nDocs <= 1000000L) broadcast(docIdx) else docIdx
-    val cells = tf.join(broadcast(vocab.select("token", "idx")), "token")
-      .join(broadcast(idf.select("token", "idf")), "token")
-      .join(docIdxSide, "id")
-      .select(col("row"), col("idx"), (col("tf") * col("idf")).as("v"))
+    // IDF from the vocabulary table itself (r14): vocab already carries
+    // df, so the separate idfTable groupBy(token) — a second full
+    // shuffle of tf — and its broadcast are gone; the idf expression
+    // below is byte-for-byte TfIdf.idfCol (log10(N/df)).
+    val weighted = tf
+      .join(broadcast(vocab.select(col("token"), col("idx"),
+        TfIdf.idfCol(nDocs, col("df")).as("idf"))), "token")
+    val cells =
+      if (denseIds)
+        weighted.select(col("id").as("row"), col("idx"), (col("tf") * col("idf")).as("v"))
+      else {
+        // docIdx is doc-count-sized: broadcast while it fits a sane
+        // driver budget (~16 B/row → 1M docs ≈ 60-100 MB hashed) so the
+        // cell join is map-side; at corpus scale it falls back to a
+        // shuffled join.
+        val docIdxSide =
+          if (nDocs <= 1000000L) broadcast(docIdx) else docIdx
+        weighted.join(docIdxSide, "id")
+          .select(col("row"), col("idx"), (col("tf") * col("idf")).as("v"))
+      }
 
     // ARPACK runs one treeAggregate job over this RDD per Lanczos
     // iteration (dozens of jobs), so per-iteration cost = per-task
@@ -290,16 +318,20 @@ object Lsa {
         Array.tabulate(kEff)(j => (x(j) ++ y(j)).sorted(ord.reverse).take(nTop))
       }
     // Recover doc ids for ONLY the winning rows (kEff × nDocs of them) —
-    // never the whole row->id map (it is corpus-sized).
+    // never the whole row->id map (it is corpus-sized). On the dense-id
+    // path row == id, so no lookup job runs at all.
     val winRows = tops.flatten.map(_._2).distinct
-    val idxToId: Map[Long, Long] = docIdx
-      .filter(col("row").isin(winRows: _*))
-      // collect-bound: top-k: winning rows only (kEff x nDocs ids), never the corpus row->id map
-      .select(col("row"), col("id")).as[(Long, Long)].collect().toMap
+    val idxToId: Map[Long, Long] =
+      if (denseIds) winRows.map(r => r -> r).toMap
+      else docIdx
+        .filter(col("row").isin(winRows: _*))
+        // collect-bound: top-k: winning rows only (kEff x nDocs ids), never the corpus row->id map
+        .select(col("row"), col("id")).as[(Long, Long)].collect().toMap
     val topDocs: Map[Int, Seq[Long]] = (0 until kEff).map { j =>
       j -> tops(j).sorted(ord.reverse).take(nTop).map(t => idxToId(t._2)).toSeq
     }.toMap
-    tok.unpersist(); tf.unpersist(); vocab.unpersist(); docIdx.unpersist()
+    tok.unpersist(); tf.unpersist(); vocab.unpersist()
+    if (!denseIds) docIdx.unpersist()
     rows.unpersist()
 
     val out = (0 until kEff).map { j =>

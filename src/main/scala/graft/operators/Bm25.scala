@@ -27,32 +27,54 @@ object Bm25 {
   def score(docs: DataFrame, idCol: String, tokens: Column,
       terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "BM25 needs at least one query term")
-    val base = docs.select(col(idCol).as("doc_id"), tokens.as("toks"))
-      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"), col("toks"))
+    // ONE tokenize pass for the whole query (r14 optimization; guide
+    // §2.3 "project before the exchange" / §2.4 "remove passes"): the
+    // corpus-stats aggregate needs only dl and the postings need only
+    // the query-term occurrences, so both read a narrow cached
+    // projection (doc_id, dl, qtoks) — dl counted BEFORE the term
+    // filter (same value as the full token list), qtoks = the query
+    // terms' occurrences with duplicates kept (so downstream tf counts
+    // are unchanged). Previously corpus stats and postings each ran
+    // their own tokenize pass over the raw text (2 corpus scans + 2
+    // tokenizations per run); the cache is corpus-row-count-sized but
+    // NARROW (a long + a handful of matched tokens per doc — the same
+    // bound class as the tf persist below), LRU-bounded, not leaked.
+    val termsCol = typedLit(terms)
+    val lens = docs.select(col(idCol).as("doc_id"), tokens.as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        filter(col("toks"), t => array_contains(termsCol, t)).as("qtoks"))
+      .persist()
     // One-row corpus stats (N, Σdl) — exact integer sums, so avgdl is
-    // bit-identical however the corpus is partitioned.
-    val corpus = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-    val tf = base
-      .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
-      .filter(col("tok").isin(terms: _*))
+    // bit-identical however the corpus is partitioned. Collected once
+    // (r14) and folded into the scoring expressions as LITERALS: corpus
+    // scalars in a broadcast-cross-join cost a broadcast build job and
+    // a BroadcastNestedLoopJoin node per run; as literals they codegen
+    // straight into the projection. The arithmetic below is the same
+    // IEEE expression either way (long−long stays exact, the one
+    // division is double in both forms).
+    // collect-bound: scalar: one-row corpus stats (n_docs, sum_dl)
+    val (nDocs, sumDl) = {
+      val r = lens.agg(count(lit(1)), sum(col("dl"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    val avgdl = sumDl.toDouble / nDocs
+    val tf = lens
+      .select(col("doc_id"), col("dl"), explode(col("qtoks")).as("tok"))
       .groupBy(col("doc_id"), col("dl"), col("tok"))
       .agg(count(lit(1)).as("tf"))
       // Bounded by the query's posting lists (docs containing a query
       // term × |terms|), and referenced by BOTH the df aggregate and the
       // scoring join — without the persist each reference replays the
-      // corpus explode (the plan audit showed 6 corpus scans; now 2:
-      // one for corpus stats, one for the postings).
+      // postings explode.
       .persist()
     val dfT = tf.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
     val scored = tf
       .join(broadcast(dfT), Seq("tok"))
-      .crossJoin(broadcast(corpus))
-      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
       .withColumn("idf",
-        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+        log((lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
       .withColumn("contrib",
         col("idf") * (col("tf") * lit(k1 + 1.0)) /
-          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))))
     val contribCols = terms.map(t =>
       round(coalesce(max(when(col("tok") === t, col("contrib"))), lit(0.0)), 6)
         .as(s"c_$t"))

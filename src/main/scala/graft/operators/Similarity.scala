@@ -237,7 +237,6 @@ object Similarity {
       tau: Double = 0.3): DataFrame = {
     import graft.operators.{Dedup => D}
     val base = docs.select(col(idCol).as("id"), tokens.as("toks"))
-    val corpus = base.agg(count(lit(1)).as("n_docs"))
     val tf = base.select(col("id"), explode(col("toks")).as("tok"))
       .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf"))
     val dfT0 = tf.groupBy(col("tok")).agg(countDistinct(col("id")).as("df"))
@@ -247,10 +246,17 @@ object Similarity {
     // Σ_tok (df_kept choose 2); probing the post-cap Σ df·(df−1)/2
     // over the vocabulary-sized df table UPPER-bounds it (the wq>0
     // filter can only shrink df), erring toward the bounded route.
-    // The doc count is column-pruned to a parquet metadata count; the
-    // df aggregation above the floor costs one extra corpus pass,
-    // after which dfT is persisted so the main plan reuses it.
-    // collect-bound: scalar: row count vs the probe floor
+    // The doc count is column-pruned; the df aggregation above the
+    // floor costs one extra corpus pass, after which dfT is persisted
+    // so the main plan reuses it. r14: this ONE count job now also
+    // supplies n_docs to the weight expression as a LITERAL — the
+    // previous one-row corpus aggregate and its broadcast-cross-join
+    // into the weight table are gone (one less job + one less
+    // BroadcastNestedLoopJoin in the plan; a corpus scalar folds into
+    // codegen). Values unchanged: long→double is exact far past any
+    // feasible corpus count, and the df-cap / idf arithmetic below is
+    // the same IEEE expression either way.
+    // collect-bound: scalar: row count (probe floor + n_docs literal)
     val nDocs = base.count()
     val probed = nDocs > D.massProbeMinDocs
     val (dfT, bounded, mass) =
@@ -268,10 +274,9 @@ object Similarity {
         (d, D.massRoute("tfidfCosinePairs", m, D.massBudgetPairs), m)
       }
     val w = tf.join(broadcast(dfT), Seq("tok"))
-      .crossJoin(broadcast(corpus))
-      .filter(col("df") <= col("n_docs") * lit(maxDfFrac))
+      .filter(col("df") <= lit(nDocs * maxDfFrac))
       .withColumn("wq",
-        round(col("tf") * log(col("n_docs").cast("double") / col("df"))
+        round(col("tf") * log(lit(nDocs.toDouble) / col("df"))
           * lit(quantScale)).cast("long"))
       .filter(col("wq") > 0)
       .select(col("id"), col("tok"), col("wq"))

@@ -328,9 +328,24 @@ object Relational extends QueryProvider {
         val supp = Tables.supplier(s, dir)
         val nat = Tables.nation(s, dir)
         val reg = Tables.region(s, dir)
-        // fact-fact join: SHUFFLE_HASH skips sort-merge's two per-partition
-        // sorts (both sides shuffle either way; AQE still splits skew)
-        li.join(ord.hint("SHUFFLE_HASH"), $"l_orderkey" === $"o_orderkey")
+        // Join strategy picked deliberately, scale-adaptively (r14;
+        // guide §3.1): when the orders side's plan-stat size fits the
+        // session broadcast threshold (it is pruned to two bigint key
+        // columns), leave the join unhinted so the planner broadcasts
+        // it — the lineitem side is then NOT shuffled at all (two
+        // Exchanges gone at bench scale). Past the threshold (sf0.4+,
+        // and any production corpus) the fact-fact SHUFFLE_HASH hint
+        // applies exactly as before: both sides shuffle either way and
+        // it skips sort-merge's two per-partition sorts (AQE still
+        // splits skew). The threshold read is the same size logic the
+        // planner itself applies — no hard-coded local constant.
+        li.join({
+          val thr = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+            s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
+          val fits = thr > 0 &&
+            ord.queryExecution.optimizedPlan.stats.sizeInBytes <= thr
+          if (fits) ord else ord.hint("SHUFFLE_HASH")
+        }, $"l_orderkey" === $"o_orderkey")
           .join(broadcast(cust), $"o_custkey" === $"c_custkey")
           .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
           .filter($"c_nationkey" === $"s_nationkey")

@@ -311,7 +311,7 @@ object TextRankQueries extends QueryProvider {
             struct($"src", $"dst", $"weight"),
             struct($"dst".as("src"), $"src".as("dst"), $"weight"))).as("e"))
           .select($"e.src", $"e.dst", $"e.weight")
-        TextRank.ranks(edges)
+        TextRank.ranks(edges, symmetricEdges = true) // mirrored above
           .select($"id", round($"rnk", 6).as("rnk"))
           .orderBy(desc("rnk"), $"id")
           .limit(100)

@@ -411,7 +411,8 @@ object TextRank {
     *    lineage cut (H5). This is the arbitrarily-large-V shape.
     */
   def ranks(edges: DataFrame, cfg: Config = Config(),
-      maxDirectedEdges: Long = Long.MaxValue): DataFrame = {
+      maxDirectedEdges: Long = Long.MaxValue,
+      symmetricEdges: Boolean = false): DataFrame = {
     val e = edges.select(col("src"), col("dst"), col("weight"))
       .persist(cfg.edgeStorage)
     // Materialize the edge cache under a STATELESS scan first: at the
@@ -436,11 +437,19 @@ object TextRank {
     // Vertex set = src ∪ dst (equal to src-distinct on the symmetric
     // lists the pipeline builds, but a directed list through the public
     // API gets its sink-only vertices ranked too instead of an NPE).
+    // Callers that KNOW their list carries both directions (the whole
+    // rankDocuments pipeline — both edge routes mirror every pair) pass
+    // `symmetricEdges = true` and the distinct reads half the rows
+    // (r14; guide §2.3 — same result set by symmetry, half the shuffle
+    // input).
     // Route on a COUNT first — the ids are only ever collected once the
     // count proves they fit the driver-side budget; above the limit the
     // vertex set never leaves the cluster.
-    val vertices = e.select(col("src")).union(e.select(col("dst"))).distinct()
-      .persist() // count probe + (small path) collect read it once each
+    val vertices =
+      (if (symmetricEdges) e.select(col("src"))
+       else e.select(col("src")).union(e.select(col("dst"))))
+        .distinct()
+        .persist() // count probe + (small path) collect read it once each
     val vertexCount = vertices.count()
     try {
       if (vertexCount <= cfg.broadcastLimit && edgeCount <= cfg.edgeBudget) {
@@ -457,7 +466,8 @@ object TextRank {
         ranksAggregated(e, ids, cfg,
           onCompacted = () => { vertices.unpersist(); e.unpersist() })
       } else ranksShuffled(e, cfg,
-        smallVertexSet = vertexCount <= cfg.broadcastLimit)
+        smallVertexSet = vertexCount <= cfg.broadcastLimit,
+        symmetricEdges = symmetricEdges)
     } finally {
       // idempotent (no-op when the small path already released them) —
       // and, crucially, still runs when a job ABORTS, so a failed query
@@ -504,11 +514,6 @@ object TextRank {
         Iterator.single((ss.result(), ds.result(), ws.result()))
       }
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // materialize the compact arrays NOW (a count over 1-row-per-
-    // partition results), then let the caller release the edge caches
-    // the arrays were built from
-    compact.count()
-    onCompacted()
 
     def accumulate(f: ((Array[Int], Array[Int], Array[Double]),
         Array[Double]) => Unit): Array[Double] =
@@ -520,11 +525,17 @@ object TextRank {
           a
         })
 
-    // out-weight sums: ow(src) = Σ_out w
+    // out-weight sums: ow(src) = Σ_out w. This first pass over the
+    // compact RDD also MATERIALIZES it under the persist (r14: the
+    // separate compact.count() job it replaced proved nothing this
+    // pass doesn't — the peak where edge cache and compact coexist is
+    // identical), after which the caller releases the edge caches the
+    // arrays were built from.
     val ow = accumulate { case ((ss, _, ws), acc) =>
       var j = 0
       while (j < ss.length) { acc(ss(j)) += ws(j); j += 1 }
     }
+    onCompacted()
     val owB = sc.broadcast(ow)
 
     var r = Array.fill(n)(cfg.initRank)
@@ -571,7 +582,8 @@ object TextRank {
     * candidate).
     */
   private def ranksShuffled(e: DataFrame, cfg: Config,
-      smallVertexSet: Boolean = false): DataFrame = {
+      smallVertexSet: Boolean = false,
+      symmetricEdges: Boolean = false): DataFrame = {
     def dim(df: DataFrame): DataFrame = if (smallVertexSet) broadcast(df) else df
     val outSum = e.groupBy(col("src")).agg(sum(col("weight")).as("ow"))
     val norm = e.join(dim(outSum), "src")
@@ -580,9 +592,12 @@ object TextRank {
     // Full vertex set (src ∪ dst), kept through every iteration: a
     // vertex with no in-edges still holds rank initRank and feeds its
     // out-edges next round — dropping it after one groupBy(dst) would
-    // silently zero its contributions on directed inputs.
-    val vertices = norm.select(col("src").as("id"))
-      .union(norm.select(col("dst").as("id"))).distinct().persist()
+    // silently zero its contributions on directed inputs. Symmetric
+    // lists read src alone (same set, half the distinct input — r14).
+    val vertices =
+      (if (symmetricEdges) norm.select(col("src").as("id"))
+       else norm.select(col("src").as("id"))
+         .union(norm.select(col("dst").as("id")))).distinct().persist()
     vertices.count() // materialize both once; reused every iteration
     var r = vertices.withColumn("rnk", lit(cfg.initRank))
     for (_ <- 1 to cfg.iterations) {
@@ -638,7 +653,11 @@ object TextRank {
     // are a subset of all pairs), letting ranks() skip its stateless
     // pre-count when the bound proves the graph small.
     try ranks(edges(vertices, cfg2, nv), cfg2,
-      maxDirectedEdges = satMul(nv, nv))
+      maxDirectedEdges = satMul(nv, nv),
+      // both edge routes mirror every surviving pair (see
+      // similarityEdges / lshSimilarityEdges), so src-distinct is the
+      // full vertex set
+      symmetricEdges = true)
     finally vertices.unpersist()
   }
 

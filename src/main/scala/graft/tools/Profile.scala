@@ -21,7 +21,14 @@ object Profile {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val which = args.lift(1).getOrElse("d04")
+    // several registered query names may be given: each runs cold+warm
+    // in this one JVM (matching Bench's one-session-many-queries shape)
+    val whiches = if (args.length > 1) args.drop(1).toSeq else Seq("d04")
+    whiches.foreach(w => run(sfDir, w))
+    SparkSession.getActiveSession.foreach(_.stop())
+  }
+
+  def run(sfDir: String, which: String): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
@@ -42,6 +49,7 @@ object Profile {
         val fn = graft.SparkEntry.allQueries(q)
         time(s"$q-cold")(noop(fn(spark, sfDir)))
         time(s"$q-warm")(noop(fn(spark, sfDir)))
+        time(s"$q-warm2")(noop(fn(spark, sfDir)))
 
       // Stepwise mirror of tr01's exact path (rankDocuments -> ranks ->
       // ranksShuffled) with a materialization print between steps — for
@@ -180,6 +188,5 @@ object Profile {
           vertices.unpersist(); edges.unpersist()
         }
     }
-    spark.stop()
   }
 }
