@@ -52,9 +52,13 @@ object Dedup {
   // same count-then-floor gate as TextRank.lshSimilarityEdges' nv
   // probe; the count itself is one column-pruned job over the already-
   // cached shingle table — milliseconds at gate scale): gate corpora
-  // (sf0.001–sf1, ≤ 50 k documents) never reach the floor, so gate
-  // plans, hashes and bench shapes are byte-identical to the
-  // probe-less path; the sf3+ stress replicas (150 k+ docs) probe.
+  // (sf0.001–sf1, ≤ 50 k documents) never reach the floor, so no probe
+  // job runs and gate values/hashes are identical to the probe-less
+  // path (since r14 the banded/chunk tables are persisted at EVERY
+  // scale — they feed both sides of the bucket joins, see
+  // lshCandidates — so the plan carries an InMemoryRelation the
+  // probe-less path lacked; rows and hashes are unchanged); the sf3+
+  // stress replicas (150 k+ docs) probe.
 
   /** Input-row floor below which the mass probe is skipped outright.
     * Default 100 k docs: the largest oracle-gated corpus (sf1) holds
@@ -182,25 +186,31 @@ object Dedup {
       .withColumn("bucket_n", count(lit(1))
         .over(org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("key"))))
       .filter(col("bucket_n") <= maxBucket)
+    // The banded+windowed table feeds BOTH sides of the bucket join —
+    // unpersisted, the signature build and the window (an exchange + a
+    // sort) execute twice per call (the r14 plan audit showed the
+    // Window subtree duplicated under l and r at every scale). Persist
+    // it unconditionally: at gate/bench scale that halves the banding
+    // work; at probe scale it is the same cache the probe already
+    // required. Values unchanged (same rows either way); same
+    // no-unpersist-hook pattern as the callers' shingle caches.
+    val sized = s0persist(sized0)
     // Degenerate-corpus mass probe (see object docs): above the
     // doc-count floor, measure the bucket joins' exact pre-distinct
-    // output Σ c·(c−1) — `sized0` already carries each row's bucket
-    // size, so the probe is one sum over the persisted table (which the
-    // join reads anyway on both sides: at probe scale the persist also
-    // saves the second signature/window pass). Below the floor the plan
-    // is byte-identical to the probe-less path. The count is column-
-    // pruned (sig never evaluates) and reads the callers' cached
-    // shingle tables — milliseconds at gate scale.
+    // output Σ c·(c−1) — `sized` already carries each row's bucket
+    // size, so the probe is one sum over the persisted table. Below the
+    // floor no probe job runs. The count is column-pruned (sig never
+    // evaluates) and reads the callers' cached shingle tables —
+    // milliseconds at gate scale.
     // collect-bound: scalar: row count vs the probe floor
     val probed = sigs.count() > massProbeMinDocs
-    val (sized, bounded, mass) =
-      if (!probed) (sized0, false, 0L)
+    val (bounded, mass) =
+      if (!probed) (false, 0L)
       else {
-        val s = s0persist(sized0)
         // collect-bound: scalar: single aggregated row (bucket-mass probe)
-        val m = s.agg(coalesce(sum(col("bucket_n") - lit(1L)), lit(0L)))
+        val m = sized.agg(coalesce(sum(col("bucket_n") - lit(1L)), lit(0L)))
           .first().getLong(0)
-        (s, massRoute("lshCandidates", m, massBudgetPairs), m)
+        (massRoute("lshCandidates", m, massBudgetPairs), m)
       }
     val l = sized.select(col("band"), col("key"), col("id").as("a"))
     val r = sized.select(col("band"), col("key"), col("id").as("b"))
@@ -701,25 +711,31 @@ object Dedup {
     // pre-distinct mass grows with the square of the replica count —
     // and unlike the MinHash path there is no maxBucket cap in front of
     // it (the operator guarantees recall at Hamming ≤ 3, so a cap would
-    // silently drop true pairs). Below the doc-count floor the plan is
-    // byte-identical to the probe-less path (no window, no extra job);
-    // above it, the exact mass Σ c·(c−1) over chunk groups routes the
-    // distinct to output-sized partitioning when it exceeds the
+    // silently drop true pairs). Below the doc-count floor no probe job
+    // runs; above it, the exact mass Σ c·(c−1) over chunk groups routes
+    // the distinct to output-sized partitioning when it exceeds the
     // heap-derived budget.
+    // The chunk table feeds BOTH sides of the band join — unpersisted,
+    // the per-row simhash fold over the corpus executed twice per call
+    // (r14). Persist unconditionally, same rationale and pattern as
+    // lshCandidates' sized cache.
+    val chunks = s0persist(chunks0)
     // collect-bound: scalar: row count vs the probe floor
     val probed = sigs.count() > massProbeMinDocs
-    val (chunks, bounded, mass) =
-      if (!probed) (chunks0, false, 0L)
+    val (bounded, mass) =
+      if (!probed) (false, 0L)
       else {
-        val sized = s0persist(chunks0
-          .withColumn("chunk_n", count(lit(1))
-            .over(org.apache.spark.sql.expressions.Window
-              .partitionBy(col("chunk_idx"), col("chunk")))))
+        // Exact mass Σ c·(c−1) over chunk groups via one hash
+        // aggregation of the cached chunk table (r14: the former
+        // window attached a per-row count — an exchange + sort — to
+        // compute the same scalar; a two-level groupBy reads the same
+        // quantity with no sort).
         // collect-bound: scalar: single aggregated row (chunk-mass probe)
-        val m = sized.agg(coalesce(sum(col("chunk_n") - lit(1L)), lit(0L)))
+        val m = chunks.groupBy(col("chunk_idx"), col("chunk"))
+          .agg(count(lit(1)).as("c"))
+          .agg(coalesce(sum(col("c") * (col("c") - lit(1L))), lit(0L)))
           .first().getLong(0)
-        (sized.drop("chunk_n"),
-          massRoute("simhashNearDuplicates", m, massBudgetPairs), m)
+        (massRoute("simhashNearDuplicates", m, massBudgetPairs), m)
       }
     val l = chunks.select(col("chunk_idx"), col("chunk"), col("id").as("a"), col("sig").as("sig_a"))
     val r = chunks.select(col("chunk_idx"), col("chunk"), col("id").as("b"), col("sig").as("sig_b"))
