@@ -55,6 +55,17 @@ case class IntersectSize(left: Expression, right: Expression)
 
 object IntersectSize {
 
+  /** Per-task-thread scratch set (r14): compute() runs once per
+    * candidate pair — O(V²) calls in the TextRank join — and a fresh
+    * HashSet per call made allocation the inner loop's hottest cost.
+    * The set is cleared at entry and never escapes the call, so
+    * thread-local reuse is observation-equivalent; capacity stays
+    * bounded by the largest token set seen on the thread.
+    */
+  private val scratch =
+    ThreadLocal.withInitial[java.util.HashSet[UTF8String]](
+      () => new java.util.HashSet[UTF8String](64))
+
   /** Distinct-overlap count over raw ArrayData. A null element shared by
     * both sides counts exactly once — the same rule `array_intersect`
     * applies — so `intersect_size(a, b) == size(array_intersect(a, b))`
@@ -62,7 +73,8 @@ object IntersectSize {
     */
   def compute(a: ArrayData, b: ArrayData): Int = {
     val (small, large) = if (a.numElements() <= b.numElements()) (a, b) else (b, a)
-    val set = new java.util.HashSet[UTF8String](small.numElements() * 2)
+    val set = scratch.get()
+    set.clear()
     var smallHasNull = false
     var i = 0
     while (i < small.numElements()) {
