@@ -94,6 +94,11 @@ object IntersectSize {
       }
       i += 1
     }
+    // clear on exit too (r14 ADVICE): leftover UTF8String entries pin
+    // their base objects (row buffers / cached column blocks) on the
+    // task thread until the next call — release them before returning.
+    // The entry clear() stays as belt-and-braces for an aborted call.
+    set.clear()
     c
   }
 

@@ -154,33 +154,48 @@ object Lsa {
     val spark = docs.sparkSession
     import spark.implicits._
 
+    // tok is NOT persisted (r15): on the dense-id path its ONLY consumer
+    // is the tf build below (one pass), so the cache write of the
+    // corpus-sized token arrays bought nothing; the non-dense docIdx —
+    // previously tok's second reader — now derives its id set from the
+    // (persisted, narrower) tf table instead.
     val tok = graft.Par.fanOut(docs)
       .select(col(idCol).cast("long").as("id"),
         TextFunctions.lsaTokens(col(textCol), cfg.lemma).as("tokens"))
       .filter(size(col("tokens")) > 0)
-      .persist() // the lemmatizer UDF pass is the expensive bit — run once
     val tf = TfIdf.termFrequencies(tok, "id", "tokens").persist() // feeds vocab, idf, cells
-    val vocab = vocabulary(tf, cfg.minDf).persist()
-    // ONE job for every corpus scalar this method needs (r14: the
-    // vocab.count() job is fused in — with the default minDf=1 the
-    // vocabulary is exactly the distinct tokens of tf — and the id
-    // range rides along to detect the dense-id layout below):
+    // ONE job for every corpus scalar this method needs (r14; the
+    // count_distinct(token) leg dropped in r15 — vocabSize now comes
+    // from the vocabulary collect below):
     //  - nnz sizes the SVD row partitioning,
     //  - nDocs feeds IDF and k,
-    //  - nTok = vocabSize when no df floor applies,
     //  - min/max id detect ids that are already 0..nDocs-1.
-    val (nnz, nDocs, nTok, minId, maxId) = {
+    val (nnz, nDocs, minId, maxId) = {
       val row = tf.agg(count(lit(1)), count_distinct(col("id")),
-        count_distinct(col("token")), min(col("id")), max(col("id"))).head()
-      (row.getLong(0), row.getLong(1), row.getLong(2),
-        if (row.isNullAt(3)) -1L else row.getLong(3),
-        if (row.isNullAt(4)) -1L else row.getLong(4))
+        min(col("id")), max(col("id"))).head()
+      (row.getLong(0), row.getLong(1),
+        if (row.isNullAt(2)) -1L else row.getLong(2),
+        if (row.isNullAt(3)) -1L else row.getLong(3))
     }
-    val vocabSize =
-      if (cfg.minDf <= 1L) nTok.toInt else vocab.count().toInt
-    val k = math.min(cfg.k, math.min(nDocs, vocabSize).toInt)
+    // Vocabulary COLLECTED once, (df desc, token asc)-ordered by the same
+    // Spark sort the old distributed table used; idx = collect position —
+    // identical numbering to vocabulary()'s range-partitioned zipWithIndex
+    // over the same total order (token is unique within the groupBy, so
+    // the order is total). One job replaces three (the zipWithIndex
+    // materialization, the vocabArr collect, and the broadcast-build job
+    // over the vocab plan — the join side below is now a LocalRelation).
+    // The collect itself is the SAME vocab-sized driver footprint the
+    // solver already holds (V is |vocab|×k) and vocabArr already paid.
+    // collect-bound: vocabulary: (token, df) rows, Heaps-bounded; the local solver already holds vocab-sized vectors
+    val vocabRows: Array[(String, Long)] =
+      tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= cfg.minDf)
+        .orderBy(desc("df"), col("token"))
+        .select(col("token"), col("df")).as[(String, Long)].collect()
+    val vocabSize = vocabRows.length
+    val k = math.min(cfg.k, math.min(nDocs, vocabSize.toLong).toInt)
     if (k <= 0) { // degenerate corpus (no tokens survive the pipeline)
-      tok.unpersist(); tf.unpersist(); vocab.unpersist()
+      tf.unpersist()
       return spark.createDataFrame(Seq.empty[Concept])
     }
 
@@ -199,17 +214,24 @@ object Lsa {
     val denseIds = minId == 0L && maxId == nDocs - 1L
     lazy val docIdx = {
       import spark.implicits._
-      tok.select(col("id")).orderBy(col("id")).as[Long].rdd
+      // id set from the persisted tf (distinct of its id column == the
+      // doc ids with >= 1 token, i.e. exactly tok's ids) — tok itself is
+      // no longer cached, and re-deriving it would re-run the lemmatizer
+      tf.select(col("id")).distinct().orderBy(col("id")).as[Long].rdd
         .zipWithIndex().toDF("id", "row")
         .persist() // used by the cell join and the row->id back-map
     }
 
-    // IDF from the vocabulary table itself (r14): vocab already carries
-    // df, so the separate idfTable groupBy(token) — a second full
-    // shuffle of tf — and its broadcast are gone; the idf expression
-    // below is byte-for-byte TfIdf.idfCol (log10(N/df)).
+    // IDF from the collected vocabulary (r14/r15): the join side is a
+    // LOCAL relation carrying (token, idx, df) — no distributed subtree
+    // to execute under the broadcast build — and the idf expression
+    // below is byte-for-byte TfIdf.idfCol (log10(N/df)), evaluated in
+    // the plan exactly as before.
+    val vocabLocal = spark.createDataFrame(
+      vocabRows.toIndexedSeq.zipWithIndex.map { case ((t, df), i) => (t, df, i) })
+      .toDF("token", "df", "idx")
     val weighted = tf
-      .join(broadcast(vocab.select(col("token"), col("idx"),
+      .join(broadcast(vocabLocal.select(col("token"), col("idx"),
         TfIdf.idfCol(nDocs, col("df")).as("idf"))), "token")
     val cells =
       if (denseIds)
@@ -280,8 +302,8 @@ object Lsa {
       if (q == 0.0) 0.0 else q
     }
 
-    // collect-bound: vocabulary: term array for keyword emission; the local ARPACK solver already holds vocab-sized vectors
-    val vocabArr = vocab.orderBy(col("idx")).select("token").as[String].collect()
+    // term array for keyword emission: already collected idx-ordered
+    val vocabArr = vocabRows.map(_._1)
     val keywords = Array.tabulate(kEff) { j =>
       (0 until vocabSize)
         .map(i => (snap(v(i, j) * signs(j)), vocabArr(i)))
@@ -330,7 +352,7 @@ object Lsa {
     val topDocs: Map[Int, Seq[Long]] = (0 until kEff).map { j =>
       j -> tops(j).sorted(ord.reverse).take(nTop).map(t => idxToId(t._2)).toSeq
     }.toMap
-    tok.unpersist(); tf.unpersist(); vocab.unpersist()
+    tf.unpersist()
     if (!denseIds) docIdx.unpersist()
     rows.unpersist()
 

@@ -1,6 +1,6 @@
 package graft.lsa
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deterministic fixed-iteration power method for the TOP singular
@@ -82,20 +82,40 @@ object PowerLsa {
     * Returns (kind, ident, score): one 'sigma' row, a 'term' row per
     * vocabulary entry (v₁ loading) and a 'doc' row per matrix row (u₁
     * loading), scores rounded to 6 decimals.
+    *
+    * Scale routing (r15; the kConcepts/kFactorsAuto pattern): under the
+    * same nnz/id budgets, ONE bounded collect feeds [[LocalPowerChain]]
+    * walking the IDENTICAL exact-decimal recurrence on primitive arrays
+    * (PowerLsaSpec pins the two routes row-equal on the gate corpora) —
+    * at gate scale this removes ~3·iters shuffled-matvec jobs PLUS the
+    * 2-3 post-unpersist re-derivations of the cells chain that emit()'s
+    * union legs paid. Above the budgets the distributed chain runs
+    * unchanged (the 100 TB path). The probe aggregate also supplies the
+    * DF route's vocabulary count — its separate distinct().count() job
+    * is gone on both routes.
     */
-  def topSingular(cells: DataFrame, iters: Int): DataFrame = {
+  def topSingular(cells: DataFrame, iters: Int,
+      maxLocalNnz: Long = 2000000L, maxLocalIds: Long = 500000L): DataFrame = {
     require(iters >= 1 && iters <= 32, s"iters $iters out of range")
     val c = cells.select(col("id"), col("token"), col("a")).persist()
-    val nv = c.select(col("token")).distinct().count()
+    val probe = c.agg(count(lit(1)), count_distinct(col("id")),
+      count_distinct(col("token"))).head()
+    val (nnz, nIds, nv) = (probe.getLong(0), probe.getLong(1), probe.getLong(2))
     // fail fast on an impossible-empty vocabulary: a cache race
     // could otherwise feed 0 into 1/sqrt(nv) (silent Inf or ANSI
     // divide-by-zero deep in the chain — seen once under a
     // concurrent-gate clearCache; see Verify's cache note)
     require(nv > 0, s"empty vocabulary (nv=$nv) from non-empty cells - " +
       "likely a cache/materialization race; retry the query")
-    val out = emit(c, powerV(c, nv, iters))
-    c.unpersist()
-    out
+    if (nnz <= maxLocalNnz && nIds <= maxLocalIds) {
+      val chain = LocalPowerChain.collect(c)
+      c.unpersist()
+      chain.emitTop(cells.sparkSession, iters)
+    } else {
+      val out = emit(c, powerV(c, nv, iters))
+      c.unpersist()
+      out
+    }
   }
 
   /** k LSA concepts (the ls01 surface: per concept σ, top keywords, top
@@ -127,6 +147,155 @@ object PowerLsa {
 
   final case class ConceptRow(concept: Int, singular_value: Double,
       keywords: String, doc_ids: String)
+
+  /** Bounded-collect twin of the ls06/ls07 chains ([[topSingular]] /
+    * [[secondSingular]]): the SAME exact-decimal recurrences walked on
+    * primitive arrays off one collect. Each DF op is mirrored 1:1 —
+    * dec() sums via [[PowerCore.dec]] (the Spark double→decimal(38,18)
+    * cast), PLAIN double arithmetic exactly where the DF chain uses it
+    * (powerV's unguarded w/‖w‖ division; secondSingular's
+    * `c0 − dot·v1` / `w0 − (σ²·dot)·v1` corrections, which unlike
+    * kFactors' grouped sums do NOT round-trip through decimal), and
+    * Spark's Round semantics for the 6dp emission (Inf/NaN pass
+    * through). Index/order never reaches a value: every sum is an exact
+    * decimal (associative), every per-element op is elementwise.
+    */
+  private[lsa] final class LocalPowerChain(
+      val ids: Array[Long], val toks: Array[String],
+      cellIds: Array[Int], cellToks: Array[Int], cellAs: Array[Double]) {
+    import java.math.{BigDecimal => JBig}
+    private val nnz = cellAs.length
+    private def dbl(a: Array[JBig]): Array[Double] = a.map(_.doubleValue)
+    private def zeros(n: Int) = Array.fill(n)(JBig.ZERO)
+
+    def matvecV(v: Array[Double]): Array[Double] = { // u = A v (per-id dec sums)
+      val acc = zeros(ids.length)
+      var i = 0
+      while (i < nnz) {
+        acc(cellIds(i)) = acc(cellIds(i)).add(PowerCore.dec(cellAs(i) * v(cellToks(i))))
+        i += 1
+      }
+      dbl(acc)
+    }
+    def matvecU(u: Array[Double]): Array[Double] = { // w = Aᵀ u (per-token dec sums)
+      val acc = zeros(toks.length)
+      var i = 0
+      while (i < nnz) {
+        acc(cellToks(i)) = acc(cellToks(i)).add(PowerCore.dec(cellAs(i) * u(cellIds(i))))
+        i += 1
+      }
+      dbl(acc)
+    }
+    def normOf(w: Array[Double]): Double = { // √Σ dec(w·w)
+      var acc = JBig.ZERO
+      var i = 0
+      while (i < w.length) { acc = acc.add(PowerCore.dec(w(i) * w(i))); i += 1 }
+      math.sqrt(acc.doubleValue)
+    }
+    def dotDec(x: Array[Double], y: Array[Double]): Double = { // Σ dec(x·y)
+      var acc = JBig.ZERO
+      var i = 0
+      while (i < x.length) { acc = acc.add(PowerCore.dec(x(i) * y(i))); i += 1 }
+      acc.doubleValue
+    }
+
+    /** The powerV loop: v ← AᵀAv / ‖AᵀAv‖ from the uniform start —
+      * UNGUARDED division, exactly like the DF chain (a zero norm yields
+      * Inf/NaN there too, never the zero vector).
+      */
+    def powerV(iters: Int): Array[Double] = {
+      val c0 = 1.0 / math.sqrt(toks.length.toDouble)
+      var v = Array.fill(toks.length)(c0)
+      var it = 0
+      while (it < iters) {
+        val u = matvecV(v)
+        val w = matvecU(u)
+        val nrm = normOf(w)
+        v = w.map(_ / nrm)
+        it += 1
+      }
+      v
+    }
+
+    /** Spark Round(double, 6): HALF_UP on the shortest-decimal repr,
+      * Inf/NaN unchanged.
+      */
+    private def round6(x: Double): Double =
+      if (x.isNaN || x.isInfinite) x
+      else JBig.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+
+    /** emit(): one sigma row + per-token 'term' rows + per-id 'doc' rows. */
+    private def emitRows(spark: SparkSession,
+        v: Array[Double]): DataFrame = {
+      val av = matvecV(v)
+      val sigma = normOf(av)
+      val rows =
+        Seq(("sigma", "", round6(sigma))) ++
+          toks.indices.map(t => ("term", toks(t), round6(v(t)))) ++
+          ids.indices.map(d => ("doc", ids(d).toString, round6(av(d) / sigma)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq, 1))
+        .toDF("kind", "ident", "score")
+    }
+
+    def emitTop(spark: SparkSession, iters: Int): DataFrame =
+      emitRows(spark, powerV(iters))
+
+    /** secondSingular's exact chain: v₁ from powerV, implicit deflation
+      * with the corrections in PLAIN double (no decimal round-trip —
+      * the one place this chain differs from kFactors/PowerCore).
+      */
+    def emitSecond(spark: SparkSession, iters: Int): DataFrame = {
+      val v1 = powerV(iters)
+      val av1 = matvecV(v1)
+      val sigma1 = normOf(av1)
+      val s2 = sigma1 * sigma1
+      val c0 = 1.0 / math.sqrt(toks.length.toDouble)
+      // init: uniform orthogonalized against v₁ (dot in dec, correction
+      // and division in plain double, unguarded — as the DF chain)
+      val dot0 = {
+        var acc = JBig.ZERO
+        var i = 0
+        while (i < v1.length) { acc = acc.add(PowerCore.dec(v1(i) * c0)); i += 1 }
+        acc.doubleValue
+      }
+      val q0raw = v1.map(x => c0 - dot0 * x)
+      val nrm0 = normOf(q0raw)
+      var q = q0raw.map(_ / nrm0)
+      var it = 0
+      while (it < iters) {
+        val u = matvecV(q)
+        val w0 = matvecU(u)
+        val dt = dotDec(v1, q)
+        val w = Array.tabulate(toks.length)(t => w0(t) - (s2 * dt) * v1(t))
+        val nrm = normOf(w)
+        q = w.map(_ / nrm)
+        it += 1
+      }
+      emitRows(spark, q)
+    }
+  }
+
+  private[lsa] object LocalPowerChain {
+    /** One bounded collect of the cells into index-compact arrays; ids
+      * and tokens keep their natural ascending order (determinism only —
+      * no value depends on it).
+      */
+    def collect(cells: DataFrame): LocalPowerChain = {
+      val spark = cells.sparkSession
+      import spark.implicits._
+      val rows = cells.select(col("id").cast("long"), col("token"),
+        // collect-bound: probe-guarded: topSingular/secondSingular route here only under the maxLocalNnz/maxLocalIds probes; the distributed chain is the fallback
+        col("a").cast("double")).as[(Long, String, Double)].collect()
+      val ids = rows.map(_._1).distinct.sorted
+      val toks = rows.map(_._2).distinct.sorted
+      val idIdx = ids.zipWithIndex.toMap
+      val tokIdx = toks.zipWithIndex.toMap
+      new LocalPowerChain(ids, toks,
+        rows.map(r => idIdx(r._1)), rows.map(r => tokIdx(r._2)),
+        rows.map(_._3))
+    }
+  }
 
   /** Compact route: one bounded collect, then the [[PowerCore]]
     * recurrence on primitive arrays (index order = ascending key order,
@@ -444,16 +613,28 @@ object PowerLsa {
     * multiplication order `(σ₁²·dot)·v₁` — so the DuckDB oracle replays
     * both concepts bit-for-bit.
     */
-  def secondSingular(cells: DataFrame, iters: Int): DataFrame = {
+  def secondSingular(cells: DataFrame, iters: Int,
+      maxLocalNnz: Long = 2000000L, maxLocalIds: Long = 500000L): DataFrame = {
     require(iters >= 1 && iters <= 32, s"iters $iters out of range")
     val c = cells.select(col("id"), col("token"), col("a")).persist()
-    val nv = c.select(col("token")).distinct().count()
+    // fused size probe + vocabulary count (r15; same routing and budgets
+    // as topSingular — see its scaladoc; the local twin replicates THIS
+    // chain's plain-double corrections, not kFactors' decimal-summed
+    // ones)
+    val probe = c.agg(count(lit(1)), count_distinct(col("id")),
+      count_distinct(col("token"))).head()
+    val (nnz, nIds, nv) = (probe.getLong(0), probe.getLong(1), probe.getLong(2))
     // fail fast on an impossible-empty vocabulary: a cache race
     // could otherwise feed 0 into 1/sqrt(nv) (silent Inf or ANSI
     // divide-by-zero deep in the chain — seen once under a
     // concurrent-gate clearCache; see Verify's cache note)
     require(nv > 0, s"empty vocabulary (nv=$nv) from non-empty cells - " +
       "likely a cache/materialization race; retry the query")
+    if (nnz <= maxLocalNnz && nIds <= maxLocalIds) {
+      val chain = LocalPowerChain.collect(c)
+      c.unpersist()
+      return chain.emitSecond(cells.sparkSession, iters)
+    }
     val v1 = powerV(c, nv, iters)
     val av1 = matvecV(c, v1, "av")
     val sigma1 = av1.agg(

@@ -67,9 +67,20 @@ object Bm25 {
       // scoring join — without the persist each reference replays the
       // postings explode.
       .persist()
-    val dfT = tf.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+    // Per-term document frequencies: at most |terms| rows — collected
+    // once and folded into the scoring projection as a MAP LITERAL (the
+    // same corpus-scalar-as-literal move as nDocs/avgdl above): the
+    // broadcast build job + BroadcastHashJoin per run are gone, and the
+    // collect eagerly materializes the `tf` persist, after which `lens`
+    // has no further consumer — unpersist it (r14 ADVICE leak fix; both
+    // its readers, the stats collect above and tf, are done).
+    // collect-bound: scalar: one df row per query term (<= |terms|)
+    val dfMap: Map[String, Long] =
+      tf.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    lens.unpersist()
     val scored = tf
-      .join(broadcast(dfT), Seq("tok"))
+      .withColumn("df", element_at(typedLit(dfMap), col("tok")))
       .withColumn("idf",
         log((lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
       .withColumn("contrib",

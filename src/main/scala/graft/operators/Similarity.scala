@@ -239,6 +239,14 @@ object Similarity {
     val base = docs.select(col(idCol).as("id"), tokens.as("toks"))
     val tf = base.select(col("id"), explode(col("toks")).as("tok"))
       .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf"))
+      // Feeds BOTH the df aggregation and the weight table: unpersisted,
+      // the df leg re-derived tf from scratch — a SECOND corpus
+      // scan+tokenize per call at every scale (r15 plan audit: two
+      // `Scan parquet`+Generate subtrees inside the cached w plan).
+      // Narrow (id, tok, tf) rows, same documented no-unpersist-hook
+      // cache class as `w` below (r15; guide §2.4 — remove duplicate
+      // passes).
+      .persist()
     val dfT0 = tf.groupBy(col("tok")).agg(countDistinct(col("id")).as("df"))
     // Degenerate-corpus mass probe (r13 verdict task 2; see the Dedup
     // object docs — same floor/budget/policy as lshCandidates). The
@@ -356,8 +364,21 @@ object Similarity {
     * oracle recomputes the clustering itself.
     */
   def lloydClusters(vecs: DataFrame, nClusters: Int,
-      lloydIters: Int): (DataFrame, DataFrame) = {
-    val v = vecs.select(col("id"), col("vec"))
+      lloydIters: Int, maxLocalRows: Long = 200000L): (DataFrame, DataFrame) = {
+    val v0 = vecs.select(col("id"), col("vec"))
+    // Scale routing (r15; the PowerLsa.kFactorsAuto pattern): under the
+    // row budget, ONE sorted collect feeds a local loop walking the
+    // IDENTICAL recurrence (same sqDist left-fold, same ties-to-lowest
+    // argmin, same decimal(28,14) sums / double division means, same
+    // keep-previous empty-cluster rule — LloydLocalTwinSpec pins the two
+    // routes row-equal), replacing 2·lloydIters window+agg rounds of
+    // eager checkpoints per call. IVFADC calls this once per subspace,
+    // so s15-class queries save ~5× that. Above the budget the
+    // distributed loop runs unchanged (the 100 TB path).
+    // collect-bound: scalar: row-count probe for the local-route budget
+    if (v0.count() <= maxLocalRows)
+      return lloydClustersLocal(v0, nClusters, lloydIters)
+    val v = v0
     var centroids = v.orderBy(col("id")).limit(nClusters)
       .select(col("id").as("cid"), col("vec").as("cv"))
       .withColumn("cluster",
@@ -393,6 +414,103 @@ object Similarity {
         .localCheckpoint()
     }
     (centroids, assign(centroids))
+  }
+
+  /** Bounded-collect twin of [[lloydClusters]] — every step mirrors the
+    * DF route 1:1 so values are bit-identical:
+    *  - init = the nClusters first rows of the SPARK-sorted collect
+    *    (orderBy(id) runs in the collect job, so id-type ordering —
+    *    UTF8 binary for strings, numeric otherwise — is Spark's own);
+    *  - assign = [[graft.functions.SqDist]]'s strict left-fold
+    *    Σ(aᵢ−bᵢ)², argmin scanning clusters ASCENDING with strict `<`
+    *    (ties keep the lowest cluster — exactly row_number over
+    *    (dist, cluster));
+    *  - means = exact decimal(28,14) per-coordinate sums (HALF_UP at
+    *    14 fractional digits = Spark's double→decimal cast; a value
+    *    whose rounded precision exceeds 28 digits becomes null there
+    *    and is SKIPPED here, matching sum-over-null semantics) divided
+    *    in double by the member count;
+    *  - empty clusters keep their previous centroid.
+    */
+  private def lloydClustersLocal(v: DataFrame, nClusters: Int,
+      lloydIters: Int): (DataFrame, DataFrame) = {
+    import java.math.{BigDecimal => JBig, RoundingMode}
+    val spark = v.sparkSession
+    // collect-bound: probe-guarded: lloydClusters routes here only under the maxLocalRows budget; the distributed loop is the fallback
+    val rows = v.orderBy(col("id")).collect()
+    val ids: Array[Any] = rows.map(_.get(0))
+    val vs: Array[Array[Double]] = rows.map(_.getSeq[Double](1).toArray)
+    val n = vs.length
+    val kEff = math.min(nClusters, n)
+    var cents: Array[Array[Double]] = Array.tabulate(kEff)(i => vs(i))
+
+    def sqd(a: Array[Double], b: Array[Double]): Double = {
+      // SqDist.compute's strict left-fold (arrays here are same-dim,
+      // null-free doubles — the DF route would NULL on anything else)
+      var s = 0.0
+      var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    def assignAll(cs: Array[Array[Double]]): Array[Int] =
+      vs.map { x =>
+        var best = 0
+        var bd = sqd(x, cs(0))
+        var c = 1
+        while (c < cs.length) {
+          val d = sqd(x, cs(c))
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        best
+      }
+    def dec14(x: Double): JBig = {
+      val b = JBig.valueOf(x).setScale(14, RoundingMode.HALF_UP)
+      if (b.precision > 28) null else b // Spark cast overflow -> null
+    }
+
+    var it = 0
+    while (it < lloydIters) {
+      val asg = assignAll(cents)
+      val dim = if (n > 0) vs(0).length else 0
+      val sums = Array.fill(kEff, dim)(JBig.ZERO)
+      val cnts = new Array[Long](kEff)
+      var i = 0
+      while (i < n) {
+        val c = asg(i)
+        cnts(c) += 1
+        var p = 0
+        while (p < dim) {
+          val d = dec14(vs(i)(p))
+          if (d != null) sums(c)(p) = sums(c)(p).add(d)
+          p += 1
+        }
+        i += 1
+      }
+      cents = Array.tabulate(kEff)(c =>
+        if (cnts(c) == 0L) cents(c) // empty keeps previous
+        else Array.tabulate(dim)(p =>
+          sums(c)(p).doubleValue / cnts(c).toDouble))
+      it += 1
+    }
+    val finalAsg = assignAll(cents)
+
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    val idField = v.schema("id")
+    val vecField = v.schema("vec")
+    val centroidsDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        cents.toIndexedSeq.zipWithIndex.map { case (cv, c) =>
+          Row(c, cv.toSeq) }, 1),
+      StructType(Seq(StructField("cluster", IntegerType, nullable = false),
+        vecField.copy(name = "cv"))))
+    val assignedDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        ids.indices.map(i => Row(ids(i), vs(i).toSeq, finalAsg(i))), 1),
+      StructType(Seq(idField, vecField,
+        StructField("cluster", IntegerType, nullable = false))))
+    (centroidsDf, assignedDf)
   }
 
   /** Deterministic fixed-iteration Lloyd quantizer + IVF probe — the

@@ -340,8 +340,19 @@ object Relational extends QueryProvider {
         // splits skew). The threshold read is the same size logic the
         // planner itself applies — no hard-coded local constant.
         li.join({
-          val thr = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-            s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
+          // Parse like Spark's own ConfigHelpers.byteFromString: strip a
+          // leading '-' before byteStringAsBytes (which cannot parse
+          // negatives) and re-apply the sign — "-1", the standard way to
+          // DISABLE auto-broadcast, must select the SHUFFLE_HASH hint,
+          // not throw NumberFormatException (r14 ADVICE). Any other
+          // unparsable value degrades to the hint too (never aborts).
+          val raw = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB").trim
+          val thr = scala.util.Try {
+            val neg = raw.startsWith("-")
+            val mag = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+              if (neg) raw.substring(1) else raw)
+            if (neg) -mag else mag
+          }.getOrElse(-1L)
           val fits = thr > 0 &&
             ord.queryExecution.optimizedPlan.stats.sizeInBytes <= thr
           if (fits) ord else ord.hint("SHUFFLE_HASH")

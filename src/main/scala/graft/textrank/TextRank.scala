@@ -412,7 +412,8 @@ object TextRank {
     */
   def ranks(edges: DataFrame, cfg: Config = Config(),
       maxDirectedEdges: Long = Long.MaxValue,
-      symmetricEdges: Boolean = false): DataFrame = {
+      symmetricEdges: Boolean = false,
+      maxVertices: Long = Long.MaxValue): DataFrame = {
     val e = edges.select(col("src"), col("dst"), col("weight"))
       .persist(cfg.edgeStorage)
     // Materialize the edge cache under a STATELESS scan first: at the
@@ -444,19 +445,30 @@ object TextRank {
     // input).
     // Route on a COUNT first — the ids are only ever collected once the
     // count proves they fit the driver-side budget; above the limit the
-    // vertex set never leaves the cluster.
-    val vertices =
+    // vertex set never leaves the cluster. SKIPPED (r15, same move as
+    // the edge-count skip above) when the caller's upper bound
+    // (`maxVertices`, e.g. rankDocuments' token-table count — the rank
+    // vertex set is a subset of its doc ids) already proves the set
+    // fits: the count job and the cache it needed both disappear, and
+    // the collect below is the single read. Routing is unchanged
+    // wherever the bound does not bind (count <= bound <= limit -> same
+    // strategy); the collected id order is the same distinct-output
+    // order either way.
+    val vertices0 =
       (if (symmetricEdges) e.select(col("src"))
        else e.select(col("src")).union(e.select(col("dst"))))
         .distinct()
-        .persist() // count probe + (small path) collect read it once each
-    val vertexCount = vertices.count()
+    val boundedVertices = maxVertices <= cfg.broadcastLimit
+    val vertices =
+      if (boundedVertices) vertices0
+      else vertices0.persist() // count probe + (small path) collect read it once each
+    val vertexCount = if (boundedVertices) maxVertices else vertices.count()
     try {
       if (vertexCount <= cfg.broadcastLimit && edgeCount <= cfg.edgeBudget) {
         // Bounded by the check above. The numbering order never reaches
         // the output values: per-destination sums accumulate in edge
         // order within partitions and tree-combine across them.
-        // collect-bound: probe-guarded: count() <= cfg.broadcastLimit just above, with the distributed ranksDF fallback
+        // collect-bound: probe-guarded: count() (or the caller's maxVertices bound) <= cfg.broadcastLimit just above, with the distributed ranksDF fallback
         val ids: Array[Any] = vertices.collect().map(_.get(0))
         // Once the compacted primitive arrays materialize, nothing reads
         // the edge DataFrame again — drop both caches BEFORE the
@@ -657,7 +669,11 @@ object TextRank {
       // both edge routes mirror every surviving pair (see
       // similarityEdges / lshSimilarityEdges), so src-distinct is the
       // full vertex set
-      symmetricEdges = true)
+      symmetricEdges = true,
+      // the rank vertex set is a SUBSET of the token table's doc ids
+      // (isolated docs drop out), so nv bounds it — below the broadcast
+      // limit ranks() skips its vertex count job entirely
+      maxVertices = nv)
     finally vertices.unpersist()
   }
 
