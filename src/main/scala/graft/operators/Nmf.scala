@@ -61,10 +61,25 @@ object Nmf {
 
   /** Run `rounds` update rounds at rank k. Returns (W (doc_id, topic,
     * w), H (topic, term, h)), both 6dp DECIMAL.
+    *
+    * Scale routing (r15; the Hits/PowerLsa pattern): under the nnz
+    * budget, ONE bounded collect (limit(budget+1) caps the driver
+    * footprint by construction) feeds a local loop walking the
+    * IDENTICAL exact-decimal multiplicative updates
+    * (NmfLocalTwinSpec pins the routes bit-equal) — at gate scale this
+    * replaces 2·rounds eager-checkpoint jobs of 3 grouped matrix
+    * products each, for every ls10/ls11/ls13-class consumer. Above the
+    * budget the distributed loop runs unchanged (the 100 TB path).
     */
-  def factorize(v: DataFrame, k: Int, rounds: Int): (DataFrame, DataFrame) = {
+  def factorize(v: DataFrame, k: Int, rounds: Int,
+      maxLocalNnz: Int = 2000000): (DataFrame, DataFrame) = {
     val spark = v.sparkSession
     import spark.implicits._
+    // collect-bound: probe-guarded: limit(maxLocalNnz+1) bounds the collect; the distributed loop is the fallback
+    val probeRows = v.select(col("doc_id"), col("term"), col("v"))
+      .limit(maxLocalNnz + 1).collect()
+    if (probeRows.length <= maxLocalNnz)
+      return factorizeLocal(v, probeRows, k, rounds)
     val vp = v.persist()
     val topics = spark.range(k).select($"id".cast("int").as("topic"))
     var w = vp.select($"doc_id").distinct()
@@ -121,6 +136,127 @@ object Nmf {
         .localCheckpoint()
     }
     (w, h)
+  }
+
+  /** Bounded-collect twin of [[factorize]] — every DF op mirrored 1:1
+    * on arrays so values are bit-identical:
+    *  - init = the same FNV-1a seed expression
+    *    (((fnv1a64(key) mod 1000)+1)/1000 as double, cast to 6dp
+    *    decimal);
+    *  - every matrix product is an EXACT decimal sum of exact
+    *    decimal×decimal products (scale 6 × scale 6 → scale 12), cast
+    *    to double, Spark-rounded HALF_UP at 6dp, re-held at scale 6 —
+    *    matching `round(sum(a*b).cast("double"), 6).cast(dec)`;
+    *  - the multiplicative step is the same plain-double
+    *    `x·num/(den+1e-9)` rounded at 6dp.
+    * Sum order never reaches a value (decimal addition is exact).
+    */
+  private def factorizeLocal(v: DataFrame,
+      rows: Array[org.apache.spark.sql.Row], k: Int,
+      rounds: Int): (DataFrame, DataFrame) = {
+    import java.math.{BigDecimal => JBig, RoundingMode}
+    val spark = v.sparkSession
+    val docIds: Array[Any] = rows.map(_.get(0)).distinct
+    val terms: Array[String] = rows.map(_.getString(1)).distinct
+    val dIdx: Map[Any, Int] = docIds.zipWithIndex.toMap
+    val tIdx: Map[String, Int] = terms.zipWithIndex.toMap
+    val nd = docIds.length
+    val nt = terms.length
+    val cd = rows.map(r => dIdx(r.get(0)))
+    val ct = rows.map(r => tIdx(r.getString(1)))
+    val cv: Array[JBig] = rows.map(_.getDecimal(2))
+
+    // Spark round(double, 6) then cast decimal(18,6): HALF_UP on the
+    // shortest-decimal repr (valueOf); Inf/NaN would cast to null —
+    // unreachable here (den+1e-9 > 0 keeps every divide finite)
+    def r6(x: Double): JBig =
+      JBig.valueOf(x).setScale(6, RoundingMode.HALF_UP)
+    def init(key: String): JBig = {
+      val hv = graft.functions.Fnv.hashUtf8(
+        org.apache.spark.unsafe.types.UTF8String.fromString(key))
+      val m = ((hv % 1000L) + 1000L) % 1000L
+      r6((m + 1).toDouble / 1000.0)
+    }
+    def stepped(x: JBig, num: JBig, den: JBig): JBig =
+      r6(x.doubleValue * num.doubleValue / (den.doubleValue + 1e-9))
+
+    var w: Array[Array[JBig]] = Array.tabulate(nd, k)((d, t) =>
+      init(s"${docIds(d)}:$t"))
+    var h: Array[Array[JBig]] = Array.tabulate(k, nt)((t, m) =>
+      init(s"${terms(m)}:$t"))
+
+    // exact-decimal grouped product: out(i)(j) = r6(Σ a·b as double)
+    def gram(m: Array[Array[JBig]], n: Int): Array[Array[JBig]] = {
+      // g[t1][t2] = Σ over the shared axis of m(t1)(x)·m(t2)(x)
+      Array.tabulate(k, k) { (t1, t2) =>
+        var acc = JBig.ZERO
+        var x = 0
+        while (x < n) { acc = acc.add(m(t1)(x).multiply(m(t2)(x))); x += 1 }
+        r6(acc.doubleValue)
+      }
+    }
+    var round = 0
+    while (round < rounds) {
+      // ---- W update (uses current H) ----
+      val g = gram(h, nt) // h·hᵀ over terms
+      val numW = Array.fill(nd, k)(JBig.ZERO)
+      var i = 0
+      while (i < cv.length) {
+        var t = 0
+        while (t < k) {
+          numW(cd(i))(t) = numW(cd(i))(t).add(cv(i).multiply(h(t)(ct(i))))
+          t += 1
+        }
+        i += 1
+      }
+      val wNew = Array.tabulate(nd, k) { (d, t2) =>
+        var den = JBig.ZERO
+        var t1 = 0
+        while (t1 < k) { den = den.add(w(d)(t1).multiply(g(t1)(t2))); t1 += 1 }
+        stepped(w(d)(t2), r6(numW(d)(t2).doubleValue), r6(den.doubleValue))
+      }
+      w = wNew
+      // ---- H update (uses the NEW W) ----
+      val wt = Array.tabulate(k, nd)((t, d) => w(d)(t))
+      val f = gram(wt, nd) // wᵀ·w over docs
+      val numH = Array.fill(k, nt)(JBig.ZERO)
+      i = 0
+      while (i < cv.length) {
+        var t = 0
+        while (t < k) {
+          numH(t)(ct(i)) = numH(t)(ct(i)).add(cv(i).multiply(w(cd(i))(t)))
+          t += 1
+        }
+        i += 1
+      }
+      val hNew = Array.tabulate(k, nt) { (t2, m) =>
+        var den = JBig.ZERO
+        var t1 = 0
+        while (t1 < k) { den = den.add(h(t1)(m).multiply(f(t1)(t2))); t1 += 1 }
+        stepped(h(t2)(m), r6(numH(t2)(m).doubleValue), r6(den.doubleValue))
+      }
+      h = hNew
+      round += 1
+    }
+
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DecimalType, IntegerType, StructField, StructType}
+    val docField = v.schema("doc_id")
+    val termField = v.schema("term")
+    val wDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (for (d <- docIds.indices; t <- 0 until k)
+          yield Row(docIds(d), t, w(d)(t))).toIndexedSeq, 1),
+      StructType(Seq(docField, StructField("topic", IntegerType, false),
+        StructField("w", DecimalType(18, 6), nullable = true))))
+    val hDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (for (t <- 0 until k; m <- terms.indices)
+          yield Row(t, terms(m), h(t)(m))).toIndexedSeq, 1),
+      StructType(Seq(StructField("topic", IntegerType, false),
+        termField.copy(name = "term"),
+        StructField("h", DecimalType(18, 6), nullable = true))))
+    (wDf, hDf)
   }
 
   /** Per-document topic mixture from W: dominant topic (argmax weight,

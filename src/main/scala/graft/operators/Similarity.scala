@@ -245,8 +245,8 @@ object Similarity {
       // `Scan parquet`+Generate subtrees inside the cached w plan).
       // Narrow (id, tok, tf) rows, same documented no-unpersist-hook
       // cache class as `w` below (r15; guide §2.4 — remove duplicate
-      // passes).
-      .persist()
+      // passes). cacheIfNew: plan-equal calls share the entry.
+      .transform(df => graft.Par.cacheIfNew(df)._1)
     val dfT0 = tf.groupBy(col("tok")).agg(countDistinct(col("id")).as("df"))
     // Degenerate-corpus mass probe (r13 verdict task 2; see the Dedup
     // object docs — same floor/budget/policy as lshCandidates). The

@@ -169,6 +169,29 @@ object Profile {
           time(s"full-$round")(noop(graft.lsa.Lsa.concepts(docs, "doc_id", "text")))
         }
 
+      case "t13steps" =>
+        // stepwise mirror of Bm25.score for t13 (r15): where do the warm
+        // milliseconds go — stats collect, df collect, or the pivot job?
+        import org.apache.spark.sql.functions.{typedLit, array_contains, filter => afilter}
+        val terms = Seq("spark", "join", "window")
+        for (round <- Seq("cold", "warm")) {
+          val docs = graft.Par.fanOut(Tables.documents(spark, sfDir))
+          val termsCol = typedLit(terms)
+          val lens = docs.select($"doc_id", TF.tokenize($"text").as("toks"))
+            .select($"doc_id", size($"toks").cast("long").as("dl"),
+              afilter($"toks", t => array_contains(termsCol, t)).as("qtoks"))
+            .transform(df => graft.Par.cacheIfNew(df)._1)
+          time(s"stats-$round")(lens.agg(count(lit(1)), sum($"dl")).head())
+          val tf = lens.select($"doc_id", $"dl", explode($"qtoks").as("tok"))
+            .groupBy($"doc_id", $"dl", $"tok").agg(count(lit(1)).as("tf"))
+            .transform(df => graft.Par.cacheIfNew(df)._1)
+          // collect-bound: scalar: one df row per query term (<= |terms|)
+          time(s"df-$round")(
+            tf.groupBy($"tok").agg(countDistinct($"doc_id").as("df")).collect())
+          time(s"full-$round")(noop(
+            graft.SparkEntry.allQueries("t13_bm25")(spark, sfDir)))
+        }
+
       case "tr02" =>
         val docs = Tables.documents(spark, sfDir)
           .select($"doc_id".as("id"), $"text")
