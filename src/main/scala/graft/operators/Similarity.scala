@@ -364,7 +364,7 @@ object Similarity {
     * oracle recomputes the clustering itself.
     */
   def lloydClusters(vecs: DataFrame, nClusters: Int,
-      lloydIters: Int, maxLocalRows: Long = 200000L): (DataFrame, DataFrame) = {
+      lloydIters: Int, maxLocalRows: Int = 200000): (DataFrame, DataFrame) = {
     val v0 = vecs.select(col("id"), col("vec"))
     // Scale routing (r15; the PowerLsa.kFactorsAuto pattern): under the
     // row budget, ONE sorted collect feeds a local loop walking the
@@ -373,11 +373,16 @@ object Similarity {
     // keep-previous empty-cluster rule — LloydLocalTwinSpec pins the two
     // routes row-equal), replacing 2·lloydIters window+agg rounds of
     // eager checkpoints per call. IVFADC calls this once per subspace,
-    // so s15-class queries save ~5× that. Above the budget the
-    // distributed loop runs unchanged (the 100 TB path).
-    // collect-bound: scalar: row-count probe for the local-route budget
-    if (v0.count() <= maxLocalRows)
-      return lloydClustersLocal(v0, nClusters, lloydIters)
+    // so s15-class queries save ~5× that. Probe and collect are FUSED:
+    // orderBy(id).limit(budget+1) caps the driver footprint by
+    // construction (a distributed TakeOrdered, not a global sort) — if
+    // the limit did not truncate, these are ALL the rows in Spark's own
+    // id order; one extra row routes to the unchanged distributed loop
+    // (the 100 TB path) and the sample is discarded.
+    // collect-bound: probe-guarded: limit(maxLocalRows+1) bounds the collect; the distributed loop is the fallback
+    val probeRows = v0.orderBy(col("id")).limit(maxLocalRows + 1).collect()
+    if (probeRows.length <= maxLocalRows)
+      return lloydClustersLocal(v0, probeRows, nClusters, lloydIters)
     val v = v0
     var centroids = v.orderBy(col("id")).limit(nClusters)
       .select(col("id").as("cid"), col("vec").as("cv"))
@@ -432,12 +437,11 @@ object Similarity {
     *    in double by the member count;
     *  - empty clusters keep their previous centroid.
     */
-  private def lloydClustersLocal(v: DataFrame, nClusters: Int,
+  private def lloydClustersLocal(v: DataFrame,
+      rows: Array[org.apache.spark.sql.Row], nClusters: Int,
       lloydIters: Int): (DataFrame, DataFrame) = {
     import java.math.{BigDecimal => JBig, RoundingMode}
     val spark = v.sparkSession
-    // collect-bound: probe-guarded: lloydClusters routes here only under the maxLocalRows budget; the distributed loop is the fallback
-    val rows = v.orderBy(col("id")).collect()
     val ids: Array[Any] = rows.map(_.get(0))
     val vs: Array[Array[Double]] = rows.map(_.getSeq[Double](1).toArray)
     val n = vs.length

@@ -24,7 +24,7 @@ class LloydLocalTwinSpec extends SparkSpec {
     (7L, Seq(0.05, 0.05))
   ).toDF("id", "vec")
 
-  private def run(maxLocalRows: Long) = {
+  private def run(maxLocalRows: Int) = {
     val (cents, asg) = Similarity.lloydClusters(vecs, 3, 2, maxLocalRows)
     val c = cents.orderBy("cluster")
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq
@@ -35,8 +35,8 @@ class LloydLocalTwinSpec extends SparkSpec {
   }
 
   test("local twin is bit-identical to the distributed loop") {
-    val (cLocal, aLocal) = run(maxLocalRows = 200000L) // local route
-    val (cDist, aDist) = run(maxLocalRows = 0L)        // forces the DF route
+    val (cLocal, aLocal) = run(maxLocalRows = 200000) // local route
+    val (cDist, aDist) = run(maxLocalRows = -1)        // forces the DF route
     assert(cLocal == cDist)
     assert(aLocal == aDist)
     assert(cLocal.size == 3 && aLocal.size == 8)
