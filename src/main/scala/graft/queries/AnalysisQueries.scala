@@ -735,8 +735,14 @@ object AnalysisQueries extends QueryProvider {
       "a08_bigram_lm",
       (s, dir) => {
         import s.implicits._
+        // persisted (r15): four consumers — the bigram table twice (c2
+        // build + the final per-doc join) and the unigram explode twice
+        // (c1 + the vocab countDistinct) — re-tokenized the corpus up
+        // to 4x per run without it. Same documented cacheIfNew class as
+        // the d15 tf cache (plan-equal runs share the entry).
         val toks = graft.Par.fanOut(Tables.documents(s, dir))
           .select($"doc_id", TF.tokenize($"text").as("t"))
+          .transform(df => graft.Par.cacheIfNew(df)._1)
         val bg = toks.select($"doc_id", explode(zip_with(
           slice($"t", lit(1), greatest(size($"t") - 1, lit(0))),
           slice($"t", lit(2), greatest(size($"t") - 1, lit(0))),
